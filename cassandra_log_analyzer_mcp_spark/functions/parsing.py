@@ -1,0 +1,248 @@
+"""Cassandra log-line parsing and issue classification — Column exprs.
+
+Parity targets in the reference (``/root/reference/cassandra_log_analyzer.py``):
+- ``parse_log_line`` regex           → ``LOG_LINE_REGEX`` (ref :186-203)
+- ``ERROR_PATTERNS``/``WARNING_PATTERNS`` → same dicts (ref :38-56)
+- ``detect_issues`` multi-label scan → ``issues_col`` (ref :205-217)
+- error/warning accounting rules     → ``is_error_col``/``is_warning_col``
+  (level=='ERROR' OR any error-issue; level=='WARN' OR any warning-issue,
+  ref :245-251)
+
+Everything here is a JVM-side Column expression (regexp_extract / rlike)
+so classification stays inside whole-stage codegen — a single pass over
+the scan, no Python in the loop. At 100 TB this is a map-only stage.
+
+The synthetic-log builder turns the driver's ``events`` table into
+deterministic Cassandra-format lines (node = user_id % 4, message
+template keyed by event_id) so the parser is exercised on realistic
+input while remaining oracle-checkable: the DuckDB oracle re-derives the
+same fields directly (see ``oracles.py``), so any parser defect shows up
+as a t2 hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference parse_log_line regex, ref :189 (format:
+# ``LEVEL [timestamp] [thread] class:line - message``).
+LOG_LINE_REGEX = r"(\w+)\s+\[([^\]]+)\]\s+\[([^\]]+)\]\s+([^:]+):(\d+)\s+-\s+(.*)"
+
+# Issue patterns, ref :38-49 and :51-56. RE2/Java-compatible (inline
+# (?i) flag works in both Spark's Java regex and DuckDB's RE2).
+ERROR_PATTERNS: dict[str, str] = {
+    "timeout": r"(?i)(timeout|timed out|TimedOut)",
+    "oom": r"(?i)(OutOfMemory|java\.lang\.OutOfMemoryError)",
+    "connection": r"(?i)(connection.*(?:refused|failed|lost|closed))",
+    "compaction": r"(?i)(compaction.*(?:error|failed))",
+    "repair": r"(?i)(repair.*(?:error|failed))",
+    "gc": r"(?i)(GC.*(?:pause|exceeded))",
+    "tombstone": r"(?i)(tombstone.*(?:warning|exceeded))",
+    "dropped": r"(?i)(dropped.*messages?)",
+    "unavailable": r"(?i)(UnavailableException)",
+    "coordinator": r"(?i)(coordinator.*(?:timeout|failed))",
+}
+WARNING_PATTERNS: dict[str, str] = {
+    "heap": r"(?i)(heap.*(?:pressure|warning))",
+    "slow_query": r"(?i)(slow.*query)",
+    "batch": r"(?i)(batch.*(?:too large|warning))",
+    "streaming": r"(?i)(streaming.*(?:failed|error))",
+}
+ALL_PATTERNS: dict[str, str] = {**ERROR_PATTERNS, **WARNING_PATTERNS}
+ISSUE_SEVERITY: dict[str, str] = {
+    **{k: "ERROR" for k in ERROR_PATTERNS},
+    **{k: "WARNING" for k in WARNING_PATTERNS},
+}
+
+# Recommendation threshold rules, ref _generate_recommendations :270-309.
+# (issue, threshold, severity, recommendation)
+RECOMMENDATION_RULES: list[tuple[str, int, str, str]] = [
+    (
+        "timeout",
+        10,
+        "HIGH",
+        "Check network latency, increase timeouts, or optimize queries",
+    ),
+    (
+        "oom",
+        0,
+        "CRITICAL",
+        "Increase JVM heap or reduce load; check for memory leaks",
+    ),
+    (
+        "tombstone",
+        5,
+        "MEDIUM",
+        "Review the data model, adjust gc_grace_seconds, or raise "
+        "tombstone_warn_threshold",
+    ),
+    (
+        "gc",
+        5,
+        "HIGH",
+        "Tune the JVM heap, consider G1GC, or reduce load",
+    ),
+    (
+        "dropped",
+        10,
+        "HIGH",
+        "Cluster overloaded: add nodes or optimize queries",
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic-log templates (shared with the DuckDB oracle).
+# Each template intentionally trips specific issue patterns; ERROR#7
+# trips two (coordinator + timeout) and INFO#3 trips an ERROR-severity
+# issue on an INFO line — both parity edge cases of ref :243-251.
+# ---------------------------------------------------------------------------
+ERROR_TEMPLATES = [
+    "Operation timed out waiting for 2 replica responses",      # timeout
+    "java.lang.OutOfMemoryError: Java heap space",              # oom
+    "Connection to peer closed during handshake",               # connection
+    "Compaction failed on sstable segment",                     # compaction
+    "UnavailableException: not enough replicas alive for QUORUM",  # unavailable
+    "Repair session failed on range owner",                     # repair
+    "Dropped 17 READ messages in the last interval",            # dropped
+    "Coordinator timeout during read at consistency QUORUM",    # coordinator+timeout
+]
+WARN_TEMPLATES = [
+    "GC pause of 1213ms exceeded threshold",                    # gc
+    "Read 8012 live rows and 50001 tombstone cells, tombstone warning threshold hit",  # tombstone
+    "Slow query on table ks.events took 4021ms",                # slow_query
+    "Batch of prepared statements is too large for keyspace",   # batch
+    "Heap pressure warning, memtable flush triggered",          # heap
+    "Streaming session failed with peer during bootstrap",      # streaming
+]
+INFO_TEMPLATES = [
+    "Completed flushing memtable to disk",
+    "Handshaking version with peer endpoint",
+    "Enqueuing flush of sstable segment",
+    "Dropped 2 HINT messages during drain",                     # dropped (on INFO)
+]
+ERROR_CLASSES = [
+    "StorageProxy", "HeapUtils", "OutboundTcpConnection", "CompactionManager",
+    "StorageProxy", "RepairRunnable", "MessagingService", "StorageProxy",
+]
+WARN_CLASSES = [
+    "GCInspector", "ReadCommand", "MonitoringTask", "BatchStatement",
+    "GCInspector", "StreamSession",
+]
+INFO_CLASSES = [
+    "Memtable", "OutboundTcpConnection", "ColumnFamilyStore", "HintsService",
+]
+THREADS = ["ReadStage-1", "MutationStage-2", "CompactionExecutor-3", "GossipStage-1"]
+
+N_NODES = 4
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss,SSS"
+
+
+def _pick(col: Column, values: list[str]) -> Column:
+    """values[col % len(values)] as a Column expression."""
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (col % len(values) + 1).cast("int"))
+
+
+def synth_raw_lines(events: DataFrame) -> DataFrame:
+    """events table → (line_id, node, raw) Cassandra-format log lines.
+
+    Deterministic: level from event_type (error→ERROR, view→WARN,
+    else INFO), message/class template keyed by event_id, thread by
+    event_id % 4, node by user_id % 4, line_no = 100 + event_id % 400.
+    """
+    eid = F.col("event_id")
+    level = (
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "view", "WARN")
+        .otherwise("INFO")
+    )
+    message = (
+        F.when(level == "ERROR", _pick(eid, ERROR_TEMPLATES))
+        .when(level == "WARN", _pick(eid, WARN_TEMPLATES))
+        .otherwise(_pick(eid, INFO_TEMPLATES))
+    )
+    clazz = (
+        F.when(level == "ERROR", _pick(eid, ERROR_CLASSES))
+        .when(level == "WARN", _pick(eid, WARN_CLASSES))
+        .otherwise(_pick(eid, INFO_CLASSES))
+    )
+    ts_str = F.date_format("ts", TS_FMT_SPARK)
+    raw = F.concat(
+        level, F.lit(" ["), ts_str, F.lit("] ["), _pick(eid, THREADS),
+        F.lit("] "), clazz, F.lit(":"),
+        (F.lit(100) + eid % 400).cast("string"), F.lit(" - "), message,
+    )
+    return events.select(
+        eid.alias("line_id"),
+        F.concat(F.lit("node"), (F.col("user_id") % N_NODES).cast("string")).alias("node"),
+        raw.alias("raw"),
+    )
+
+
+def parse_lines(df: DataFrame) -> DataFrame:
+    """(line_id, node, raw) → parsed log entries (parser of ref :186-203).
+
+    Non-matching lines get empty groups and are dropped, mirroring the
+    reference's ``return None`` branch. Single map-only stage.
+    """
+    g = lambda i: F.regexp_extract("raw", LOG_LINE_REGEX, i)  # noqa: E731
+    out = df.select(
+        "line_id",
+        "node",
+        "raw",
+        g(1).alias("level"),
+        g(2).alias("ts_str"),
+        g(3).alias("thread"),
+        g(4).alias("clazz"),
+        g(5).cast("int").alias("line_no"),
+        g(6).alias("message"),
+    )
+    return out.filter(F.col("level") != "").withColumn(
+        "ts", F.replace("ts_str", F.lit(","), F.lit(".")).cast("timestamp")
+    )
+
+
+def issues_col(message: Column = None) -> Column:
+    """Array of issue names whose pattern matches ``message`` (ref :205-217)."""
+    msg = F.col("message") if message is None else message
+    return F.array_compact(
+        F.array(
+            *[
+                F.when(msg.rlike(pat), F.lit(name))
+                for name, pat in ALL_PATTERNS.items()
+            ]
+        )
+    )
+
+
+def _any_match(msg: Column, patterns: dict[str, str]) -> Column:
+    cond = F.lit(False)
+    for pat in patterns.values():
+        cond = cond | msg.rlike(pat)
+    return cond
+
+
+def is_error_col(level: Column = None, message: Column = None) -> Column:
+    """Reference error accounting: level=='ERROR' OR any error issue (ref :245)."""
+    lvl = F.col("level") if level is None else level
+    msg = F.col("message") if message is None else message
+    return (lvl == "ERROR") | _any_match(msg, ERROR_PATTERNS)
+
+
+def is_warning_col(level: Column = None, message: Column = None) -> Column:
+    """Reference warning accounting: level=='WARN' OR any warning issue (ref :249)."""
+    lvl = F.col("level") if level is None else level
+    msg = F.col("message") if message is None else message
+    return (lvl == "WARN") | _any_match(msg, WARNING_PATTERNS)
+
+
+def with_issue_flags(df: DataFrame) -> DataFrame:
+    """Add issues / is_error / is_warning columns in one codegen stage."""
+    return df.withColumns(
+        {
+            "issues": issues_col(),
+            "is_error": is_error_col(),
+            "is_warning": is_warning_col(),
+        }
+    )

@@ -1,0 +1,219 @@
+"""Cluster-analysis operators — Spark-first re-expression of the
+reference's analyze_cluster / search_logs / get_errors / compare_nodes /
+detect_issues tools (ref cassandra_log_analyzer.py :219-327, :738-857).
+
+Every operator takes a *flagged* parsed-log DataFrame (see
+``functions.parsing.with_issue_flags``) and returns a DataFrame plan.
+
+Scale notes (100 TB):
+- All aggregations are hash aggregations keyed on low-cardinality keys
+  (node, issue, hour) → map-side partial aggregation, a single shuffle
+  of tiny partial states. No collect-based loops anywhere (the
+  reference is one giant driver loop, ref :230-263).
+- Top-N is per-partition-key ``row_number`` — never a global sort.
+- Timeline/window operators bucket timestamps with integer arithmetic
+  on the epoch so no per-row Python and no session-timezone coupling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parsing import (
+    ALL_PATTERNS,
+    ISSUE_SEVERITY,
+    RECOMMENDATION_RULES,
+)
+
+def _severity_map():
+    return F.create_map(
+        *[x for k, v in ISSUE_SEVERITY.items() for x in (F.lit(k), F.lit(v))]
+    )
+
+
+def log_parse(logs: DataFrame) -> DataFrame:
+    """Parsed entries — the parse_log_line surface (ref :186-203)."""
+    return logs.select(
+        "line_id", "node", "level", "ts_str", "thread", "clazz", "line_no", "message"
+    )
+
+
+def issue_classify(logs: DataFrame) -> DataFrame:
+    """One row per (entry, matched issue) — detect_issues (ref :205-217)."""
+    sev = _severity_map()
+    return (
+        logs.select(
+            "line_id", "node", "level", "clazz", "message",
+            F.explode("issues").alias("issue"),
+        )
+        .withColumn("severity", sev[F.col("issue")])
+    )
+
+
+def issue_counts(logs: DataFrame) -> DataFrame:
+    """Occurrences per issue type (ref :253-254). Only issues seen."""
+    sev = _severity_map()
+    return (
+        logs.select(F.explode("issues").alias("issue"))
+        .groupBy("issue")
+        .agg(F.count("*").alias("n"))
+        .withColumn("severity", sev[F.col("issue")])
+        .select("issue", "severity", "n")
+    )
+
+
+def node_summary(logs: DataFrame) -> DataFrame:
+    """Per-node errors / warnings / total_lines (ref :259-263)."""
+    return logs.groupBy("node").agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+        F.count("*").alias("total_lines"),
+    )
+
+
+def error_timeline(logs: DataFrame) -> DataFrame:
+    """Hourly ERROR|WARN counts per node/level (ref timeline :256-257)."""
+    return (
+        logs.filter(F.col("level").isin("ERROR", "WARN"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "node",
+            "level",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def compare_nodes(logs: DataFrame) -> DataFrame:
+    """node × {errors, warnings, lines} + error_rate + rank (ref :828-842)."""
+    agg = node_summary(logs).withColumnRenamed("total_lines", "lines")
+    w = Window.orderBy(F.col("errors").desc(), F.col("node"))
+    # Rank window over node-cardinality rows only (cluster size) — the
+    # single-partition window is on the tiny aggregate, not the logs.
+    return agg.select(
+        "node", "errors", "warnings", "lines",
+        F.round(F.col("errors") / F.col("lines"), 4).alias("error_rate"),
+    ).withColumn("rank", F.row_number().over(w))
+
+
+def get_errors(logs: DataFrame, limit_per_node: int = 50) -> DataFrame:
+    """First N error entries per node in log order (ref :801-826).
+
+    Two-stage: filter (pushed to scan) then per-node row_number —
+    no global sort; each node's partition sorts only its own errors.
+    """
+    w = Window.partitionBy("node").orderBy("ts", "line_id")
+    return (
+        logs.filter(F.col("is_error"))
+        .select("node", "ts_str", "level", "clazz", "message", "ts", "line_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= limit_per_node)
+        .select("node", "rn", "ts_str", "level", "clazz", "message")
+    )
+
+
+def search_logs(logs: DataFrame, pattern: str, case_sensitive: bool = False) -> DataFrame:
+    """Regex search with per-node line numbers (ref :311-327).
+
+    Line numbers are assigned over ALL lines (reference enumerates the
+    file before matching) then the match filter applies.
+    """
+    pat = pattern if case_sensitive else f"(?i){pattern}"
+    w = Window.partitionBy("node").orderBy("line_id")
+    return (
+        logs.select("node", "line_id", "raw")
+        .withColumn("line_number", F.row_number().over(w))
+        .filter(F.col("raw").rlike(pat))
+        .select("node", "line_number", F.col("raw").alias("content"))
+    )
+
+
+def recommendations(logs: DataFrame) -> DataFrame:
+    """Threshold-rule recommendations (ref _generate_recommendations :270-309).
+
+    One conditional aggregation pass computes every issue count, then
+    the 5 rules evaluate on the single-row aggregate — a constant-size
+    final stage regardless of input size.
+    """
+    counts = logs.agg(
+        *[
+            F.sum(F.col("message").rlike(ALL_PATTERNS[issue]).cast("long")).alias(issue)
+            for issue, _, _, _ in RECOMMENDATION_RULES
+        ]
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(sev).alias("severity"),
+                F.lit(issue).alias("issue"),
+                F.lit(rec).alias("recommendation"),
+                F.col(issue).alias("n"),
+                (F.col(issue) > thr).alias("fired"),
+            )
+            for issue, thr, sev, rec in RECOMMENDATION_RULES
+        ]
+    )
+    return (
+        counts.select(F.explode(F.filter(rules, lambda r: r.fired)).alias("r"))
+        .select("r.severity", "r.issue", "r.recommendation", "r.n")
+    )
+
+
+def top_error_classes(logs: DataFrame) -> DataFrame:
+    """Java classes ranked by error count — the 'what is failing' view."""
+    agg = logs.filter(F.col("is_error")).groupBy("clazz").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("clazz"))
+    return agg.withColumn("rank", F.row_number().over(w))
+
+
+def error_rate_windowed(logs: DataFrame, window_s: int = 900) -> DataFrame:
+    """Per-node tumbling-window error rate (15 min default).
+
+    Bucketing is integer arithmetic on epoch seconds — timezone-proof
+    and codegen-friendly; at scale this is a map-side-combined hash agg
+    on (node, window) with bounded cardinality.
+    """
+    win = (F.floor(F.col("ts").cast("long") / window_s) * window_s).alias("win_start")
+    return (
+        logs.groupBy(F.col("node"), win)
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+        )
+        .withColumn("error_rate", F.round(F.col("errors") / F.col("total"), 4))
+    )
+
+
+def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Gap-based sessionization of errors per node (>gap_s ⇒ new burst).
+
+    lag + running-sum windows partitioned by node; at 100 TB the state
+    per node is one ordered pass (Spark sorts within each node
+    partition only). Batch analogue of the streaming burst detector.
+    """
+    epoch = F.col("ts").cast("long")
+    w_ord = Window.partitionBy("node").orderBy("ts", "line_id")
+    flagged = (
+        logs.filter(F.col("is_error"))
+        .select("node", "ts", "line_id", epoch.alias("epoch_s"))
+        .withColumn(
+            "new_burst",
+            (
+                (F.col("epoch_s") - F.lag("epoch_s").over(w_ord) > gap_s)
+                | F.lag("epoch_s").over(w_ord).isNull()
+            ).cast("long"),
+        )
+        .withColumn(
+            "burst_id",
+            F.sum("new_burst").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return flagged.groupBy("node", "burst_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("epoch_s").alias("start_s"),
+        F.max("epoch_s").alias("end_s"),
+    ).withColumn("duration_s", F.col("end_s") - F.col("start_s"))

@@ -1,0 +1,227 @@
+"""DuckDB oracle SQL — independently-derived answers for every query.
+
+The Spark side synthesizes Cassandra log lines from ``events`` and then
+*parses them back* with the real regex parser; the oracle derives the
+same fields directly from the shared templates (single source of truth:
+``functions.parsing``). Any defect in the format→parse roundtrip
+therefore shows up as a t2 value-hash mismatch.
+
+Dialect parity rules used throughout (verified against DuckDB 1.0 +
+Spark 4.1):
+- strftime(ts, '%Y-%m-%d %H:%M:%S,%g')  ==  date_format(ts, 'yyyy-MM-dd HH:mm:ss,SSS') under UTC
+- epoch seconds: CAST(floor(epoch(ts)) AS BIGINT)  ==  CAST(ts AS LONG)
+- md5() identical; hex strings compare lexicographically the same
+- every COUNT/SUM-of-int is cast to BIGINT (DuckDB sums to HUGEINT)
+- every double aggregate is rounded identically on both sides
+"""
+
+from __future__ import annotations
+
+from ..functions.parsing import (
+    ALL_PATTERNS,
+    ERROR_CLASSES,
+    ERROR_PATTERNS,
+    ERROR_TEMPLATES,
+    INFO_CLASSES,
+    INFO_TEMPLATES,
+    ISSUE_SEVERITY,
+    N_NODES,
+    RECOMMENDATION_RULES,
+    THREADS,
+    WARN_CLASSES,
+    WARN_TEMPLATES,
+    WARNING_PATTERNS,
+)
+
+
+def _case_mod(col: str, values: list[str]) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+    return f"CASE CAST({col} % {len(values)} AS INT) {whens} END"
+
+
+def _rx(col: str, pattern: str) -> str:
+    return f"regexp_matches({col}, '{pattern}')"
+
+
+def _any(col: str, patterns: dict[str, str]) -> str:
+    return "(" + " OR ".join(_rx(col, p) for p in patterns.values()) + ")"
+
+
+#: Shared CTE body: logs = parsed entries, lines adds the raw line.
+LOG_CTE = f"""
+_ev AS (
+  SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts,
+         strftime(ts, '%Y-%m-%d %H:%M:%S,%g') AS ts_str,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'view' THEN 'WARN'
+              ELSE 'INFO' END AS level
+  FROM events
+),
+logs AS (
+  SELECT event_id AS line_id,
+         'node' || (user_id % {N_NODES}) AS node,
+         level, ts, ts_str,
+         {_case_mod('event_id', THREADS)} AS thread,
+         CASE WHEN level = 'ERROR' THEN {_case_mod('event_id', ERROR_CLASSES)}
+              WHEN level = 'WARN' THEN {_case_mod('event_id', WARN_CLASSES)}
+              ELSE {_case_mod('event_id', INFO_CLASSES)} END AS clazz,
+         CAST(100 + event_id % 400 AS INT) AS line_no,
+         CASE WHEN level = 'ERROR' THEN {_case_mod('event_id', ERROR_TEMPLATES)}
+              WHEN level = 'WARN' THEN {_case_mod('event_id', WARN_TEMPLATES)}
+              ELSE {_case_mod('event_id', INFO_TEMPLATES)} END AS message
+  FROM _ev
+),
+lines AS (
+  SELECT *,
+         level || ' [' || ts_str || '] [' || thread || '] ' || clazz || ':'
+               || line_no || ' - ' || message AS raw
+  FROM logs
+),
+flagged AS (
+  SELECT *,
+         (level = 'ERROR' OR {_any('message', ERROR_PATTERNS)}) AS is_error,
+         (level = 'WARN' OR {_any('message', WARNING_PATTERNS)}) AS is_warning
+  FROM logs
+)
+"""
+
+
+def with_logs(body: str) -> str:
+    return f"WITH {LOG_CTE} {body}"
+
+
+def analysis_oracles() -> dict[str, str]:
+    """Oracle SQL for SURVEY §2 sections A + B."""
+    o: dict[str, str] = {}
+
+    o["log_parse"] = with_logs(
+        "SELECT line_id, node, level, ts_str, thread, clazz, line_no, message FROM logs"
+    )
+
+    classify_selects = " UNION ALL ".join(
+        f"SELECT line_id, node, level, clazz, message, '{name}' AS issue, "
+        f"'{ISSUE_SEVERITY[name]}' AS severity FROM logs WHERE {_rx('message', pat)}"
+        for name, pat in ALL_PATTERNS.items()
+    )
+    o["issue_classify"] = with_logs(classify_selects)
+
+    count_selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS issue, '{ISSUE_SEVERITY[name]}' AS severity, "
+        f"CAST(count(*) AS BIGINT) AS n FROM logs WHERE {_rx('message', pat)}"
+        for name, pat in ALL_PATTERNS.items()
+    )
+    o["issue_counts"] = with_logs(
+        f"SELECT * FROM ({count_selects}) t WHERE n > 0"
+    )
+
+    o["node_summary"] = with_logs(
+        """
+        SELECT node,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+               CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END) AS BIGINT) AS warnings,
+               CAST(count(*) AS BIGINT) AS total_lines
+        FROM flagged GROUP BY node
+        """
+    )
+
+    o["error_timeline"] = with_logs(
+        """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               node, level, CAST(count(*) AS BIGINT) AS n
+        FROM logs WHERE level IN ('ERROR', 'WARN')
+        GROUP BY 1, 2, 3
+        """
+    )
+
+    o["compare_nodes"] = with_logs(
+        """
+        SELECT node, errors, warnings, lines,
+               round(errors / lines, 4) AS error_rate,
+               CAST(row_number() OVER (ORDER BY errors DESC, node) AS INT) AS rank
+        FROM (
+          SELECT node,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                 CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END) AS BIGINT) AS warnings,
+                 CAST(count(*) AS BIGINT) AS lines
+          FROM flagged GROUP BY node
+        ) t
+        """
+    )
+
+    o["get_errors"] = with_logs(
+        """
+        SELECT node, CAST(rn AS INT) AS rn, ts_str, level, clazz, message FROM (
+          SELECT node, ts_str, level, clazz, message,
+                 row_number() OVER (PARTITION BY node ORDER BY ts, line_id) AS rn
+          FROM flagged WHERE is_error
+        ) t WHERE rn <= 50
+        """
+    )
+
+    o["search_logs"] = with_logs(
+        f"""
+        SELECT node, CAST(line_number AS INT) AS line_number, content FROM (
+          SELECT node, raw AS content,
+                 row_number() OVER (PARTITION BY node ORDER BY line_id) AS line_number,
+                 {_rx('raw', '(?i)tombstone')} AS hit
+          FROM lines
+        ) t WHERE hit
+        """
+    )
+
+    rule_selects = " UNION ALL ".join(
+        f"""SELECT '{sev}' AS severity, '{issue}' AS issue,
+            '{rec}' AS recommendation, CAST(n AS BIGINT) AS n
+            FROM (SELECT count(*) AS n FROM logs
+                  WHERE {_rx('message', ALL_PATTERNS[issue])}) t
+            WHERE n > {thr}"""
+        for issue, thr, sev, rec in RECOMMENDATION_RULES
+    )
+    o["recommendations"] = with_logs(rule_selects)
+
+    o["top_error_classes"] = with_logs(
+        """
+        SELECT clazz, CAST(n AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY n DESC, clazz) AS INT) AS rank
+        FROM (SELECT clazz, count(*) AS n FROM flagged WHERE is_error GROUP BY clazz) t
+        """
+    )
+
+    o["error_rate_windowed"] = with_logs(
+        """
+        SELECT node,
+               CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS win_start,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+               round(sum(CASE WHEN is_error THEN 1 ELSE 0 END) / count(*), 4) AS error_rate
+        FROM flagged GROUP BY 1, 2
+        """
+    )
+
+    o["error_bursts"] = with_logs(
+        """
+        SELECT node, CAST(burst_id AS BIGINT) AS burst_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(epoch_s) AS start_s, max(epoch_s) AS end_s,
+               max(epoch_s) - min(epoch_s) AS duration_s
+        FROM (
+          SELECT node, epoch_s,
+                 sum(new_burst) OVER (PARTITION BY node ORDER BY ts, line_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+          FROM (
+            SELECT node, ts, line_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT))
+                             OVER (PARTITION BY node ORDER BY ts, line_id) IS NULL
+                        THEN 1
+                        WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                               OVER (PARTITION BY node ORDER BY ts, line_id) > 300
+                        THEN 1 ELSE 0 END AS new_burst
+            FROM flagged WHERE is_error
+          ) a
+        ) b
+        GROUP BY node, burst_id
+        """
+    )
+    return o

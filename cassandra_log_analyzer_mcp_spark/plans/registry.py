@@ -1,0 +1,51 @@
+"""Query registry: name → (spark, sf_dir) → DataFrame, plus oracle SQL.
+
+This is the single surface the driver contract (``__spark_entry__.py``)
+re-exports. Every SURVEY §2 operator registers here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import analysis
+from ..sources.tables import logs_flagged
+from . import oracles
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _on_logs(op: Callable[[DataFrame], DataFrame]) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(logs_flagged(spark, sf_dir))
+
+    run.__name__ = op.__name__
+    return run
+
+
+def queries() -> dict[str, QueryFn]:
+    q: dict[str, QueryFn] = {
+        # §2A — parsing & classification
+        "log_parse": _on_logs(analysis.log_parse),
+        "issue_classify": _on_logs(analysis.issue_classify),
+        "issue_counts": _on_logs(analysis.issue_counts),
+        # §2B — cluster analysis
+        "node_summary": _on_logs(analysis.node_summary),
+        "error_timeline": _on_logs(analysis.error_timeline),
+        "compare_nodes": _on_logs(analysis.compare_nodes),
+        "get_errors": _on_logs(analysis.get_errors),
+        "search_logs": _on_logs(
+            lambda logs: analysis.search_logs(logs, "tombstone")
+        ),
+        "recommendations": _on_logs(analysis.recommendations),
+        "top_error_classes": _on_logs(analysis.top_error_classes),
+        "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
+        "error_bursts": _on_logs(analysis.error_bursts),
+    }
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(oracles.analysis_oracles())

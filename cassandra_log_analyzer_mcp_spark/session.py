@@ -1,0 +1,54 @@
+"""SparkSession construction and tuning.
+
+Scale posture: these settings assume the same code runs unchanged on a
+1000-executor cluster; local[] is only the test harness. AQE handles
+runtime partition coalescing and skew-join splitting so the static
+shuffle-partition count only needs to be an upper bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session we are handed (the
+#: driver owns the session during verification). Everything here is a
+#: runtime conf — safe to set after the session exists.
+RUNTIME_CONFS = {
+    # Deterministic wall-clock semantics for timestamp formatting; the
+    # DuckDB oracle treats parquet naive timestamps as UTC.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The testdata writes TIMESTAMP(NANOS) parquet, which Spark's reader
+    # rejects; read as long and convert (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down in this deployment; proceed
+    return spark
+
+
+def get_spark(
+    app_name: str = "cassandra-log-analyzer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,41 @@
+"""Parquet table sources for the testdata layout.
+
+At 100 TB the log/fact tables would be written partitioned by
+(date, node); readers here always project columns immediately so
+parquet column pruning and predicate pushdown reach the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune
+from ..functions.parsing import parse_lines, synth_raw_lines, with_issue_flags
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)  # UTC + AQE even on a driver-provided session
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-long
+        # via nanosAsLong; integer-divide (not float) to keep exactness.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical parsed-log DataFrame for the testdata: events →
+    deterministic Cassandra-format lines → parsed entries (roundtrip
+    exercises the real parser; see functions/parsing.py)."""
+    return parse_lines(synth_raw_lines(table(spark, sf_dir, "events")))
+
+
+def logs_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_issue_flags(logs(spark, sf_dir))

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names/types,
+and an order-insensitive value hash (columns sorted by name, doubles
+rounded to 9 significant places before hashing).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+
+def canonical_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if v is None or v != v:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return str(v)
+
+    rows = sorted(
+        ",".join(norm(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+
+    from cassandra_log_analyzer_mcp_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in os_:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s)")
+            continue
+        try:
+            odf = con.execute(os_[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif canonical_hash(sdf) != canonical_hash(odf):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems and len(sdf) == len(odf):
+                cols = sorted(sdf.columns)
+                a = sdf.reindex(cols, axis=1).astype(str).sort_values(cols).reset_index(drop=True)
+                b = odf.reindex(cols, axis=1).astype(str).sort_values(cols).reset_index(drop=True)
+                diff = a.compare(b) if a.shape == b.shape else None
+                if diff is not None and not diff.empty:
+                    print(diff.head(5).to_string())
+        else:
+            print(f"OK   {name}: {len(sdf)} rows ({t_spark:.1f}s)")
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
