@@ -1,0 +1,152 @@
+"""General analytics substrate — SURVEY §2C bench headliners.
+
+These exercise the engine's join/aggregation machinery on the TPC-H-ish
+tables the same way the log operators exercise scan+classify. They are
+the queries the benchmark times at sf0.1 and where plan shape matters
+most at 100 TB:
+
+- dimension tables (region/nation/customer/supplier) are broadcast —
+  never shuffled against the fact tables;
+- fact-fact joins (orders⋈lineitem) shuffle once on the join key and
+  AQE handles skew;
+- top-N is rounded-then-ranked with unique tie-breaks so results are
+  deterministic across engines and partitionings.
+
+Money sums: the inputs carry exact 2-decimal (prices) / fractional
+(discount) values, so sums-of-doubles land within ~1e-7 of an exact
+grid point and round(x, 2) is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (flagship scan+agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 open orders by revenue for one segment.
+
+    customer is broadcast (small dim); orders⋈lineitem is the one
+    shuffle. Rank on the rounded revenue with orderkey tie-break.
+    """
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    ).select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        joined.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: per-nation revenue in one region/year window.
+
+    All four dims broadcast; the plan is a single shuffle of
+    orders⋈lineitem, everything else map-side.
+    """
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events: per-event-type top-5 users by total value (two-stage top-N)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events: user × event_type count pivot (compare_nodes-shaped, but
+    on the generic events table). Explicit column list keeps the schema
+    stable; conditional aggregation = one pass, one shuffle."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+            for t in types
+        ],
+        F.count("*").alias("n_total"),
+    )

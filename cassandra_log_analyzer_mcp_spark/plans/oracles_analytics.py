@@ -1,0 +1,85 @@
+"""DuckDB oracle SQL for the §2C general-analytics queries."""
+
+from __future__ import annotations
+
+
+def analytics_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["shipping_priority"] = """
+        SELECT l_orderkey, revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        FROM (
+          SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'MACHINERY'
+            AND o.o_orderdate < TIMESTAMP '2000-01-01'
+            AND l.l_shipdate > TIMESTAMP '2000-01-01'
+          GROUP BY 1, 2, 3
+        ) t
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    o["regional_revenue"] = """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n.n_name
+    """
+
+    o["top_users_by_value"] = """
+        SELECT event_type, user_id, total_value,
+               CAST(n_events AS BIGINT) AS n_events, CAST(rn AS INT) AS rn
+        FROM (
+          SELECT event_type, user_id,
+                 round(sum(value), 2) AS total_value,
+                 count(*) AS n_events,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY round(sum(value), 2) DESC, user_id
+                 ) AS rn
+          FROM events
+          GROUP BY event_type, user_id
+        ) t WHERE rn <= 5
+    """
+
+    o["user_activity_pivot"] = """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM events
+        GROUP BY user_id
+    """
+    return o

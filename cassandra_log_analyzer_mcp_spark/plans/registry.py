@@ -10,9 +10,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import analysis
+from ..operators import analysis, analytics
 from ..sources.tables import logs_flagged
 from . import oracles
+from .oracles_analytics import analytics_oracles
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,9 +44,15 @@ def queries() -> dict[str, QueryFn]:
         "top_error_classes": _on_logs(analysis.top_error_classes),
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
         "error_bursts": _on_logs(analysis.error_bursts),
+        # §2C — general analytics (bench headliners)
+        "pricing_summary": analytics.pricing_summary,
+        "shipping_priority": analytics.shipping_priority,
+        "regional_revenue": analytics.regional_revenue,
+        "top_users_by_value": analytics.top_users_by_value,
+        "user_activity_pivot": analytics.user_activity_pivot,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(oracles.analysis_oracles())
+    return {**oracles.analysis_oracles(), **analytics_oracles()}
