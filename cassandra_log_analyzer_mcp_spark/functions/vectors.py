@@ -1,0 +1,35 @@
+"""Vector Column expressions over array<float>/array<double> columns.
+
+Dot products fold sequentially with F.aggregate (same element order as
+DuckDB's list_dot_product, so double results agree bit-for-bit in
+practice); everything stays JVM-side — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vector(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])

@@ -1,0 +1,95 @@
+"""Similarity search over the ``embeddings`` table — SURVEY §2D.
+
+- ``knn_cosine_brute``: exact top-k cosine for a small query set. The
+  query side is broadcast (never cross-join two big sides); per-query
+  top-k is a row_number window partitioned by query — at 100 TB the
+  corpus streams once, partial top-k per partition, no global sort.
+- ``ann_lsh_cosine``: random-hyperplane LSH. The corpus is bucketed
+  once by sign-pattern (reusable across queries); probing is a
+  bucket equi-join, so work scales with bucket occupancy, not corpus
+  size. Planes are seeded literals inlined into both engines, keeping
+  the oracle exact.
+
+Ranking determinism: similarities round to 3 decimals BEFORE ranking,
+ties break by vec_id — identical ordering on both engines regardless
+of float summation order.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import as_double, cosine, dot, lit_vector
+from ..sources.tables import table
+
+KNN_N_QUERIES = 5    # vec_id < 5 are the query vectors
+KNN_TOP_K = 10
+ANN_N_PLANES = 4     # 16 buckets
+ANN_N_QUERIES = 20
+ANN_TOP_K = 5
+EMBED_DIM = 64
+_PLANE_SEED = 7
+
+
+def lsh_planes(n_planes: int = ANN_N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (seeded, inlined into the oracle too)."""
+    rng = random.Random(_PLANE_SEED)
+    return [[float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _ranked(pairs: DataFrame, top_k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top_k
+    )
+
+
+def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("sim"),
+        )
+    )
+    return _ranked(pairs, KNN_TOP_K).select("q_id", "vec_id", "sim", "rn")
+
+
+def _bucket_col(v: str) -> F.Column:
+    bits = [
+        F.when(dot(F.col(v), lit_vector(plane)) >= 0, "1").otherwise("0")
+        for plane in lsh_planes()
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    corpus = emb.select("vec_id", "v", _bucket_col("v").alias("bucket"))
+    queries = corpus.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("sim"),
+        )
+    )
+    return _ranked(pairs, ANN_TOP_K).select("q_id", "vec_id", "sim", "rn")

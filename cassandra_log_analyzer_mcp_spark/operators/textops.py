@@ -1,0 +1,118 @@
+"""Document text-analysis operators — SURVEY §2D (token counting,
+quality scoring, language ID, fingerprinting) over the ``documents``
+table. These are the per-document featurizers of a training-data
+pipeline: embarrassingly parallel map-only plans, no shuffle at all —
+at 100 TB they stream through executors at scan speed.
+
+Determinism/oracle notes: all hashing is md5 (same algorithm and hex
+casing in Spark and DuckDB); ratios round(…, 4) with identical
+expression shape on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texts import (
+    BPE_REGEX,
+    LANG_STOPWORDS,
+    PUNCT_REGEX,
+    count_matches,
+    lang_pattern,
+    quality_stop_pattern,
+    shingles_col,
+    tokens_col,
+)
+from ..sources.tables import table
+
+FINGERPRINT_K = 5
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        count_matches(BPE_REGEX).alias("n_bpe_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score per document."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    # No rounding anywhere: every term is deterministic IEEE math on
+    # identical inputs (int/int divisions), so both engines produce
+    # bit-identical doubles. Rounding would INTRODUCE divergence —
+    # Spark rounds on the exact binary expansion, DuckDB via decimal
+    # scaling, and they disagree on .00005-boundary values.
+    punct_ratio = count_matches(PUNCT_REGEX) / n_chars
+    stop_ratio = count_matches(quality_stop_pattern()) / n_tok
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    length_term = F.least(n_tok / 100, F.lit(1.0))
+    score = (
+        0.25 * stop_ratio
+        + 0.25 * uniq_ratio
+        + 0.25 * (1 - punct_ratio)
+        + 0.25 * length_term
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("len_chars"),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language classifier vs the ground-truth column.
+
+    argmax over per-language stopword hit counts; ties resolve in
+    LANG_STOPWORDS declaration order (en first).
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    langs = list(LANG_STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[count_matches(lang_pattern(lg)).alias(f"s_{lg}") for lg in langs],
+    )
+    pred = F.lit(None).cast("string")
+    # Build the CASE chain: first language whose score >= all later ones.
+    chain = None
+    for i, lg in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
+        chain = F.when(cond, lg) if chain is None else chain.when(cond, lg)
+    pred = chain.otherwise(langs[-1])
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"s_{lg}") for lg in langs],
+        pred.alias("pred_lang"),
+    ).withColumn("correct", F.col("pred_lang") == F.col("lang"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over 5-token shingles
+    (md5 of the whole text for short docs)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col()
+    sh = shingles_col(toks, FINGERPRINT_K)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) >= FINGERPRINT_K, F.array_min(hashes))
+        .otherwise(F.md5("text"))
+        .alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )

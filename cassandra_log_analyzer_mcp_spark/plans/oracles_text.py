@@ -1,0 +1,256 @@
+"""DuckDB oracle SQL for §2D text / dedup / similarity operators.
+
+Generated from the same constants as the Spark operators
+(functions/texts.py, operators/dedup.py, operators/similarity.py) so
+thresholds, patterns, and hash recipes cannot drift between engines.
+"""
+
+from __future__ import annotations
+
+from ..functions.texts import (
+    BPE_REGEX,
+    LANG_STOPWORDS,
+    PUNCT_REGEX,
+    TOKEN_REGEX,
+    lang_pattern,
+    quality_stop_pattern,
+)
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_VERIFY_MIN,
+    RARE_SHINGLE_MAX,
+    SHINGLE_K,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+from ..operators.similarity import (
+    ANN_N_QUERIES,
+    ANN_TOP_K,
+    KNN_N_QUERIES,
+    KNN_TOP_K,
+    lsh_planes,
+)
+from ..operators.textops import FINGERPRINT_K
+
+TOKS = f"regexp_extract_all(text, '{TOKEN_REGEX}')"
+
+
+def _shingle_cte(k: int) -> str:
+    """sh(doc_id, s): distinct k-token shingles per document."""
+    return f"""
+toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1),
+                  i -> array_to_string(t[i:i + {k - 1}], ' '))) AS s
+    FROM toks) u
+)"""
+
+
+_VERIFY = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.da, c.db,
+         round(count(*) / (sa.n + sb.n - count(*)), 4) AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.da
+  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+  GROUP BY c.da, c.db, sa.n, sb.n
+)"""
+
+
+def text_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["token_count"] = f"""
+        SELECT doc_id,
+               CAST(len({TOKS}) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INT) AS n_bpe_tokens,
+               CAST(length(text) AS INT) AS len_chars
+        FROM documents
+    """
+
+    # No rounding: identical IEEE computation graphs on both engines
+    # (see operators/textops.py quality_score).
+    o["quality_score"] = f"""
+        SELECT doc_id,
+               CAST(len_chars AS INT) AS len_chars,
+               CAST(n_tokens AS INT) AS n_tokens,
+               punct_ratio, stop_ratio, uniq_ratio,
+               0.25 * stop_ratio + 0.25 * uniq_ratio
+                 + 0.25 * (1 - punct_ratio) + 0.25 * length_term AS quality
+        FROM (
+          SELECT doc_id,
+                 length(text) AS len_chars,
+                 len({TOKS}) AS n_tokens,
+                 len(regexp_extract_all(text, '{PUNCT_REGEX}')) / length(text) AS punct_ratio,
+                 len(regexp_extract_all(text, '{quality_stop_pattern()}')) / len({TOKS}) AS stop_ratio,
+                 len(list_distinct({TOKS})) / len({TOKS}) AS uniq_ratio,
+                 least(len({TOKS}) / 100, 1.0) AS length_term
+          FROM documents
+        ) t
+    """
+
+    langs = list(LANG_STOPWORDS)
+    score_cols = ",\n".join(
+        f"CAST(len(regexp_extract_all(text, '{lang_pattern(lg)}')) AS INT) AS s_{lg}"
+        for lg in langs
+    )
+    chain = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} >= s_{other}" for other in langs[i + 1 :]]
+        chain.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lg}'" if conds else f"ELSE '{lg}'"
+        )
+    pred_case = "CASE " + " ".join(chain) + " END"
+    o["lang_id"] = f"""
+        SELECT doc_id, lang, {', '.join(f's_{lg}' for lg in langs)},
+               {pred_case} AS pred_lang,
+               ({pred_case} = lang) AS correct
+        FROM (SELECT doc_id, lang, text, {score_cols} FROM documents) t
+    """
+
+    o["doc_fingerprint"] = f"""
+        SELECT doc_id,
+               CASE WHEN len(t) >= {FINGERPRINT_K}
+                    THEN list_min(list_transform(
+                         range(1, greatest(len(t) - {FINGERPRINT_K - 1}, 0) + 1),
+                         i -> md5(array_to_string(t[i:i + {FINGERPRINT_K - 1}], ' '))))
+                    ELSE md5(text) END AS fingerprint,
+               CAST(greatest(len(t) - {FINGERPRINT_K - 1}, 0) AS INT) AS n_shingles
+        FROM (SELECT doc_id, text, {TOKS} AS t FROM documents) u
+    """
+
+    o["dedup_exact"] = """
+        SELECT md5(text) AS text_hash,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY md5(text)
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {_shingle_cte(SHINGLE_K)},
+        rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {RARE_SHINGLE_MAX}),
+        shr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM shr a JOIN shr b USING (s) WHERE a.doc_id < b.doc_id
+        ),
+        {_VERIFY.lstrip()}
+        SELECT da, db, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+    sig_cols = ", ".join(
+        f"min(substr(md5('{k}:' || s), 1, 16)) AS sig{k}" for k in range(MINHASH_K)
+    )
+    band_elems = ", ".join(
+        f"'{b}:' || md5(sig{2 * b} || sig{2 * b + 1})" for b in range(MINHASH_BANDS)
+    )
+    o["dedup_minhash_lsh"] = f"""
+        WITH {_shingle_cte(SHINGLE_K)},
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        buckets AS (SELECT doc_id, unnest([{band_elems}]) AS band FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+        ),
+        {_VERIFY.lstrip()}
+        SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
+    """
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ascii(substr(md5(t), {j}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(1, SIMHASH_BITS + 1)
+    )
+    bits_list = ", ".join(
+        f"CASE WHEN b{j} > 0 THEN 1 ELSE 0 END" for j in range(1, SIMHASH_BITS + 1)
+    )
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    band_elems = ", ".join(
+        f"'{band}:' || "
+        + " || ".join(
+            f"CAST(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END AS VARCHAR)"
+            for j in range(band * width + 1, (band + 1) * width + 1)
+        )
+        for band in range(SIMHASH_BANDS)
+    )
+    o["dedup_simhash"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKS}) AS t FROM documents
+        ),
+        bit_sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+        hashed AS (
+          SELECT doc_id, [{bits_list}] AS bits, [{band_elems}] AS bands
+          FROM bit_sums
+        ),
+        buckets AS (SELECT doc_id, bits, unnest(bands) AS band FROM hashed),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                          a.bits AS ba, b.bits AS bb
+          FROM buckets a JOIN buckets b USING (band)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT da, db, CAST(ham AS INT) AS hamming FROM (
+          SELECT da, db,
+                 len(list_filter(range(1, {SIMHASH_BITS} + 1),
+                     i -> ba[i] != bb[i])) AS ham
+          FROM cand
+        ) t WHERE ham <= {SIMHASH_MAX_HAMMING}
+    """
+    return o
+
+
+def similarity_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["knn_cosine_brute"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 round(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 3) AS sim
+          FROM emb e, emb q
+          WHERE q.vec_id < {KNN_N_QUERIES} AND e.vec_id != q.vec_id
+        )
+        SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {KNN_TOP_K}
+    """
+
+    planes = lsh_planes()
+    bucket_expr = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    o["ann_lsh_cosine"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        corpus AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM emb),
+        pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 round(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 3) AS sim
+          FROM corpus e JOIN corpus q USING (bucket)
+          WHERE q.vec_id < {ANN_N_QUERIES} AND e.vec_id != q.vec_id
+        )
+        SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {ANN_TOP_K}
+    """
+    return o

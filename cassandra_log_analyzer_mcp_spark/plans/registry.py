@@ -10,10 +10,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import analysis, analytics
+from ..operators import analysis, analytics, dedup, similarity, textops
 from ..sources.tables import logs_flagged
 from . import oracles
 from .oracles_analytics import analytics_oracles
+from .oracles_text import similarity_oracles, text_oracles
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -50,9 +51,27 @@ def queries() -> dict[str, QueryFn]:
         "regional_revenue": analytics.regional_revenue,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
+        # §2D — text analysis
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "doc_fingerprint": textops.doc_fingerprint,
+        # §2D — deduplication
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        # §2D — similarity search
+        "knn_cosine_brute": similarity.knn_cosine_brute,
+        "ann_lsh_cosine": similarity.ann_lsh_cosine,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**oracles.analysis_oracles(), **analytics_oracles()}
+    return {
+        **oracles.analysis_oracles(),
+        **analytics_oracles(),
+        **text_oracles(),
+        **similarity_oracles(),
+    }

@@ -1,0 +1,96 @@
+"""Cluster-analysis operator semantics on crafted inputs."""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_log_analyzer_mcp_spark.functions.parsing import with_issue_flags
+from cassandra_log_analyzer_mcp_spark.operators import analysis
+
+
+def _logs_df(spark, rows):
+    """rows: (node, level, message, ts, line_id)."""
+    base = spark.createDataFrame(
+        [
+            Row(
+                line_id=lid,
+                node=node,
+                raw=f"{level} [x] [t] C:1 - {message}",
+                level=level,
+                ts_str="",
+                thread="t",
+                clazz="C",
+                line_no=1,
+                message=message,
+                ts=ts,
+            )
+            for (node, level, message, ts, lid) in rows
+        ]
+    )
+    return with_issue_flags(base)
+
+
+TS = datetime(2025, 1, 1, 12, 0, 0)
+
+
+def ts(minute, second=0):
+    return datetime(2025, 1, 1, 12, minute, second)
+
+
+def test_recommendations_thresholds(spark):
+    # 11 timeouts (> 10 fires), 1 oom (> 0 fires), 5 gc (NOT > 5)
+    rows = (
+        [("n0", "ERROR", "request timed out", TS, i) for i in range(11)]
+        + [("n0", "ERROR", "java.lang.OutOfMemoryError", TS, 100)]
+        + [("n0", "WARN", "GC pause of 100ms", TS, 200 + i) for i in range(5)]
+    )
+    got = {r.issue: r for r in analysis.recommendations(_logs_df(spark, rows)).collect()}
+    assert set(got) == {"timeout", "oom"}
+    assert got["oom"].severity == "CRITICAL"
+    assert got["timeout"].n == 11
+
+
+def test_get_errors_per_node_limit(spark):
+    rows = [("n0", "ERROR", f"boom {i}", ts(0, i), i) for i in range(60)] + [
+        ("n1", "ERROR", "solo", TS, 1000)
+    ]
+    got = analysis.get_errors(_logs_df(spark, rows), limit_per_node=50)
+    counts = {r.node: r.cnt for r in got.groupBy("node").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"n0": 50, "n1": 1}
+
+
+def test_error_bursts_gap_semantics(spark):
+    # Three errors within 5 min = one burst; a 10-min gap starts a new one.
+    rows = [
+        ("n0", "ERROR", "e1", ts(0), 1),
+        ("n0", "ERROR", "e2", ts(2), 2),
+        ("n0", "ERROR", "e3", ts(4), 3),
+        ("n0", "ERROR", "e4", ts(14), 4),
+    ]
+    got = sorted(
+        analysis.error_bursts(_logs_df(spark, rows)).collect(),
+        key=lambda r: r.burst_id,
+    )
+    assert [r.n_events for r in got] == [3, 1]
+    assert got[0].duration_s == 240
+
+
+def test_node_summary_counts_levels_and_issues(spark):
+    rows = [
+        ("n0", "INFO", "Dropped 2 HINT messages during drain", TS, 1),  # issue-error
+        ("n0", "INFO", "all fine", TS, 2),
+        ("n0", "WARN", "whatever", TS, 3),
+    ]
+    got = analysis.node_summary(_logs_df(spark, rows)).collect()[0]
+    assert (got.errors, got.warnings, got.total_lines) == (1, 1, 3)
+
+
+def test_search_logs_numbers_all_lines_before_filtering(spark):
+    rows = [
+        ("n0", "INFO", "nothing", TS, 10),
+        ("n0", "ERROR", "needle here", TS, 20),
+        ("n0", "INFO", "needle again", TS, 30),
+    ]
+    got = analysis.search_logs(_logs_df(spark, rows), "needle").collect()
+    assert [r.line_number for r in got] == [2, 3]

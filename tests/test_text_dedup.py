@@ -1,0 +1,94 @@
+"""Text / dedup / similarity operator invariants."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_log_analyzer_mcp_spark.functions.texts import shingles_col, tokens_col
+from cassandra_log_analyzer_mcp_spark.functions.vectors import cosine, lit_vector
+from cassandra_log_analyzer_mcp_spark.operators import dedup, similarity, textops
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([Row(text="only two")]).select(
+        shingles_col(tokens_col(), 3).alias("sh")
+    )
+    assert df.collect()[0].sh == []
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([Row(text="a b c d e")]).select(
+        shingles_col(tokens_col(), 3).alias("sh")
+    )
+    assert df.collect()[0].sh == ["a b c", "b c d", "c d e"]
+
+
+def test_cosine_self_is_one(spark):
+    v = [1.0, 2.0, 3.0]
+    df = spark.range(1).select(cosine(lit_vector(v), lit_vector(v)).alias("c"))
+    assert abs(df.collect()[0].c - 1.0) < 1e-12
+
+
+def test_dedup_exact_counts(spark, sf_dir):
+    out = dedup.dedup_exact(spark, sf_dir)
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    agg = out.agg(F.sum("n_copies").alias("s")).collect()[0]
+    assert agg.s == docs_n  # partition of the corpus
+
+
+def test_jaccard_pairs_within_threshold(spark, sf_dir):
+    rows = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
+    assert all(r.da < r.db for r in rows)
+
+
+def test_minhash_superset_of_high_jaccard(spark, sf_dir):
+    """LSH with 4 bands of 2 should recover every jaccard>=0.8 pair."""
+    exact = {
+        (r.da, r.db) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.da, r.db) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    missed = exact - lsh
+    # probabilistic guarantee: P(miss | j>=0.8) = (1-j^2)^4 <= 0.017
+    assert len(missed) <= max(1, len(exact) // 10)
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert all(0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
+
+
+def test_knn_shape_and_rank(spark, sf_dir):
+    rows = similarity.knn_cosine_brute(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(similarity.KNN_N_QUERIES))
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
+        assert all(-1.001 <= s <= 1.001 for s in sims)
+
+
+def test_ann_results_subset_of_bucketmates(spark, sf_dir):
+    rows = similarity.ann_lsh_cosine(spark, sf_dir).collect()
+    assert all(r.rn <= similarity.ANN_TOP_K for r in rows)
+    assert all(r.q_id != r.vec_id for r in rows)
+
+
+def test_lang_id_predictions_valid(spark, sf_dir):
+    rows = textops.lang_id(spark, sf_dir).collect()
+    from cassandra_log_analyzer_mcp_spark.functions.texts import LANG_STOPWORDS
+
+    assert all(r.pred_lang in LANG_STOPWORDS for r in rows)
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    rows = textops.quality_score(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 <= r.uniq_ratio <= 1
+        assert 0 <= r.quality <= 1.01
