@@ -20,56 +20,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.texts import shingles_col, tokens_col
-from ..sources.tables import table
+from ..sources.tables import documents, table
 
 SHINGLE_K = 3          # tokens per shingle
-RARE_SHINGLE_MAX = 50  # drop shingles seen in more docs than this
 JACCARD_THRESHOLD = 0.8
 MINHASH_K = 8          # signature length
 MINHASH_BANDS = 4      # bands of 2 rows each
 MINHASH_VERIFY_MIN = 0.5
 SIMHASH_BITS = 32      # one bit per md5 hex digit
-SIMHASH_BANDS = 4      # 8-bit bands for candidate bucketing
-# hamming <= 1 with 4 bands gives pigeonhole-exact recall (a pair
-# within distance 1 differs in at most one band). The corpus has a
-# tiny shared vocabulary, so looser thresholds degenerate into dense
-# near-quadratic pair sets.
+# 2 bands of 16 bits: pigeonhole-exact recall for hamming <= 1 (the
+# pair differs in at most one band, so it collides on the other), and
+# 16-bit buckets are sharp enough that bucket occupancy — hence the
+# candidate-pair count — stays near-linear even on this small-vocab
+# corpus (8-bit bands produced ~100× more candidates).
+SIMHASH_BANDS = 2
 SIMHASH_MAX_HAMMING = 1
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct k-token shingles per document."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    """(doc_id, s): distinct k-token shingles per document.
+
+    Cached: referenced 3× inside each dedup query (frequency filter,
+    candidate join, verification) and shared between the Jaccard and
+    MinHash queries — without the barrier Spark would re-explode and
+    re-distinct the corpus for every reference. The CacheManager keys
+    on the canonicalized plan, so repeated calls share one entry.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
     return (
         docs.select(
             "doc_id", F.explode(shingles_col(tokens_col(), SHINGLE_K)).alias("s")
         )
         .distinct()
+        .cache()
     )
 
 
 def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (da, db) pairs via shingle joins."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("_db2"), F.col("s").alias("sb"))
-    inter = (
-        cand.join(a, "da")
-        .join(b, (F.col("db") == F.col("_db2")) & (F.col("sa") == F.col("sb")))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
-    )
+    """Exact Jaccard for candidate (da, db) pairs.
+
+    Joins each pair to the per-doc shingle ARRAYS (one row per doc,
+    not one per shingle) and intersects map-side — the shuffle volume
+    is O(candidates + docs), versus O(candidates × shingles) for the
+    exploded-join formulation (~100× less data moved here).
+    """
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("s").alias("arr"))
+    a = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    na = F.size(F.col("arr_a"))
+    nb = F.size(F.col("arr_b"))
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "da", "n": "na"}), "da")
-        .join(sizes.withColumnsRenamed({"doc_id": "db", "n": "nb"}), "db")
+        cand.join(a, "da")
+        .join(b, "db")
         .select(
             "da",
             "db",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ).alias("jaccard"),
+            F.round(inter / (na + nb - inter), 4).alias("jaccard"),
         )
     )
 
@@ -77,7 +87,7 @@ def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text, with the
     surviving (minimum) doc_id and the copy count."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = documents(spark, sf_dir).select("doc_id", "text")
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.count("*").alias("n_copies"),
         F.min("doc_id").alias("keeper_id"),
@@ -85,22 +95,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= 0.8.
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.8, via prefix
+    filtering (AllPairs/PPJoin family).
 
-    Candidates = pairs sharing at least one *rare* shingle (frequency
-    cap bounds bucket fan-out); then exact verification.
+    Each document only emits its ⌊(1-t)·n⌋+1 globally-rarest shingles
+    as blocking keys — any pair with Jaccard >= t provably shares one
+    of them (prefix-filter theorem), so recall is exact while the
+    candidate join touches ~10× fewer pairs than joining on every
+    shared shingle. Rarest-first ordering (by document frequency, then
+    shingle) makes the retained keys the most selective ones.
     """
     sh = _doc_shingles(spark, sf_dir)
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= RARE_SHINGLE_MAX)
-        .select("s")
+    doc_freq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(doc_freq, "s")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.floor((1 - JACCARD_THRESHOLD) * F.col("n")).cast("int") + 1
+        )
+        .select("doc_id", "s")
     )
-    sh_rare = sh.join(rare, "s")
     cand = (
-        sh_rare.select(F.col("doc_id").alias("da"), "s")
-        .join(sh_rare.select(F.col("doc_id").alias("db"), "s"), "s")
+        prefix.select(F.col("doc_id").alias("da"), "s")
+        .join(prefix.select(F.col("doc_id").alias("db"), "s"), "s")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
@@ -156,13 +177,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band key, the standard simhash blocking scheme); verification
     is exact hamming on the bit vectors.
     """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    # Hash each token ONCE; the 32 bit-aggregates then read hex digits
+    # of the precomputed digest (32× fewer md5 evaluations).
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.ascii(F.substring(F.md5(F.col("t")), j, 1)) % 2 == 1, 1
+                    F.ascii(F.substring(F.col("h"), j, 1)) % 2 == 1, 1
                 ).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(1, SIMHASH_BITS + 1)

@@ -24,14 +24,14 @@ from ..functions.texts import (
     shingles_col,
     tokens_col,
 )
-from ..sources.tables import table
+from ..sources.tables import documents, table
 
 FINGERPRINT_K = 5
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace and BPE-ish token counts per document."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = documents(spark, sf_dir).select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.size(tokens_col()).alias("n_ws_tokens"),
@@ -42,7 +42,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features + composite score per document."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = documents(spark, sf_dir).select("doc_id", "text")
     toks = tokens_col()
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -78,7 +78,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax over per-language stopword hit counts; ties resolve in
     LANG_STOPWORDS declaration order (en first).
     """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = documents(spark, sf_dir).select("doc_id", "text", "lang")
     langs = list(LANG_STOPWORDS)
     scored = docs.select(
         "doc_id",
@@ -105,7 +105,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over 5-token shingles
     (md5 of the whole text for short docs)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = documents(spark, sf_dir).select("doc_id", "text")
     toks = tokens_col()
     sh = shingles_col(toks, FINGERPRINT_K)
     hashes = F.transform(sh, lambda s: F.md5(s))

@@ -20,7 +20,6 @@ from ..operators.dedup import (
     MINHASH_BANDS,
     MINHASH_K,
     MINHASH_VERIFY_MIN,
-    RARE_SHINGLE_MAX,
     SHINGLE_K,
     SIMHASH_BANDS,
     SIMHASH_BITS,
@@ -52,16 +51,15 @@ sh AS (
 
 
 _VERIFY = """
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+arrs AS (SELECT doc_id, list(s) AS arr FROM sh GROUP BY doc_id),
 verified AS (
   SELECT c.da, c.db,
-         round(count(*) / (sa.n + sb.n - count(*)), 4) AS jaccard
+         round(len(list_intersect(a.arr, b.arr))
+               / (len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr))),
+               4) AS jaccard
   FROM cand c
-  JOIN sh a ON a.doc_id = c.da
-  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-  JOIN sizes sa ON sa.doc_id = c.da
-  JOIN sizes sb ON sb.doc_id = c.db
-  GROUP BY c.da, c.db, sa.n, sb.n
+  JOIN arrs a ON a.doc_id = c.da
+  JOIN arrs b ON b.doc_id = c.db
 )"""
 
 
@@ -136,11 +134,23 @@ def text_oracles() -> dict[str, str]:
 
     o["dedup_ngram_jaccard"] = f"""
         WITH {_shingle_cte(SHINGLE_K)},
-        rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {RARE_SHINGLE_MAX}),
-        shr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+        doc_freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        sizes0 AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ranked AS (
+          SELECT sh.doc_id, sh.s,
+                 row_number() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY doc_freq.df, sh.s) AS rk,
+                 sizes0.n
+          FROM sh JOIN doc_freq USING (s)
+                  JOIN sizes0 ON sizes0.doc_id = sh.doc_id
+        ),
+        prefix AS (
+          SELECT doc_id, s FROM ranked
+          WHERE rk <= CAST(floor((1 - {JACCARD_THRESHOLD}) * n) AS INT) + 1
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM shr a JOIN shr b USING (s) WHERE a.doc_id < b.doc_id
+          FROM prefix a JOIN prefix b USING (s) WHERE a.doc_id < b.doc_id
         ),
         {_VERIFY.lstrip()}
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -165,7 +175,7 @@ def text_oracles() -> dict[str, str]:
     """
 
     bit_sums = ", ".join(
-        f"sum(CASE WHEN ascii(substr(md5(t), {j}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        f"sum(CASE WHEN ascii(substr(h, {j}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(1, SIMHASH_BITS + 1)
     )
     bits_list = ", ".join(
@@ -182,7 +192,7 @@ def text_oracles() -> dict[str, str]:
     )
     o["dedup_simhash"] = f"""
         WITH tok AS (
-          SELECT doc_id, unnest({TOKS}) AS t FROM documents
+          SELECT doc_id, md5(unnest({TOKS})) AS h FROM documents
         ),
         bit_sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
         hashed AS (

@@ -30,6 +30,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across cores.
+
+    The testdata ships as one parquet split; the text operators are
+    CPU-bound (regex + md5), so a cheap shuffle of the small corpus
+    buys full parallelism. Real 100 TB corpora arrive in thousands of
+    splits and never hit this branch (repartition only when the scan
+    yields fewer partitions than cores).
+    """
+    df = table(spark, sf_dir, "documents")
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical parsed-log DataFrame for the testdata: events →
     deterministic Cassandra-format lines → parsed entries (roundtrip
