@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import analysis, analytics, dedup, similarity, textops
+from ..operators import analysis, analytics, dedup, multimodal, similarity, textops
 from ..sources.tables import logs_flagged
 from . import oracles
 from .oracles_analytics import analytics_oracles
@@ -64,6 +64,9 @@ def queries() -> dict[str, QueryFn]:
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
+        # §2D — multimodal plumbing (rows-only: Arrow decode stage is
+        # deliberately not SQL-expressible; unit-tested instead)
+        "multimodal_pipeline": multimodal.multimodal_pipeline,
     }
     return q
 

@@ -1,0 +1,88 @@
+"""Structured Streaming log analysis — SURVEY §2E.
+
+The reference's roadmap lists "real-time log streaming" (ref README
+:251); this module is that capability, Spark-native: a text-file (or
+socket/Kafka) stream of raw log lines flows through the SAME parser and
+issue classifier as the batch path — one code path, two execution
+modes — into watermarked windowed aggregations.
+
+Scale notes: watermarks bound state; the windowed count state is
+(node × window × level), tiny regardless of input rate. File listing is
+the only driver-side work; swap the source for Kafka in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parsing import parse_lines, with_issue_flags
+from ..session import tune
+
+
+def stream_log_dir(
+    spark: SparkSession,
+    path_glob: str,
+    node_regex: str = r".*/([^/]+)/[^/]+$",
+) -> DataFrame:
+    """readStream over a log directory → (line_id, node, raw).
+
+    line_id is null in streaming mode (file order is not a streaming
+    concept); downstream operators key on (node, ts).
+    """
+    tune(spark)
+    raw = spark.readStream.text(path_glob)
+    return raw.select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.regexp_extract(F.input_file_name(), node_regex, 1).alias("node"),
+        F.col("value").alias("raw"),
+    )
+
+
+def parsed_stream(lines: DataFrame) -> DataFrame:
+    """Same parse + classify exprs as batch (functions/parsing.py)."""
+    return with_issue_flags(parse_lines(lines))
+
+
+def windowed_issue_counts(
+    parsed: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per (window, node, level) counts with late-data watermarking."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "node", "level")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "node",
+            "level",
+            "n",
+            "errors",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str = "log_stream_test",
+    output_mode: str = "append",
+):
+    """availableNow trigger into a memory sink (test/dev harness).
+
+    Use output_mode="complete" for aggregations you want emitted in a
+    single availableNow batch — append mode only releases windows once
+    the watermark passes them, which needs a subsequent batch.
+    """
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

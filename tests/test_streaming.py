@@ -1,0 +1,72 @@
+"""Streaming path: file source → parse → windowed counts / bursts,
+checked against the batch operators on the same data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_log_analyzer_mcp_spark.operators import analysis
+from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged, table
+from cassandra_log_analyzer_mcp_spark.functions.parsing import synth_raw_lines
+from cassandra_log_analyzer_mcp_spark.streaming import burst_state, log_stream
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, sf_dir, tmp_path_factory):
+    """Write the synthesized raw lines to per-node text files."""
+    base = tmp_path_factory.mktemp("logstream")
+    raw = synth_raw_lines(table(spark, sf_dir, "events")).toPandas()
+    for node, group in raw.groupby("node"):
+        d = base / node
+        os.makedirs(d, exist_ok=True)
+        (d / "system.log").write_text("\n".join(group["raw"]) + "\n")
+    return str(base)
+
+
+def test_streaming_counts_match_batch(spark, sf_dir, log_dir):
+    lines = log_stream.stream_log_dir(spark, f"{log_dir}/*/*.log")
+    assert lines.isStreaming
+    counts = log_stream.windowed_issue_counts(
+        log_stream.parsed_stream(lines), window="1 hour"
+    )
+    q = log_stream.run_to_memory_sink(
+        counts, "win_counts", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT node, level, CAST(sum(n) AS BIGINT) AS n FROM win_counts GROUP BY 1, 2"
+    ).collect()
+    want = {
+        (r.node, r.level): r.n
+        for r in logs_flagged(spark, sf_dir)
+        .groupBy("node", "level")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r.node, r.level): r.n for r in got} == want
+
+
+def test_streaming_bursts_match_batch_closed_bursts(spark, sf_dir, log_dir):
+    lines = log_stream.stream_log_dir(spark, f"{log_dir}/*/*.log")
+    bursts = burst_state.streaming_error_bursts(
+        log_stream.parsed_stream(lines)
+    )
+    q = log_stream.run_to_memory_sink(bursts, "bursts", output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r.node, r.start_s, r.end_s, r.n_events)
+        for r in spark.sql("SELECT * FROM bursts").collect()
+    }
+    batch = analysis.error_bursts(logs_flagged(spark, sf_dir)).collect()
+    # the stream never closes each node's final burst (no later event)
+    last_per_node = {}
+    for r in batch:
+        if r.node not in last_per_node or r.start_s > last_per_node[r.node].start_s:
+            last_per_node[r.node] = r
+    want = {
+        (r.node, r.start_s, r.end_s, r.n_events)
+        for r in batch
+        if r is not last_per_node[r.node]
+    }
+    assert got == want
