@@ -1,0 +1,60 @@
+"""Tool-surface parity: LogStore + markdown reports."""
+
+import pytest
+
+from cassandra_log_analyzer_mcp_spark import api, server
+from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+
+def test_logstore_pasted_roundtrip(spark):
+    store = api.LogStore(spark)
+    store.add_pasted(
+        "nodeX",
+        "ERROR [2025-01-01 10:00:00,000] [T-1] StorageProxy:1 - Operation timed out\n"
+        "WARN [2025-01-01 10:00:01,000] [T-1] GCInspector:2 - GC pause of 900ms exceeded\n",
+    )
+    flagged = store.flagged()
+    assert store.nodes() == ["nodeX"]
+    assert flagged.count() == 2
+
+
+def test_analyze_cluster_report_shape(spark, sf_dir):
+    report = api.analyze_cluster_report(logs_flagged(spark, sf_dir))
+    assert "# Cassandra Cluster Analysis" in report
+    assert "## Summary by Node" in report
+    assert "### node0" in report
+    assert "## Detected Issues" in report
+    assert "timeout" in report
+    assert "## Recommendations" in report
+
+
+def test_search_report_counts(spark, sf_dir):
+    report = api.search_report(logs_flagged(spark, sf_dir), "tombstone")
+    assert "Total: " in report
+    assert "tombstone" in report
+
+
+def test_errors_report_node_filter(spark, sf_dir):
+    report = api.errors_report(
+        logs_flagged(spark, sf_dir), node_name="node1", limit=5
+    )
+    assert "**node1**" in report
+    assert "**node0**" not in report
+
+
+def test_compare_report_table(spark, sf_dir):
+    report = api.compare_report(logs_flagged(spark, sf_dir))
+    assert report.count("| node") == 4
+
+
+def test_issues_report_severity_filter(spark, sf_dir):
+    crit = api.issues_report(logs_flagged(spark, sf_dir), severity="critical")
+    assert "CRITICAL" in crit
+    assert "HIGH" not in crit
+
+
+def test_mcp_server_gated(spark):
+    if server.MCP_AVAILABLE:
+        pytest.skip("mcp installed — gate not exercised")
+    with pytest.raises(RuntimeError, match="mcp is not installed"):
+        server.build_server(spark)
