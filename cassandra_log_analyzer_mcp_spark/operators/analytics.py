@@ -137,6 +137,57 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per type (ordered aggregate).
+
+    Exact percentile (not approx) so the DuckDB quantile_cont oracle
+    agrees bit-for-bit; both use linear interpolation. At 100 TB you
+    would switch to percentile_approx (t-digest sketch, mergeable,
+    one pass) — kept exact here because correctness is checkable and
+    per-group cardinality is modest after the groupBy.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(F.avg("value"), 4).alias("mean"),
+        F.count("*").alias("n"),
+    )
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction: per-type stats over props.k.
+
+    get_json_object is a JVM-side JSON path scan — the standard way to
+    mine semi-structured log payloads without a Python UDF.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++).
+
+    The sketch path for 100 TB cardinality estimation: mergeable
+    partial sketches, one pass, bounded memory. Rows-only driver check
+    (DuckDB's approx_count_distinct uses a different HLL construction,
+    so values legitimately differ); the exact twin is unit-tested for
+    relative error instead.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: user × event_type count pivot (compare_nodes-shaped, but
     on the generic events table). Explicit column list keeps the schema

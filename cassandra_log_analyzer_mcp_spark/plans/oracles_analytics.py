@@ -71,6 +71,29 @@ def analytics_oracles() -> dict[str, str]:
         ) t WHERE rn <= 5
     """
 
+    o["event_value_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               round(avg(value), 4) AS mean,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """
+
+    o["props_json_stats"] = """
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               round(avg(k), 4) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events
+        ) t GROUP BY event_type
+    """
+
     o["user_activity_pivot"] = """
         SELECT user_id,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -51,6 +51,10 @@ def queries() -> dict[str, QueryFn]:
         "regional_revenue": analytics.regional_revenue,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
+        "event_value_percentiles": analytics.event_value_percentiles,
+        "props_json_stats": analytics.props_json_stats,
+        # rows-only: HLL sketches legitimately differ across engines
+        "distinct_users_sketch": analytics.distinct_users_sketch,
         # §2D — text analysis
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,

@@ -94,3 +94,22 @@ def test_search_logs_numbers_all_lines_before_filtering(spark):
     ]
     got = analysis.search_logs(_logs_df(spark, rows), "needle").collect()
     assert [r.line_number for r in got] == [2, 3]
+
+
+def test_distinct_users_sketch_error_bound(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import analytics
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in analytics.distinct_users_sketch(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n)
