@@ -101,13 +101,23 @@ def compare_nodes(logs: DataFrame) -> DataFrame:
 def get_errors(logs: DataFrame, limit_per_node: int = 50) -> DataFrame:
     """First N error entries per node in log order (ref :801-826).
 
-    Two-stage: filter (pushed to scan) then per-node row_number —
-    no global sort; each node's partition sorts only its own errors.
+    Skew-aware two-stage top-N: node cardinality is tiny (cluster
+    size), so a single per-node window would funnel the whole error
+    stream through a handful of partitions. Stage 1 takes the first N
+    within each (node, day) — fine-grained partitions, massively
+    parallel; the global first-N per node is necessarily contained in
+    some day's first-N. Stage 2 re-ranks only the ≤ N×days survivors.
     """
+    pre_w = Window.partitionBy("node", "day").orderBy("ts", "line_id")
     w = Window.partitionBy("node").orderBy("ts", "line_id")
     return (
         logs.filter(F.col("is_error"))
-        .select("node", "ts_str", "level", "clazz", "message", "ts", "line_id")
+        .select(
+            "node", "ts_str", "level", "clazz", "message", "ts", "line_id",
+            F.to_date("ts").alias("day"),
+        )
+        .withColumn("pre_rn", F.row_number().over(pre_w))
+        .filter(F.col("pre_rn") <= limit_per_node)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= limit_per_node)
         .select("node", "rn", "ts_str", "level", "clazz", "message")

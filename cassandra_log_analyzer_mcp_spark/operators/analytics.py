@@ -137,6 +137,29 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: PROMO revenue share per part brand.
+
+    part is broadcast against the lineitem scan — a single map-side
+    join stage feeding one hash aggregation.
+    """
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2)
+            .alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 of event value per type (ordered aggregate).
 

@@ -71,6 +71,17 @@ def analytics_oracles() -> dict[str, str]:
         ) t WHERE rn <= 5
     """
 
+    o["promo_revenue"] = """
+        SELECT p.p_brand,
+               round(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END), 2) AS promo_revenue,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """
+
     o["event_value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,

@@ -49,6 +49,7 @@ def queries() -> dict[str, QueryFn]:
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,
         "regional_revenue": analytics.regional_revenue,
+        "promo_revenue": analytics.promo_revenue,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_value_percentiles": analytics.event_value_percentiles,

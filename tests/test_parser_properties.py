@@ -1,0 +1,94 @@
+"""Property-based parser tests (hypothesis): format→parse roundtrip for
+arbitrary well-formed components, and rejection of malformed lines."""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+
+from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+    LOG_LINE_REGEX,
+    parse_lines,
+)
+
+LEVELS = st.sampled_from(["ERROR", "WARN", "INFO", "DEBUG", "TRACE"])
+THREAD = st.from_regex(r"[A-Za-z][A-Za-z0-9\-]{0,20}", fullmatch=True)
+CLAZZ = st.from_regex(r"[A-Za-z][A-Za-z0-9\.]{0,30}", fullmatch=True)
+LINE_NO = st.integers(min_value=0, max_value=99999)
+# message: printable, no newline; must not be empty
+MESSAGE = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "S", "Zs"), max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=120,
+)
+TS = st.datetimes(
+    min_value=__import__("datetime").datetime(2000, 1, 1),
+    max_value=__import__("datetime").datetime(2035, 12, 31),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(level=LEVELS, thread=THREAD, clazz=CLAZZ, line_no=LINE_NO,
+       message=MESSAGE, ts=TS)
+def test_roundtrip_python_regex(level, thread, clazz, line_no, message, ts):
+    """The regex itself (shared with Spark) roundtrips every component
+    the format can encode. Checked in-process; the Spark-side behavior
+    of the same pattern is covered by test_roundtrip_spark_sample."""
+    ts_str = ts.strftime("%Y-%m-%d %H:%M:%S,") + f"{ts.microsecond // 1000:03d}"
+    line = f"{level} [{ts_str}] [{thread}] {clazz}:{line_no} - {message}"
+    m = re.match(LOG_LINE_REGEX, line)
+    assert m is not None
+    got_level, got_ts, got_thread, got_clazz, got_no, got_msg = m.groups()
+    assert got_level == level
+    assert got_ts == ts_str
+    assert got_thread == thread
+    assert got_clazz == clazz
+    assert int(got_no) == line_no
+    # trailing whitespace of the message is consumed by \s+ matching:
+    assert got_msg == message or got_msg == message.strip()
+
+
+def test_roundtrip_spark_sample(spark):
+    """Spark executes the same pattern with the same semantics on a
+    deterministic sample of awkward messages."""
+    messages = [
+        "plain",
+        "with : colon",
+        "with :123 - number-dash",
+        "[brackets] inside",
+        "trailing spaces   ",
+        "unicode é ü 中",
+    ]
+    lines = [
+        Row(
+            line_id=i,
+            node="n0",
+            raw=f"ERROR [2025-01-01 00:00:00,000] [T-1] C:{i} - {m}",
+        )
+        for i, m in enumerate(messages)
+    ]
+    got = {
+        r.line_no: r.message
+        for r in parse_lines(spark.createDataFrame(lines)).collect()
+    }
+    for i, m in enumerate(messages):
+        want = re.match(LOG_LINE_REGEX, lines[i].raw).group(6)
+        assert got[i] == want
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "no brackets at all",
+        "ERROR [ts only] missing thread",
+        "ERROR [a] [b] NoLineNumber - msg",
+        "ERROR [a] [b] C:NaN - msg",
+        "",
+    ],
+)
+def test_malformed_lines_rejected(spark, bad):
+    df = spark.createDataFrame([Row(line_id=0, node="n", raw=bad)])
+    assert parse_lines(df).count() == 0
