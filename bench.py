@@ -37,12 +37,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    # Warm the JVM + parquet footers on the smallest query so the first
-    # measured entry does not pay one-time session costs.
-    try:
-        qs["node_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    # Warm one-time session costs (JVM codegen, parquet footers, Python
+    # worker pool for the Arrow stage) on the smallest inputs so the
+    # measured entries reflect steady-state execution.
+    for warm_name, warm_dir in [
+        ("node_summary", sf_dir),
+        ("multimodal_pipeline", "/root/testdata/sf0.001"),
+    ]:
+        try:
+            qs[warm_name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
