@@ -24,6 +24,8 @@ RUNTIME_CONFS = {
     # The testdata writes TIMESTAMP(NANOS) parquet, which Spark's reader
     # rejects; read as long and convert (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Progress bars interleave with harness stdout parsing.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
