@@ -227,15 +227,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band",
         )
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "ba", "bb")
-        .distinct()
     )
     hamming = F.aggregate(
         F.zip_with("ba", "bb", lambda x, y: (x != y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # hamming BEFORE dedup: a pair colliding on both bands appears
+    # twice, but filtering first means the distinct shuffles only the
+    # surviving near-dup rows instead of every candidate with its two
+    # 32-element bit arrays.
     return (
         cand.select("da", "db", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )

@@ -31,6 +31,10 @@ KNN_TOP_K = 10
 ANN_N_PLANES = 4     # 16 buckets
 ANN_N_QUERIES = 20
 ANN_TOP_K = 5
+# the synthetic embeddings carry cluster structure but no true dups —
+# max pairwise cosine is ~0.5, so the "near-dup" threshold sits at the
+# top of the observed distribution (production corpora would use ~0.95)
+EMBED_DEDUP_MIN_SIM = 0.4
 EMBED_DIM = 64
 _PLANE_SEED = 7
 
@@ -73,6 +77,39 @@ def _bucket_col(v: str) -> F.Column:
         for plane in lsh_planes()
     ]
     return F.concat(*bits)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine >= threshold within LSH
+    buckets (the fifth dedup modality — semantic near-dups that no
+    token-level method can see).
+
+    The corpus buckets itself once by hyperplane sign-pattern and
+    self-joins per bucket — candidate volume scales with bucket
+    occupancy. Recall is probabilistic (pairs split across buckets are
+    missed — the standard LSH trade); raise ANN_N_PLANES bands or use
+    multi-probe for tighter recall at scale.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    corpus = emb.select("vec_id", "v", _bucket_col("v").alias("bucket"))
+    a = corpus.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("ea"), "bucket"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("eb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(cosine(F.col("ea"), F.col("eb")), 3).alias("sim"),
+        )
+        .filter(F.col("sim") >= EMBED_DEDUP_MIN_SIM)
+    )
 
 
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     ANN_N_QUERIES,
     ANN_TOP_K,
+    EMBED_DEDUP_MIN_SIM,
     KNN_N_QUERIES,
     KNN_TOP_K,
     lsh_planes,
@@ -244,6 +245,21 @@ def similarity_oracles() -> dict[str, str]:
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for plane in planes
     )
+    o["dedup_embedding_cosine"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        corpus AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM emb)
+        SELECT va, vb, sim FROM (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 3) AS sim
+          FROM corpus a JOIN corpus b USING (bucket)
+          WHERE a.vec_id < b.vec_id
+        ) t WHERE sim >= {EMBED_DEDUP_MIN_SIM}
+    """
+
     o["ann_lsh_cosine"] = f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

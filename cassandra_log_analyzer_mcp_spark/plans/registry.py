@@ -69,6 +69,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # §2D — multimodal plumbing (rows-only: Arrow decode stage is
         # deliberately not SQL-expressible; unit-tested instead)
         "multimodal_pipeline": multimodal.multimodal_pipeline,
