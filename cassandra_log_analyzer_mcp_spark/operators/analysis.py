@@ -196,6 +196,30 @@ def error_rate_windowed(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
+def issue_cooccurrence(logs: DataFrame, window_s: int = 900) -> DataFrame:
+    """Issue pairs that fire in the same (node, window) bucket — the
+    "what fails together" diagnostic (e.g. gc pauses co-occurring with
+    dropped messages implicate load, not network).
+
+    Distinct (node, window, issue) first — bounded by 14 issues ×
+    windows — then a self-join per bucket; candidate volume is
+    O(windows × issues²), independent of log size.
+    """
+    win = (F.floor(F.col("ts").cast("long") / window_s) * window_s).alias("win")
+    per_win = (
+        logs.select("node", win, F.explode("issues").alias("issue"))
+        .distinct()
+    )
+    a = per_win.select("node", "win", F.col("issue").alias("issue_a"))
+    b = per_win.select("node", "win", F.col("issue").alias("issue_b"))
+    return (
+        a.join(b, ["node", "win"])
+        .filter(F.col("issue_a") < F.col("issue_b"))
+        .groupBy("issue_a", "issue_b")
+        .agg(F.count("*").alias("n_windows"))
+    )
+
+
 def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
     """Gap-based sessionization of errors per node (>gap_s ⇒ new burst).
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine, dot, lit_vector
+from ..functions.vectors import as_double, cosine, dot, lit_vector, norm
 from ..sources.tables import table
 
 KNN_N_QUERIES = 5    # vec_id < 5 are the query vectors
@@ -109,6 +109,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ea"), F.col("eb")), 3).alias("sim"),
         )
         .filter(F.col("sim") >= EMBED_DEDUP_MIN_SIM)
+    )
+
+
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature join: documents ⋈ embeddings on id.
+
+    The standard training-data shape — text features and vector
+    features co-located on one key for downstream filtering (e.g.
+    keep high-quality docs whose embeddings have sane norms). At scale
+    both sides bucket on the id (sources/bucketed.py) and the join is
+    shuffle-free.
+    """
+    from ..sources.tables import documents
+
+    docs = documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.round(norm(F.col("v")), 3).alias("embedding_norm"),
+        )
     )
 
 

@@ -90,6 +90,17 @@ def with_logs(body: str) -> str:
     return f"WITH {LOG_CTE} {body}"
 
 
+def _per_window_issues(window_s: int = 900) -> str:
+    """Distinct (node, win, issue) via UNION of per-pattern selects."""
+    selects = " UNION ".join(
+        f"SELECT DISTINCT node, CAST(floor(epoch(ts) / {window_s}) AS BIGINT) "
+        f"* {window_s} AS win, '{name}' AS issue FROM logs "
+        f"WHERE {_rx('message', pat)}"
+        for name, pat in ALL_PATTERNS.items()
+    )
+    return selects
+
+
 def analysis_oracles() -> dict[str, str]:
     """Oracle SQL for SURVEY §2 sections A + B."""
     o: dict[str, str] = {}
@@ -195,6 +206,22 @@ def analysis_oracles() -> dict[str, str]:
                CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                round(sum(CASE WHEN is_error THEN 1 ELSE 0 END) / count(*), 4) AS error_rate
         FROM flagged GROUP BY 1, 2
+        """
+    )
+
+    o["issue_cooccurrence"] = with_logs(
+        f"""
+        SELECT issue_a, issue_b, CAST(count(*) AS BIGINT) AS n_windows
+        FROM (
+          SELECT a.node, a.win, a.issue AS issue_a, b.issue AS issue_b
+          FROM (
+            {_per_window_issues()}
+          ) a
+          JOIN (
+            {_per_window_issues()}
+          ) b ON a.node = b.node AND a.win = b.win AND a.issue < b.issue
+        ) t
+        GROUP BY issue_a, issue_b
         """
     )
 

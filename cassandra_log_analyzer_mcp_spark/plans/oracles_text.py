@@ -260,6 +260,14 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE sim >= {EMBED_DEDUP_MIN_SIM}
     """
 
+    o["doc_embedding_join"] = """
+        SELECT d.doc_id, d.lang, d.n_chars, e.label,
+               round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))), 3)
+                 AS embedding_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """
+
     o["ann_lsh_cosine"] = f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -45,6 +45,7 @@ def queries() -> dict[str, QueryFn]:
         "top_error_classes": _on_logs(analysis.top_error_classes),
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
         "error_bursts": _on_logs(analysis.error_bursts),
+        "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         # §2C — general analytics (bench headliners)
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,
@@ -70,6 +71,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "doc_embedding_join": similarity.doc_embedding_join,
         # §2D — multimodal plumbing (rows-only: Arrow decode stage is
         # deliberately not SQL-expressible; unit-tested instead)
         "multimodal_pipeline": multimodal.multimodal_pipeline,
