@@ -52,21 +52,37 @@ def _ranked(pairs: DataFrame, top_k: int) -> DataFrame:
     )
 
 
-def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nv): vectors with their norm precomputed ONCE.
+
+    cosine(a, b) = dot(a,b)/(na*nb) with cached norms is one array
+    fold per pair instead of three — same doubles (the norm value is
+    identical whether computed inline or ahead), so oracle parity is
+    unaffected.
+    """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    return emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+
+
+def _pair_sim(qv: str, v: str, qn: str, vn: str) -> F.Column:
+    return F.round(
+        dot(F.col(qv), F.col(v)) / (F.col(qn) * F.col(vn)), 3
+    )
+
+
+def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings_normed(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
     pairs = (
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("sim"),
-        )
+        .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
     )
     return _ranked(pairs, KNN_TOP_K).select("q_id", "vec_id", "sim", "rn")
 
@@ -90,24 +106,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed — the standard LSH trade); raise ANN_N_PLANES bands or use
     multi-probe for tighter recall at scale.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    corpus = emb.select("vec_id", "v", _bucket_col("v").alias("bucket"))
+    emb = _embeddings_normed(spark, sf_dir)
+    corpus = emb.select("vec_id", "v", "nv", _bucket_col("v").alias("bucket"))
     a = corpus.select(
-        F.col("vec_id").alias("va"), F.col("v").alias("ea"), "bucket"
+        F.col("vec_id").alias("va"), F.col("v").alias("ea"),
+        F.col("nv").alias("na"), "bucket",
     )
     b = corpus.select(
-        F.col("vec_id").alias("vb"), F.col("v").alias("eb"), "bucket"
+        F.col("vec_id").alias("vb"), F.col("v").alias("eb"),
+        F.col("nv").alias("nb"), "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("va") < F.col("vb"))
-        .select(
-            "va",
-            "vb",
-            F.round(cosine(F.col("ea"), F.col("eb")), 3).alias("sim"),
-        )
+        .select("va", "vb", _pair_sim("ea", "eb", "na", "nb").alias("sim"))
         .filter(F.col("sim") >= EMBED_DEDUP_MIN_SIM)
     )
 
@@ -140,20 +152,15 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    corpus = emb.select("vec_id", "v", _bucket_col("v").alias("bucket"))
+    emb = _embeddings_normed(spark, sf_dir)
+    corpus = emb.select("vec_id", "v", "nv", _bucket_col("v").alias("bucket"))
     queries = corpus.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"), "bucket",
     )
     pairs = (
         corpus.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("sim"),
-        )
+        .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
     )
     return _ranked(pairs, ANN_TOP_K).select("q_id", "vec_id", "sim", "rn")
