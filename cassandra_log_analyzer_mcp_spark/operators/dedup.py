@@ -40,26 +40,33 @@ SIMHASH_BANDS = 2
 SIMHASH_MAX_HAMMING = 1
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct k-token shingles per document.
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, arr): DISTINCT k-token shingles per document, as an
+    array column.
 
-    Cached: referenced 3× inside each dedup query (frequency filter,
-    candidate join, verification) and shared between the Jaccard and
-    MinHash queries — without the barrier Spark would re-explode and
-    re-distinct the corpus for every reference. The CacheManager keys
-    on the canonicalized plan, so repeated calls share one entry.
+    Array-centric on purpose: per-doc dedup is a map-side
+    array_distinct (no shuffle, unlike explode→distinct), per-doc set
+    size is size(arr), minhash signatures are array folds — the only
+    operations that ever explode to (doc_id, shingle) rows are the
+    ones that genuinely need a global view (document frequency,
+    candidate joins). Cached and shared across the dedup queries via
+    the plan-keyed CacheManager.
     """
     docs = documents(spark, sf_dir).select("doc_id", "text")
-    return (
-        docs.select(
-            "doc_id", F.explode(shingles_col(tokens_col(), SHINGLE_K)).alias("s")
-        )
-        .distinct()
-        .cache()
+    return docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col(), SHINGLE_K)).alias("arr"),
+    ).cache()
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): exploded view of the cached shingle arrays."""
+    return _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("arr").alias("s")
     )
 
 
-def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def _verified_pairs(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (da, db) pairs.
 
     Joins each pair to the per-doc shingle ARRAYS (one row per doc,
@@ -67,7 +74,6 @@ def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     is O(candidates + docs), versus O(candidates × shingles) for the
     exploded-join formulation (~100× less data moved here).
     """
-    arrs = sh.groupBy("doc_id").agg(F.collect_set("s").alias("arr"))
     a = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
     b = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
@@ -105,13 +111,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared shingle. Rarest-first ordering (by document frequency, then
     shingle) makes the retained keys the most selective ones.
     """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
     sh = _doc_shingles(spark, sf_dir)
     doc_freq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = (
         sh.join(doc_freq, "s")
-        .join(sizes, "doc_id")
+        .join(arrs.select("doc_id", F.size("arr").alias("n")), "doc_id")
         .withColumn("rk", F.row_number().over(w))
         .filter(
             F.col("rk")
@@ -126,7 +132,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    return _verified_pairs(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return _verified_pairs(arrs, cand).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,14 +144,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     string; bands hash consecutive signature pairs. Docs sharing any
     band bucket become candidates; exact Jaccard >= 0.5 verifies.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    # Signatures are map-side array folds over the cached shingle
+    # arrays — min of md5(k:s) per hash family, no aggregation shuffle
+    # at all. Shingle-less docs are excluded (same semantics as the
+    # exploded formulation and the oracle, where they have no rows).
+    def _sig_hash(k: int):
+        # closure factory: a plain 1-arg lambda (a 2-arg lambda makes
+        # PySpark pass the element INDEX as the second argument)
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 16
+        )
+
+    sigs = arrs.filter(F.size("arr") > 0).select(
+        "doc_id",
         *[
-            F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))), 1, 16)
-            ).alias(f"sig{k}")
+            F.array_min(F.transform("arr", _sig_hash(k))).alias(f"sig{k}")
             for k in range(MINHASH_K)
-        ]
+        ],
     )
     bands = F.array(
         *[
@@ -162,7 +180,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    return _verified_pairs(sh, cand).filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+    return _verified_pairs(arrs, cand).filter(
+        F.col("jaccard") >= MINHASH_VERIFY_MIN
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,8 +198,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact hamming on the bit vectors.
     """
     docs = documents(spark, sf_dir).select("doc_id", "text")
-    # Hash each token ONCE; the 32 bit-aggregates then read hex digits
-    # of the precomputed digest (32× fewer md5 evaluations).
+    # Hash each token ONCE in exploded row form — NOT array folds:
+    # Spark evaluates higher-order lambdas interpreted, and 32 folds
+    # each re-inline the hash transform (measured pathologically
+    # slow). The 32 conditional sums stay in whole-stage codegen.
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("t")).select(
         "doc_id", F.md5("t").alias("h")
     )
