@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.texts import shingles_col, tokens_col
-from ..sources.tables import documents, table
+from ..sources.tables import documents
 
 SHINGLE_K = 3          # tokens per shingle
 JACCARD_THRESHOLD = 0.8

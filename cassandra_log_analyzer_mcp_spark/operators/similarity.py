@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine, dot, lit_vector, norm
+from ..functions.vectors import as_double, dot, lit_vector, norm
 from ..sources.tables import table
 
 KNN_N_QUERIES = 5    # vec_id < 5 are the query vectors
