@@ -225,6 +225,19 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    o["streaming_issue_counts"] = with_logs(
+        f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               node, level,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN (level = 'ERROR'
+                     OR {_any('message', ERROR_PATTERNS)}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors
+        FROM logs
+        GROUP BY 1, 2, 3
+        """
+    )
+
     o["error_bursts"] = with_logs(
         """
         SELECT node, CAST(burst_id AS BIGINT) AS burst_id,

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import analysis, analytics, dedup, multimodal, similarity, textops
 from ..sources.tables import logs_flagged
+from ..streaming import batch_bridge
 from . import oracles
 from .oracles_analytics import analytics_oracles
 from .oracles_text import similarity_oracles, text_oracles
@@ -46,6 +47,9 @@ def queries() -> dict[str, QueryFn]:
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
         "error_bursts": _on_logs(analysis.error_bursts),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
+        # §2E — the streaming path itself, bridged to a batch result so
+        # the oracle verifies source→parse→classify→window end-to-end
+        "streaming_issue_counts": batch_bridge.streaming_issue_counts,
         # §2C — general analytics (bench headliners)
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,
