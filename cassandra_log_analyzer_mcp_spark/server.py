@@ -14,7 +14,7 @@ import tempfile
 
 try:
     from mcp.server import Server
-    from mcp.types import TextContent, Tool
+    from mcp.types import Resource, TextContent, Tool
 
     MCP_AVAILABLE = True
 except ImportError:
@@ -38,6 +38,36 @@ def build_server(spark: SparkSession):
 
     def _flagged():
         return store.flagged()
+
+    @server.list_resources()
+    async def list_resources() -> list[Resource]:
+        # parity with ref handle_list_resources :341-357
+        return [
+            Resource(
+                uri="cassandra://logs/analysis",
+                name="Cassandra log analysis",
+                description="Full-cluster analysis over all loaded logs",
+                mimeType="text/markdown",
+            ),
+            Resource(
+                uri="cassandra://logs/nodes",
+                name="Cluster nodes",
+                description="Nodes discovered in the loaded logs",
+                mimeType="application/json",
+            ),
+        ]
+
+    @server.read_resource()
+    async def read_resource(uri) -> str:
+        # parity with ref handle_read_resource :360-377
+        import json as _json
+
+        if str(uri) == "cassandra://logs/analysis":
+            return api.analyze_cluster_report(_flagged())
+        if str(uri) == "cassandra://logs/nodes":
+            nodes = store.nodes()
+            return _json.dumps({"nodes": nodes, "total_nodes": len(nodes)})
+        raise ValueError(f"unknown resource: {uri}")
 
     @server.list_tools()
     async def list_tools() -> list[Tool]:

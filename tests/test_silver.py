@@ -1,0 +1,36 @@
+"""Silver layer: write-once parse, partition-pruned reads."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_log_analyzer_mcp_spark.plans.explain import plan_string
+from cassandra_log_analyzer_mcp_spark.sources import silver
+from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+
+@pytest.fixture(scope="module")
+def silver_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("silver") / "logs")
+    return silver.write_silver(spark, sf_dir, path)
+
+
+def test_silver_roundtrip_counts(spark, sf_dir, silver_path):
+    got = silver.read_silver(spark, silver_path)
+    want = logs_flagged(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.filter("is_error").count() == want.filter(F.col("is_error")).count()
+
+
+def test_silver_partition_pruning(spark, silver_path):
+    df = silver.read_silver(spark, silver_path)
+    one_day = df.select("log_date").distinct().limit(1).collect()[0].log_date
+    pruned = df.filter(
+        (F.col("log_date") == F.lit(one_day)) & (F.col("node") == "node1")
+    ).select("level", "message")
+    plan = plan_string(pruned)
+    # the date+node predicates must become PartitionFilters, not a
+    # post-scan filter over the whole dataset
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "log_date" in part_section and "node" in part_section
+    assert pruned.count() > 0
