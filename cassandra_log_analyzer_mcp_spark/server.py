@@ -59,13 +59,20 @@ def build_server(spark: SparkSession):
 
     @server.read_resource()
     async def read_resource(uri) -> str:
-        # parity with ref handle_read_resource :360-377
+        # parity with ref handle_read_resource :360-377, including its
+        # graceful empty-store responses
         import json as _json
 
         if str(uri) == "cassandra://logs/analysis":
-            return api.analyze_cluster_report(_flagged())
+            try:
+                return api.analyze_cluster_report(_flagged())
+            except ValueError:
+                return _json.dumps({"error": "no logs loaded"})
         if str(uri) == "cassandra://logs/nodes":
-            nodes = store.nodes()
+            try:
+                nodes = store.nodes()
+            except ValueError:
+                nodes = []
             return _json.dumps({"nodes": nodes, "total_nodes": len(nodes)})
         raise ValueError(f"unknown resource: {uri}")
 

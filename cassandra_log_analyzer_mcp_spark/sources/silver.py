@@ -17,15 +17,20 @@ from ..functions.parsing import with_issue_flags
 from .tables import logs
 
 
-def write_silver(
-    spark: SparkSession, sf_dir: str, path: str, partitions_per_day: int | None = None
-) -> str:
-    """Parse+classify once and write partitioned by (log_date, node)."""
+def write_silver(spark: SparkSession, sf_dir: str, path: str) -> str:
+    """Parse+classify once and write partitioned by (log_date, node).
+
+    The pre-write repartition on the partition columns routes each
+    (log_date, node) directory's rows to one task — without it every
+    parallel task emits a file into every directory it touches (the
+    classic small-file blowup on partitioned writes).
+    """
     flagged = with_issue_flags(logs(spark, sf_dir)).withColumn(
         "log_date", F.to_date("ts")
     )
     (
-        flagged.write.mode("overwrite")
+        flagged.repartition("log_date", "node")
+        .write.mode("overwrite")
         .partitionBy("log_date", "node")
         .parquet(path)
     )
