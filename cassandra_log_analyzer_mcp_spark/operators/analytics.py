@@ -211,6 +211,52 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the same user's most recent
+    purchase at-or-before it.
+
+    Spark-first formulation: instead of the naive inequality join
+    (ts_b <= ts_a, argmax — quadratic per user and unprunable), tag
+    and UNION both streams, then one per-user ordered window with an
+    ignore-nulls last() carries the latest purchase forward — a single
+    shuffle on user_id, linear work, the standard distributed as-of
+    pattern. Ordering key (epoch, event_id) makes ties deterministic.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("epoch"),
+    )
+    tagged = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id",
+        "user_id",
+        "epoch",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_purchase_epoch",
+        F.last(
+            F.when(F.col("is_purchase"), F.col("epoch")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(~F.col("is_purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("epoch").alias("err_epoch"),
+            "last_purchase_epoch",
+            (F.col("epoch") - F.col("last_purchase_epoch")).alias("gap_s"),
+        )
+    )
+
+
 def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: user × event_type count pivot (compare_nodes-shaped, but
     on the generic events table). Explicit column list keeps the schema

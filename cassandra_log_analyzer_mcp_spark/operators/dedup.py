@@ -26,7 +26,12 @@ from ..functions.texts import shingles_col, tokens_col
 from ..sources.tables import documents
 
 SHINGLE_K = 3          # tokens per shingle
-JACCARD_THRESHOLD = 0.8
+# Jaccard threshold as an exact fraction: prefix lengths MUST be
+# computed in integer arithmetic. float (1-0.8)*10 is 1.999…96, which
+# floors to 1 and silently shortens the prefix — a recall bug that
+# binary floats hide and decimal SQL engines don't reproduce.
+JACCARD_NUM, JACCARD_DEN = 4, 5
+JACCARD_THRESHOLD = JACCARD_NUM / JACCARD_DEN
 MINHASH_K = 8          # signature length
 MINHASH_BANDS = 4      # bands of 2 rows each
 MINHASH_VERIFY_MIN = 0.5
@@ -119,9 +124,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(doc_freq, "s")
         .join(arrs.select("doc_id", F.size("arr").alias("n")), "doc_id")
         .withColumn("rk", F.row_number().over(w))
+        # prefix length = n - ceil(t*n) + 1, all-integer:
+        # ceil(num*n/den) = (num*n + den - 1) div den
         .filter(
             F.col("rk")
-            <= F.floor((1 - JACCARD_THRESHOLD) * F.col("n")).cast("int") + 1
+            <= F.col("n")
+            - F.expr(
+                f"({JACCARD_NUM} * n + {JACCARD_DEN - 1}) div {JACCARD_DEN}"
+            )
+            + 1
         )
         .select("doc_id", "s")
     )

@@ -105,6 +105,24 @@ def analytics_oracles() -> dict[str, str]:
         ) t GROUP BY event_type
     """
 
+    o["asof_purchase_before_error"] = """
+        SELECT event_id, user_id, err_epoch, last_purchase_epoch,
+               err_epoch - last_purchase_epoch AS gap_s
+        FROM (
+          SELECT event_id, user_id, epoch AS err_epoch, is_purchase,
+                 last_value(CASE WHEN is_purchase THEN epoch END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_epoch
+          FROM (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                   event_type = 'purchase' AS is_purchase
+            FROM events WHERE event_type IN ('purchase', 'error')
+          ) t
+        ) u WHERE NOT is_purchase
+    """
+
     o["user_activity_pivot"] = """
         SELECT user_id,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -16,6 +16,8 @@ from ..functions.texts import (
     quality_stop_pattern,
 )
 from ..operators.dedup import (
+    JACCARD_DEN,
+    JACCARD_NUM,
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
     MINHASH_K,
@@ -147,7 +149,8 @@ def text_oracles() -> dict[str, str]:
         ),
         prefix AS (
           SELECT doc_id, s FROM ranked
-          WHERE rk <= CAST(floor((1 - {JACCARD_THRESHOLD}) * n) AS INT) + 1
+          WHERE rk <= n - (({JACCARD_NUM} * n + {JACCARD_DEN - 1})
+                           // {JACCARD_DEN}) + 1
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

@@ -58,6 +58,7 @@ def queries() -> dict[str, QueryFn]:
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_value_percentiles": analytics.event_value_percentiles,
+        "asof_purchase_before_error": analytics.asof_purchase_before_error,
         "props_json_stats": analytics.props_json_stats,
         # rows-only: HLL sketches legitimately differ across engines
         "distinct_users_sketch": analytics.distinct_users_sketch,
