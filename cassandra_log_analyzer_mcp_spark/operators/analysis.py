@@ -220,6 +220,32 @@ def issue_cooccurrence(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
+def error_rate_rolling(logs: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Per-node hourly error counts with a 6-hour trailing moving
+    average — the smoothed trend line an operator watches. Window
+    FRAME aggregation (rows between), partitioned by node so each
+    node's timeline sorts independently."""
+    win = (F.floor(F.col("ts").cast("long") / window_s) * window_s).alias(
+        "win_start"
+    )
+    hourly = logs.groupBy(F.col("node"), win).agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.count("*").alias("total"),
+    )
+    frame = (
+        Window.partitionBy("node")
+        .orderBy("win_start")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    return hourly.select(
+        "node",
+        "win_start",
+        "errors",
+        "total",
+        F.round(F.avg("errors").over(frame), 4).alias("errors_ma6"),
+    )
+
+
 def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
     """Gap-based sessionization of errors per node (>gap_s ⇒ new burst).
 

@@ -160,6 +160,21 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag
+    subtotal, and grand-total rows in one pass — the multi-dimensional
+    aggregation surface (Spark plans rollups as a single Expand +
+    hash aggregate, not one job per level)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 of event value per type (ordered aggregate).
 

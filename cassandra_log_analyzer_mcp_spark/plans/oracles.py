@@ -238,6 +238,21 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    o["error_rate_rolling"] = with_logs(
+        """
+        SELECT node, win_start, errors, total,
+               round(avg(errors) OVER (PARTITION BY node ORDER BY win_start
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS errors_ma6
+        FROM (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win_start,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                 CAST(count(*) AS BIGINT) AS total
+          FROM flagged GROUP BY 1, 2
+        ) h
+        """
+    )
+
     o["error_bursts"] = with_logs(
         """
         SELECT node, CAST(burst_id AS BIGINT) AS burst_id,

@@ -82,6 +82,14 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY p.p_brand
     """
 
+    o["revenue_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
     o["event_value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,

@@ -45,6 +45,7 @@ def queries() -> dict[str, QueryFn]:
         "recommendations": _on_logs(analysis.recommendations),
         "top_error_classes": _on_logs(analysis.top_error_classes),
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
+        "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
         "error_bursts": _on_logs(analysis.error_bursts),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         # §2E — the streaming path itself, bridged to a batch result so
@@ -55,6 +56,7 @@ def queries() -> dict[str, QueryFn]:
         "shipping_priority": analytics.shipping_priority,
         "regional_revenue": analytics.regional_revenue,
         "promo_revenue": analytics.promo_revenue,
+        "revenue_rollup": analytics.revenue_rollup,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_value_percentiles": analytics.event_value_percentiles,
