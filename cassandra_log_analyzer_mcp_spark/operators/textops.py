@@ -104,15 +104,30 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over 5-token shingles
-    (md5 of the whole text for short docs)."""
+    (md5 of the whole text for short docs).
+
+    Explode + min-aggregate rather than an array transform: Spark
+    runs higher-order lambdas interpreted, while the exploded md5 and
+    the min() stay in whole-stage codegen, and partial aggregation
+    collapses each doc to one row before the (tiny) shuffle.
+    """
     docs = documents(spark, sf_dir).select("doc_id", "text")
-    toks = tokens_col()
-    sh = shingles_col(toks, FINGERPRINT_K)
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    return docs.select(
-        "doc_id",
-        F.when(F.size(toks) >= FINGERPRINT_K, F.array_min(hashes))
-        .otherwise(F.md5("text"))
-        .alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+    sh_min = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_col(tokens_col(), FINGERPRINT_K)).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("s")).alias("fp"),
+            F.count("*").alias("n_sh"),
+        )
+    )
+    return (
+        docs.join(sh_min, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("fp"), F.md5("text")).alias("fingerprint"),
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("int").alias("n_shingles"),
+        )
     )
