@@ -135,6 +135,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         )
         .select("doc_id", "s")
+        # tiny (≈ 20% of shingle rows) but referenced on BOTH sides of
+        # the candidate self-join — cache or the join+window runs twice
+        .cache()
     )
     cand = (
         prefix.select(F.col("doc_id").alias("da"), "s")
