@@ -27,17 +27,23 @@ _MATERIALIZED: dict[str, str] = {}
 
 
 def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write the synthesized raw lines as per-node log files (once per
-    sf_dir per process)."""
+    """Land the synthesized raw lines as per-node log directories
+    (once per sf_dir per process).
+
+    Written BY SPARK (partitionBy node), not collected to the driver —
+    the landing step must scale with the cluster, exactly like a real
+    log shipper fleet writing to shared storage.
+    """
     if sf_dir in _MATERIALIZED:
         return _MATERIALIZED[sf_dir]
-    base = tempfile.mkdtemp(prefix="landed_logs_")
-    raw = synth_raw_lines(table(spark, sf_dir, "events")).toPandas()
-    for node, group in raw.groupby("node"):
-        d = os.path.join(base, str(node))
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "system.log"), "w") as fh:
-            fh.write("\n".join(group["raw"]) + "\n")
+    base = os.path.join(tempfile.mkdtemp(prefix="landed_logs_"), "logs")
+    (
+        synth_raw_lines(table(spark, sf_dir, "events"))
+        .select("node", F.col("raw").alias("value"))
+        .repartition("node")
+        .write.partitionBy("node")
+        .text(base)
+    )
     _MATERIALIZED[sf_dir] = base
     return base
 
@@ -50,7 +56,9 @@ def streaming_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier → event-time window) value-for-value.
     """
     log_dir = _landed_log_dir(spark, sf_dir)
-    lines = log_stream.stream_log_dir(spark, f"{log_dir}/*/*.log")
+    lines = log_stream.stream_log_dir(
+        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    )
     counts = log_stream.windowed_issue_counts(
         log_stream.parsed_stream(lines), window="1 hour", watermark="2 hours"
     )
