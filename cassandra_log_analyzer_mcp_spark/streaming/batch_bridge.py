@@ -36,11 +36,20 @@ def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     if sf_dir in _MATERIALIZED:
         return _MATERIALIZED[sf_dir]
-    base = os.path.join(tempfile.mkdtemp(prefix="landed_logs_"), "logs")
+    # On a real cluster the landing root must be SHARED storage
+    # (HDFS/S3) or the distributed write's task outputs never reach
+    # the driver-visible directory; override via env for that case.
+    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
+        prefix="landed_logs_"
+    )
+    base = os.path.join(root, f"logs_{uuid.uuid4().hex[:8]}")
     (
         synth_raw_lines(table(spark, sf_dir, "events"))
         .select("node", F.col("raw").alias("value"))
-        .repartition("node")
+        # no repartition("node"): that would collapse parallelism to
+        # the distinct-node count; letting every task write its nodes'
+        # files keeps the stage wide (more, smaller files — fine for a
+        # file stream source)
         .write.partitionBy("node")
         .text(base)
     )
@@ -56,15 +65,28 @@ def streaming_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier → event-time window) value-for-value.
     """
     log_dir = _landed_log_dir(spark, sf_dir)
-    lines = log_stream.stream_log_dir(
-        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    # Hive-partitioned landing → let the file stream source DISCOVER
+    # the node partition column (handles partition-value escaping that
+    # a path regex would not); the regex-based stream_log_dir remains
+    # for raw non-partitioned log mirrors.
+    lines = (
+        spark.readStream.text(log_dir)
+        .select(
+            F.lit(None).cast("long").alias("line_id"),
+            F.col("node").cast("string").alias("node"),
+            F.col("value").alias("raw"),
+        )
     )
     counts = log_stream.windowed_issue_counts(
         log_stream.parsed_stream(lines), window="1 hour", watermark="2 hours"
     )
     sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
     q = log_stream.run_to_memory_sink(counts, sink, output_mode="complete")
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_issue_counts did not finish its availableNow batch"
+        )
     return spark.table(sink).select(
         F.date_format("win_start", "yyyy-MM-dd HH:00:00").alias("hour"),
         "node",

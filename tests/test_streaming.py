@@ -1,31 +1,30 @@
 """Streaming path: file source → parse → windowed counts / bursts,
 checked against the batch operators on the same data."""
 
-import os
+
 
 import pytest
 from pyspark.sql import functions as F
 
 from cassandra_log_analyzer_mcp_spark.operators import analysis
-from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged, table
-from cassandra_log_analyzer_mcp_spark.functions.parsing import synth_raw_lines
+from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
 from cassandra_log_analyzer_mcp_spark.streaming import burst_state, log_stream
 
 
 @pytest.fixture(scope="module")
-def log_dir(spark, sf_dir, tmp_path_factory):
-    """Write the synthesized raw lines to per-node text files."""
-    base = tmp_path_factory.mktemp("logstream")
-    raw = synth_raw_lines(table(spark, sf_dir, "events")).toPandas()
-    for node, group in raw.groupby("node"):
-        d = base / node
-        os.makedirs(d, exist_ok=True)
-        (d / "system.log").write_text("\n".join(group["raw"]) + "\n")
-    return str(base)
+def log_dir(spark, sf_dir):
+    """Land logs through the REAL production landing path (partitioned
+    Spark write) so the tests exercise the same layout the engine
+    ships: node=<name>/ directories of text files."""
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    return batch_bridge._landed_log_dir(spark, sf_dir)
 
 
 def test_streaming_counts_match_batch(spark, sf_dir, log_dir):
-    lines = log_stream.stream_log_dir(spark, f"{log_dir}/*/*.log")
+    lines = log_stream.stream_log_dir(
+        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    )
     assert lines.isStreaming
     counts = log_stream.windowed_issue_counts(
         log_stream.parsed_stream(lines), window="1 hour"
@@ -48,7 +47,9 @@ def test_streaming_counts_match_batch(spark, sf_dir, log_dir):
 
 
 def test_streaming_bursts_match_batch_closed_bursts(spark, sf_dir, log_dir):
-    lines = log_stream.stream_log_dir(spark, f"{log_dir}/*/*.log")
+    lines = log_stream.stream_log_dir(
+        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    )
     bursts = burst_state.streaming_error_bursts(
         log_stream.parsed_stream(lines)
     )
