@@ -182,16 +182,14 @@ def text_oracles() -> dict[str, str]:
         f"sum(CASE WHEN ascii(substr(h, {j}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(1, SIMHASH_BITS + 1)
     )
-    bits_list = ", ".join(
-        f"CASE WHEN b{j} > 0 THEN 1 ELSE 0 END" for j in range(1, SIMHASH_BITS + 1)
+    packed = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << (j - 1)} AS BIGINT) ELSE 0 END"
+        for j in range(1, SIMHASH_BITS + 1)
     )
     width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
     band_elems = ", ".join(
-        f"'{band}:' || "
-        + " || ".join(
-            f"CAST(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END AS VARCHAR)"
-            for j in range(band * width + 1, (band + 1) * width + 1)
-        )
+        f"((sim >> {band * width}) & {mask}) + {band * (1 << width)}"
         for band in range(SIMHASH_BANDS)
     )
     o["dedup_simhash"] = f"""
@@ -199,23 +197,18 @@ def text_oracles() -> dict[str, str]:
           SELECT doc_id, md5(unnest({TOKS})) AS h FROM documents
         ),
         bit_sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
-        hashed AS (
-          SELECT doc_id, [{bits_list}] AS bits, [{band_elems}] AS bands
-          FROM bit_sums
-        ),
-        buckets AS (SELECT doc_id, bits, unnest(bands) AS band FROM hashed),
+        hashed AS (SELECT doc_id, ({packed}) AS sim FROM bit_sums),
+        buckets AS (SELECT doc_id, sim, unnest([{band_elems}]) AS band
+                    FROM hashed),
         cand AS (
-          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-                          a.bits AS ba, b.bits AS bb
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 a.sim AS sa, b.sim AS sb
           FROM buckets a JOIN buckets b USING (band)
           WHERE a.doc_id < b.doc_id
         )
-        SELECT da, db, CAST(ham AS INT) AS hamming FROM (
-          SELECT da, db,
-                 len(list_filter(range(1, {SIMHASH_BITS} + 1),
-                     i -> ba[i] != bb[i])) AS ham
-          FROM cand
-        ) t WHERE ham <= {SIMHASH_MAX_HAMMING}
+        SELECT DISTINCT da, db,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
     """
     return o
 
