@@ -31,6 +31,9 @@ from ..operators.similarity import (
     ANN_N_QUERIES,
     ANN_TOP_K,
     EMBED_DEDUP_MIN_SIM,
+    IVF_N_CELLS,
+    IVF_NPROBE,
+    IVF_TOP_K,
     KNN_N_QUERIES,
     KNN_TOP_K,
     lsh_planes,
@@ -262,6 +265,49 @@ def similarity_oracles() -> dict[str, str]:
                                            CAST(e.embedding AS DOUBLE[]))), 3)
                  AS embedding_norm
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """
+
+    o["ann_ivf_cosine"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        nemb AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM emb
+        ),
+        cent AS (
+          SELECT vec_id AS cell, v AS cv, nv AS cn FROM nemb
+          WHERE vec_id < {IVF_N_CELLS}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.v, e.nv, c.cell,
+                 round(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 3) AS csim
+          FROM nemb e CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, v, nv, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS arn
+            FROM scored) t
+          WHERE arn = 1
+        ),
+        probe AS (
+          SELECT vec_id AS q_id, v AS qv, nv AS qn, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS prn
+            FROM scored WHERE vec_id < {ANN_N_QUERIES}) t
+          WHERE prn <= {IVF_NPROBE}
+        ),
+        pairs AS (
+          SELECT p.q_id, a.vec_id,
+                 round(list_dot_product(p.qv, a.v) / (p.qn * a.nv), 3) AS sim
+          FROM probe p JOIN assign a USING (cell)
+          WHERE a.vec_id != p.q_id
+        )
+        SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {IVF_TOP_K}
     """
 
     o["ann_lsh_cosine"] = f"""

@@ -77,6 +77,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
+        "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "doc_embedding_join": similarity.doc_embedding_join,
         # §2D — multimodal plumbing (rows-only: Arrow decode stage is
