@@ -40,9 +40,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality features + composite score per document."""
-    docs = documents(spark, sf_dir).select("doc_id", "text")
+def quality_cols() -> dict[str, F.Column]:
+    """Quality feature Columns over an implicit ``text`` column —
+    reusable by any operator that featurizes in the same pass
+    (quality_score, corpus_curation)."""
     toks = tokens_col()
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -61,15 +62,36 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.25 * (1 - punct_ratio)
         + 0.25 * length_term
     )
+    return {
+        "len_chars": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "uniq_ratio": uniq_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score per document."""
+    docs = documents(spark, sf_dir).select("doc_id", "text")
     return docs.select(
         "doc_id",
-        n_chars.alias("len_chars"),
-        n_tok.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        uniq_ratio.alias("uniq_ratio"),
-        score.alias("quality"),
+        *[c.alias(name) for name, c in quality_cols().items()],
     )
+
+
+def lang_pred_case() -> F.Column:
+    """CASE chain over ``s_<lang>`` score columns: first language whose
+    score >= all later ones (ties resolve in declaration order)."""
+    langs = list(LANG_STOPWORDS)
+    chain = None
+    for i, lg in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
+        chain = F.when(cond, lg) if chain is None else chain.when(cond, lg)
+    return chain.otherwise(langs[-1])
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,15 +107,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         *[count_matches(lang_pattern(lg)).alias(f"s_{lg}") for lg in langs],
     )
-    pred = F.lit(None).cast("string")
-    # Build the CASE chain: first language whose score >= all later ones.
-    chain = None
-    for i, lg in enumerate(langs):
-        cond = F.lit(True)
-        for other in langs[i + 1 :]:
-            cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
-        chain = F.when(cond, lg) if chain is None else chain.when(cond, lg)
-    pred = chain.otherwise(langs[-1])
+    pred = lang_pred_case()
     return scored.select(
         "doc_id",
         "lang",

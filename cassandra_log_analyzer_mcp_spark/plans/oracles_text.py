@@ -15,6 +15,7 @@ from ..functions.texts import (
     lang_pattern,
     quality_stop_pattern,
 )
+from ..operators.curation import QUALITY_MIN, TOKENS_MAX, TOKENS_MIN
 from ..operators.dedup import (
     JACCARD_DEN,
     JACCARD_NUM,
@@ -212,6 +213,19 @@ def text_oracles() -> dict[str, str]:
         SELECT DISTINCT da, db,
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+    # Composition of the already-generated quality / lang / dedup SQL —
+    # the curation oracle can't drift from its components.
+    o["corpus_curation"] = f"""
+        WITH q AS ({o['quality_score']}),
+             l AS ({o['lang_id']}),
+             k AS ({o['dedup_exact']})
+        SELECT q.doc_id, l.pred_lang, q.n_tokens, q.len_chars,
+               q.quality, k.n_copies
+        FROM q JOIN l USING (doc_id) JOIN k ON k.keeper_id = q.doc_id
+        WHERE q.quality >= {QUALITY_MIN}
+          AND q.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
     """
     return o
 

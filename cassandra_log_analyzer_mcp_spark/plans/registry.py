@@ -10,7 +10,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import analysis, analytics, dedup, multimodal, similarity, textops
+from ..operators import (
+    analysis,
+    analytics,
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from ..sources.tables import logs_flagged
 from ..streaming import batch_bridge
 from . import oracles
@@ -69,6 +77,8 @@ def queries() -> dict[str, QueryFn]:
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
+        # §2D — composed curation pipeline (featurize→filter→dedup)
+        "corpus_curation": curation.corpus_curation,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,

@@ -5,7 +5,12 @@ from pyspark.sql import functions as F
 
 from cassandra_log_analyzer_mcp_spark.functions.texts import shingles_col, tokens_col
 from cassandra_log_analyzer_mcp_spark.functions.vectors import cosine, lit_vector
-from cassandra_log_analyzer_mcp_spark.operators import dedup, similarity, textops
+from cassandra_log_analyzer_mcp_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    textops,
+)
 
 
 def test_shingles_short_doc_empty(spark):
@@ -104,6 +109,19 @@ def test_lang_id_predictions_valid(spark, sf_dir):
     from cassandra_log_analyzer_mcp_spark.functions.texts import LANG_STOPWORDS
 
     assert all(r.pred_lang in LANG_STOPWORDS for r in rows)
+
+
+def test_corpus_curation_gates(spark, sf_dir):
+    rows = curation.corpus_curation(spark, sf_dir).collect()
+    assert rows, "curation should keep a non-empty corpus"
+    keepers = {
+        r.keeper_id for r in dedup.dedup_exact(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.quality >= curation.QUALITY_MIN
+        assert curation.TOKENS_MIN <= r.n_tokens <= curation.TOKENS_MAX
+        assert r.doc_id in keepers
+        assert r.n_copies >= 1
 
 
 def test_quality_score_ranges(spark, sf_dir):
