@@ -39,6 +39,46 @@ def stream_log_dir(
     )
 
 
+def stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Kafka source → the same (line_id, node, raw) contract as the
+    file source, so the whole parse/classify/window pipeline is
+    source-agnostic (log shippers publish key=node, value=raw line).
+
+    Scale knobs: ``max_offsets_per_trigger`` bounds each micro-batch
+    (backpressure), ``min_partitions`` decouples Spark input
+    parallelism from the topic's partition count. Requires the
+    spark-sql-kafka connector on the classpath (not bundled here —
+    the builder itself is exercised in tests, the load is skipped
+    when the connector is absent).
+    """
+    tune(spark)
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    if min_partitions is not None:
+        reader = reader.option("minPartitions", str(min_partitions))
+    raw = reader.load()
+    return raw.select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.col("key").cast("string").alias("node"),
+        F.col("value").cast("string").alias("raw"),
+    )
+
+
 def parsed_stream(lines: DataFrame) -> DataFrame:
     """Same parse + classify exprs as batch (functions/parsing.py)."""
     return with_issue_flags(parse_lines(lines))
