@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.texts import (
     BPE_REGEX,
@@ -27,6 +28,8 @@ from ..functions.texts import (
 from ..sources.tables import documents, table
 
 FINGERPRINT_K = 5
+VOCAB_TOP_K = 100
+HIST_BUCKET_TOKENS = 10
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +117,52 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"s_{lg}") for lg in langs],
         pred.alias("pred_lang"),
     ).withColumn("correct", F.col("pred_lang") == F.col("lang"))
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-K tokens by occurrence count with
+    their document frequency — the vocab-building / stopword-discovery
+    pass of a tokenizer pipeline.
+
+    Shape at scale: explode → partial-aggregated groupBy(token) (the
+    only shuffle, keyed on token), then TakeOrderedAndProject for the
+    global top-K — per-partition heads merge on the driver, never a
+    global sort. The rank window runs over K rows, not the vocab.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), "token").limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("n_occurrences"), "token")
+    return top.select(
+        "token",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents bucketed by token count
+    (integer buckets of HIST_BUCKET_TOKENS) — the standard curation
+    diagnostic before choosing length cutoffs. Map-side combinable,
+    one tiny shuffle on the bucket key; sums stay integral so both
+    engines agree exactly.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    n_tok = F.size(tokens_col())
+    bucket = (n_tok - (n_tok % HIST_BUCKET_TOKENS)).alias("bucket_lo")
+    return (
+        docs.select(bucket, n_tok.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

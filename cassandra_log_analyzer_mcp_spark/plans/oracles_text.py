@@ -39,7 +39,11 @@ from ..operators.similarity import (
     KNN_TOP_K,
     lsh_planes,
 )
-from ..operators.textops import FINGERPRINT_K
+from ..operators.textops import (
+    FINGERPRINT_K,
+    HIST_BUCKET_TOKENS,
+    VOCAB_TOP_K,
+)
 
 TOKS = f"regexp_extract_all(text, '{TOKEN_REGEX}')"
 
@@ -130,6 +134,28 @@ def text_oracles() -> dict[str, str]:
                     ELSE md5(text) END AS fingerprint,
                CAST(greatest(len(t) - {FINGERPRINT_K - 1}, 0) AS INT) AS n_shingles
         FROM (SELECT doc_id, text, {TOKS} AS t FROM documents) u
+    """
+
+    o["vocab_top_tokens"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+        counts AS (
+          SELECT token,
+                 CAST(count(*) AS BIGINT) AS n_occurrences,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM tok GROUP BY token
+        )
+        SELECT token, n_occurrences, n_docs,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                    AS INT) AS rk
+        FROM counts ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K}
+    """
+
+    o["doc_length_histogram"] = f"""
+        SELECT n - (n % {HIST_BUCKET_TOKENS}) AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS sum_tokens
+        FROM (SELECT CAST(len({TOKS}) AS INT) AS n FROM documents) t
+        GROUP BY 1
     """
 
     o["dedup_exact"] = """

@@ -77,6 +77,8 @@ def queries() -> dict[str, QueryFn]:
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
+        "vocab_top_tokens": textops.vocab_top_tokens,
+        "doc_length_histogram": textops.doc_length_histogram,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         # §2D — deduplication

@@ -111,6 +111,24 @@ def test_lang_id_predictions_valid(spark, sf_dir):
     assert all(r.pred_lang in LANG_STOPWORDS for r in rows)
 
 
+def test_vocab_top_tokens_ranked(spark, sf_dir):
+    rows = sorted(
+        textops.vocab_top_tokens(spark, sf_dir).collect(), key=lambda r: r.rk
+    )
+    assert rows and rows[0].rk == 1
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    occ = [r.n_occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    assert all(r.n_docs <= r.n_occurrences for r in rows)
+
+
+def test_doc_length_histogram_partitions_corpus(spark, sf_dir):
+    rows = textops.doc_length_histogram(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs_n
+    assert all(r.bucket_lo % textops.HIST_BUCKET_TOKENS == 0 for r in rows)
+
+
 def test_corpus_curation_gates(spark, sf_dir):
     rows = curation.corpus_curation(spark, sf_dir).collect()
     assert rows, "curation should keep a non-empty corpus"
