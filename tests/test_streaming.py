@@ -46,6 +46,29 @@ def test_streaming_counts_match_batch(spark, sf_dir, log_dir):
     assert {(r.node, r.level): r.n for r in got} == want
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, log_dir):
+    lines = log_stream.stream_log_dir(
+        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    )
+    # watermark wider than the data's time span → exact global dedup,
+    # so the batch distinct is the precise expectation
+    deduped = log_stream.dedup_lines(
+        log_stream.parsed_stream(lines), watermark="3650 days"
+    ).select("node", "level", "message")
+    q = log_stream.run_to_memory_sink(deduped, "dedup_lines_sink")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM dedup_lines_sink"
+    ).collect()[0].n
+    want = (
+        logs_flagged(spark, sf_dir)
+        .select("node", "level", "message")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
 def test_kafka_source_contract(spark):
     """The Kafka builder must produce the same (line_id, node, raw)
     schema as the file source. The connector jar is not bundled in
