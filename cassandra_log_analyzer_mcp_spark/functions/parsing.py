@@ -144,12 +144,13 @@ def _pick(col: Column, values: list[str]) -> Column:
     return F.element_at(arr, (col % len(values) + 1).cast("int"))
 
 
-def synth_raw_lines(events: DataFrame) -> DataFrame:
-    """events table → (line_id, node, raw) Cassandra-format log lines.
+def _synth_fields(events: DataFrame) -> DataFrame:
+    """events → the deterministic per-line log fields shared by every
+    synthesized format (plain Cassandra lines, JSON lines).
 
-    Deterministic: level from event_type (error→ERROR, view→WARN,
-    else INFO), message/class template keyed by event_id, thread by
-    event_id % 4, node by user_id % 4, line_no = 100 + event_id % 400.
+    level from event_type (error→ERROR, view→WARN, else INFO),
+    message/class template keyed by event_id, thread by event_id % 4,
+    node by user_id % 4, line_no = 100 + event_id % 400.
     """
     eid = F.col("event_id")
     level = (
@@ -167,16 +168,79 @@ def synth_raw_lines(events: DataFrame) -> DataFrame:
         .when(level == "WARN", _pick(eid, WARN_CLASSES))
         .otherwise(_pick(eid, INFO_CLASSES))
     )
-    ts_str = F.date_format("ts", TS_FMT_SPARK)
-    raw = F.concat(
-        level, F.lit(" ["), ts_str, F.lit("] ["), _pick(eid, THREADS),
-        F.lit("] "), clazz, F.lit(":"),
-        (F.lit(100) + eid % 400).cast("string"), F.lit(" - "), message,
-    )
     return events.select(
         eid.alias("line_id"),
-        F.concat(F.lit("node"), (F.col("user_id") % N_NODES).cast("string")).alias("node"),
-        raw.alias("raw"),
+        F.concat(
+            F.lit("node"), (F.col("user_id") % N_NODES).cast("string")
+        ).alias("node"),
+        level.alias("level"),
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        _pick(eid, THREADS).alias("thread"),
+        clazz.alias("clazz"),
+        (F.lit(100) + eid % 400).cast("int").alias("line_no"),
+        message.alias("message"),
+    )
+
+
+def synth_raw_lines(events: DataFrame) -> DataFrame:
+    """events table → (line_id, node, raw) Cassandra-format log lines."""
+    f = _synth_fields(events)
+    raw = F.concat(
+        F.col("level"), F.lit(" ["), F.col("ts_str"), F.lit("] ["),
+        F.col("thread"), F.lit("] "), F.col("clazz"), F.lit(":"),
+        F.col("line_no").cast("string"), F.lit(" - "), F.col("message"),
+    )
+    return f.select("line_id", "node", raw.alias("raw"))
+
+
+#: JSON log-line schema (logback/log4j2 JSON-appender style keys)
+JSON_LOG_SCHEMA = (
+    "level STRING, ts STRING, thread STRING, logger STRING, "
+    "line INT, msg STRING"
+)
+
+
+def synth_json_lines(events: DataFrame) -> DataFrame:
+    """events table → (line_id, node, raw) JSON-format log lines — the
+    "other log formats" capability (ref README roadmap :256): same
+    deterministic fields, logback-JSON-appender-style keys.
+    """
+    f = _synth_fields(events)
+    raw = F.to_json(
+        F.struct(
+            F.col("level"),
+            F.col("ts_str").alias("ts"),
+            F.col("thread"),
+            F.col("clazz").alias("logger"),
+            F.col("line_no").alias("line"),
+            F.col("message").alias("msg"),
+        )
+    )
+    return f.select("line_id", "node", raw.alias("raw"))
+
+
+def parse_json_lines(df: DataFrame) -> DataFrame:
+    """(line_id, node, raw) JSON lines → the SAME parsed schema as
+    ``parse_lines``, so every downstream operator (classification,
+    windows, streaming) is format-agnostic. from_json is a JVM-side
+    Jackson scan — one map-only stage, no Python.
+    """
+    j = F.from_json("raw", JSON_LOG_SCHEMA)
+    out = df.select(
+        "line_id",
+        "node",
+        "raw",
+        j.getField("level").alias("level"),
+        j.getField("ts").alias("ts_str"),
+        j.getField("thread").alias("thread"),
+        j.getField("logger").alias("clazz"),
+        j.getField("line").alias("line_no"),
+        j.getField("msg").alias("message"),
+    )
+    return out.filter(
+        F.col("level").isNotNull() & (F.col("level") != "")
+    ).withColumn(
+        "ts", F.replace("ts_str", F.lit(","), F.lit(".")).cast("timestamp")
     )
 
 

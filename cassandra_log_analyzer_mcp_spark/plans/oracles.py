@@ -108,6 +108,9 @@ def analysis_oracles() -> dict[str, str]:
     o["log_parse"] = with_logs(
         "SELECT line_id, node, level, ts_str, thread, clazz, line_no, message FROM logs"
     )
+    # the JSON-format roundtrip must reproduce the exact same parsed
+    # fields, so it shares the oracle verbatim
+    o["log_parse_json"] = o["log_parse"]
 
     classify_selects = " UNION ALL ".join(
         f"SELECT line_id, node, level, clazz, message, '{name}' AS issue, "

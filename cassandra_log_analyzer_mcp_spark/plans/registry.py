@@ -37,9 +37,21 @@ def _on_logs(op: Callable[[DataFrame], DataFrame]) -> QueryFn:
 
 
 def queries() -> dict[str, QueryFn]:
+    def log_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JSON-format roundtrip ("other log formats", ref roadmap):
+        synthesize JSON lines, parse with the JSON parser, emit the
+        SAME schema as log_parse — and share its oracle, so any
+        format→parse defect hash-mismatches."""
+        from ..functions.parsing import parse_json_lines, synth_json_lines
+        from ..sources.tables import table
+
+        lines = synth_json_lines(table(spark, sf_dir, "events"))
+        return analysis.log_parse(parse_json_lines(lines))
+
     q: dict[str, QueryFn] = {
         # §2A — parsing & classification
         "log_parse": _on_logs(analysis.log_parse),
+        "log_parse_json": log_parse_json,
         "issue_classify": _on_logs(analysis.issue_classify),
         "issue_counts": _on_logs(analysis.issue_counts),
         # §2B — cluster analysis

@@ -111,3 +111,20 @@ def test_with_issue_flags_consistency(spark, sf_dir):
         & ~F.col("is_error")
     )
     assert bad.count() == 0
+
+
+def test_json_roundtrip_matches_plain_format(spark, sf_dir):
+    """The JSON-format path must parse back to exactly the rows the
+    plain Cassandra-format path produces (same fields, same lines)."""
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        parse_json_lines,
+        synth_json_lines,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cols = ["line_id", "node", "level", "ts_str", "thread", "clazz",
+            "line_no", "message"]
+    plain = parse_lines(synth_raw_lines(ev)).select(cols)
+    js = parse_json_lines(synth_json_lines(ev)).select(cols)
+    assert plain.exceptAll(js).count() == 0
+    assert js.exceptAll(plain).count() == 0
