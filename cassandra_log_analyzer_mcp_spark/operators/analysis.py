@@ -220,6 +220,44 @@ def issue_cooccurrence(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
+def windowed_alerts(logs: DataFrame, window_s: int = 900) -> DataFrame:
+    """Automated alerting (ref README roadmap :254): the reference's 5
+    threshold rules (ref :270-309) evaluated per (node, 15-min window)
+    instead of once per analysis — a row fires where a window's issue
+    count exceeds its rule threshold.
+
+    Scale: explode issues → map-side-combined count on (node, window,
+    issue) — bounded cardinality (nodes × windows × 5) — then the
+    thresholds/severities apply as literal when-chains: no join. The
+    streaming twin runs this same function in complete mode (see
+    tests); a production stream would swap the epoch bucket for
+    F.window + watermark to get append-mode eviction.
+    """
+    alert_issues = [i for i, _, _, _ in RECOMMENDATION_RULES]
+    win = (F.floor(F.col("ts").cast("long") / window_s) * window_s).alias(
+        "win_start"
+    )
+    hits = (
+        logs.select("node", win, F.explode("issues").alias("issue"))
+        .filter(F.col("issue").isin(alert_issues))
+        .groupBy("node", "win_start", "issue")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    thr = sev = None
+    for issue, t, s, _ in RECOMMENDATION_RULES:
+        cond = F.col("issue") == issue
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        sev = F.when(cond, s) if sev is None else sev.when(cond, s)
+    return (
+        hits.withColumn("severity", sev)
+        .withColumn("threshold", thr.cast("int"))
+        .filter(F.col("n_hits") > F.col("threshold"))
+        .select(
+            "node", "win_start", "issue", "severity", "n_hits", "threshold"
+        )
+    )
+
+
 def error_rate_rolling(logs: DataFrame, window_s: int = 3600) -> DataFrame:
     """Per-node hourly error counts with a 6-hour trailing moving
     average — the smoothed trend line an operator watches. Window

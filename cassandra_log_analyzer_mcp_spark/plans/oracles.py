@@ -212,6 +212,20 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    alert_branches = " UNION ALL ".join(
+        f"""
+        SELECT node,
+               CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS win_start,
+               '{issue}' AS issue, '{sev}' AS severity,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST({thr} AS INT) AS threshold
+        FROM logs WHERE {_rx('message', ALL_PATTERNS[issue])}
+        GROUP BY 1, 2 HAVING count(*) > {thr}
+        """
+        for issue, thr, sev, _ in RECOMMENDATION_RULES
+    )
+    o["windowed_alerts"] = with_logs(alert_branches)
+
     o["issue_cooccurrence"] = with_logs(
         f"""
         SELECT issue_a, issue_b, CAST(count(*) AS BIGINT) AS n_windows

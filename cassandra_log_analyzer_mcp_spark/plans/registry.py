@@ -68,6 +68,7 @@ def queries() -> dict[str, QueryFn]:
         "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
         "error_bursts": _on_logs(analysis.error_bursts),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
+        "windowed_alerts": _on_logs(analysis.windowed_alerts),
         # §2E — the streaming path itself, bridged to a batch result so
         # the oracle verifies source→parse→classify→window end-to-end
         "streaming_issue_counts": batch_bridge.streaming_issue_counts,

@@ -46,6 +46,29 @@ def test_streaming_counts_match_batch(spark, sf_dir, log_dir):
     assert {(r.node, r.level): r.n for r in got} == want
 
 
+def test_streaming_alerts_match_batch(spark, sf_dir, log_dir):
+    """windowed_alerts is source-agnostic: the same function over the
+    stream (complete mode) fires exactly the batch alert rows."""
+    lines = log_stream.stream_log_dir(
+        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    )
+    alerts = analysis.windowed_alerts(log_stream.parsed_stream(lines))
+    q = log_stream.run_to_memory_sink(
+        alerts, "alerts_sink", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM alerts_sink").collect()
+    }
+    want = {
+        tuple(r)
+        for r in analysis.windowed_alerts(
+            logs_flagged(spark, sf_dir)
+        ).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, log_dir):
     lines = log_stream.stream_log_dir(
         spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
