@@ -220,6 +220,48 @@ def issue_cooccurrence(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
+def burst_context(
+    logs: DataFrame, gap_s: int = 300, bucket_s: int = 300
+) -> DataFrame:
+    """Range join (interval containment), Spark-first: for each error
+    burst, the level breakdown of ALL lines logged inside the burst's
+    [start_s, end_s] — "what else was the node saying while it failed".
+
+    A naive inequality join (ts BETWEEN start AND end) lowers to a
+    nested-loop — O(lines × bursts) and unprunable. The scalable
+    formulation BUCKETS TIME: each burst explodes to the bucket_s-wide
+    buckets it covers (sequence), each line keys to its single bucket,
+    and the join is an equi-join on (node, bucket) with the exact
+    range predicate as a post-filter. Work is O(lines + bursts ×
+    buckets-per-burst), shuffled on a bounded composite key; a line
+    matches a burst through exactly one bucket, so no dedup pass.
+    """
+    bursts = error_bursts(logs, gap_s).select(
+        "node", "burst_id", "start_s", "end_s"
+    )
+    b_buckets = bursts.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / bucket_s),
+                F.floor(F.col("end_s") / bucket_s),
+            )
+        ),
+    )
+    lines = logs.select(
+        "node", F.col("ts").cast("long").alias("epoch_s"), "level"
+    ).withColumn("bucket", F.floor(F.col("epoch_s") / bucket_s))
+    joined = lines.join(b_buckets, ["node", "bucket"]).filter(
+        (F.col("epoch_s") >= F.col("start_s"))
+        & (F.col("epoch_s") <= F.col("end_s"))
+    )
+    return joined.groupBy("node", "burst_id", "start_s", "end_s").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("level") == "WARN").cast("long")).alias("n_warn"),
+        F.sum((F.col("level") == "INFO").cast("long")).alias("n_info"),
+    )
+
+
 def windowed_alerts(logs: DataFrame, window_s: int = 900) -> DataFrame:
     """Automated alerting (ref README roadmap :254): the reference's 5
     threshold rules (ref :270-309) evaluated per (node, 15-min window)

@@ -270,8 +270,7 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
-    o["error_bursts"] = with_logs(
-        """
+    bursts_body = """
         SELECT node, CAST(burst_id AS BIGINT) AS burst_id,
                CAST(count(*) AS BIGINT) AS n_events,
                min(epoch_s) AS start_s, max(epoch_s) AS end_s,
@@ -294,6 +293,26 @@ def analysis_oracles() -> dict[str, str]:
           ) a
         ) b
         GROUP BY node, burst_id
+        """
+    o["error_bursts"] = with_logs(bursts_body)
+
+    # range join: DuckDB evaluates the inequality join directly (its
+    # IEJoin handles intervals); the Spark side proves the bucketed
+    # equi-join formulation produces identical rows.
+    o["burst_context"] = with_logs(
+        f"""
+        SELECT b.node, b.burst_id, b.start_s, b.end_s,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.level = 'WARN' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_warn,
+               CAST(sum(CASE WHEN l.level = 'INFO' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_info
+        FROM ({bursts_body}) b
+        JOIN (SELECT node, level,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+              FROM logs) l
+          ON l.node = b.node AND l.epoch_s BETWEEN b.start_s AND b.end_s
+        GROUP BY b.node, b.burst_id, b.start_s, b.end_s
         """
     )
     return o

@@ -67,6 +67,7 @@ def queries() -> dict[str, QueryFn]:
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
         "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
         "error_bursts": _on_logs(analysis.error_bursts),
+        "burst_context": _on_logs(analysis.burst_context),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         "windowed_alerts": _on_logs(analysis.windowed_alerts),
         # §2E — the streaming path itself, bridged to a batch result so

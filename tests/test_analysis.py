@@ -76,6 +76,39 @@ def test_error_bursts_gap_semantics(spark):
     assert got[0].duration_s == 240
 
 
+def test_burst_context_contains_its_own_errors(spark):
+    # burst of 3 errors [t0, t0+4m] plus an INFO inside and one far
+    # outside the interval
+    rows = [
+        ("n0", "ERROR", "e1", ts(0), 1),
+        ("n0", "ERROR", "e2", ts(2), 2),
+        ("n0", "INFO", "context line", ts(3), 3),
+        ("n0", "ERROR", "e3", ts(4), 4),
+        ("n0", "INFO", "far away", ts(40), 5),
+    ]
+    got = analysis.burst_context(_logs_df(spark, rows)).collect()
+    # one burst row; contains the 3 errors + 1 in-range INFO line
+    by_burst = {(r.node, r.burst_id): r for r in got}
+    assert len(by_burst) == 1
+    r = got[0]
+    assert r.n_lines == 4
+    assert r.n_info == 1
+    assert r.n_warn == 0
+
+
+def test_burst_context_range_join_is_not_nested_loop(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    df = analysis.burst_context(logs_flagged(spark, sf_dir))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the whole point of the bucketed formulation: an equi-join on
+    # (node, bucket), never a nested-loop over lines × bursts
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_node_summary_counts_levels_and_issues(spark):
     rows = [
         ("n0", "INFO", "Dropped 2 HINT messages during drain", TS, 1),  # issue-error
