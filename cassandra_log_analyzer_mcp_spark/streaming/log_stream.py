@@ -124,6 +124,32 @@ def windowed_issue_counts(
     )
 
 
+def stream_to_silver(
+    parsed: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = ("node",),
+):
+    """Production sink: the parsed+classified stream lands as a
+    partitioned parquet silver table — the streaming writer of the
+    same layer ``sources/silver.py`` materializes in batch.
+
+    Exactly-once: the parquet file sink records committed files in the
+    checkpointed commit log, so restarts (and re-runs over the same
+    input) never duplicate rows — asserted in tests by re-running the
+    stream against a populated checkpoint. availableNow trigger gives
+    batch-style backfill; swap the trigger for tailing.
+    """
+    return (
+        parsed.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     query_name: str = "log_stream_test",

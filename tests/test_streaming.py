@@ -92,6 +92,32 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, log_dir):
     assert got == want
 
 
+def test_stream_to_silver_exactly_once(spark, sf_dir, log_dir, tmp_path):
+    """The parquet sink must land every parsed row once, and a re-run
+    over the same input with the same checkpoint must add nothing."""
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        lines = log_stream.stream_log_dir(
+            spark,
+            f"{log_dir}/node=*/*.txt",
+            node_regex=r".*/node=([^/]+)/[^/]+$",
+        )
+        q = log_stream.stream_to_silver(
+            log_stream.parsed_stream(lines), out, ckpt
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    want = logs_flagged(spark, sf_dir).count()
+    assert spark.read.parquet(out).count() == want
+    run()  # restart against the populated checkpoint: no duplicates
+    assert spark.read.parquet(out).count() == want
+    # partition layout is the silver contract: node=<name> dirs
+    assert spark.read.parquet(out).select("node").distinct().count() == 4
+
+
 def test_kafka_source_contract(spark):
     """The Kafka builder must produce the same (line_id, node, raw)
     schema as the file source. The connector jar is not bundled in
