@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from ..functions.parsing import (
     ALL_PATTERNS,
     ISSUE_SEVERITY,
+    N_NODES,
     RECOMMENDATION_RULES,
 )
 
@@ -217,6 +218,44 @@ def issue_cooccurrence(logs: DataFrame, window_s: int = 900) -> DataFrame:
         .filter(F.col("issue_a") < F.col("issue_b"))
         .groupBy("issue_a", "issue_b")
         .agg(F.count("*").alias("n_windows"))
+    )
+
+
+def node_metrics_correlation(
+    logs: DataFrame, events: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """Metrics × logs correlation (ref roadmap "integration with
+    nodetool metrics" :252): per (node, hour), operation-latency
+    percentiles from the metrics stream joined with error counts from
+    the logs — the "did latency degrade when errors spiked" view.
+
+    Both sides aggregate FIRST (map-side-combinable, bounded
+    node × hour keys), then equi-join on (node, window) — the join
+    touches two tiny aggregates, never the raw streams.
+    """
+    win_of = lambda c: (F.floor(c.cast("long") / window_s) * window_s)  # noqa: E731
+    metrics = (
+        events.select(
+            F.concat(
+                F.lit("node"), (F.col("user_id") % N_NODES).cast("string")
+            ).alias("node"),
+            win_of(F.col("ts")).alias("win_start"),
+            "value",
+        )
+        .groupBy("node", "win_start")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        )
+    )
+    errs = (
+        logs.select("node", win_of(F.col("ts")).alias("win_start"), "is_error")
+        .groupBy("node", "win_start")
+        .agg(F.sum(F.col("is_error").cast("long")).alias("n_errors"))
+    )
+    return metrics.join(errs, ["node", "win_start"]).select(
+        "node", "win_start", "n_ops", "p50_value", "p95_value", "n_errors"
     )
 
 

@@ -296,6 +296,32 @@ def analysis_oracles() -> dict[str, str]:
         """
     o["error_bursts"] = with_logs(bursts_body)
 
+    # two-source correlation: metrics aggregate straight off events,
+    # error counts off the parsed+flagged logs; percentile ==
+    # quantile_cont (both linear-interpolate; same proven pairing as
+    # event_value_percentiles).
+    o["node_metrics_correlation"] = with_logs(
+        f"""
+        SELECT m.node, m.win_start, m.n_ops, m.p50_value, m.p95_value,
+               e.n_errors
+        FROM (
+          SELECT 'node' || (user_id % {N_NODES}) AS node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win_start,
+                 CAST(count(*) AS BIGINT) AS n_ops,
+                 round(quantile_cont(value, 0.5), 4) AS p50_value,
+                 round(quantile_cont(value, 0.95), 4) AS p95_value
+          FROM events GROUP BY 1, 2
+        ) m
+        JOIN (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win_start,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors
+          FROM flagged GROUP BY 1, 2
+        ) e ON m.node = e.node AND m.win_start = e.win_start
+        """
+    )
+
     # range join: DuckDB evaluates the inequality join directly (its
     # IEJoin handles intervals); the Spark side proves the bucketed
     # equi-join formulation produces identical rows.

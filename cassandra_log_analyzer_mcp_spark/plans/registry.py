@@ -48,6 +48,14 @@ def queries() -> dict[str, QueryFn]:
         lines = synth_json_lines(table(spark, sf_dir, "events"))
         return analysis.log_parse(parse_json_lines(lines))
 
+    def node_metrics_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Logs × metrics-stream join (two-source correlation)."""
+        from ..sources.tables import table
+
+        return analysis.node_metrics_correlation(
+            logs_flagged(spark, sf_dir), table(spark, sf_dir, "events")
+        )
+
     q: dict[str, QueryFn] = {
         # §2A — parsing & classification
         "log_parse": _on_logs(analysis.log_parse),
@@ -69,6 +77,7 @@ def queries() -> dict[str, QueryFn]:
         "error_bursts": _on_logs(analysis.error_bursts),
         "burst_context": _on_logs(analysis.burst_context),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
+        "node_metrics_correlation": node_metrics_correlation,
         "windowed_alerts": _on_logs(analysis.windowed_alerts),
         # §2E — the streaming path itself, bridged to a batch result so
         # the oracle verifies source→parse→classify→window end-to-end

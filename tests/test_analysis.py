@@ -129,6 +129,29 @@ def test_search_logs_numbers_all_lines_before_filtering(spark):
     assert [r.line_number for r in got] == [2, 3]
 
 
+def test_node_metrics_correlation_joins_only_shared_windows(spark):
+    logs = _logs_df(
+        spark,
+        [
+            ("node1", "ERROR", "boom", TS, 1),
+            ("node1", "ERROR", "boom again", ts(30), 2),
+            ("node1", "INFO", "fine", ts(45), 3),
+        ],
+    )
+    # user_id 1 → node1 (matches logs); user_id 2 → node2 (no logs → dropped)
+    events = spark.createDataFrame(
+        [Row(user_id=1, ts=ts(m), value=float(v)) for m, v in
+         [(0, 1.0), (5, 2.0), (10, 3.0), (15, 4.0), (20, 5.0)]]
+        + [Row(user_id=2, ts=TS, value=9.0)]
+    )
+    got = analysis.node_metrics_correlation(logs, events).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.node == "node1" and r.n_ops == 5 and r.n_errors == 2
+    assert r.p50_value == 3.0
+    assert r.p95_value == 4.8  # 0.95*(5-1)=3.8 → 4.0 + 0.8*(5.0-4.0)
+
+
 def test_distinct_users_sketch_error_bound(spark, sf_dir):
     from cassandra_log_analyzer_mcp_spark.operators import analytics
     from cassandra_log_analyzer_mcp_spark.sources.tables import table
