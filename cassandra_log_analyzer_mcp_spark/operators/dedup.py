@@ -199,6 +199,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_MAX_ITERS = 20
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over an undirected pair list.
+
+    pairs(da, db) → (doc_id, cluster_id, cluster_size) for every doc
+    that appears in a pair; cluster_id is the component's minimum
+    doc_id (so ``doc_id == cluster_id`` marks the keeper).
+
+    Iterative label propagation — the one operator family where a
+    driver loop is legitimate (GraphX/Pregel do the same): each round
+    is label = min(label, min over neighbors' labels), a join + a
+    map-side-combinable min-agg, converging in graph-diameter rounds.
+    Near-dup components are tiny and shallow (diameter ≪ 20), so the
+    round count stays low at any corpus size; the 100 TB upgrade is
+    alternating large-star/small-star contraction (O(log²) rounds on
+    adversarial graphs) — same join shape, more bookkeeping.
+
+    Convergence is detected with a scalar: labels only ever decrease,
+    so sum(labels) strictly decreases until the fixpoint — one
+    ~free aggregate per round instead of an old-vs-new anti-join.
+    """
+    edges = (
+        pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
+        .union(pairs.select(F.col("db").alias("u"), F.col("da").alias("v")))
+        .cache()
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(CLUSTER_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH verified pairs → connected
+    components → (doc_id, cluster_id, cluster_size).
+
+    The step a real curation pipeline needs after pairwise dedup:
+    near-duplication is transitive in effect (a~b, b~c ⇒ keep one of
+    {a,b,c}), so keepers must be chosen per component, not per pair.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    return connected_components(pairs)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs (hamming <= SIMHASH_MAX_HAMMING).
 

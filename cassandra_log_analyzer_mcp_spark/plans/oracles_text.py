@@ -196,16 +196,39 @@ def text_oracles() -> dict[str, str]:
     band_elems = ", ".join(
         f"'{b}:' || md5(sig{2 * b} || sig{2 * b + 1})" for b in range(MINHASH_BANDS)
     )
-    o["dedup_minhash_lsh"] = f"""
-        WITH {_shingle_cte(SHINGLE_K)},
+    minhash_ctes = f"""{_shingle_cte(SHINGLE_K)},
         sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
         buckets AS (SELECT doc_id, unnest([{band_elems}]) AS band FROM sigs),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
           FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
         ),
-        {_VERIFY.lstrip()}
+        {_VERIFY.lstrip()}"""
+    o["dedup_minhash_lsh"] = f"""
+        WITH {minhash_ctes}
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
+    """
+
+    # components = transitive closure of the verified-pair graph; the
+    # recursive CTE computes, for each doc, every reachable doc and
+    # keeps the minimum as the cluster label — independent derivation
+    # of what the Spark side reaches by iterative label propagation.
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        reach AS (
+          SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+        )
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size
+        FROM (SELECT u AS doc_id, min(l) AS cluster_id
+              FROM reach GROUP BY u) c
     """
 
     bit_sums = ", ".join(

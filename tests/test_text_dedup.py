@@ -142,6 +142,22 @@ def test_corpus_curation_gates(spark, sf_dir):
         assert r.n_copies >= 1
 
 
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4-5 (diameter forces several propagation rounds)
+    # plus an isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [Row(da=a, db=b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]]
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, 5), 2: (1, 5), 3: (1, 5), 4: (1, 5), 5: (1, 5),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
 def test_quality_score_ranges(spark, sf_dir):
     rows = textops.quality_score(spark, sf_dir).collect()
     for r in rows:
