@@ -27,6 +27,57 @@ QUALITY_MIN = 0.5
 TOKENS_MIN = 15
 TOKENS_MAX = 1000
 
+# Deterministic hash-based sampling/splitting: the keep/assign decision
+# is a pure function of doc_id, so it reproduces across runs, engines,
+# and cluster sizes — no RNG state, no per-partition seeds, and a doc's
+# split never changes when the corpus grows (the property that keeps
+# eval sets uncontaminated across dataset versions). Thresholds are
+# 4-hex-digit prefixes of md5 compared as strings: hex chars order
+# lexicographically == numerically, so `substr(md5,1,4) < '8000'`
+# keeps exactly 32768/65536 of hash space.
+SAMPLE_SALT = "sample:"
+SPLIT_SALT = "split:"
+#: per-language keep rate (n/65536) — downsample dominant English,
+#: keep the rest at 3/4: the usual rebalancing shape.
+SAMPLE_RATES = {"en": "8000"}
+SAMPLE_DEFAULT_RATE = "c000"
+#: cumulative split bounds: train 3/4, valid 1/8, test rest.
+SPLIT_BOUNDS = [("train", "c000"), ("valid", "e000")]
+SPLIT_LAST = "test"
+
+
+def _hash4(salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 4
+    )
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: per-language keep rates applied
+    via salted-hash thresholds. One scan, no shuffle at all — the
+    filter is a per-row predicate, so at 100 TB this is a pure map
+    stage with full predicate/column pushdown around it.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "lang")
+    thr = F.lit(SAMPLE_DEFAULT_RATE)
+    for lg, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lg, F.lit(rate)).otherwise(thr)
+    return docs.filter(_hash4(SAMPLE_SALT) < thr)
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment per document.
+
+    Same salted-hash trick with cumulative bounds; returns every doc
+    with its split label (a writer would partitionBy('split')).
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "lang")
+    h = _hash4(SPLIT_SALT)
+    expr = F.lit(SPLIT_LAST)
+    for name, bound in reversed(SPLIT_BOUNDS):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    return docs.select("doc_id", "lang", expr.alias("split"))
+
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept corpus: exact-dedup keepers passing quality and length

@@ -15,7 +15,17 @@ from ..functions.texts import (
     lang_pattern,
     quality_stop_pattern,
 )
-from ..operators.curation import QUALITY_MIN, TOKENS_MAX, TOKENS_MIN
+from ..operators.curation import (
+    QUALITY_MIN,
+    SAMPLE_DEFAULT_RATE,
+    SAMPLE_RATES,
+    SAMPLE_SALT,
+    SPLIT_BOUNDS,
+    SPLIT_LAST,
+    SPLIT_SALT,
+    TOKENS_MAX,
+    TOKENS_MIN,
+)
 from ..operators.dedup import (
     JACCARD_DEN,
     JACCARD_NUM,
@@ -275,6 +285,27 @@ def text_oracles() -> dict[str, str]:
         FROM q JOIN l USING (doc_id) JOIN k ON k.keeper_id = q.doc_id
         WHERE q.quality >= {QUALITY_MIN}
           AND q.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+    """
+
+    rate_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{lg}' THEN '{r}'" for lg, r in SAMPLE_RATES.items())
+        + f" ELSE '{SAMPLE_DEFAULT_RATE}' END"
+    )
+    o["corpus_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('{SAMPLE_SALT}' || doc_id), 1, 4) < {rate_case}
+    """
+
+    split_whens = " ".join(
+        f"WHEN substr(md5('{SPLIT_SALT}' || doc_id), 1, 4) < '{bound}' "
+        f"THEN '{name}'"
+        for name, bound in SPLIT_BOUNDS
+    )
+    o["train_test_split"] = f"""
+        SELECT doc_id, lang,
+               CASE {split_whens} ELSE '{SPLIT_LAST}' END AS split
+        FROM documents
     """
     return o
 

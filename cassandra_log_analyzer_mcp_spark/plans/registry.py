@@ -104,6 +104,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_length_histogram": textops.doc_length_histogram,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
+        "corpus_sample": curation.corpus_sample,
+        "train_test_split": curation.train_test_split,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,

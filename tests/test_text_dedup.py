@@ -158,6 +158,40 @@ def test_connected_components_chain_and_island(spark):
     }
 
 
+def test_corpus_sample_downsamples_english(spark, sf_dir):
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in curation.corpus_sample(spark, sf_dir)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en keeps ~1/2, the rest ~3/4 (binomial slack on tiny strata)
+    assert 0.3 <= kept["en"] / totals["en"] <= 0.7
+    for lg in totals:
+        if lg != "en":
+            assert 0.5 <= kept[lg] / totals[lg] <= 1.0
+    # deterministic: a second run returns the identical doc set
+    a = {r.doc_id for r in curation.corpus_sample(spark, sf_dir).collect()}
+    b = {r.doc_id for r in curation.corpus_sample(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_train_test_split_partitions_corpus(spark, sf_dir):
+    rows = curation.train_test_split(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n  # every doc assigned exactly once
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert set(by_split) == {"train", "valid", "test"}
+    assert by_split["train"] > by_split["valid"]
+    assert by_split["train"] > by_split["test"]
+
+
 def test_quality_score_ranges(spark, sf_dir):
     rows = textops.quality_score(spark, sf_dir).collect()
     for r in rows:
