@@ -227,28 +227,30 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .union(pairs.select(F.col("db").alias("u"), F.col("da").alias("v")))
         .cache()
     )
+    # Round 0 is folded into initialization: label = min(self ∪
+    # neighbors) is one map-side-combinable agg over the edge list —
+    # no join, and for the star-shaped components near-dup graphs are
+    # mostly made of it IS already the fixpoint.
     labels = (
-        edges.select("u")
-        .distinct()
-        .select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("u", "mv").alias("cluster_id"),
+        )
         .cache()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(CLUSTER_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # propagate(v→u) ∪ self, then one min-agg: two shuffles per
+        # round (join + agg) — the left-join formulation costs three.
+        prop = edges.join(labels, edges["v"] == labels["doc_id"]).select(
+            edges["u"].alias("doc_id"), "cluster_id"
         )
         new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["u"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
+            prop.union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .cache()
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
