@@ -259,6 +259,32 @@ def node_metrics_correlation(
     )
 
 
+#: shared with the DuckDB oracle — one capture for the count, one for
+#: the message type ("Dropped 17 READ messages…", "Dropped 2 HINT…").
+DROPPED_REGEX = r"Dropped (\d+) (\w+) messages"
+
+
+def dropped_messages(logs: DataFrame) -> DataFrame:
+    """Dropped-message totals per (node, message type) — the
+    tpstats-style "what is the cluster shedding" view (ref pattern
+    'dropped' :47), with the count parsed OUT of the message text
+    rather than just pattern-counted.
+
+    regexp_extract runs in whole-stage codegen; the pre-filter rlike
+    keeps the extract off non-matching rows, and the agg is a tiny
+    (node × msg_type)-keyed hash aggregate.
+    """
+    hits = logs.filter(F.col("message").rlike(DROPPED_REGEX)).select(
+        "node",
+        F.regexp_extract("message", DROPPED_REGEX, 2).alias("msg_type"),
+        F.regexp_extract("message", DROPPED_REGEX, 1).cast("long").alias("n"),
+    )
+    return hits.groupBy("node", "msg_type").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("n").alias("total_dropped"),
+    )
+
+
 def burst_context(
     logs: DataFrame, gap_s: int = 300, bucket_s: int = 300
 ) -> DataFrame:

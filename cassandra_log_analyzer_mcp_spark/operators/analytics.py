@@ -160,6 +160,70 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users reaching view → click-after-
+    view → purchase-after-click, with event-time ordering enforced.
+
+    One shuffle total: the three stage timestamps are chained
+    conditional mins over the SAME user_id window partitioning (Spark
+    plans one Exchange feeding consecutive Window nodes), the per-user
+    collapse reuses that partitioning, and the final stage counts are
+    a tiny global agg. Microsecond epochs keep the ordering exact and
+    engine-agnostic.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    s = s.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") >= F.col("t_view")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("t_click")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t_{stage}").alias(stage)
+            for stage in FUNNEL_STAGES
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{stage}', {stage}" for i, stage in enumerate(FUNNEL_STAGES)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(FUNNEL_STAGES)}, {stack_args})"
+            " as (stage_idx, stage, n_users)"
+        )
+    )
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): per-group, per-flag
     subtotal, and grand-total rows in one pass — the multi-dimensional

@@ -296,6 +296,20 @@ def analysis_oracles() -> dict[str, str]:
         """
     o["error_bursts"] = with_logs(bursts_body)
 
+    from ..operators.analysis import DROPPED_REGEX
+
+    o["dropped_messages"] = with_logs(
+        f"""
+        SELECT node,
+               regexp_extract(message, '{DROPPED_REGEX}', 2) AS msg_type,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(regexp_extract(message, '{DROPPED_REGEX}', 1)
+                             AS BIGINT)) AS BIGINT) AS total_dropped
+        FROM logs WHERE regexp_matches(message, '{DROPPED_REGEX}')
+        GROUP BY 1, 2
+        """
+    )
+
     # two-source correlation: metrics aggregate straight off events,
     # error counts off the parsed+flagged logs; percentile ==
     # quantile_cont (both linear-interpolate; same proven pairing as

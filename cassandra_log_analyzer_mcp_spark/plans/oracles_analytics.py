@@ -90,6 +90,37 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
+    from ..operators.analytics import FUNNEL_STAGES
+
+    # chained conditional window mins — same derivation as the Spark
+    # side, stage k's min constrained to at-or-after stage k-1's.
+    stage_sql = "ev"
+    prev = None
+    for stage in FUNNEL_STAGES:
+        cond = f"event_type = '{stage}'"
+        if prev is not None:
+            cond += f" AND us >= t_{prev}"
+        stage_sql = f"""(SELECT *,
+            min(CASE WHEN {cond} THEN us END)
+              OVER (PARTITION BY user_id) AS t_{stage}
+            FROM {stage_sql})"""
+        prev = stage
+    branch = " UNION ALL ".join(
+        f"SELECT {i} AS stage_idx, '{stage}' AS stage, "
+        f"CAST(count(t_{stage}) AS BIGINT) AS n_users FROM pu"
+        for i, stage in enumerate(FUNNEL_STAGES)
+    )
+    o["event_funnel"] = f"""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+        pu AS (
+          SELECT user_id,
+                 {", ".join(f"max(t_{s}) AS t_{s}" for s in FUNNEL_STAGES)}
+          FROM {stage_sql} GROUP BY user_id
+        )
+        {branch}
+    """
+
     o["event_value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,

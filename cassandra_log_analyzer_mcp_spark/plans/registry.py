@@ -78,6 +78,7 @@ def queries() -> dict[str, QueryFn]:
         "burst_context": _on_logs(analysis.burst_context),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         "node_metrics_correlation": node_metrics_correlation,
+        "dropped_messages": _on_logs(analysis.dropped_messages),
         "windowed_alerts": _on_logs(analysis.windowed_alerts),
         # §2E — the streaming path itself, bridged to a batch result so
         # the oracle verifies source→parse→classify→window end-to-end
@@ -88,6 +89,7 @@ def queries() -> dict[str, QueryFn]:
         "regional_revenue": analytics.regional_revenue,
         "promo_revenue": analytics.promo_revenue,
         "revenue_rollup": analytics.revenue_rollup,
+        "event_funnel": analytics.event_funnel,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_value_percentiles": analytics.event_value_percentiles,

@@ -36,6 +36,19 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked down in this deployment; proceed
+    try:
+        # Size the shuffle to the cluster, not Spark's static 200 —
+        # but only when the conf is still the untouched default, so a
+        # deliberate setting (ours or a user's) is never overridden.
+        # AQE coalesces at runtime either way; this trims the
+        # pre-coalesce width (map output buffers, tiny-task overhead).
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 

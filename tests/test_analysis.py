@@ -152,6 +152,45 @@ def test_node_metrics_correlation_joins_only_shared_windows(spark):
     assert r.p95_value == 4.8  # 0.95*(5-1)=3.8 → 4.0 + 0.8*(5.0-4.0)
 
 
+def test_dropped_messages_extracts_counts(spark):
+    rows = [
+        ("n0", "ERROR", "Dropped 17 READ messages in the last interval", TS, 1),
+        ("n0", "INFO", "Dropped 2 HINT messages during drain", TS, 2),
+        ("n0", "ERROR", "Dropped 17 READ messages in the last interval", TS, 3),
+        ("n0", "INFO", "nothing dropped here", TS, 4),
+    ]
+    got = {
+        (r.node, r.msg_type): (r.n_lines, r.total_dropped)
+        for r in analysis.dropped_messages(_logs_df(spark, rows)).collect()
+    }
+    assert got == {("n0", "READ"): (2, 34), ("n0", "HINT"): (1, 2)}
+
+
+def test_event_funnel_orders_stages(spark):
+    def ev(uid, typ, minute):
+        return Row(user_id=uid, event_type=typ, ts=ts(minute))
+
+    events = spark.createDataFrame([
+        # user 1 completes the funnel in order
+        ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+        # user 2 clicked only BEFORE the first view → stalls at view
+        ev(2, "click", 0), ev(2, "view", 1),
+        # user 3: view then click, never purchases
+        ev(3, "view", 0), ev(3, "click", 5),
+        # user 4: purchase without view/click → counts nowhere
+        ev(4, "purchase", 0),
+    ])
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    orig = an.table
+    try:
+        an.table = lambda spark_, sf_dir_, name_: events
+        got = {r.stage: r.n_users for r in an.event_funnel(spark, "x").collect()}
+    finally:
+        an.table = orig
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
 def test_distinct_users_sketch_error_bound(spark, sf_dir):
     from cassandra_log_analyzer_mcp_spark.operators import analytics
     from cassandra_log_analyzer_mcp_spark.sources.tables import table
