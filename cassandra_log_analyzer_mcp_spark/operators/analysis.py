@@ -263,6 +263,29 @@ def node_metrics_correlation(
 #: the message type ("Dropped 17 READ messages…", "Dropped 2 HINT…").
 DROPPED_REGEX = r"Dropped (\d+) (\w+) messages"
 
+#: digit-run mask for template mining (shared with the oracle).
+TEMPLATE_NUM_REGEX = r"\d+"
+TEMPLATE_NUM_TOKEN = "<NUM>"
+
+
+def log_templates(logs: DataFrame) -> DataFrame:
+    """Drain-style template mining, step 1: mask variable numeric
+    fields so "GC pause of 1213ms" and "GC pause of 998ms" collapse to
+    one template, then count occurrences per (level, template).
+
+    The masking regexp_replace is codegen'd; the agg keys on the
+    (small) template space, so this is a map-side-combining hash agg —
+    the standard first pass of any log-volume triage at 100 TB.
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    ).alias("template")
+    return (
+        logs.select("level", tmpl)
+        .groupBy("level", "template")
+        .agg(F.count("*").alias("n"))
+    )
+
 
 def dropped_messages(logs: DataFrame) -> DataFrame:
     """Dropped-message totals per (node, message type) — the

@@ -46,6 +46,47 @@ SPLIT_BOUNDS = [("train", "c000"), ("valid", "e000")]
 SPLIT_LAST = "test"
 
 
+#: decontamination: n-gram width and the deterministic pseudo-benchmark
+#: membership rule (doc_id % EVAL_MOD == 0 plays the held-out set).
+DECONTAM_K = 5
+EVAL_MOD = 97
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any
+    DECONTAM_K-gram with the held-out eval set, with overlap counts —
+    the n-gram collision check run before pretraining so eval data
+    never leaks into the corpus.
+
+    The eval side is tiny by construction (1/EVAL_MOD of docs), so its
+    exploded shingles BROADCAST to the training side: no shuffle of
+    the training corpus at all, just a map-side hash-join over each
+    scan partition — the shape that keeps this linear at 100 TB.
+    """
+    from ..functions.texts import shingles_col, tokens_col
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(), DECONTAM_K))
+        ).alias("s"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train = grams.filter(~is_eval)
+    ev = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def _hash4(salt: str):
     return F.substring(
         F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 4

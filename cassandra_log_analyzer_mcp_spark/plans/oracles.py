@@ -296,7 +296,23 @@ def analysis_oracles() -> dict[str, str]:
         """
     o["error_bursts"] = with_logs(bursts_body)
 
-    from ..operators.analysis import DROPPED_REGEX
+    from ..operators.analysis import (
+        DROPPED_REGEX,
+        TEMPLATE_NUM_REGEX,
+        TEMPLATE_NUM_TOKEN,
+    )
+
+    # DuckDB regexp_replace defaults to first-match-only; 'g' makes it
+    # match Spark's replace-all semantics.
+    o["log_templates"] = with_logs(
+        f"""
+        SELECT level,
+               regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                              '{TEMPLATE_NUM_TOKEN}', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n
+        FROM logs GROUP BY 1, 2
+        """
+    )
 
     o["dropped_messages"] = with_logs(
         f"""

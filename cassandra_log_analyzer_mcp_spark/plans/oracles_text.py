@@ -287,6 +287,20 @@ def text_oracles() -> dict[str, str]:
           AND q.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
     """
 
+    from ..operators.curation import DECONTAM_K, EVAL_MOD
+
+    o["decontaminate"] = f"""
+        WITH {_shingle_cte(DECONTAM_K)},
+        train AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh
+               WHERE doc_id % {EVAL_MOD} = 0)
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.s) AS BIGINT) AS n_shared_grams,
+               CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        FROM train t JOIN ev e USING (s)
+        GROUP BY t.doc_id
+    """
+
     rate_case = (
         "CASE lang "
         + " ".join(f"WHEN '{lg}' THEN '{r}'" for lg, r in SAMPLE_RATES.items())

@@ -79,6 +79,7 @@ def queries() -> dict[str, QueryFn]:
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         "node_metrics_correlation": node_metrics_correlation,
         "dropped_messages": _on_logs(analysis.dropped_messages),
+        "log_templates": _on_logs(analysis.log_templates),
         "windowed_alerts": _on_logs(analysis.windowed_alerts),
         # §2E — the streaming path itself, bridged to a batch result so
         # the oracle verifies source→parse→classify→window end-to-end
@@ -107,6 +108,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
+        "decontaminate": curation.decontaminate,
         "train_test_split": curation.train_test_split,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,

@@ -192,6 +192,33 @@ def test_train_test_split_partitions_corpus(spark, sf_dir):
     assert by_split["train"] > by_split["test"]
 
 
+def test_decontaminate_flags_only_train_docs(spark, sf_dir):
+    rows = curation.decontaminate(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_id % curation.EVAL_MOD != 0  # never flags eval docs
+        assert r.n_shared_grams >= 1
+        assert r.n_eval_docs >= 1
+
+
+def test_log_templates_collapse_numbers(spark):
+    from tests.test_analysis import _logs_df, TS
+    from cassandra_log_analyzer_mcp_spark.operators import analysis
+
+    rows = [
+        ("n0", "WARN", "GC pause of 1213ms exceeded threshold", TS, 1),
+        ("n0", "WARN", "GC pause of 998ms exceeded threshold", TS, 2),
+        ("n0", "INFO", "Completed flushing memtable to disk", TS, 3),
+    ]
+    got = {
+        (r.level, r.template): r.n
+        for r in analysis.log_templates(_logs_df(spark, rows)).collect()
+    }
+    assert got == {
+        ("WARN", "GC pause of <NUM>ms exceeded threshold"): 2,
+        ("INFO", "Completed flushing memtable to disk"): 1,
+    }
+
+
 def test_quality_score_ranges(spark, sf_dir):
     rows = textops.quality_score(spark, sf_dir).collect()
     for r in rows:
