@@ -61,3 +61,21 @@ def test_corpus_curation_filters_before_join(spark, sf_dir):
 def test_vocab_top_k_never_global_sorts(spark, sf_dir):
     plan = _plan(textops.vocab_top_tokens(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_event_funnel_single_user_shuffle(spark, sf_dir):
+    """All three stage windows and the per-user collapse must share
+    ONE user_id Exchange; the only other exchange is the tiny
+    SinglePartition for the 3-value global agg."""
+    plan = _plan(analytics.event_funnel(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert plan.count(") Window") == 3  # detail header per Window node
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The training corpus must never shuffle — the (tiny) eval
+    shingle set broadcasts to it."""
+    plan = _plan(curation.decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
