@@ -308,6 +308,32 @@ def dropped_messages(logs: DataFrame) -> DataFrame:
     )
 
 
+def error_sessions(logs: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Gap sessionization of errors via Spark's NATIVE session_window —
+    the built-in that replaces both the window-function formulation
+    (error_bursts) and custom state code in streaming: it's a hash
+    aggregate with session merging, map-side combinable, and the same
+    call works under readStream with a watermark.
+
+    Boundary semantics: Spark merges TOUCHING session windows, so a
+    session closes only when the next event is strictly > gap after
+    the previous one — the same rule as error_bursts' lag formulation,
+    but applied at millisecond (not whole-second) precision; the
+    oracle mirrors that exactly.
+    """
+    sess = (
+        logs.filter(F.col("is_error"))
+        .groupBy("node", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sess.select(
+        "node",
+        F.col("session_window.start").cast("long").alias("start_s"),
+        F.col("session_window.end").cast("long").alias("end_s_excl"),
+        "n_events",
+    )
+
+
 def burst_context(
     logs: DataFrame, gap_s: int = 300, bucket_s: int = 300
 ) -> DataFrame:

@@ -270,6 +270,36 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # native session_window twin: Spark MERGES touching windows, so a
+    # session closes only when the next event is STRICTLY > gap away
+    # (verified by test_error_sessions_keeps_exact_gap_event); rule
+    # applied at ms precision, end = last event + gap.
+    o["error_sessions"] = with_logs(
+        """
+        SELECT node,
+               CAST(min(ems) // 1000 AS BIGINT) AS start_s,
+               CAST(max(ems) // 1000 + 300 AS BIGINT) AS end_s_excl,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT node, ems,
+                 sum(new_s) OVER (PARTITION BY node ORDER BY ems, line_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM (
+            SELECT node, line_id, epoch_ms(ts) AS ems,
+                   CASE WHEN lag(epoch_ms(ts))
+                             OVER (PARTITION BY node ORDER BY epoch_ms(ts),
+                                   line_id) IS NULL
+                             OR epoch_ms(ts) - lag(epoch_ms(ts))
+                                OVER (PARTITION BY node ORDER BY epoch_ms(ts),
+                                      line_id) > 300000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM flagged WHERE is_error
+          ) m
+        ) s
+        GROUP BY node, sid
+        """
+    )
+
     bursts_body = """
         SELECT node, CAST(burst_id AS BIGINT) AS burst_id,
                CAST(count(*) AS BIGINT) AS n_events,

@@ -152,6 +152,23 @@ def test_node_metrics_correlation_joins_only_shared_windows(spark):
     assert r.p95_value == 4.8  # 0.95*(5-1)=3.8 → 4.0 + 0.8*(5.0-4.0)
 
 
+def test_error_sessions_keeps_exact_gap_event(spark):
+    rows = [
+        ("n0", "ERROR", "a", ts(0), 1),
+        ("n0", "ERROR", "b", ts(5), 2),      # exactly 300s → MERGES (touching)
+        ("n0", "ERROR", "c", ts(10, 1), 3),  # 301s later → new session
+    ]
+    got = sorted(
+        (r.start_s, r.end_s_excl, r.n_events)
+        for r in analysis.error_sessions(_logs_df(spark, rows)).collect()
+    )
+    base = int(ts(0).replace(tzinfo=__import__("datetime").timezone.utc).timestamp())
+    assert got == [
+        (base, base + 300 + 300, 2),
+        (base + 601, base + 601 + 300, 1),
+    ]
+
+
 def test_dropped_messages_extracts_counts(spark):
     rows = [
         ("n0", "ERROR", "Dropped 17 READ messages in the last interval", TS, 1),
