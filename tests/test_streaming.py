@@ -136,6 +136,28 @@ def test_kafka_source_contract(spark):
     assert [f.name for f in lines.schema.fields] == ["line_id", "node", "raw"]
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir, log_dir):
+    """error_sessions is source-agnostic: the SAME session_window call
+    over the watermarked stream yields exactly the batch sessions."""
+    lines = log_stream.stream_log_dir(
+        spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
+    )
+    parsed = log_stream.parsed_stream(lines).withWatermark("ts", "10 minutes")
+    q = log_stream.run_to_memory_sink(
+        analysis.error_sessions(parsed), "sessions_sink", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.node, r.start_s, r.end_s_excl, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_sink").collect()
+    }
+    want = {
+        (r.node, r.start_s, r.end_s_excl, r.n_events)
+        for r in analysis.error_sessions(logs_flagged(spark, sf_dir)).collect()
+    }
+    assert got == want
+
+
 def test_streaming_bursts_match_batch_closed_bursts(spark, sf_dir, log_dir):
     lines = log_stream.stream_log_dir(
         spark, f"{log_dir}/node=*/*.txt", node_regex=r".*/node=([^/]+)/[^/]+$"
