@@ -160,6 +160,35 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_S = 7 * 24 * 3600
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by their first-activity
+    week, counted distinctly in each subsequent week they return.
+
+    One user_id shuffle: the cohort week is a min-over-user window on
+    the same partitioning the (cohort, week) distinct-count then
+    consumes; week arithmetic is integer epoch math (no calendar
+    functions, no tz coupling).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.col("ts").cast("long") / WEEK_S) * WEEK_S).alias("week"),
+    )
+    w = Window.partitionBy("user_id")
+    cohorts = ev.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorts.groupBy(
+            "cohort_week",
+            ((F.col("week") - F.col("cohort_week")) / WEEK_S)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 

@@ -90,7 +90,24 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
-    from ..operators.analytics import FUNNEL_STAGES
+    from ..operators.analytics import FUNNEL_STAGES, WEEK_S
+
+    o["retention_cohorts"] = f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / {WEEK_S}) AS BIGINT) * {WEEK_S} AS week
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, week,
+                 min(week) OVER (PARTITION BY user_id) AS cohort_week
+          FROM ev
+        )
+        SELECT cohort_week,
+               CAST((week - cohort_week) // {WEEK_S} AS INT) AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM c GROUP BY 1, 2
+    """
 
     # chained conditional window mins — same derivation as the Spark
     # side, stage k's min constrained to at-or-after stage k-1's.

@@ -92,6 +92,7 @@ def queries() -> dict[str, QueryFn]:
         "promo_revenue": analytics.promo_revenue,
         "revenue_rollup": analytics.revenue_rollup,
         "event_funnel": analytics.event_funnel,
+        "retention_cohorts": analytics.retention_cohorts,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_value_percentiles": analytics.event_value_percentiles,

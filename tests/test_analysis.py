@@ -208,6 +208,36 @@ def test_event_funnel_orders_stages(spark):
     assert got == {"view": 3, "click": 2, "purchase": 1}
 
 
+def test_retention_cohorts_offsets(spark):
+    from datetime import datetime, timedelta
+
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    base = datetime(2025, 1, 6)  # within one epoch-week bucket
+
+    def ev(uid, weeks):
+        return Row(user_id=uid, ts=base + timedelta(weeks=weeks))
+
+    events = spark.createDataFrame([
+        ev(1, 0), ev(1, 2),   # cohort w0, returns at offset 2
+        ev(2, 0),             # cohort w0, never returns
+        ev(3, 1), ev(3, 1),   # cohort w1, two events same week
+    ])
+    orig = an.table
+    try:
+        an.table = lambda s, d, n: events
+        got = {
+            (r.week_offset, r.n_users): r.cohort_week
+            for r in an.retention_cohorts(spark, "x").collect()
+        }
+    finally:
+        an.table = orig
+    offsets = sorted(k for k in got)
+    assert offsets == [(0, 1), (0, 2), (2, 1)]
+    # the two offset-0 rows belong to different cohort weeks
+    assert got[(0, 2)] < got[(0, 1)]
+
+
 def test_distinct_users_sketch_error_bound(spark, sf_dir):
     from cassandra_log_analyzer_mcp_spark.operators import analytics
     from cassandra_log_analyzer_mcp_spark.sources.tables import table
