@@ -245,16 +245,15 @@ def parse_json_lines(df: DataFrame) -> DataFrame:
 
 
 def parse_lines(df: DataFrame) -> DataFrame:
-    """(line_id, node, raw) → parsed log entries (parser of ref :186-203).
+    """(line_id, node, raw, *extras) → parsed log entries (parser of
+    ref :186-203), extra input columns passed through untouched.
 
     Non-matching lines get empty groups and are dropped, mirroring the
     reference's ``return None`` branch. Single map-only stage.
     """
     g = lambda i: F.regexp_extract("raw", LOG_LINE_REGEX, i)  # noqa: E731
     out = df.select(
-        "line_id",
-        "node",
-        "raw",
+        "*",
         g(1).alias("level"),
         g(2).alias("ts_str"),
         g(3).alias("thread"),
@@ -265,6 +264,106 @@ def parse_lines(df: DataFrame) -> DataFrame:
     return out.filter(F.col("level") != "").withColumn(
         "ts", F.replace("ts_str", F.lit(","), F.lit(".")).cast("timestamp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-line entries (Java stack traces). The reference's line parser
+# silently DROPS continuation lines (ref :186-203 returns None); here
+# they are segmented back onto their header entry — the capability gap
+# every real Cassandra log exposes (OOM / assertion stack traces).
+# ---------------------------------------------------------------------------
+#: ERROR template index that carries a stack trace (the OOM) and how
+#: many continuation frames it emits; shared with the DuckDB oracle.
+STACK_IDX = 1
+STACK_FRAMES = 2
+LINES_PER_ENTRY = STACK_FRAMES + 1  # line-id stride in the synth
+HEADER_REGEX = r"^(ERROR|WARN|INFO) \["
+
+
+def _frame(k: int) -> Column:
+    return F.concat(
+        F.lit("\tat org.apache.cassandra."), F.col("clazz"),
+        F.lit(".run("), F.col("clazz"), F.lit(".java:"),
+        (F.col("line_no") + k).cast("string"), F.lit(")"),
+    )
+
+
+def synth_multiline_lines(events: DataFrame) -> DataFrame:
+    """events → (line_id, node, raw) where OOM errors carry
+    STACK_FRAMES continuation lines after the header, interleaved in
+    per-node line order (header at line_id·3, frames at +1, +2)."""
+    f = _synth_fields(events)
+    raw = F.concat(
+        F.col("level"), F.lit(" ["), F.col("ts_str"), F.lit("] ["),
+        F.col("thread"), F.lit("] "), F.col("clazz"), F.lit(":"),
+        F.col("line_no").cast("string"), F.lit(" - "), F.col("message"),
+    )
+    has_stack = (F.col("level") == "ERROR") & (
+        F.col("line_id") % len(ERROR_TEMPLATES) == STACK_IDX
+    )
+    parts = F.array(
+        F.struct(F.lit(0).alias("k"), raw.alias("raw")),
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.when(has_stack, _frame(k)).alias("raw"),
+            )
+            for k in range(1, STACK_FRAMES + 1)
+        ],
+    )
+    ex = f.select("line_id", "node", F.explode(parts).alias("p")).filter(
+        F.col("p.raw").isNotNull()
+    )
+    return ex.select(
+        (F.col("line_id") * LINES_PER_ENTRY + F.col("p.k")).alias("line_id"),
+        "node",
+        F.col("p.raw").alias("raw"),
+    )
+
+
+def parse_multiline(df: DataFrame) -> DataFrame:
+    """(line_id, node, raw) with continuation lines → parsed entries
+    carrying ``n_extra_lines`` and the joined ``stack`` tail.
+
+    Segmentation is a running count of header lines per node in line
+    order (at 100 TB the order key is (file, byte offset) — exactly
+    what a text scan provides); each segment then collapses in ONE
+    hash aggregate: min_by picks the header, array_sort fixes the
+    collect_list order so the stack string is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    is_header = F.col("raw").rlike(HEADER_REGEX)
+    w = (
+        Window.partitionBy("node")
+        .orderBy("line_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = df.select(
+        "line_id", "node", "raw",
+        F.sum(is_header.cast("long")).over(w).alias("seg"),
+    )
+    grouped = (
+        tagged.groupBy("node", "seg")
+        .agg(
+            F.min("line_id").alias("line_id"),
+            F.min_by("raw", "line_id").alias("raw"),
+            (F.count("*") - 1).cast("int").alias("n_extra_lines"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list(F.struct("line_id", "raw"))),
+                        2,
+                        1_000_000,
+                    ),
+                    lambda x: x.raw,
+                ),
+                "\n",
+            ).alias("stack"),
+        )
+        .drop("seg")
+    )
+    return parse_lines(grouped)
 
 
 def issues_col(message: Column = None) -> Column:

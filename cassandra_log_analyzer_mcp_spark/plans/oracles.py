@@ -112,6 +112,29 @@ def analysis_oracles() -> dict[str, str]:
     # fields, so it shares the oracle verbatim
     o["log_parse_json"] = o["log_parse"]
 
+    # multiline: the oracle derives each entry's stack DIRECTLY from
+    # the templates (which events carry frames, and their exact text),
+    # never re-simulating the segmentation — so any window/grouping
+    # bug on the Spark side hash-mismatches.
+    from ..functions.parsing import LINES_PER_ENTRY, STACK_FRAMES, STACK_IDX
+
+    frame_sql = " || chr(10) || ".join(
+        f"chr(9) || 'at org.apache.cassandra.' || clazz || '.run(' || clazz"
+        f" || '.java:' || CAST(line_no + {k} AS VARCHAR) || ')'"
+        for k in range(1, STACK_FRAMES + 1)
+    )
+    stacky = f"(level = 'ERROR' AND line_id % {len(ERROR_TEMPLATES)} = {STACK_IDX})"
+    o["log_parse_multiline"] = with_logs(
+        f"""
+        SELECT line_id * {LINES_PER_ENTRY} AS line_id, node, level, ts_str,
+               thread, clazz, line_no, message,
+               CASE WHEN {stacky} THEN {STACK_FRAMES} ELSE 0 END
+                 AS n_extra_lines,
+               CASE WHEN {stacky} THEN {frame_sql} ELSE '' END AS stack
+        FROM logs
+        """
+    )
+
     classify_selects = " UNION ALL ".join(
         f"SELECT line_id, node, level, clazz, message, '{name}' AS issue, "
         f"'{ISSUE_SEVERITY[name]}' AS severity FROM logs WHERE {_rx('message', pat)}"

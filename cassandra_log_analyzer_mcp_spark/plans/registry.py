@@ -48,6 +48,19 @@ def queries() -> dict[str, QueryFn]:
         lines = synth_json_lines(table(spark, sf_dir, "events"))
         return analysis.log_parse(parse_json_lines(lines))
 
+    def log_parse_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-line entries (stack traces) segmented back onto their
+        header line — the reference parser drops these (ref :186-203).
+        """
+        from ..functions.parsing import parse_multiline, synth_multiline_lines
+        from ..sources.tables import table
+
+        lines = synth_multiline_lines(table(spark, sf_dir, "events"))
+        return parse_multiline(lines).select(
+            "line_id", "node", "level", "ts_str", "thread", "clazz",
+            "line_no", "message", "n_extra_lines", "stack",
+        )
+
     def node_metrics_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Logs × metrics-stream join (two-source correlation)."""
         from ..sources.tables import table
@@ -60,6 +73,7 @@ def queries() -> dict[str, QueryFn]:
         # §2A — parsing & classification
         "log_parse": _on_logs(analysis.log_parse),
         "log_parse_json": log_parse_json,
+        "log_parse_multiline": log_parse_multiline,
         "issue_classify": _on_logs(analysis.issue_classify),
         "issue_counts": _on_logs(analysis.issue_counts),
         # §2B — cluster analysis

@@ -113,6 +113,33 @@ def test_with_issue_flags_consistency(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_parse_multiline_attaches_stack_to_header(spark):
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        parse_multiline,
+    )
+
+    lines = spark.createDataFrame([
+        Row(line_id=0, node="n0",
+            raw="ERROR [2025-01-01 12:00:00,000] [t] C:1 - boom"),
+        Row(line_id=1, node="n0", raw="\tat a.b(C.java:2)"),
+        Row(line_id=2, node="n0", raw="\tat a.c(C.java:3)"),
+        Row(line_id=3, node="n0",
+            raw="INFO [2025-01-01 12:00:01,000] [t] D:9 - fine"),
+        # other node interleaves without stealing continuations
+        Row(line_id=1, node="n1",
+            raw="WARN [2025-01-01 12:00:00,500] [t] E:5 - careful"),
+    ])
+    got = {
+        (r.node, r.line_id): (r.message, r.n_extra_lines, r.stack)
+        for r in parse_multiline(lines).collect()
+    }
+    assert got[("n0", 0)] == (
+        "boom", 2, "\tat a.b(C.java:2)\n\tat a.c(C.java:3)"
+    )
+    assert got[("n0", 3)] == ("fine", 0, "")
+    assert got[("n1", 1)] == ("careful", 0, "")
+
+
 def test_json_roundtrip_matches_plain_format(spark, sf_dir):
     """The JSON-format path must parse back to exactly the rows the
     plain Cassandra-format path produces (same fields, same lines)."""
