@@ -23,6 +23,16 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_long(a: Column, b: Column) -> Column:
+    """Integer dot product over array<long> columns — exact, so
+    quantized-vector scores need no rounding for oracle parity."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, dot, lit_vector, norm
+from ..functions.vectors import as_double, dot, dot_long, lit_vector, norm
 from ..sources.tables import table
 
 KNN_N_QUERIES = 5    # vec_id < 5 are the query vectors
@@ -72,6 +72,48 @@ def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_sim(qv: str, v: str, qn: str, vn: str) -> F.Column:
     return F.round(
         dot(F.col(qv), F.col(v)) / (F.col(qn) * F.col(vn)), 3
+    )
+
+
+#: int8 scalar-quantization scale: components of the unit-norm vectors
+#: are < 1, so floor(x·127) always fits int8; fixed (not per-vector)
+#: scale keeps scores integer and cross-engine exact.
+QUANT_SCALE = 127
+
+
+def knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors over int8-quantized vectors — the memory-
+    bandwidth path of large-scale ANN (4 bytes/dim → 1): scores are
+    INTEGER dot products of floor(x·127) codes, so ranking is exact
+    arithmetic with no float-rounding protocol, and the 8× smaller
+    codes are what actually streams through a 100 TB scan. Same
+    broadcast-queries / per-query-top-k shape as the exact brute path;
+    recall vs full-precision is asserted in tests.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * QUANT_SCALE)).alias("q"),
+    )
+    queries = quant.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    pairs = (
+        quant.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            dot_long(F.col("qq"), F.col("q")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_TOP_K)
+        .select("q_id", "vec_id", "qdot", "rn")
     )
 
 

@@ -345,6 +345,29 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {KNN_TOP_K}
     """
 
+    from ..operators.similarity import QUANT_SCALE
+
+    o["knn_quantized_int8"] = f"""
+        WITH quant AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT))
+                   AS q
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT qs.vec_id AS q_id, e.vec_id,
+                 CAST(list_dot_product(qs.q, e.q) AS BIGINT) AS qdot
+          FROM quant e, quant qs
+          WHERE qs.vec_id < {KNN_N_QUERIES} AND e.vec_id != qs.vec_id
+        )
+        SELECT q_id, vec_id, qdot, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY qdot DESC, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {KNN_TOP_K}
+    """
+
     planes = lsh_planes()
     bucket_expr = " || ".join(
         "(CASE WHEN list_dot_product(v, ["

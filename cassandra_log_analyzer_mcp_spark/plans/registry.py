@@ -134,6 +134,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_simhash": dedup.dedup_simhash,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
+        "knn_quantized_int8": similarity.knn_quantized_int8,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,

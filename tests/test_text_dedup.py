@@ -104,6 +104,21 @@ def test_ivf_structure_and_recall(spark, sf_dir):
     assert hits / total >= 0.8
 
 
+def test_quantized_knn_recall_vs_exact(spark, sf_dir):
+    """int8 quantization of unit vectors perturbs cosine by <1%, so
+    top-10 overlap with the exact path should stay high."""
+    brute = {}
+    for r in similarity.knn_cosine_brute(spark, sf_dir).collect():
+        brute.setdefault(r.q_id, set()).add(r.vec_id)
+    quant = {}
+    for r in similarity.knn_quantized_int8(spark, sf_dir).collect():
+        quant.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(quant) == set(brute)
+    hits = sum(len(brute[q] & quant[q]) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.8
+
+
 def test_lang_id_predictions_valid(spark, sf_dir):
     rows = textops.lang_id(spark, sf_dir).collect()
     from cassandra_log_analyzer_mcp_spark.functions.texts import LANG_STOPWORDS
