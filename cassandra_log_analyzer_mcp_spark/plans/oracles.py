@@ -160,6 +160,8 @@ def analysis_oracles() -> dict[str, str]:
         FROM flagged GROUP BY node
         """
     )
+    # the salted two-stage aggregation must be EXACTLY node_summary
+    o["node_summary_salted"] = o["node_summary"]
 
     o["error_timeline"] = with_logs(
         """

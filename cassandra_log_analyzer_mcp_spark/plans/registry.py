@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import (
     analysis,
@@ -17,6 +18,7 @@ from ..operators import (
     dedup,
     multimodal,
     similarity,
+    skew,
     textops,
 )
 from ..sources.tables import logs_flagged
@@ -78,6 +80,25 @@ def queries() -> dict[str, QueryFn]:
         "issue_counts": _on_logs(analysis.issue_counts),
         # §2B — cluster analysis
         "node_summary": _on_logs(analysis.node_summary),
+        # salted twin shares node_summary's oracle: the skew-spray +
+        # combine MUST be exactly equal, proven through the hash gate
+        "node_summary_salted": _on_logs(
+            lambda logs: skew.salted_agg(
+                logs,
+                ["node"],
+                {
+                    "errors": (
+                        "sum",
+                        F.sum(F.col("is_error").cast("long")),
+                    ),
+                    "warnings": (
+                        "sum",
+                        F.sum(F.col("is_warning").cast("long")),
+                    ),
+                    "total_lines": ("count", F.count("*")),
+                },
+            )
+        ),
         "error_timeline": _on_logs(analysis.error_timeline),
         "compare_nodes": _on_logs(analysis.compare_nodes),
         "get_errors": _on_logs(analysis.get_errors),
