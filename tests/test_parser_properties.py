@@ -92,3 +92,44 @@ def test_roundtrip_spark_sample(spark):
 def test_malformed_lines_rejected(spark, bad):
     df = spark.createDataFrame([Row(line_id=0, node="n", raw=bad)])
     assert parse_lines(df).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.sampled_from(["n0", "n1"]),       # node
+            st.integers(min_value=0, max_value=4),  # extra lines
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_multiline_segmentation_property(spark, entries):
+    """For ANY per-node interleaving of entries with 0-4 continuation
+    lines, segmentation reattaches exactly the continuations emitted
+    after each header, in order."""
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        parse_multiline,
+    )
+
+    rows, want = [], {}
+    lid = 0
+    for i, (node, n_extra) in enumerate(entries):
+        rows.append(Row(
+            line_id=lid, node=node,
+            raw=f"ERROR [2025-01-01 00:00:00,000] [t] C:{i} - m{i}",
+        ))
+        header_id = lid
+        lid += 1
+        frames = []
+        for k in range(n_extra):
+            frames.append(f"\tat f{i}.{k}(X.java:{k})")
+            rows.append(Row(line_id=lid, node=node, raw=frames[-1]))
+            lid += 1
+        want[(node, header_id)] = (n_extra, "\n".join(frames))
+    got = {
+        (r.node, r.line_id): (r.n_extra_lines, r.stack)
+        for r in parse_multiline(spark.createDataFrame(rows)).collect()
+    }
+    assert got == want
