@@ -119,6 +119,36 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("correct", F.col("pred_lang") == F.col("lang"))
 
 
+def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity features: mean document frequency of
+    the doc's distinct tokens and its hapax ratio (share of tokens
+    appearing in exactly one document) — the vocabulary-overlap signal
+    rarity-aware quality filters use.
+
+    Two token-keyed shuffles (df build, df lookup) + one doc-keyed
+    agg; all integer counts until the final ratios, so cross-engine
+    doubles are exact sums divided identically.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("token")
+    )
+    df_tbl = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        tok.join(df_tbl, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.round(F.avg("df"), 4).alias("mean_df"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")) / F.count("*"), 4
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-K tokens by occurrence count with
     their document frequency — the vocab-building / stopword-discovery

@@ -146,6 +146,23 @@ def text_oracles() -> dict[str, str]:
         FROM (SELECT doc_id, text, {TOKS} AS t FROM documents) u
     """
 
+    o["doc_rarity"] = f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
+        ),
+        df_tbl AS (
+          SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY token
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               round(avg(df), 4) AS mean_df,
+               round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 4)
+                 AS hapax_ratio
+        FROM tok JOIN df_tbl USING (token)
+        GROUP BY doc_id
+    """
+
     o["vocab_top_tokens"] = f"""
         WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
         counts AS (

@@ -141,6 +141,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,

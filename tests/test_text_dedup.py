@@ -234,6 +234,16 @@ def test_log_templates_collapse_numbers(spark):
     }
 
 
+def test_doc_rarity_bounds(spark, sf_dir):
+    rows = textops.doc_rarity(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_distinct_tokens >= 1
+        assert 1.0 <= r.mean_df <= n_docs
+        assert 0.0 <= r.hapax_ratio <= 1.0
+
+
 def test_quality_score_ranges(spark, sf_dir):
     rows = textops.quality_score(spark, sf_dir).collect()
     for r in rows:
