@@ -351,6 +351,17 @@ def analysis_oracles() -> dict[str, str]:
         """
     o["error_bursts"] = with_logs(bursts_body)
 
+    # the streaming stateful operator emits only CLOSED bursts — every
+    # burst except each node's final one.
+    o["streaming_error_bursts"] = with_logs(
+        f"""
+        SELECT node, n_events, start_s, end_s FROM (
+          SELECT b.*, max(burst_id) OVER (PARTITION BY node) AS max_bid
+          FROM ({bursts_body}) b
+        ) t WHERE burst_id < max_bid
+        """
+    )
+
     from ..operators.analysis import (
         DROPPED_REGEX,
         TEMPLATE_NUM_REGEX,

@@ -120,6 +120,7 @@ def queries() -> dict[str, QueryFn]:
         # §2E — the streaming path itself, bridged to a batch result so
         # the oracle verifies source→parse→classify→window end-to-end
         "streaming_issue_counts": batch_bridge.streaming_issue_counts,
+        "streaming_error_bursts": batch_bridge.streaming_error_bursts,
         # §2C — general analytics (bench headliners)
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,

@@ -57,6 +57,41 @@ def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
+def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED error bursts computed BY THE STREAM's custom stateful
+    operator (applyInPandasWithState) — bridged so the driver's oracle
+    hash-checks the Python-state path too: closed bursts are exactly
+    the batch sessionization minus each node's final (still-open)
+    burst, which is plain SQL.
+    """
+    log_dir = _landed_log_dir(spark, sf_dir)
+    lines = spark.readStream.text(log_dir).select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.col("node").cast("string").alias("node"),
+        F.col("value").alias("raw"),
+    )
+    from . import burst_state
+
+    bursts = burst_state.streaming_error_bursts(
+        log_stream.parsed_stream(lines)
+    )
+    sink = f"stream_bursts_{uuid.uuid4().hex[:8]}"
+    # state is keyed by node (4 keys here) — size the state-store
+    # shuffle to it, same reasoning as streaming_issue_counts.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(bursts, sink, output_mode="append")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_error_bursts did not finish its availableNow batch"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select("node", "n_events", "start_s", "end_s")
+
+
 def streaming_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly (node, level) issue counts computed BY THE STREAM.
 
