@@ -46,6 +46,37 @@ SPLIT_BOUNDS = [("train", "c000"), ("valid", "e000")]
 SPLIT_LAST = "test"
 
 
+#: second quality gate for the per-source report (distribution shape)
+QUALITY_HI = 0.6
+
+
+def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus triage: how many docs each source contributes
+    and what share clears the quality gates — the "which crawl is
+    junk" report that decides source weights in a data mixture.
+
+    Aggregates only integer-derived stats (counts, boolean pass
+    rates, token means): per-doc quality doubles are bit-identical
+    across engines, but SUMMING doubles is order-sensitive, so the
+    report never adds them — the gate booleans carry the signal.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "source", "text")
+    qc = quality_cols()
+    feats = docs.select(
+        "source",
+        qc["n_tokens"].alias("n_tokens"),
+        (qc["quality"] >= QUALITY_MIN).cast("long").alias("pass_lo"),
+        (qc["quality"] >= QUALITY_HI).cast("long").alias("pass_hi"),
+    )
+    n = F.count("*")
+    return feats.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+        F.round(F.sum("pass_lo") / n, 4).alias("pass_rate"),
+        F.round(F.sum("pass_hi") / n, 4).alias("hi_rate"),
+    )
+
+
 #: decontamination: n-gram width and the deterministic pseudo-benchmark
 #: membership rule (doc_id % EVAL_MOD == 0 plays the held-out set).
 DECONTAM_K = 5

@@ -304,7 +304,22 @@ def text_oracles() -> dict[str, str]:
           AND q.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
     """
 
-    from ..operators.curation import DECONTAM_K, EVAL_MOD
+    from ..operators.curation import DECONTAM_K, EVAL_MOD, QUALITY_HI
+
+    # composed from the quality oracle so the gate booleans cannot
+    # drift; only integer-derived stats are aggregated (see operator).
+    o["source_quality"] = f"""
+        WITH q AS ({o['quality_score']})
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(q.n_tokens), 2) AS mean_tokens,
+               round(sum(CASE WHEN q.quality >= {QUALITY_MIN} THEN 1
+                              ELSE 0 END) / count(*), 4) AS pass_rate,
+               round(sum(CASE WHEN q.quality >= {QUALITY_HI} THEN 1
+                              ELSE 0 END) / count(*), 4) AS hi_rate
+        FROM q JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """
 
     o["decontaminate"] = f"""
         WITH {_shingle_cte(DECONTAM_K)},

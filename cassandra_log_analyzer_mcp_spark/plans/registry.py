@@ -148,6 +148,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
         "decontaminate": curation.decontaminate,
+        "source_quality": curation.source_quality,
         "train_test_split": curation.train_test_split,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,
