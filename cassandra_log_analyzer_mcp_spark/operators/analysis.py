@@ -308,6 +308,38 @@ def dropped_messages(logs: DataFrame) -> DataFrame:
     )
 
 
+ANOM_FACTOR = 2
+
+
+def error_anomaly_hours(logs: DataFrame) -> DataFrame:
+    """Hours where a node's error count exceeds ANOM_FACTOR× its own
+    hourly median — self-referential anomaly detection (each node is
+    its own baseline, so a chatty node doesn't drown a quiet one).
+
+    The median is an aggregate-as-window over the node's (small)
+    hourly series: one shuffle for the hourly rollup, the window
+    reuses its partitioning. percentile↔quantile_cont is the proven
+    cross-engine pairing; the comparison itself is identical IEEE
+    arithmetic on both sides, so the flag decision never diverges.
+    """
+    hourly = (
+        logs.select(
+            "node",
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("win_start"),
+            "is_error",
+        )
+        .groupBy("node", "win_start")
+        .agg(F.sum(F.col("is_error").cast("long")).alias("errors"))
+    )
+    w = Window.partitionBy("node")
+    med = F.expr("percentile(errors, 0.5)").over(w)
+    return (
+        hourly.withColumn("median_errors", F.round(med, 1))
+        .filter(F.col("errors") > ANOM_FACTOR * F.col("median_errors"))
+        .select("node", "win_start", "errors", "median_errors")
+    )
+
+
 def error_sessions(logs: DataFrame, gap_s: int = 300) -> DataFrame:
     """Gap sessionization of errors via Spark's NATIVE session_window —
     the built-in that replaces both the window-function formulation

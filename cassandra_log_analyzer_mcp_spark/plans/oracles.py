@@ -295,6 +295,26 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # medians of integer counts are integers or exact .5 midpoints, so
+    # round(…,1) is lossless and the >2× comparison is identical IEEE
+    # arithmetic on both engines.
+    o["error_anomaly_hours"] = with_logs(
+        """
+        SELECT node, win_start, errors, median_errors FROM (
+          SELECT node, win_start, errors,
+                 round(quantile_cont(errors, 0.5)
+                       OVER (PARTITION BY node), 1) AS median_errors
+          FROM (
+            SELECT node,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win_start,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS errors
+            FROM flagged GROUP BY 1, 2
+          ) h
+        ) t WHERE errors > 2 * median_errors
+        """
+    )
+
     # native session_window twin: Spark MERGES touching windows, so a
     # session closes only when the next event is STRICTLY > gap away
     # (verified by test_error_sessions_keeps_exact_gap_event); rule

@@ -111,6 +111,7 @@ def queries() -> dict[str, QueryFn]:
         "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
+        "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),
         "burst_context": _on_logs(analysis.burst_context),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         "node_metrics_correlation": node_metrics_correlation,

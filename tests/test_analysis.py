@@ -208,6 +208,21 @@ def test_event_funnel_orders_stages(spark):
     assert got == {"view": 3, "click": 2, "purchase": 1}
 
 
+def test_error_anomaly_hours_flags_spike(spark):
+    from datetime import timedelta
+
+    rows = []
+    lid = 0
+    # node n0: 1 error in each of 3 hours, then a 10-error spike hour
+    for h, n in [(0, 1), (1, 1), (2, 1), (3, 10)]:
+        for i in range(n):
+            rows.append(("n0", "ERROR", "x", TS + timedelta(hours=h), lid))
+            lid += 1
+    got = analysis.error_anomaly_hours(_logs_df(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0].errors == 10 and got[0].median_errors == 1.0
+
+
 def test_retention_cohorts_offsets(spark):
     from datetime import datetime, timedelta
 

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: one row per registry query with the plan
+features that matter at 100 TB — shuffle count, join strategies,
+window nodes, codegen spans, and whether scan pushdown/pruning made it
+into the parquet reader.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: queries that execute work at build time (driver-loop iteration or an
+#: actual streaming run) — they have no single lazily-inspectable plan.
+EAGER = {"dedup_clusters", "streaming_issue_counts", "streaming_error_bursts"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from cassandra_log_analyzer_mcp_spark.plans import registry
+    from cassandra_log_analyzer_mcp_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    hdr = f"{'query':<28} {'xchg':>4} {'bhj':>3} {'smj':>3} {'win':>3} {'wsc':>3}  scan"
+    print(hdr)
+    print("-" * len(hdr))
+    for name, fn in registry.queries().items():
+        if name in EAGER:
+            print(f"{name:<28}    -   -   -   -   -  (executes eagerly)")
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:
+            print(f"{name:<28}  plan error: {e}")
+            continue
+        xchg = plan.count("Arguments: hashpartitioning") + plan.count(
+            "Arguments: SinglePartition"
+        )
+        bhj = plan.count(") BroadcastHashJoin")
+        smj = plan.count(") SortMergeJoin")
+        win = plan.count(") Window")
+        # distinct codegen stages (Spark 4 formatted mode annotates
+        # participating nodes with "[codegen id : N]")
+        import re
+
+        wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        pushed = "pushdown" if "PushedFilters: [IsNotNull" in plan or (
+            "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+        ) else ("pruned" if "ReadSchema" in plan else "cached/none")
+        print(f"{name:<28} {xchg:>4} {bhj:>3} {smj:>3} {win:>3} {wsc:>3}  {pushed}")
+
+
+if __name__ == "__main__":
+    main()
