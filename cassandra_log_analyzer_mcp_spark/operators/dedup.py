@@ -194,9 +194,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
+    # cached: the tiny verified-pair set is consumed by BOTH the
+    # registry query and dedup_clusters — the plan-keyed CacheManager
+    # makes the second consumer reuse the first's materialization.
     return _verified_pairs(arrs, cand).filter(
         F.col("jaccard") >= MINHASH_VERIFY_MIN
-    )
+    ).cache()
 
 
 CLUSTER_MAX_ITERS = 20
