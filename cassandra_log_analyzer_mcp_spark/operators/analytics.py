@@ -319,6 +319,25 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB percentile path for real: percentile_approx
+    (Greenwald-Khanna sketch — mergeable partials, one pass, bounded
+    memory) instead of the exact ordered aggregate. Rows-only driver
+    check (sketch internals are engine-specific); the error bound vs
+    the exact twin is unit-tested.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    acc = 10_000
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("p50"),
+        F.percentile_approx("value", 0.95, acc).alias("p95"),
+        F.percentile_approx("value", 0.99, acc).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each error event, the same user's most recent
     purchase at-or-before it.

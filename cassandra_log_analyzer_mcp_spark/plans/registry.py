@@ -137,6 +137,10 @@ def queries() -> dict[str, QueryFn]:
         "props_json_stats": analytics.props_json_stats,
         # rows-only: HLL sketches legitimately differ across engines
         "distinct_users_sketch": analytics.distinct_users_sketch,
+        # rows-only: GK-sketch percentiles are engine-specific;
+        # error-bound-tested against the exact twin
+        "event_value_percentiles_approx":
+            analytics.event_value_percentiles_approx,
         # §2D — text analysis
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,

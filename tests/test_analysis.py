@@ -253,6 +253,31 @@ def test_retention_cohorts_offsets(spark):
     assert got[(0, 2)] < got[(0, 1)]
 
 
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import analytics
+
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    approx = {
+        r.event_type: {"0.5": r.p50, "0.95": r.p95, "0.99": r.p99, "n": r.n}
+        for r in analytics.event_value_percentiles_approx(
+            spark, sf_dir
+        ).collect()
+    }
+    # GK's guarantee is RANK-based (value-space gaps blow up in heavy
+    # tails): the empirical CDF position of each sketch output must sit
+    # within eps of its target quantile.
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    for t, vals in approx.items():
+        n = vals["n"]
+        for target in ("0.5", "0.95", "0.99"):
+            below = ev.filter(
+                (F.col("event_type") == t) & (F.col("value") <= vals[target])
+            ).count()
+            eps = max(2.0 / n, 0.01)
+            assert abs(below / n - float(target)) <= eps, (t, target)
+
+
 def test_distinct_users_sketch_error_bound(spark, sf_dir):
     from cassandra_log_analyzer_mcp_spark.operators import analytics
     from cassandra_log_analyzer_mcp_spark.sources.tables import table
