@@ -105,6 +105,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: normalization shared with the oracle: lowercase, collapse runs of
+#: non-alphanumerics to single spaces, trim.
+NORM_STRIP_REGEX = "[^a-z0-9]+"
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: case-fold and collapse punctuation/
+    whitespace before hashing, so trivially-reformatted copies
+    ("Hello,  World!" vs "hello world") collapse to one group — the
+    cheap normalization pass run before any near-dup machinery.
+
+    Same shape as dedup_exact: the shuffle moves 16-byte digests of
+    the normalized text, never documents.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(F.lower("text"), NORM_STRIP_REGEX, " ")
+    )
+    return docs.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= 0.8, via prefix
     filtering (AllPairs/PPJoin family).

@@ -192,6 +192,16 @@ def text_oracles() -> dict[str, str]:
         FROM documents GROUP BY md5(text)
     """
 
+    from ..operators.dedup import NORM_STRIP_REGEX
+
+    o["dedup_normalized"] = f"""
+        SELECT md5(trim(regexp_replace(lower(text), '{NORM_STRIP_REGEX}',
+                                       ' ', 'g'))) AS norm_hash,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY 1
+    """
+
     o["dedup_ngram_jaccard"] = f"""
         WITH {_shingle_cte(SHINGLE_K)},
         doc_freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),

@@ -157,6 +157,7 @@ def queries() -> dict[str, QueryFn]:
         "train_test_split": curation.train_test_split,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,
+        "dedup_normalized": dedup.dedup_normalized,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,

@@ -234,6 +234,25 @@ def test_log_templates_collapse_numbers(spark):
     }
 
 
+def test_dedup_normalized_collapses_formatting(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="Hello,  World!"),
+        Row(doc_id=2, text="hello world"),
+        Row(doc_id=3, text="HELLO---WORLD"),
+        Row(doc_id=4, text="different text"),
+    ])
+    orig = dedup.documents
+    try:
+        dedup.documents = lambda s, d: docs
+        got = {
+            r.keeper_id: r.n_copies
+            for r in dedup.dedup_normalized(spark, "x").collect()
+        }
+    finally:
+        dedup.documents = orig
+    assert got == {1: 3, 4: 1}
+
+
 def test_doc_rarity_bounds(spark, sf_dir):
     rows = textops.doc_rarity(spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
