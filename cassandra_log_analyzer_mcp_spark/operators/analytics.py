@@ -161,6 +161,30 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEEK_S = 7 * 24 * 3600
+SESSION_GAP_S = 1800
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions (30-min gap) via native
+    session_window, rolled up to per-user stats: session count, total
+    events, and mean events/session.
+
+    Two aggregations share one user_id-compatible shuffle: the session
+    agg groups on (user_id, session_window) — partitioned by user_id —
+    and the per-user rollup reuses that partitioning. Exact integer
+    stats; the mean divides exact sums.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    n = F.count("*")
+    return sess.groupBy("user_id").agg(
+        n.alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.round(F.sum("n_events") / n, 4).alias("events_per_session"),
+    )
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,6 +92,40 @@ def analytics_oracles() -> dict[str, str]:
 
     from ..operators.analytics import FUNNEL_STAGES, WEEK_S
 
+    from ..operators.analytics import SESSION_GAP_S
+
+    # session close rule: strictly > gap (Spark merges touching
+    # windows — same semantics pinned for error_sessions), at the
+    # microsecond precision of the events timestamps.
+    o["user_sessions"] = f"""
+        WITH m AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                           IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts))
+                              OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                              > {SESSION_GAP_S * 1_000_000}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM m
+        ),
+        per_sess AS (
+          SELECT user_id, sid, count(*) AS n_events
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
+               round(sum(n_events) / count(*), 4) AS events_per_session
+        FROM per_sess GROUP BY user_id
+    """
+
     o["retention_cohorts"] = f"""
         WITH ev AS (
           SELECT user_id,

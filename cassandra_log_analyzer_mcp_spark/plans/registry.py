@@ -130,6 +130,7 @@ def queries() -> dict[str, QueryFn]:
         "revenue_rollup": analytics.revenue_rollup,
         "event_funnel": analytics.event_funnel,
         "retention_cohorts": analytics.retention_cohorts,
+        "user_sessions": analytics.user_sessions,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_value_percentiles": analytics.event_value_percentiles,
