@@ -30,6 +30,11 @@ from ..sources.tables import documents, table
 FINGERPRINT_K = 5
 VOCAB_TOP_K = 100
 HIST_BUCKET_TOKENS = 10
+#: Gopher-style repetition gates (Rae et al. 2021 table A1 flavors):
+#: flag docs whose duplicate-n-gram share or top-token share is high.
+REP_DUP2_MAX = 0.20
+REP_DUP3_MAX = 0.18
+REP_TOP_TOKEN_MAX = 0.30
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +177,51 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         "n_docs",
         F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+def _dup_frac(toks: F.Column, k: int) -> F.Column:
+    """Share of k-token shingles that are repeats within the doc."""
+    grams = shingles_col(toks, k)
+    n = F.size(grams)
+    return F.when(n > 0, 1 - F.size(F.array_distinct(grams)) / n).otherwise(0.0)
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules,
+    Rae et al. 2021): duplicate 2-/3-gram fraction and the share of
+    tokens taken by the single most frequent token, plus the composite
+    ``repetitive`` gate — the filter that catches boilerplate / looped
+    generations exact-dedup can't see.
+
+    Plan shape: pure map stage, ZERO shuffle — every feature is an
+    array expression over the doc's own tokens, so at 100 TB this runs
+    at scan speed. The top-token count scans distinct×total tokens per
+    doc (bounded: curation caps docs at TOKENS_MAX); all ratios are
+    int/int divisions with identical expression graphs in both engines,
+    so no rounding is needed (see quality_cols).
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    feats = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        _dup_frac(toks, 2).alias("dup_2gram_frac"),
+        _dup_frac(toks, 3).alias("dup_3gram_frac"),
+        F.when(n_tok > 0, top_cnt / n_tok).otherwise(0.0).alias("top_token_frac"),
+    )
+    return feats.withColumn(
+        "repetitive",
+        (F.col("dup_2gram_frac") > REP_DUP2_MAX)
+        | (F.col("dup_3gram_frac") > REP_DUP3_MAX)
+        | (F.col("top_token_frac") > REP_TOP_TOKEN_MAX),
     )
 
 

@@ -177,6 +177,43 @@ def text_oracles() -> dict[str, str]:
         FROM counts ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K}
     """
 
+    from ..operators.textops import (
+        REP_DUP2_MAX,
+        REP_DUP3_MAX,
+        REP_TOP_TOKEN_MAX,
+    )
+
+    def grams(k: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1), "
+            f"i -> array_to_string(t[i:i + {k - 1}], ' '))"
+        )
+
+    def dup_frac(g: str) -> str:
+        return (
+            f"CASE WHEN len({g}) > 0 "
+            f"THEN 1 - len(list_distinct({g})) / len({g}) ELSE 0.0 END"
+        )
+
+    o["doc_repetition"] = f"""
+        SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+               top_token_frac,
+               (dup_2gram_frac > {REP_DUP2_MAX}
+                OR dup_3gram_frac > {REP_DUP3_MAX}
+                OR top_token_frac > {REP_TOP_TOKEN_MAX}) AS repetitive
+        FROM (
+          SELECT doc_id,
+                 CAST(len(t) AS INT) AS n_tokens,
+                 {dup_frac(grams(2))} AS dup_2gram_frac,
+                 {dup_frac(grams(3))} AS dup_3gram_frac,
+                 CASE WHEN len(t) > 0
+                      THEN list_max(list_transform(list_distinct(t),
+                           x -> len(list_filter(t, y -> y = x)))) / len(t)
+                      ELSE 0.0 END AS top_token_frac
+          FROM (SELECT doc_id, {TOKS} AS t FROM documents) u
+        ) f
+    """
+
     o["doc_length_histogram"] = f"""
         SELECT n - (n % {HIST_BUCKET_TOKENS}) AS bucket_lo,
                CAST(count(*) AS BIGINT) AS n_docs,

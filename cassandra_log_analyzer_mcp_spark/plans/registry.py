@@ -150,6 +150,7 @@ def queries() -> dict[str, QueryFn]:
         "vocab_top_tokens": textops.vocab_top_tokens,
         "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
+        "doc_repetition": textops.doc_repetition,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,

@@ -33,6 +33,37 @@ def test_cosine_self_is_one(spark):
     assert abs(df.collect()[0].c - 1.0) < 1e-12
 
 
+def test_doc_repetition_hand_computed(spark):
+    from cassandra_log_analyzer_mcp_spark.operators.textops import _dup_frac
+
+    # "a b a b a b": 5 2-grams, 2 distinct -> dup 0.6; top token a: 3/6
+    df = spark.createDataFrame([Row(text="a b a b a b")]).select(
+        _dup_frac(tokens_col(), 2).alias("d2"),
+        _dup_frac(tokens_col(), 3).alias("d3"),
+    )
+    r = df.collect()[0]
+    assert abs(r.d2 - 0.6) < 1e-12
+    assert abs(r.d3 - 0.5) < 1e-12  # 4 3-grams, 2 distinct
+
+
+def test_doc_repetition_flags_loops(spark, sf_dir, monkeypatch):
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    monkeypatch.setattr(t, "documents", lambda s, d: s.createDataFrame(
+        [
+            Row(doc_id=0, text="spam spam spam spam spam spam"),
+            Row(doc_id=1, text="all tokens here are fully distinct words"),
+            Row(doc_id=2, text="x"),  # shorter than any shingle: fracs 0
+        ]
+    ))
+    rows = {r.doc_id: r for r in t.doc_repetition(spark, sf_dir).collect()}
+    assert rows[0].repetitive and rows[0].top_token_frac == 1.0
+    assert not rows[1].repetitive
+    # shorter than any shingle: n-gram fracs 0, but a one-token doc is
+    # trivially all-one-token, so the top-token gate still fires
+    assert rows[2].dup_2gram_frac == 0.0 and rows[2].top_token_frac == 1.0
+
+
 def test_dedup_exact_counts(spark, sf_dir):
     out = dedup.dedup_exact(spark, sf_dir)
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
