@@ -35,6 +35,16 @@ HIST_BUCKET_TOKENS = 10
 REP_DUP2_MAX = 0.20
 REP_DUP3_MAX = 0.18
 REP_TOP_TOKEN_MAX = 0.30
+#: BM25 keyword search (Robertson/Sparck Jones probabilistic model).
+#: Standard BM25 wraps idf in ln(); we keep the RAW odds ratio
+#: (N-df+.5)/(df+.5) because ln() is libm-dependent (Java Math.log vs
+#: DuckDB's C libm differ in the last ulp) while +,-,*,/ are IEEE
+#: correctly-rounded everywhere — per-term ranking is order-identical
+#: (ln is monotone), only the cross-term mix weights shift slightly.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["spark", "dup", "merge"]
+BM25_TOP_K = 20
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +187,56 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         "n_docs",
         F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus for BM25_QUERY_TERMS: the
+    relevance-ranking retrieval primitive (quality-weighted corpus
+    search / targeted subset extraction in a curation pipeline).
+
+    Plan shape: one tiny global agg computes (N, Σlen, df per term) —
+    a single row, broadcast back over the corpus — then scoring is a
+    pure map stage (tf via array filter on the doc's own tokens) and
+    top-K is TakeOrdered, never a global sort. At 100 TB the stats row
+    still fits in a register; only the corpus scan scales.
+
+    Determinism: every score is a FIXED-ORDER expression over exact
+    integers (tf, df, N, Σlen) using only IEEE correctly-rounded ops —
+    bit-identical across engines, so no rounding protocol is needed.
+    Per-term contributions are added left-to-right, never re-grouped.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("t"), F.size(toks).alias("n_tokens"))
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum("n_tokens").alias("sumlen"),
+        *[
+            F.sum(F.array_contains("t", term).cast("long")).alias(f"df_{i}")
+            for i, term in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i, term in enumerate(BM25_QUERY_TERMS):
+        tf = F.size(F.filter(F.col("t"), lambda y: y == F.lit(term)))
+        df_t = F.col(f"df_{i}")
+        idf = (F.col("n") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B)
+            + F.lit(BM25_B) * ((F.col("n_tokens") * F.col("n")) / F.col("sumlen"))
+        )
+        s = F.when(tf > 0, idf * (tf * F.lit(BM25_K1 + 1)) / denom).otherwise(0.0)
+        score = s if score is None else score + s
+    hits = scored.select(
+        "doc_id", "n_tokens", score.alias("score")
+    ).filter(F.col("score") > 0)
+    top = hits.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.select(
+        "doc_id", "n_tokens", "score",
+        F.row_number().over(w).cast("int").alias("rn"),
     )
 
 

@@ -214,6 +214,61 @@ def text_oracles() -> dict[str, str]:
         ) f
     """
 
+    from ..operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+    )
+
+    # All float literals CAST to DOUBLE (DuckDB parses bare 1.2 as
+    # DECIMAL, whose arithmetic differs from Spark's doubles); the
+    # expression tree mirrors the Spark side op-for-op so IEEE
+    # correctly-rounded +,-,*,/ make the scores bit-identical.
+    def _dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    bm_df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(t, '{term}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df_{i}"
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    )
+    bm_terms = []
+    for i, term in enumerate(BM25_QUERY_TERMS):
+        tf = f"len(list_filter(t, y -> y = '{term}'))"
+        denom = (
+            f"({tf} + {_dbl(BM25_K1)} * ({_dbl(1 - BM25_B)} + {_dbl(BM25_B)}"
+            f" * ((n_tokens * n) / sumlen)))"
+        )
+        bm_terms.append(
+            f"CASE WHEN {tf} > 0 THEN"
+            f" ((n - df_{i} + {_dbl(0.5)}) / (df_{i} + {_dbl(0.5)}))"
+            f" * ({tf} * {_dbl(BM25_K1 + 1)}) / {denom}"
+            f" ELSE {_dbl(0.0)} END"
+        )
+    o["bm25_search"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS t,
+                 CAST(len({TOKS}) AS INT) AS n_tokens
+          FROM documents
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_tokens) AS BIGINT) AS sumlen,
+                 {bm_df_cols}
+          FROM d
+        ),
+        scored AS (
+          SELECT doc_id, n_tokens,
+                 {' + '.join(bm_terms)} AS score
+          FROM d, stats
+        )
+        SELECT doc_id, n_tokens, score, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM scored WHERE score > 0
+        ) t WHERE rn <= {BM25_TOP_K}
+    """
+
     o["doc_length_histogram"] = f"""
         SELECT n - (n % {HIST_BUCKET_TOKENS}) AS bucket_lo,
                CAST(count(*) AS BIGINT) AS n_docs,

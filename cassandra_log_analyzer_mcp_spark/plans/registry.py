@@ -151,6 +151,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_repetition": textops.doc_repetition,
+        "bm25_search": textops.bm25_search,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,

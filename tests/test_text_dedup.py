@@ -64,6 +64,31 @@ def test_doc_repetition_flags_loops(spark, sf_dir, monkeypatch):
     assert rows[2].dup_2gram_frac == 0.0 and rows[2].top_token_frac == 1.0
 
 
+def test_bm25_rare_term_dominates(spark, sf_dir):
+    """The rare query term ('dup', df~5%) must outrank docs that only
+    match the common terms — the idf property BM25 exists for."""
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        BM25_TOP_K,
+    )
+
+    rows = textops.bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    has_dup = {i for i, t in docs.items() if "dup" in t.split()}
+    if has_dup:
+        # every retrieved doc containing the rare term scores above
+        # every retrieved doc without it
+        with_r = [r.score for r in rows if r.doc_id in has_dup]
+        without = [r.score for r in rows if r.doc_id not in has_dup]
+        assert with_r and (not without or min(with_r) > max(without))
+
+
 def test_dedup_exact_counts(spark, sf_dir):
     out = dedup.dedup_exact(spark, sf_dir)
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
