@@ -275,6 +275,92 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(pairs, IVF_TOP_K).select("q_id", "vec_id", "sim", "rn")
 
 
+#: k-means topic clustering over the int8-quantized embeddings.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * QUANT_SCALE)).alias("q"),
+    )
+
+
+def _kmeans_assign(quant: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector. The centroid (s, c, sss) is EXACT
+    integer state (component-sum vector, count, Σs²), so the distance
+    comparison argmin_j ||x−s_j/c_j||² ⟺ argmin_j sss_j/c_j² −
+    2(x·s_j)/c_j is two correctly-rounded divisions and a subtract of
+    exact integers — bit-identical across engines; ties break by cell.
+    """
+    score = (F.col("sss") / (F.col("c") * F.col("c"))) - (
+        (2 * dot_long(F.col("q"), F.col("s"))) / F.col("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "cell")
+    return (
+        quant.crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "cell", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cell")
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over int8-quantized embeddings (KMEANS_ITERS
+    fixed iterations, first KMEANS_K vectors seed the centroids) —
+    topic clustering for cluster-balanced sampling / cluster-dedup in
+    a curation pipeline. Returns each vector's final cluster + size.
+
+    Spark-first iteration shape: centroids are O(K·dim) driver state
+    (as in MLlib) — each round is one broadcast-join map stage scoring
+    all vectors, one partially-aggregated groupBy(cell) computing the
+    64 component sums + count, and a K-row collect; the corpus itself
+    is never collected and never re-shuffled.
+
+    Determinism: centroids stay EXACT — (Σ components, count) integer
+    pairs, never a float mean — so there is no summation-order hazard
+    and both engines reproduce identical assignments (see
+    _kmeans_assign). Integer bounds: |s_i| ≤ 127·N, Σs² ≤ dim·(127·N)²
+    → longs hold to N ≈ 10⁶ per cluster; beyond that, rescale s,c by a
+    common power of two per round (documented scale path).
+    """
+    quant = _quantized(spark, sf_dir)
+    cent = [
+        (int(r.vec_id), [int(x) for x in r.q], 1)
+        for r in quant.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+
+    def cent_df(rows: list[tuple[int, list[int], int]]) -> DataFrame:
+        with_sss = [
+            (cell, s, c, sum(x * x for x in s)) for cell, s, c in rows
+        ]
+        return spark.createDataFrame(
+            with_sss, "cell long, s array<long>, c long, sss long"
+        )
+
+    assign = _kmeans_assign(quant, cent_df(cent))
+    for _ in range(KMEANS_ITERS - 1):
+        sums = [
+            F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+            for i in range(EMBED_DIM)
+        ]
+        rows = assign.groupBy("cell").agg(F.count("*").alias("c"), *sums).collect()
+        cent = [
+            (int(r.cell), [int(r[f"s{i}"]) for i in range(EMBED_DIM)], int(r.c))
+            for r in rows
+        ]
+        assign = _kmeans_assign(quant, cent_df(cent))
+    w = Window.partitionBy("cluster")
+    return assign.select(
+        "vec_id", F.col("cell").cast("int").alias("cluster")
+    ).withColumn("cluster_size", F.count("*").over(w))
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_normed(spark, sf_dir)
     corpus = emb.select("vec_id", "v", "nv", _bucket_col("v").alias("bucket"))

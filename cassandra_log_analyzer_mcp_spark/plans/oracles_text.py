@@ -575,6 +575,54 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {IVF_TOP_K}
     """
 
+    from ..operators.similarity import KMEANS_ITERS, KMEANS_K, QUANT_SCALE
+
+    # Mirrors operators/similarity.kmeans_embeddings: KMEANS_ITERS
+    # Lloyd iterations unrolled as CTEs. Centroid state is exact
+    # integers (component sums + count), distances the same two
+    # correctly-rounded divisions as the Spark side — assignments are
+    # therefore bit-identical, no rounding protocol.
+    km = [
+        f"""quant AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS q
+          FROM embeddings)""",
+        f"""cent0 AS (
+          SELECT vec_id AS cell, q AS s, CAST(1 AS BIGINT) AS c
+          FROM quant WHERE vec_id < {KMEANS_K})""",
+    ]
+    for it in range(KMEANS_ITERS):
+        km.append(f"""assign{it} AS (
+          SELECT vec_id, q, cell FROM (
+            SELECT v.vec_id, v.q, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     (CAST(list_dot_product(c.s, c.s) AS BIGINT)
+                        / (c.c * c.c))
+                     - ((2 * CAST(list_dot_product(v.q, c.s) AS BIGINT))
+                        / c.c) ASC, c.cell) AS rn
+            FROM quant v CROSS JOIN cent{it} c) t
+          WHERE rn = 1)""")
+        if it < KMEANS_ITERS - 1:
+            km.append(f"""sums{it + 1} AS (
+              SELECT cell, pos, CAST(sum(x) AS BIGINT) AS sv
+              FROM (SELECT cell, unnest(q) AS x,
+                           unnest(range(1, len(q) + 1)) AS pos
+                    FROM assign{it}) u
+              GROUP BY cell, pos)""")
+            km.append(f"""cent{it + 1} AS (
+              SELECT cell, list(sv ORDER BY pos) AS s, min(c) AS c
+              FROM sums{it + 1} JOIN (
+                SELECT cell, CAST(count(*) AS BIGINT) AS c
+                FROM assign{it} GROUP BY cell) n USING (cell)
+              GROUP BY cell)""")
+    o["kmeans_embeddings"] = f"""
+        WITH {','.join(km)}
+        SELECT vec_id, CAST(cell AS INT) AS cluster,
+               CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+                 AS cluster_size
+        FROM assign{KMEANS_ITERS - 1}
+    """
+
     o["ann_lsh_cosine"] = f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -171,6 +171,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         "doc_embedding_join": similarity.doc_embedding_join,
         # §2D — multimodal plumbing (rows-only: Arrow decode stage is
         # deliberately not SQL-expressible; unit-tested instead)

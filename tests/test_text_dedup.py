@@ -89,6 +89,42 @@ def test_bm25_rare_term_dominates(spark, sf_dir):
         assert with_r and (not without or min(with_r) > max(without))
 
 
+def test_kmeans_partitions_and_improves(spark, sf_dir):
+    """Cluster sizes partition the corpus, and the final clustering's
+    inertia (vs float cluster means) is no worse than assigning
+    everything to the seed centroids — Lloyd's monotonicity."""
+    import numpy as np
+
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        KMEANS_K,
+        QUANT_SCALE,
+    )
+
+    out = similarity.kmeans_embeddings(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * QUANT_SCALE)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert len(out) == len(emb)
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in out)
+    assert all(r.cluster_size == sizes[r.cluster] for r in out)
+
+    seeds = np.stack([emb[i] for i in range(KMEANS_K)])
+    init_cost = sum(
+        float(((seeds - q) ** 2).sum(axis=1).min()) for q in emb.values()
+    )
+    means = {
+        cl: np.mean([emb[r.vec_id] for r in out if r.cluster == cl], axis=0)
+        for cl in sizes
+    }
+    final_cost = sum(
+        float(((emb[r.vec_id] - means[r.cluster]) ** 2).sum()) for r in out
+    )
+    assert final_cost <= init_cost + 1e-6
+
+
 def test_dedup_exact_counts(spark, sf_dir):
     out = dedup.dedup_exact(spark, sf_dir)
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
