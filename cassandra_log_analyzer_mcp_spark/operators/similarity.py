@@ -310,11 +310,12 @@ def _kmeans_assign(quant: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over int8-quantized embeddings (KMEANS_ITERS
-    fixed iterations, first KMEANS_K vectors seed the centroids) —
-    topic clustering for cluster-balanced sampling / cluster-dedup in
-    a curation pipeline. Returns each vector's final cluster + size.
+_KMEANS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after KMEANS_ITERS Lloyd iterations over the
+    int8-quantized embeddings, first KMEANS_K vectors as seeds.
 
     Spark-first iteration shape: centroids are O(K·dim) driver state
     (as in MLlib) — each round is one broadcast-join map stage scoring
@@ -328,7 +329,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kmeans_assign). Integer bounds: |s_i| ≤ 127·N, Σs² ≤ dim·(127·N)²
     → longs hold to N ≈ 10⁶ per cluster; beyond that, rescale s,c by a
     common power of two per round (documented scale path).
+
+    Cached per (session, sf_dir): three registry queries consume the
+    assignment (the 100 TB analogue is a written cluster-id table).
     """
+    key = (id(spark), sf_dir)
+    if key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[key]
     quant = _quantized(spark, sf_dir)
     cent = [
         (int(r.vec_id), [int(x) for x in r.q], 1)
@@ -355,10 +362,97 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         ]
         assign = _kmeans_assign(quant, cent_df(cent))
-    w = Window.partitionBy("cluster")
-    return assign.select(
+    out = assign.select(
         "vec_id", F.col("cell").cast("int").alias("cluster")
-    ).withColumn("cluster_size", F.count("*").over(w))
+    ).cache()
+    _KMEANS_CACHE[key] = out
+    return out
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means topic clustering — per-vector final cluster id
+    + cluster size (see kmeans_assignments for the iteration design).
+    """
+    w = Window.partitionBy("cluster")
+    return kmeans_assignments(spark, sf_dir).withColumn(
+        "cluster_size", F.count("*").over(w)
+    )
+
+
+#: target docs kept per cluster by the balanced sampler
+CLUSTER_SAMPLE_TARGET = 40
+CLUSTER_SAMPLE_SALT = "cbsample:"
+
+
+def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus diagnostics: doc count, mean document length,
+    dominant ground-truth label and its purity — the report that tells
+    a curation pipeline whether clusters are clean enough to weight or
+    drop (embeddings.label is the synthetic ground truth).
+
+    One (cluster, label) shuffle feeds both rollup levels; the
+    dominant label is a max(struct) argmax (no second window pass).
+    All aggregates are integer sums; the two ratios are exact
+    divisions, so no rounding protocol is needed.
+    """
+    from ..sources.tables import documents
+
+    a = kmeans_assignments(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    j = a.join(emb, "vec_id").join(docs, "vec_id")
+    lab = j.groupBy("cluster", "label").agg(
+        F.count("*").alias("n_l"), F.sum("n_chars").alias("sc")
+    )
+    per = lab.groupBy("cluster").agg(
+        F.sum("n_l").alias("n_docs"),
+        F.sum("sc").alias("sum_chars"),
+        F.max(
+            F.struct(
+                F.col("n_l"), (-F.col("label")).alias("neg"), F.col("label")
+            )
+        ).alias("m"),
+    )
+    return per.select(
+        "cluster",
+        "n_docs",
+        (F.col("sum_chars") / F.col("n_docs")).alias("mean_chars"),
+        F.col("m.label").alias("dom_label"),
+        (F.col("m.n_l") / F.col("n_docs")).alias("purity"),
+    )
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced deterministic downsample: keep ~TARGET vectors
+    per k-means cluster via a salted-hash threshold scaled by cluster
+    size — the anti-majority-bias sampling step of embedding-aware
+    curation (big topic clusters thin out, small ones survive whole).
+
+    Reproducible across runs/engines/cluster sizes (pure hash rule, no
+    RNG); the per-cluster threshold floor(65536·target/size) is integer
+    math on the exact cluster sizes, and the 4-hex md5 prefix compares
+    as a number on both engines.
+    """
+    sized = kmeans_embeddings(spark, sf_dir)
+    thr = F.floor(
+        F.lit(65536 * CLUSTER_SAMPLE_TARGET) / F.col("cluster_size")
+    )
+    pref = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(CLUSTER_SAMPLE_SALT), F.col("vec_id").cast("string")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return sized.filter(pref < thr).select("vec_id", "cluster")
 
 
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

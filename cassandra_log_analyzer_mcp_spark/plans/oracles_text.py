@@ -575,13 +575,20 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {IVF_TOP_K}
     """
 
-    from ..operators.similarity import KMEANS_ITERS, KMEANS_K, QUANT_SCALE
+    from ..operators.similarity import (
+        CLUSTER_SAMPLE_SALT,
+        CLUSTER_SAMPLE_TARGET,
+        KMEANS_ITERS,
+        KMEANS_K,
+        QUANT_SCALE,
+    )
 
-    # Mirrors operators/similarity.kmeans_embeddings: KMEANS_ITERS
+    # Mirrors operators/similarity.kmeans_assignments: KMEANS_ITERS
     # Lloyd iterations unrolled as CTEs. Centroid state is exact
     # integers (component sums + count), distances the same two
     # correctly-rounded divisions as the Spark side — assignments are
-    # therefore bit-identical, no rounding protocol.
+    # therefore bit-identical, no rounding protocol. Final CTE ``asg``
+    # is (vec_id, cluster), shared by the three clustering oracles.
     km = [
         f"""quant AS (
           SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -615,12 +622,62 @@ def similarity_oracles() -> dict[str, str]:
                 SELECT cell, CAST(count(*) AS BIGINT) AS c
                 FROM assign{it} GROUP BY cell) n USING (cell)
               GROUP BY cell)""")
+    km.append(f"""asg AS (
+      SELECT vec_id, CAST(cell AS INT) AS cluster
+      FROM assign{KMEANS_ITERS - 1})""")
+    km_ctes = ",\n".join(km)
+
     o["kmeans_embeddings"] = f"""
-        WITH {','.join(km)}
-        SELECT vec_id, CAST(cell AS INT) AS cluster,
-               CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+        WITH {km_ctes}
+        SELECT vec_id, cluster,
+               CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
                  AS cluster_size
-        FROM assign{KMEANS_ITERS - 1}
+        FROM asg
+    """
+
+    o["cluster_summary"] = f"""
+        WITH {km_ctes},
+        lab AS (
+          SELECT a.cluster, e.label,
+                 CAST(count(*) AS BIGINT) AS n_l,
+                 CAST(sum(d.n_chars) AS BIGINT) AS sc
+          FROM asg a
+          JOIN embeddings e USING (vec_id)
+          JOIN documents d ON d.doc_id = a.vec_id
+          GROUP BY a.cluster, e.label
+        ),
+        per AS (
+          SELECT cluster, CAST(sum(n_l) AS BIGINT) AS n_docs,
+                 CAST(sum(sc) AS BIGINT) AS sum_chars
+          FROM lab GROUP BY cluster
+        ),
+        dom AS (
+          SELECT cluster, label AS dom_label, n_l AS dom_n FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster
+                      ORDER BY n_l DESC, label) AS rn
+            FROM lab) t
+          WHERE rn = 1
+        )
+        SELECT p.cluster, p.n_docs,
+               p.sum_chars / p.n_docs AS mean_chars,
+               d.dom_label,
+               d.dom_n / p.n_docs AS purity
+        FROM per p JOIN dom d USING (cluster)
+    """
+
+    o["cluster_balanced_sample"] = f"""
+        WITH {km_ctes},
+        sized AS (
+          SELECT vec_id, cluster,
+                 CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                   AS cluster_size
+          FROM asg
+        )
+        SELECT vec_id, cluster FROM sized
+        WHERE ('0x' || substr(md5('{CLUSTER_SAMPLE_SALT}' || vec_id), 1, 4)
+              )::BIGINT
+              < CAST(floor({65536 * CLUSTER_SAMPLE_TARGET} / cluster_size)
+                     AS BIGINT)
     """
 
     o["ann_lsh_cosine"] = f"""

@@ -172,6 +172,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        "cluster_summary": similarity.cluster_summary,
+        "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "doc_embedding_join": similarity.doc_embedding_join,
         # §2D — multimodal plumbing (rows-only: Arrow decode stage is
         # deliberately not SQL-expressible; unit-tested instead)

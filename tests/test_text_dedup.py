@@ -125,6 +125,31 @@ def test_kmeans_partitions_and_improves(spark, sf_dir):
     assert final_cost <= init_cost + 1e-6
 
 
+def test_cluster_balanced_sample_caps_majorities(spark, sf_dir):
+    """Sampled per-cluster counts concentrate near the target: clusters
+    above target thin toward it, clusters at/below target keep all."""
+    from collections import Counter
+
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        CLUSTER_SAMPLE_TARGET,
+    )
+
+    sizes = Counter(
+        r.cluster
+        for r in similarity.kmeans_assignments(spark, sf_dir).collect()
+    )
+    kept = Counter(
+        r.cluster
+        for r in similarity.cluster_balanced_sample(spark, sf_dir).collect()
+    )
+    for cl, n in sizes.items():
+        if n <= CLUSTER_SAMPLE_TARGET:
+            assert kept[cl] == n  # small clusters survive whole
+        else:
+            # binomial(n, ~target/n): generous 3-sigma-ish envelope
+            assert kept[cl] <= 3 * CLUSTER_SAMPLE_TARGET
+
+
 def test_dedup_exact_counts(spark, sf_dir):
     out = dedup.dedup_exact(spark, sf_dir)
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
