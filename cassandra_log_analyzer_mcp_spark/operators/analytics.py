@@ -187,6 +187,33 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences: (from_type → to_type) counts and conditional
+    probabilities — the behavioral-flow complement of the funnel
+    (which fixes the order; this discovers it).
+
+    One user_id shuffle for the lag window (ordered by µs timestamp
+    with event_id tie-break — the oracle orders by epoch_us identically
+    so sub-µs nanos can never reorder pairs), then the bigram rollup is
+    a tiny (from,to)-keyed agg; probabilities divide exact counts via a
+    window over the agg output, no extra scan.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return cnt.withColumn("n_from", F.sum("n").over(tot)).withColumn(
+        "p", F.col("n") / F.col("n_from")
+    )
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by their first-activity
     week, counted distinctly in each subsequent week they return.

@@ -126,6 +126,29 @@ def analytics_oracles() -> dict[str, str]:
         FROM per_sess GROUP BY user_id
     """
 
+    # ordering matches the Spark side exactly: epoch_us(ts) is the µs
+    # value Spark's nanos→timestamp conversion produces, event_id
+    # breaks ties — sub-µs nanos can never reorder a user's sequence.
+    o["event_transitions"] = """
+        WITH seq AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS from_type
+          FROM events
+        ),
+        cnt AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                 AS n_from,
+               n / sum(n) OVER (PARTITION BY from_type) AS p
+        FROM cnt
+    """
+
     o["retention_cohorts"] = f"""
         WITH ev AS (
           SELECT user_id,

@@ -129,6 +129,7 @@ def queries() -> dict[str, QueryFn]:
         "promo_revenue": analytics.promo_revenue,
         "revenue_rollup": analytics.revenue_rollup,
         "event_funnel": analytics.event_funnel,
+        "event_transitions": analytics.event_transitions,
         "retention_cohorts": analytics.retention_cohorts,
         "user_sessions": analytics.user_sessions,
         "top_users_by_value": analytics.top_users_by_value,
