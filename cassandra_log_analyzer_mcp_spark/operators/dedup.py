@@ -175,18 +175,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + LSH banding → candidate pairs → verify.
+def _band_buckets(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band) LSH bucket keys from MinHash signatures.
 
-    sig_k(doc) = min over shingles of md5(k || ':' || shingle) as a hex
-    string; bands hash consecutive signature pairs. Docs sharing any
-    band bucket become candidates; exact Jaccard >= 0.5 verifies.
+    Signatures are map-side array folds over the cached shingle
+    arrays — min of md5(k:s) per hash family, no aggregation shuffle
+    at all. Shingle-less docs are excluded (same semantics as the
+    exploded formulation and the oracle, where they have no rows).
     """
-    arrs = _doc_shingle_arrays(spark, sf_dir)
-    # Signatures are map-side array folds over the cached shingle
-    # arrays — min of md5(k:s) per hash family, no aggregation shuffle
-    # at all. Shingle-less docs are excluded (same semantics as the
-    # exploded formulation and the oracle, where they have no rows).
     def _sig_hash(k: int):
         # closure factory: a plain 1-arg lambda (a 2-arg lambda makes
         # PySpark pass the element INDEX as the second argument)
@@ -210,7 +206,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(bands).alias("band"))
+    return sigs.select("doc_id", F.explode(bands).alias("band"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding → candidate pairs → verify.
+
+    sig_k(doc) = min over shingles of md5(k || ':' || shingle) as a hex
+    string; bands hash consecutive signature pairs. Docs sharing any
+    band bucket become candidates; exact Jaccard >= 0.5 verifies.
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    buckets = _band_buckets(arrs)
     cand = (
         buckets.select(F.col("doc_id").alias("da"), "band")
         .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
@@ -381,3 +388,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+#: incoming-batch selector for incremental dedup: doc_id % 7 == 0
+#: plays the "today's crawl" role (~14% of the corpus), the rest is
+#: the already-indexed corpus.
+INCR_BATCH_MOD = 7
+#: disposition sentinels for unmatched docs (no NULLs in the gated
+#: output — cross-engine null hashing is not worth the ambiguity)
+INCR_NO_MATCH = -1
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup — the shape production pipelines actually
+    run (dedup_* compare a corpus against itself; a daily ingest is
+    deduped against the existing INDEX): each incoming doc gets a
+    disposition (kind, match_id, jaccard) — 'exact' (byte-identical to
+    an indexed doc), 'near' (best MinHash-verified Jaccard ≥ 0.5), or
+    'unique'.
+
+    Scale shape: the exact pass joins 16-byte digests only; the near
+    pass probes the corpus' EXISTING band index with just the batch's
+    buckets (band join volume ∝ batch, not corpus), and verification
+    touches only candidates that survived both passes. At 100 TB the
+    signatures/bands are a stored index the batch streams against;
+    nothing here rescans the corpus text.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    hashed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % INCR_BATCH_MOD == 0).alias("is_new"),
+    )
+    corpus_h = (
+        hashed.filter(~F.col("is_new"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+    new_h = hashed.filter("is_new").select("doc_id", "h")
+    exact = new_h.join(corpus_h, "h").select(
+        "doc_id",
+        F.lit("exact").alias("kind"),
+        "match_id",
+        F.lit(1.0).alias("jaccard"),
+    )
+    rest = new_h.join(corpus_h, "h", "left_anti").select("doc_id").cache()
+
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    buckets = _band_buckets(arrs)
+    cand = (
+        buckets.join(rest, "doc_id")
+        .select(F.col("doc_id").alias("da"), "band")
+        .join(
+            buckets.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+            .select(F.col("doc_id").alias("db"), "band"),
+            "band",
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    ver = _verified_pairs(arrs, cand).filter(
+        F.col("jaccard") >= MINHASH_VERIFY_MIN
+    )
+    w = Window.partitionBy("da").orderBy(F.col("jaccard").desc(), "db")
+    near = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("da").alias("doc_id"),
+            F.lit("near").alias("kind"),
+            F.col("db").alias("match_id"),
+            "jaccard",
+        )
+    )
+    unique = rest.join(near, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit("unique").alias("kind"),
+        F.lit(INCR_NO_MATCH).cast("long").alias("match_id"),
+        F.lit(0.0).alias("jaccard"),
+    )
+    return exact.unionByName(near).unionByName(unique)

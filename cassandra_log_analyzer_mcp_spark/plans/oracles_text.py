@@ -325,9 +325,10 @@ def text_oracles() -> dict[str, str]:
     band_elems = ", ".join(
         f"'{b}:' || md5(sig{2 * b} || sig{2 * b + 1})" for b in range(MINHASH_BANDS)
     )
-    minhash_ctes = f"""{_shingle_cte(SHINGLE_K)},
+    minhash_base = f"""{_shingle_cte(SHINGLE_K)},
         sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-        buckets AS (SELECT doc_id, unnest([{band_elems}]) AS band FROM sigs),
+        buckets AS (SELECT doc_id, unnest([{band_elems}]) AS band FROM sigs)"""
+    minhash_ctes = f"""{minhash_base},
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
           FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
@@ -358,6 +359,60 @@ def text_oracles() -> dict[str, str]:
                  AS cluster_size
         FROM (SELECT u AS doc_id, min(l) AS cluster_id
               FROM reach GROUP BY u) c
+    """
+
+    from ..operators.dedup import INCR_BATCH_MOD, INCR_NO_MATCH
+
+    # Composes the shared minhash base (sh → sigs → buckets) with the
+    # batch/corpus split; `cand` keeps the (da=new, db=corpus) naming
+    # so the _VERIFY fragment applies verbatim.
+    o["dedup_incremental"] = f"""
+        WITH {minhash_base},
+        hashes AS (
+          SELECT doc_id, md5(text) AS h,
+                 doc_id % {INCR_BATCH_MOD} = 0 AS is_new
+          FROM documents
+        ),
+        corpus_h AS (
+          SELECT h, min(doc_id) AS match_id
+          FROM hashes WHERE NOT is_new GROUP BY h
+        ),
+        new_h AS (SELECT doc_id, h FROM hashes WHERE is_new),
+        exact AS (
+          SELECT n.doc_id, 'exact' AS kind, c.match_id,
+                 CAST(1.0 AS DOUBLE) AS jaccard
+          FROM new_h n JOIN corpus_h c USING (h)
+        ),
+        rest AS (
+          SELECT doc_id FROM new_h
+          WHERE h NOT IN (SELECT h FROM corpus_h)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a
+          JOIN rest r ON r.doc_id = a.doc_id
+          JOIN buckets b ON b.band = a.band
+                        AND b.doc_id % {INCR_BATCH_MOD} <> 0
+        ),
+        {_VERIFY.lstrip()},
+        near AS (
+          SELECT da AS doc_id, 'near' AS kind, db AS match_id, jaccard
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY da
+                      ORDER BY jaccard DESC, db) AS rn
+            FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}) t
+          WHERE rn = 1
+        ),
+        uniq AS (
+          SELECT doc_id, 'unique' AS kind,
+                 CAST({INCR_NO_MATCH} AS BIGINT) AS match_id,
+                 CAST(0.0 AS DOUBLE) AS jaccard
+          FROM rest
+          WHERE doc_id NOT IN (SELECT doc_id FROM near)
+        )
+        SELECT * FROM exact
+        UNION ALL SELECT * FROM near
+        UNION ALL SELECT * FROM uniq
     """
 
     bit_sums = ", ".join(

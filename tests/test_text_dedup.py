@@ -157,6 +157,31 @@ def test_dedup_exact_counts(spark, sf_dir):
     assert agg.s == docs_n  # partition of the corpus
 
 
+def test_dedup_incremental_partitions_batch(spark, sf_dir):
+    """Every batch doc gets exactly one disposition; exact matches
+    really are byte-identical to their corpus match."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+    )
+
+    rows = dedup.dedup_incremental(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    batch = {i for i in docs if i % INCR_BATCH_MOD == 0}
+    assert {r.doc_id for r in rows} == batch
+    assert len(rows) == len(batch)
+    for r in rows:
+        if r.kind == "exact":
+            assert docs[r.doc_id] == docs[r.match_id]
+            assert r.match_id % INCR_BATCH_MOD != 0
+        elif r.kind == "near":
+            assert r.jaccard >= 0.5 and r.match_id % INCR_BATCH_MOD != 0
+        else:
+            assert r.kind == "unique" and r.match_id == -1
+
+
 def test_jaccard_pairs_within_threshold(spark, sf_dir):
     rows = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
