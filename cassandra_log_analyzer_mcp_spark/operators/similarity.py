@@ -290,24 +290,35 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_assign(quant: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per vector. The centroid (s, c, sss) is EXACT
-    integer state (component-sum vector, count, Σs²), so the distance
-    comparison argmin_j ||x−s_j/c_j||² ⟺ argmin_j sss_j/c_j² −
-    2(x·s_j)/c_j is two correctly-rounded divisions and a subtract of
-    exact integers — bit-identical across engines; ties break by cell.
+def _kmeans_assign(
+    quant: DataFrame, cent: list[tuple[int, list[int], int]]
+) -> DataFrame:
+    """Nearest centroid per vector — a ZERO-shuffle map stage: the
+    centroids are driver-side literals, so the argmin is a single
+    least()-of-structs expression (struct comparison is lexicographic:
+    min score, ties to the lower cell id) evaluated per row. No
+    crossJoin, no window — at 100 TB each iteration's assignment costs
+    exactly one scan.
+
+    The centroid (s, c) is EXACT integer state (component-sum vector,
+    count), so the distance comparison argmin_j ||x−s_j/c_j||² ⟺
+    argmin_j sss_j/c_j² − 2(x·s_j)/c_j is two correctly-rounded
+    divisions and a subtract of exact integers — bit-identical across
+    engines (sss/c² is folded to the same double the SQL division
+    produces).
     """
-    score = (F.col("sss") / (F.col("c") * F.col("c"))) - (
-        (2 * dot_long(F.col("q"), F.col("s"))) / F.col("c")
-    )
-    w = Window.partitionBy("vec_id").orderBy("score", "cell")
-    return (
-        quant.crossJoin(F.broadcast(cent))
-        .select("vec_id", "q", "cell", score.alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cell")
-    )
+    structs = []
+    for cell, s, c in cent:
+        sss_over_c2 = sum(x * x for x in s) / (c * c)
+        s_lit = F.array(*[F.lit(x).cast("long") for x in s])
+        score = F.lit(sss_over_c2) - (
+            (2 * dot_long(F.col("q"), s_lit)) / F.lit(c).cast("long")
+        )
+        structs.append(
+            F.struct(score.alias("score"), F.lit(cell).cast("long").alias("cell"))
+        )
+    best = F.least(*structs)
+    return quant.select("vec_id", "q", best["cell"].alias("cell"))
 
 
 _KMEANS_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -336,21 +347,12 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _KMEANS_CACHE:
         return _KMEANS_CACHE[key]
-    quant = _quantized(spark, sf_dir)
+    quant = _quantized(spark, sf_dir).cache()
     cent = [
         (int(r.vec_id), [int(x) for x in r.q], 1)
         for r in quant.filter(F.col("vec_id") < KMEANS_K).collect()
     ]
-
-    def cent_df(rows: list[tuple[int, list[int], int]]) -> DataFrame:
-        with_sss = [
-            (cell, s, c, sum(x * x for x in s)) for cell, s, c in rows
-        ]
-        return spark.createDataFrame(
-            with_sss, "cell long, s array<long>, c long, sss long"
-        )
-
-    assign = _kmeans_assign(quant, cent_df(cent))
+    assign = _kmeans_assign(quant, cent)
     for _ in range(KMEANS_ITERS - 1):
         sums = [
             F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
@@ -361,7 +363,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r.cell), [int(r[f"s{i}"]) for i in range(EMBED_DIM)], int(r.c))
             for r in rows
         ]
-        assign = _kmeans_assign(quant, cent_df(cent))
+        assign = _kmeans_assign(quant, cent)
     out = assign.select(
         "vec_id", F.col("cell").cast("int").alias("cluster")
     ).cache()
@@ -372,10 +374,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means topic clustering — per-vector final cluster id
     + cluster size (see kmeans_assignments for the iteration design).
+
+    Sizes come from a K-row groupBy broadcast-joined back, NOT a
+    window partitioned by cluster — a K-partition window would funnel
+    the whole table through K tasks at scale.
     """
-    w = Window.partitionBy("cluster")
-    return kmeans_assignments(spark, sf_dir).withColumn(
-        "cluster_size", F.count("*").over(w)
+    a = kmeans_assignments(spark, sf_dir)
+    sizes = a.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return a.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "cluster_size"
     )
 
 
