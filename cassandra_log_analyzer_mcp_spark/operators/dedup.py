@@ -399,13 +399,17 @@ INCR_BATCH_MOD = 7
 INCR_NO_MATCH = -1
 
 
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-vs-corpus dedup — the shape production pipelines actually
-    run (dedup_* compare a corpus against itself; a daily ingest is
-    deduped against the existing INDEX): each incoming doc gets a
-    disposition (kind, match_id, jaccard) — 'exact' (byte-identical to
-    an indexed doc), 'near' (best MinHash-verified Jaccard ≥ 0.5), or
-    'unique'.
+def incremental_disposition(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Disposition of ``new_docs`` (doc_id, text) against the static
+    corpus index (the non-batch documents of ``sf_dir``): one row per
+    incoming doc — 'exact' (byte-identical to an indexed doc), 'near'
+    (best MinHash-verified Jaccard ≥ 0.5), or 'unique'.
+
+    Per-doc dispositions depend only on (doc, corpus), so running this
+    per micro-batch (streaming_dedup_incremental) unions to exactly the
+    all-at-once batch result — the property the shared oracle pins.
 
     Scale shape: the exact pass joins 16-byte digests only; the near
     pass probes the corpus' EXISTING band index with just the batch's
@@ -414,18 +418,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures/bands are a stored index the batch streams against;
     nothing here rescans the corpus text.
     """
-    docs = documents(spark, sf_dir).select("doc_id", "text")
-    hashed = docs.select(
-        "doc_id",
-        F.md5("text").alias("h"),
-        (F.col("doc_id") % INCR_BATCH_MOD == 0).alias("is_new"),
+    corpus = (
+        documents(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select("doc_id", "text")
     )
-    corpus_h = (
-        hashed.filter(~F.col("is_new"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("match_id"))
-    )
-    new_h = hashed.filter("is_new").select("doc_id", "h")
+    # cached: this IS the stored index at scale — micro-batch callers
+    # (streaming_dedup_incremental) probe it repeatedly, and the
+    # plan-keyed CacheManager makes every call after the first reuse
+    # one materialization.
+    corpus_h = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("match_id")
+    ).cache()
+    new_h = new_docs.select("doc_id", F.md5("text").alias("h"))
     exact = new_h.join(corpus_h, "h").select(
         "doc_id",
         F.lit("exact").alias("kind"),
@@ -434,14 +439,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest = new_h.join(corpus_h, "h", "left_anti").select("doc_id").cache()
 
+    # the corpus side of arrs/buckets comes from the shared cached
+    # layer (the stored index at scale); the new side is built from
+    # the incoming docs themselves.
     arrs = _doc_shingle_arrays(spark, sf_dir)
     buckets = _band_buckets(arrs)
+    new_arrs = new_docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col(), SHINGLE_K)).alias("arr"),
+    )
     cand = (
-        buckets.join(rest, "doc_id")
+        _band_buckets(new_arrs)
+        .join(rest, "doc_id")
         .select(F.col("doc_id").alias("da"), "band")
         .join(
             buckets.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
-            .select(F.col("doc_id").alias("db"), "band"),
+            .select(F.col("doc_id").alias("db"), "band")
+            .cache(),  # the stored band index, same reuse reasoning
             "band",
         )
         .select("da", "db")
@@ -468,3 +482,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("jaccard"),
     )
     return exact.unionByName(near).unionByName(unique)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup, whole incoming batch at once — see
+    incremental_disposition for the semantics and scale shape."""
+    new_docs = (
+        documents(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return incremental_disposition(spark, sf_dir, new_docs)

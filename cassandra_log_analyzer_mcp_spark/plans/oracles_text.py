@@ -414,6 +414,9 @@ def text_oracles() -> dict[str, str]:
         UNION ALL SELECT * FROM near
         UNION ALL SELECT * FROM uniq
     """
+    # the streaming ingest path must union per-micro-batch dispositions
+    # to exactly the batch answer — same oracle, so the gate proves it
+    o["streaming_dedup_incremental"] = o["dedup_incremental"]
 
     bit_sums = ", ".join(
         f"sum(CASE WHEN ascii(substr(h, {j}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"

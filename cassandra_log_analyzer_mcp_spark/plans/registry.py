@@ -122,6 +122,8 @@ def queries() -> dict[str, QueryFn]:
         # the oracle verifies source→parse→classify→window end-to-end
         "streaming_issue_counts": batch_bridge.streaming_issue_counts,
         "streaming_error_bursts": batch_bridge.streaming_error_bursts,
+        "streaming_dedup_incremental":
+            batch_bridge.streaming_dedup_incremental,
         # §2C — general analytics (bench headliners)
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,

@@ -183,3 +183,22 @@ def test_streaming_bursts_match_batch_closed_bursts(spark, sf_dir, log_dir):
         if r is not last_per_node[r.node]
     }
     assert got == want
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
+    """Micro-batched ingest dedup must union to exactly the
+    all-at-once batch dispositions — batch boundaries change nothing."""
+    from cassandra_log_analyzer_mcp_spark.operators import dedup
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    batch = {
+        (r.doc_id, r.kind, r.match_id, r.jaccard)
+        for r in dedup.dedup_incremental(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.doc_id, r.kind, r.match_id, r.jaccard)
+        for r in batch_bridge.streaming_dedup_incremental(
+            spark, sf_dir
+        ).collect()
+    }
+    assert streamed == batch
