@@ -264,12 +264,30 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents(spark, sf_dir).select("doc_id", "text")
     toks = tokens_col()
     n_tok = F.size(toks)
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda y: y == x)),
-        )
+    # top-token count == max run length of the SORTED token array: one
+    # O(n log n) fold instead of the O(n·distinct) count-per-distinct
+    # nested loop (higher-order lambdas run interpreted, so per-doc op
+    # count is what matters; the oracle keeps the naive formulation —
+    # same VALUE, engines need not share the algorithm).
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
     )
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        step,
+    )["best"]
     feats = docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),

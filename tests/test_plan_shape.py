@@ -79,3 +79,45 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     plan = _plan(curation.decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_doc_repetition_is_shuffle_free(spark, sf_dir):
+    """The repetition gates are per-doc array expressions — any HASH
+    shuffle here means someone broke the scan-speed property (the one
+    round-robin Exchange is the documented single-split testdata
+    spread in sources.tables.documents)."""
+    plan = _plan(textops.doc_repetition(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bm25_stats_broadcast_and_single_agg(spark, sf_dir):
+    """One global stats row, broadcast back; scoring never shuffles
+    the corpus."""
+    plan = _plan(textops.bm25_search(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """The per-vector argmin must stay a map expression: no join, no
+    window, no per-iteration shuffle of the corpus."""
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        _kmeans_assign,
+        _quantized,
+    )
+
+    quant = _quantized(spark, sf_dir)
+    cent = [(i, [1] * 64, 1) for i in range(8)]
+    plan = _plan(_kmeans_assign(quant, cent))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_cluster_sizes_avoid_low_cardinality_window(spark, sf_dir):
+    """Cluster sizes come from an agg broadcast-joined back — a window
+    partitioned by the 8 cluster ids would funnel the corpus through 8
+    tasks at scale."""
+    plan = _plan(similarity.kmeans_embeddings(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
