@@ -190,6 +190,37 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K keywords by TF-IDF — the classic extraction
+    primitive (doc tagging, cluster labeling, index terms). Like
+    bm25_search the idf stays a RATIONAL ratio (n+1)/(df+1) rather
+    than a log: ranking per doc is unchanged for equal tf and the
+    score stays bit-identical across engines (ln is libm-dependent).
+
+    Scale shape: one (doc_id, token) shuffle builds tf; df is a
+    second, strictly smaller agg OVER tf's output (token-keyed rollup
+    of distinct doc-token pairs — never a second corpus scan); the
+    1-row corpus count broadcasts; top-K is a per-doc row_number
+    window on the already-aggregated rows.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n"))
+    scored = tf.join(df_tbl, "token").crossJoin(F.broadcast(stats))
+    score = F.col("tf") * ((F.col("n") + F.lit(1)) / (F.col("df") + F.lit(1)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.select("doc_id", "token", "tf", "df", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+    )
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search over the corpus for BM25_QUERY_TERMS: the
     relevance-ranking retrieval primitive (quality-weighted corpus

@@ -219,7 +219,34 @@ def text_oracles() -> dict[str, str]:
         BM25_K1,
         BM25_QUERY_TERMS,
         BM25_TOP_K,
+        TFIDF_TOP_K,
     )
+
+    # same score expression shape as the Spark side: exact-integer
+    # inputs through one division and one multiply (rational idf — no
+    # libm log), so the doubles hash bit-identically.
+    tfidf_score = "t.tf * ((s.n + 1) / (d.df + 1))"
+    o["tfidf_keywords"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKS}) AS token FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, token
+        ),
+        dfs AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY token
+        ),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT doc_id, token, tf, df, score, CAST(rk AS INT) AS rk FROM (
+          SELECT t.doc_id, t.token, t.tf, d.df,
+                 {tfidf_score} AS score,
+                 row_number() OVER (PARTITION BY t.doc_id
+                   ORDER BY {tfidf_score} DESC, t.token) AS rk
+          FROM tf t JOIN dfs d USING (token) CROSS JOIN stats s
+        ) u WHERE rk <= {TFIDF_TOP_K}
+    """
 
     # All float literals CAST to DOUBLE (DuckDB parses bare 1.2 as
     # DECIMAL, whose arithmetic differs from Spark's doubles); the

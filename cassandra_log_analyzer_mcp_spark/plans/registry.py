@@ -155,6 +155,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_repetition": textops.doc_repetition,
         "bm25_search": textops.bm25_search,
+        "tfidf_keywords": textops.tfidf_keywords,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
