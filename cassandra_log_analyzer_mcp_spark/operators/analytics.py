@@ -47,11 +47,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, fact_join=None
+) -> DataFrame:
     """TPC-H Q3-style: top-10 open orders by revenue for one segment.
 
     customer is broadcast (small dim); orders⋈lineitem is the one
     shuffle. Rank on the rounded revenue with orderkey tie-break.
+    ``fact_join(li, orders)`` overrides the fact-fact join strategy
+    (shipping_priority_salted routes it through skew.salted_join).
     """
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "MACHINERY"
@@ -62,8 +66,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp_ntz")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
+    if fact_join is None:
+        fact_join = lambda a, b: a.join(  # noqa: E731
+            b, a.l_orderkey == b.o_orderkey
+        )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        fact_join(li, orders)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(

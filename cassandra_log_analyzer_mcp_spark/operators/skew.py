@@ -48,3 +48,43 @@ def salted_agg(
             for name, (kind, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join for a skewed fact-fact join.
+
+    The skewed side gets a salt column, the other side replicates
+    n_salts× with every salt value, and the join key becomes
+    (key, salt) — a hot key's rows split across n_salts reducers
+    instead of funneling one. Output rows are exactly those of the
+    plain join (each skewed row meets each matching other row exactly
+    once, at its own salt) — proven through the hash gate by
+    shipping_priority_salted sharing the plain query's oracle.
+
+    This is the manual fallback when AQE's runtime skew splitting
+    can't kick in (first shuffle of a stage, or skew invisible to
+    stats); the replication factor costs n_salts× the OTHER side's
+    shuffle volume, so keep that side the smaller fact.
+    """
+    salt = (
+        (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts
+    ).cast("int")
+    left = skewed.withColumn("_salt_l", salt)
+    right = other.withColumn(
+        "_salt_r", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        left.join(
+            right,
+            (F.col(skewed_key) == F.col(other_key))
+            & (F.col("_salt_l") == F.col("_salt_r")),
+        )
+        .drop("_salt_l")
+        .drop("_salt_r")
+    )

@@ -39,6 +39,9 @@ def analytics_oracles() -> dict[str, str]:
         LIMIT 10
     """
 
+    # the salted-join twin must produce the identical result set
+    o["shipping_priority_salted"] = o["shipping_priority"]
+
     o["regional_revenue"] = """
         SELECT n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

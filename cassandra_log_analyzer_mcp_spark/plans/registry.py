@@ -127,6 +127,18 @@ def queries() -> dict[str, QueryFn]:
         # §2C — general analytics (bench headliners)
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,
+        # salted twin shares shipping_priority's oracle: spraying the
+        # skewed side across salt buckets MUST leave the join result
+        # exactly equal, proven through the hash gate
+        "shipping_priority_salted": lambda spark, sf_dir: (
+            analytics.shipping_priority(
+                spark,
+                sf_dir,
+                fact_join=lambda li, orders: skew.salted_join(
+                    li, orders, "l_orderkey", "o_orderkey"
+                ),
+            )
+        ),
         "regional_revenue": analytics.regional_revenue,
         "promo_revenue": analytics.promo_revenue,
         "revenue_rollup": analytics.revenue_rollup,
