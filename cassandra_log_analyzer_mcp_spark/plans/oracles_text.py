@@ -388,6 +388,47 @@ def text_oracles() -> dict[str, str]:
               FROM reach GROUP BY u) c
     """
 
+    from ..operators.dedup import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+    )
+
+    # positional shingle hashes (NOT distinct — winnowing is over the
+    # ordered sequence), window-min selection; DISTINCT after unnest
+    # mirrors the Spark side's per-doc array_distinct.
+    wk = SHINGLE_K - 1
+    o["dedup_winnow"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        shg AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(t) - {wk}, 0) + 1),
+                     i -> md5(array_to_string(t[i:i + {wk}], ' '))) AS h
+          FROM toks
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(h) >= {WINNOW_W}
+                 THEN list_transform(range(1, len(h) - {WINNOW_W - 1} + 1),
+                      i -> list_min(h[i:i + {WINNOW_W - 1}]))
+                 WHEN len(h) > 0 THEN [list_min(h)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS fp
+          FROM shg
+        ),
+        rare AS (
+          SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) <= {WINNOW_MAX_DF}
+        ),
+        kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+        SELECT da, db, n_shared FROM (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ) t WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """
+
     from ..operators.dedup import INCR_BATCH_MOD, INCR_NO_MATCH
 
     # Composes the shared minhash base (sh → sigs → buckets) with the

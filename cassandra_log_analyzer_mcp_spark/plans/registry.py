@@ -181,6 +181,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
+        "dedup_winnow": dedup.dedup_winnow,
         "dedup_simhash": dedup.dedup_simhash,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,

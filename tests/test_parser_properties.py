@@ -133,3 +133,44 @@ def test_multiline_segmentation_property(spark, entries):
         for r in parse_multiline(spark.createDataFrame(rows)).collect()
     }
     assert got == want
+
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e", "spark", "dup"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(tokens=TOKENS)
+def test_repetition_features_match_python_reference(spark, tokens):
+    """doc_repetition's array expressions == a direct Python
+    computation for arbitrary token sequences (including empty and
+    sub-shingle-length docs)."""
+    from collections import Counter
+
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    text = " ".join(tokens)
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+    orig = t.documents
+    try:
+        t.documents = lambda s, d: docs
+        r = t.doc_repetition(spark, "unused").collect()[0]
+    finally:
+        t.documents = orig
+
+    def dup_frac(k):
+        grams = [
+            " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+        ]
+        return 1 - len(set(grams)) / len(grams) if grams else 0.0
+
+    top = max(Counter(tokens).values()) / len(tokens) if tokens else 0.0
+    assert r.n_tokens == len(tokens)
+    assert abs(r.dup_2gram_frac - dup_frac(2)) < 1e-12
+    assert abs(r.dup_3gram_frac - dup_frac(3)) < 1e-12
+    assert abs(r.top_token_frac - top) < 1e-12

@@ -182,6 +182,25 @@ def test_dedup_incremental_partitions_batch(spark, sf_dir):
             assert r.kind == "unique" and r.match_id == -1
 
 
+def test_winnow_detects_shared_run(spark, sf_dir, monkeypatch):
+    """The winnowing guarantee: two docs sharing a long token run must
+    share fingerprints; disjoint docs share none."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    monkeypatch.setattr(
+        dedup, "documents", lambda s, d: s.createDataFrame(
+            [
+                Row(doc_id=0, text=shared + " unique0 tail0"),
+                Row(doc_id=1, text="head1 other1 " + shared),
+                Row(doc_id=2, text="k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"),
+            ]
+        )
+    )
+    rows = {(r.da, r.db): r.n_shared for r in
+            dedup.dedup_winnow(spark, sf_dir).collect()}
+    assert (0, 1) in rows and rows[(0, 1)] >= 2
+    assert all(2 not in k for k in rows)
+
+
 def test_jaccard_pairs_within_threshold(spark, sf_dir):
     rows = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
