@@ -197,6 +197,68 @@ def error_rate_windowed(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
+def node_failure_correlation(
+    logs: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """Pairwise Pearson correlation of per-window error counts between
+    nodes — the quantitative "do these nodes fail together" signal
+    (correlated spikes implicate shared cause: rack, coordinator,
+    load; issue_cooccurrence gives the categorical view, this the
+    statistical one).
+
+    The (node, window) error matrix is densified on a node × window
+    grid (missing windows are real zeros — leaving them out biases r
+    upward), then node pairs aggregate the five Pearson sums. Grid
+    size is cluster-size × horizon — bounded, nothing scales with log
+    volume past the first rollup.
+
+    Determinism: all five sums are exact integers; r's expression uses
+    only IEEE correctly-rounded ops (sqrt IS correctly rounded, unlike
+    ln) in an identical graph on both engines, so the doubles hash
+    bit-identically with no rounding protocol. Zero-variance nodes
+    (den = 0) emit r = 0.
+    """
+    win = (F.floor(F.col("ts").cast("long") / window_s) * window_s).alias(
+        "win"
+    )
+    counts = (
+        logs.filter(F.col("is_error"))
+        .groupBy("node", win)
+        .agg(F.count("*").alias("e"))
+    )
+    grid = (
+        counts.select("node").distinct()
+        .crossJoin(counts.select("win").distinct())
+        .join(counts, ["node", "win"], "left")
+        .select("node", "win", F.coalesce("e", F.lit(0)).alias("e"))
+    )
+    a = grid.select(F.col("node").alias("na"), "win", F.col("e").alias("ea"))
+    b = grid.select(F.col("node").alias("nb"), "win", F.col("e").alias("eb"))
+    sums = (
+        a.join(b, "win")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ea").alias("sx"),
+            F.sum("eb").alias("sy"),
+            F.sum(F.col("ea") * F.col("ea")).alias("sxx"),
+            F.sum(F.col("eb") * F.col("eb")).alias("syy"),
+            F.sum(F.col("ea") * F.col("eb")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return sums.select(
+        "na",
+        "nb",
+        "n",
+        F.when(den > 0, num / den).otherwise(0.0).alias("r"),
+    )
+
+
 def issue_cooccurrence(logs: DataFrame, window_s: int = 900) -> DataFrame:
     """Issue pairs that fire in the same (node, window) bucket — the
     "what fails together" diagnostic (e.g. gc pauses co-occurring with

@@ -251,6 +251,54 @@ def analysis_oracles() -> dict[str, str]:
     )
     o["windowed_alerts"] = with_logs(alert_branches)
 
+    # Pearson r over exact-integer sums: num/den use only IEEE
+    # correctly-rounded ops (incl. sqrt) in the same graph as the
+    # Spark side — bit-identical doubles, no rounding.
+    o["node_failure_correlation"] = with_logs(
+        """
+        SELECT na, nb, n,
+               CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                    THEN (n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * syy - sy * sy))
+                    ELSE 0.0 END AS r
+        FROM (
+          SELECT a.node AS na, b.node AS nb,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a.e) AS BIGINT) AS sx,
+                 CAST(sum(b.e) AS BIGINT) AS sy,
+                 CAST(sum(a.e * a.e) AS BIGINT) AS sxx,
+                 CAST(sum(b.e * b.e) AS BIGINT) AS syy,
+                 CAST(sum(a.e * b.e) AS BIGINT) AS sxy
+          FROM (
+            SELECT nn.node, ww.win, coalesce(c.e, 0) AS e
+            FROM (SELECT node FROM flagged WHERE is_error GROUP BY node) nn
+            CROSS JOIN (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                        AS win FROM flagged WHERE is_error GROUP BY 1) ww
+            LEFT JOIN (
+              SELECT node,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win,
+                     CAST(count(*) AS BIGINT) AS e
+              FROM flagged WHERE is_error GROUP BY 1, 2
+            ) c ON c.node = nn.node AND c.win = ww.win
+          ) a
+          JOIN (
+            SELECT nn.node, ww.win, coalesce(c.e, 0) AS e
+            FROM (SELECT node FROM flagged WHERE is_error GROUP BY node) nn
+            CROSS JOIN (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                        AS win FROM flagged WHERE is_error GROUP BY 1) ww
+            LEFT JOIN (
+              SELECT node,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win,
+                     CAST(count(*) AS BIGINT) AS e
+              FROM flagged WHERE is_error GROUP BY 1, 2
+            ) c ON c.node = nn.node AND c.win = ww.win
+          ) b ON a.win = b.win AND a.node < b.node
+          GROUP BY a.node, b.node
+        ) s
+        """
+    )
+
     o["issue_cooccurrence"] = with_logs(
         f"""
         SELECT issue_a, issue_b, CAST(count(*) AS BIGINT) AS n_windows

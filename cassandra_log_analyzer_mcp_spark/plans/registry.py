@@ -114,6 +114,9 @@ def queries() -> dict[str, QueryFn]:
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),
         "burst_context": _on_logs(analysis.burst_context),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
+        "node_failure_correlation": _on_logs(
+            analysis.node_failure_correlation
+        ),
         "node_metrics_correlation": node_metrics_correlation,
         "dropped_messages": _on_logs(analysis.dropped_messages),
         "log_templates": _on_logs(analysis.log_templates),

@@ -295,3 +295,20 @@ def test_distinct_users_sketch_error_bound(spark, sf_dir):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n)
+
+
+def test_node_failure_correlation_bounds(spark, sf_dir):
+    """Pearson r stays in [-1, 1] and every unordered node pair
+    appears exactly once."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        node_failure_correlation,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    rows = node_failure_correlation(logs_flagged(spark, sf_dir)).collect()
+    assert rows
+    nodes = {r.na for r in rows} | {r.nb for r in rows}
+    assert len(rows) == len(nodes) * (len(nodes) - 1) // 2
+    for r in rows:
+        assert r.na < r.nb
+        assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
