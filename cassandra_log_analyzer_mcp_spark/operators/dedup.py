@@ -564,3 +564,40 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-verified near-dup
+    pairs rolled up by (source, source) — the "who copies from whom"
+    curation diagnostic that decides source de-weighting. Reuses the
+    cached verified-pair set (tiny), joins the doc→source lookup
+    twice, and canonicalizes the unordered source pair with
+    least/greatest. max (not mean) of the rounded Jaccards keeps the
+    aggregate order-insensitive across engines.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = documents(spark, sf_dir).select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("da"),
+                       F.col("source").alias("src_a")),
+            "da",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("db"),
+                       F.col("source").alias("src_b")),
+            "db",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -366,6 +366,21 @@ def text_oracles() -> dict[str, str]:
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
     """
 
+    # composed FROM the minhash pipeline + the doc→source lookup; max
+    # (not mean) of rounded jaccards keeps the agg order-insensitive
+    o["source_overlap"] = f"""
+        WITH {minhash_ctes}
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               max(jaccard) AS max_jaccard
+        FROM verified v
+        JOIN documents sa ON sa.doc_id = v.da
+        JOIN documents sb ON sb.doc_id = v.db
+        WHERE v.jaccard >= {MINHASH_VERIFY_MIN}
+        GROUP BY 1, 2
+    """
+
     # components = transitive closure of the verified-pair graph; the
     # recursive CTE computes, for each doc, every reachable doc and
     # keeps the minimum as the cluster label — independent derivation

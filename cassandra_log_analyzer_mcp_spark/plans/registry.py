@@ -185,6 +185,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,
+        "source_overlap": dedup.source_overlap,
         "dedup_simhash": dedup.dedup_simhash,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
