@@ -22,11 +22,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)  # UTC + AQE even on a driver-provided session
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-long
-        # via nanosAsLong; integer-divide (not float) to keep exactness.
+        # events.ts has shipped as TIMESTAMP(NANOS) (surfaced as a
+        # nanos-long via nanosAsLong) in some data drops and as
+        # micros TIMESTAMP_NTZ in others; normalize both to a session
+        # TIMESTAMP (UTC session tz, so ntz→ltz is value-identity).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
