@@ -443,6 +443,123 @@ def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one LATE lineitem (shipped
+    more than 30 days after the order date), counted by priority.
+
+    The EXISTS shape: a LEFT SEMI join — equi on the order key with the
+    lateness predicate as the join residual, so Spark never materializes
+    the multiplicity of matching lineitems (no dedup pass, no row
+    explosion) and the fact-fact shuffle carries only the two key/date
+    columns of each side.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: how many customers placed k orders, including
+    k = 0 — the engagement-distribution histogram.
+
+    Scalable formulation: orders pre-aggregate to (custkey, n) FIRST —
+    one shuffle of rollup rows, not raw orders — then customer LEFT
+    joins the rollup and missing customers coalesce to 0. The final
+    histogram agg is over customer-cardinality rows.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) achieving maximum revenue in a
+    quarter.
+
+    Revenue per supplier is one map-side-combined shuffle over the
+    filtered lineitem scan; the max is an empty-frame window over the
+    (supplier-cardinality) rollup — no second scan, no self-join; the
+    supplier dim broadcasts in for the name only after the rollup.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn(
+        "max_revenue", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(
+        F.broadcast(supp), best.l_suppkey == supp.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returned
+    items in a quarter — the "who is sending everything back" report.
+
+    orders⋈lineitem is the one fact-fact shuffle (both sides
+    date/flag-filtered before it); customer and nation broadcast onto
+    the rollup. Deterministic top-20: rounded revenue, custkey
+    tie-break.
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
 def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: user × event_type count pivot (compare_nodes-shaped, but
     on the generic events table). Explicit column list keeps the schema

@@ -239,6 +239,61 @@ def analytics_oracles() -> dict[str, str]:
         ) u WHERE NOT is_purchase
     """
 
+    o["late_shipment_priority"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        )
+        GROUP BY o_orderpriority
+    """
+
+    o["customer_order_distribution"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ) t
+        GROUP BY c_count
+    """
+
+    o["top_suppliers"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate < TIMESTAMP '1998-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+    o["returned_item_customers"] = """
+        SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name
+        FROM (
+          SELECT o.o_custkey,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-04-01'
+          GROUP BY o.o_custkey
+        ) r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY r.revenue DESC, c.c_custkey
+        LIMIT 20
+    """
+
     o["user_activity_pivot"] = """
         SELECT user_id,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

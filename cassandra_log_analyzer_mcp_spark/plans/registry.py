@@ -144,6 +144,11 @@ def queries() -> dict[str, QueryFn]:
         ),
         "regional_revenue": analytics.regional_revenue,
         "promo_revenue": analytics.promo_revenue,
+        "late_shipment_priority": analytics.late_shipment_priority,
+        "customer_order_distribution":
+            analytics.customer_order_distribution,
+        "top_suppliers": analytics.top_suppliers,
+        "returned_item_customers": analytics.returned_item_customers,
         "revenue_rollup": analytics.revenue_rollup,
         "event_funnel": analytics.event_funnel,
         "event_transitions": analytics.event_transitions,

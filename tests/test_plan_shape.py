@@ -35,6 +35,44 @@ def test_shipping_priority_broadcasts_customer(spark, sf_dir):
     assert "PushedFilters" in plan
 
 
+def test_late_shipment_priority_is_semi_join(spark, sf_dir):
+    """The EXISTS lowers to a LeftSemi join — lineitem multiplicity
+    never materializes, so there is no row explosion and no dedup."""
+    plan = _plan(analytics.late_shipment_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # both sides prune to key + date columns only
+    assert "l_extendedprice" not in plan
+
+
+def test_customer_order_distribution_preaggregates_orders(spark, sf_dir):
+    """orders must roll up to (custkey, n) BEFORE the customer join —
+    two HashAggregates below/above one join, never a raw-orders join."""
+    plan = _plan(analytics.customer_order_distribution(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "o_orderdate" not in plan  # column pruning on orders
+
+
+def test_top_suppliers_no_second_scan(spark, sf_dir):
+    """The max-revenue filter rides a window over the rollup — exactly
+    one lineitem scan, with the quarter filter pushed to it."""
+    plan = _plan(analytics.top_suppliers(spark, sf_dir))
+    # lineitem + supplier, scanned once each
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_returned_item_customers_broadcasts_dims(spark, sf_dir):
+    """customer and nation broadcast onto the rollup; the only shuffle
+    join is the filtered fact-fact orders⋈lineitem."""
+    plan = _plan(analytics.returned_item_customers(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plan
+
+
 def test_ann_ivf_probe_join_is_broadcast(spark, sf_dir):
     """The probe list must broadcast: a shuffle join there would
     repartition the whole corpus per query batch."""
