@@ -534,6 +534,132 @@ def error_rate_rolling(logs: DataFrame, window_s: int = 3600) -> DataFrame:
     )
 
 
+def error_recovery(logs: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Per-node failure cadence (MTBF view): the quiet gaps BETWEEN
+    error bursts — burst k's start minus burst k-1's end — summarized
+    as count / mean / max seconds of recovery time.
+
+    Builds on error_bursts' rollup (burst-cardinality rows, not raw
+    logs): one lag window per node over its few bursts, then a tiny
+    per-node agg. The mean divides exact integer sums, so the double
+    hashes bit-identically across engines with no rounding protocol.
+    """
+    bursts = error_bursts(logs, gap_s)
+    w = Window.partitionBy("node").orderBy("start_s", "burst_id")
+    gaps = bursts.withColumn(
+        "gap_s", F.col("start_s") - F.lag("end_s").over(w)
+    )
+    return gaps.groupBy("node").agg(
+        F.count("*").alias("n_bursts"),
+        F.count("gap_s").alias("n_gaps"),
+        (F.sum("gap_s") / F.count("gap_s")).alias("mean_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+    )
+
+
+def thread_hotspots(logs: DataFrame) -> DataFrame:
+    """Per (node, thread) line/error counts and each thread's share of
+    its node's errors — the "which stage is melting" thread-pool view
+    (the reference parses the thread field :186-203 but never uses it).
+
+    One map-side-combined hash agg on the bounded (node × thread) key;
+    the share is a window over the tiny rollup dividing exact integers.
+    """
+    agg = logs.groupBy("node", "thread").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+    )
+    w = Window.partitionBy("node")
+    return agg.withColumn(
+        "node_errors", F.sum("n_errors").over(w)
+    ).withColumn(
+        "error_share",
+        F.when(
+            F.col("node_errors") > 0,
+            F.col("n_errors") / F.col("node_errors"),
+        ).otherwise(0.0),
+    )
+
+
+def search_context(logs: DataFrame, pattern: str = "tombstone") -> DataFrame:
+    """Regex search returning each hit WITH its neighboring lines
+    (grep -C 1) — the triage view search_logs (ref :311-327) implies:
+    an error rarely explains itself without the line before it.
+
+    lag/lead windows over per-node line order attach context BEFORE
+    the match filter (context lines need not match); same single
+    per-node sort as search_logs, just two more frame expressions on
+    it — no join back to the raw table.
+    """
+    pat = f"(?i){pattern}"
+    w = Window.partitionBy("node").orderBy("line_id")
+    return (
+        logs.select("node", "line_id", "raw")
+        .withColumn("line_number", F.row_number().over(w))
+        .withColumn("prev_line", F.lag("raw").over(w))
+        .withColumn("next_line", F.lead("raw").over(w))
+        .filter(F.col("raw").rlike(pat))
+        .select(
+            "node",
+            "line_number",
+            F.col("raw").alias("content"),
+            "prev_line",
+            "next_line",
+        )
+    )
+
+
+def template_drift(logs: DataFrame) -> DataFrame:
+    """Template-frequency drift: each masked template's share of log
+    volume in the first half of the time range vs the second — the
+    "what started happening / what stopped" triage signal on top of
+    log_templates' mining.
+
+    The range midpoint is ONE global min/max row broadcast back onto
+    the scan (no second pass at scale: min/max are partial-aggregable);
+    the per-(template, half) counts are a map-side-combined hash agg on
+    the small template space. Shares and drift divide exact integer
+    counts in identical IEEE graphs on both engines — bit-identical,
+    no rounding.
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    ).alias("template")
+    epoch = F.col("ts").cast("long")
+    bounds = logs.agg(
+        F.min(epoch).alias("mn"), F.max(epoch).alias("mx")
+    )
+    halves = (
+        logs.select(tmpl, epoch.alias("epoch_s"))
+        .join(F.broadcast(bounds))
+        .select(
+            "template",
+            (F.col("epoch_s") <= F.expr("(mn + mx) div 2")).alias("early"),
+        )
+    )
+    agg = halves.groupBy("template").agg(
+        F.sum(F.col("early").cast("long")).alias("n_early"),
+        F.sum((~F.col("early")).cast("long")).alias("n_late"),
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("tot_early", F.sum("n_early").over(w))
+        .withColumn("tot_late", F.sum("n_late").over(w))
+        .select(
+            "template",
+            "n_early",
+            "n_late",
+            (F.col("n_early") / F.col("tot_early")).alias("early_share"),
+            (F.col("n_late") / F.col("tot_late")).alias("late_share"),
+            (
+                F.col("n_late") / F.col("tot_late")
+                - F.col("n_early") / F.col("tot_early")
+            ).alias("drift"),
+        )
+    )
+
+
 def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
     """Gap-based sessionization of errors per node (>gap_s ⇒ new burst).
 

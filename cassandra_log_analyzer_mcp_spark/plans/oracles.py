@@ -90,6 +90,34 @@ def with_logs(body: str) -> str:
     return f"WITH {LOG_CTE} {body}"
 
 
+#: error-burst rollup body (shared by error_bursts, the streaming
+#: bridge, and error_recovery's gap analysis).
+BURSTS_BODY = """
+        SELECT node, CAST(burst_id AS BIGINT) AS burst_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(epoch_s) AS start_s, max(epoch_s) AS end_s,
+               max(epoch_s) - min(epoch_s) AS duration_s
+        FROM (
+          SELECT node, epoch_s,
+                 sum(new_burst) OVER (PARTITION BY node ORDER BY ts, line_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+          FROM (
+            SELECT node, ts, line_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT))
+                             OVER (PARTITION BY node ORDER BY ts, line_id) IS NULL
+                        THEN 1
+                        WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                               OVER (PARTITION BY node ORDER BY ts, line_id) > 300
+                        THEN 1 ELSE 0 END AS new_burst
+            FROM flagged WHERE is_error
+          ) a
+        ) b
+        GROUP BY node, burst_id
+        """
+
+
 def _per_window_issues(window_s: int = 900) -> str:
     """Distinct (node, win, issue) via UNION of per-pattern selects."""
     selects = " UNION ".join(
@@ -393,31 +421,64 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
-    bursts_body = """
-        SELECT node, CAST(burst_id AS BIGINT) AS burst_id,
-               CAST(count(*) AS BIGINT) AS n_events,
-               min(epoch_s) AS start_s, max(epoch_s) AS end_s,
-               max(epoch_s) - min(epoch_s) AS duration_s
-        FROM (
-          SELECT node, epoch_s,
-                 sum(new_burst) OVER (PARTITION BY node ORDER BY ts, line_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
-          FROM (
-            SELECT node, ts, line_id,
-                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-                   CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT))
-                             OVER (PARTITION BY node ORDER BY ts, line_id) IS NULL
-                        THEN 1
-                        WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                             - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                               OVER (PARTITION BY node ORDER BY ts, line_id) > 300
-                        THEN 1 ELSE 0 END AS new_burst
-            FROM flagged WHERE is_error
-          ) a
-        ) b
-        GROUP BY node, burst_id
-        """
+    bursts_body = BURSTS_BODY
     o["error_bursts"] = with_logs(bursts_body)
+
+    # inter-burst gap stats build on the same burst rollup; the mean
+    # divides exact integer sums (IEEE-identical on both engines).
+    o["error_recovery"] = with_logs(
+        f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS n_bursts,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT) / CAST(count(gap_s) AS BIGINT)
+                 AS mean_gap_s,
+               max(gap_s) AS max_gap_s, min(gap_s) AS min_gap_s
+        FROM (
+          SELECT node,
+                 start_s - lag(end_s) OVER (
+                   PARTITION BY node ORDER BY start_s, burst_id
+                 ) AS gap_s
+          FROM ({BURSTS_BODY}) b
+        ) g
+        GROUP BY node
+        """
+    )
+
+    o["thread_hotspots"] = with_logs(
+        """
+        SELECT node, thread, n_lines, n_errors, node_errors,
+               CASE WHEN node_errors > 0
+                    THEN n_errors / node_errors ELSE 0.0
+               END AS error_share
+        FROM (
+          SELECT node, thread,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors,
+                 CAST(sum(sum(CASE WHEN is_error THEN 1 ELSE 0 END))
+                      OVER (PARTITION BY node) AS BIGINT) AS node_errors
+          FROM flagged GROUP BY node, thread
+        ) t
+        """
+    )
+
+    o["search_context"] = with_logs(
+        f"""
+        SELECT node, CAST(line_number AS INT) AS line_number, content,
+               prev_line, next_line
+        FROM (
+          SELECT node, raw AS content,
+                 row_number() OVER (PARTITION BY node ORDER BY line_id)
+                   AS line_number,
+                 lag(raw) OVER (PARTITION BY node ORDER BY line_id)
+                   AS prev_line,
+                 lead(raw) OVER (PARTITION BY node ORDER BY line_id)
+                   AS next_line,
+                 {_rx('raw', '(?i)tombstone')} AS hit
+          FROM lines
+        ) t WHERE hit
+        """
+    )
 
     # the streaming stateful operator emits only CLOSED bursts — every
     # burst except each node's final one.
@@ -445,6 +506,40 @@ def analysis_oracles() -> dict[str, str]:
                               '{TEMPLATE_NUM_TOKEN}', 'g') AS template,
                CAST(count(*) AS BIGINT) AS n
         FROM logs GROUP BY 1, 2
+        """
+    )
+
+    # template share first-half vs second-half of the time range; all
+    # divisions are exact-int / exact-int → bit-identical doubles.
+    o["template_drift"] = with_logs(
+        f"""
+        SELECT template, n_early, n_late,
+               n_early / tot_early AS early_share,
+               n_late / tot_late AS late_share,
+               n_late / tot_late - n_early / tot_early AS drift
+        FROM (
+          SELECT template,
+                 CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_early,
+                 CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+                 CAST(sum(sum(CASE WHEN early THEN 1 ELSE 0 END))
+                      OVER () AS BIGINT) AS tot_early,
+                 CAST(sum(sum(CASE WHEN NOT early THEN 1 ELSE 0 END))
+                      OVER () AS BIGINT) AS tot_late
+          FROM (
+            SELECT regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                                  '{TEMPLATE_NUM_TOKEN}', 'g') AS template,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     <= (b.mn + b.mx) // 2 AS early
+            FROM logs, (
+              SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+                     max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+              FROM logs
+            ) b
+          ) h
+          GROUP BY template
+        ) a
         """
     )
 

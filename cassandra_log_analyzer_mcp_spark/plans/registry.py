@@ -112,6 +112,12 @@ def queries() -> dict[str, QueryFn]:
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),
+        "error_recovery": _on_logs(analysis.error_recovery),
+        "thread_hotspots": _on_logs(analysis.thread_hotspots),
+        "search_context": _on_logs(
+            lambda logs: analysis.search_context(logs, "tombstone")
+        ),
+        "template_drift": _on_logs(analysis.template_drift),
         "burst_context": _on_logs(analysis.burst_context),
         "issue_cooccurrence": _on_logs(analysis.issue_cooccurrence),
         "node_failure_correlation": _on_logs(

@@ -312,3 +312,60 @@ def test_node_failure_correlation_bounds(spark, sf_dir):
     for r in rows:
         assert r.na < r.nb
         assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+
+
+def test_error_recovery_gap_between_bursts(spark):
+    # two bursts 10 min apart: burst1 ends 12:01, burst2 starts 12:11
+    rows = [
+        ("n0", "ERROR", "boom", ts(0), 0),
+        ("n0", "ERROR", "boom", ts(1), 1),
+        ("n0", "ERROR", "boom", ts(11), 2),
+    ]
+    got = analysis.error_recovery(_logs_df(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_bursts == 2 and r.n_gaps == 1
+    assert r.mean_gap_s == 600.0 and r.max_gap_s == 600
+
+
+def test_thread_hotspots_share(spark):
+    base = _logs_df(
+        spark,
+        [
+            ("n0", "ERROR", "boom", TS, 0),
+            ("n0", "ERROR", "boom", TS, 1),
+            ("n0", "INFO", "fine", TS, 2),
+        ],
+    )
+    # two threads: t carries all errors
+    mixed = base.withColumn(
+        "thread", F.when(F.col("line_id") < 2, "a").otherwise("b")
+    )
+    got = {r.thread: r for r in analysis.thread_hotspots(mixed).collect()}
+    assert got["a"].error_share == 1.0 and got["b"].error_share == 0.0
+    assert got["a"].node_errors == 2
+
+
+def test_search_context_attaches_neighbors(spark):
+    rows = [
+        ("n0", "INFO", "before", ts(0), 0),
+        ("n0", "WARN", "tombstone warning threshold", ts(1), 1),
+        ("n0", "INFO", "after", ts(2), 2),
+    ]
+    got = analysis.search_context(_logs_df(spark, rows), "tombstone").collect()
+    assert len(got) == 1
+    assert "before" in got[0].prev_line and "after" in got[0].next_line
+    assert got[0].line_number == 2
+
+
+def test_template_drift_shares(spark):
+    # "a <NUM>" only early, "b" only late → drift -tot vs +tot
+    rows = [
+        ("n0", "INFO", "a 1", ts(0), 0),
+        ("n0", "INFO", "a 2", ts(1), 1),
+        ("n0", "INFO", "b", ts(50), 2),
+        ("n0", "INFO", "b", ts(59), 3),
+    ]
+    got = {r.template: r for r in analysis.template_drift(_logs_df(spark, rows)).collect()}
+    assert got["a <NUM>"].early_share == 1.0 and got["a <NUM>"].late_share == 0.0
+    assert got["b"].drift == 1.0
