@@ -383,3 +383,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sh"), F.lit(0)).cast("int").alias("n_shingles"),
         )
     )
+
+
+#: corpus-wide repeated-substring detection (the Lee et al. 2022
+#: "Deduplicating Training Data Makes Language Models Better" signal):
+#: span width in tokens, and how many top spans to report.
+REPEAT_K = 8
+REPEAT_TOP_K = 100
+
+
+def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated spans: every REPEAT_K-token n-gram that
+    occurs in MORE than one document, ranked by total occurrences —
+    the substring-level dedup signal whole-document Jaccard misses
+    (boilerplate, licenses, templated intros).
+
+    POSITIONAL shingles (not distinct) so n_occurrences counts true
+    repetitions; one gram-keyed map-side-combined shuffle carries
+    (gram, doc_id) rows, and the top-K is TakeOrdered over the
+    repeated subset — never a global sort. At 100 TB the gram key
+    would shuffle as its md5 (16 bytes vs ~50) with min_by carrying
+    one example span, and n_docs would switch to approx_count_distinct
+    (the exact distinct costs a second expand); both swaps are noted
+    rather than made because the exact form is oracle-checkable.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles_col(tokens_col(), REPEAT_K)).alias("gram"),
+    )
+    agg = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("n_docs").desc(), "gram"
+    ).limit(REPEAT_TOP_K)

@@ -52,6 +52,8 @@ from ..operators.similarity import (
 from ..operators.textops import (
     FINGERPRINT_K,
     HIST_BUCKET_TOKENS,
+    REPEAT_K,
+    REPEAT_TOP_K,
     VOCAB_TOP_K,
 )
 
@@ -175,6 +177,29 @@ def text_oracles() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
                     AS INT) AS rk
         FROM counts ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K}
+    """
+
+    # positional (non-distinct) grams: n_occurrences counts true
+    # repetitions; the HAVING keeps only cross-document repeats.
+    o["repeated_ngrams"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(t) - {REPEAT_K - 1}, 0) + 1),
+                   i -> array_to_string(t[i:i + {REPEAT_K - 1}], ' ')))
+                   AS gram
+          FROM toks
+        )
+        SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS example_doc
+        FROM g
+        GROUP BY gram
+        HAVING count(DISTINCT doc_id) > 1
+        ORDER BY n_occurrences DESC, n_docs DESC, gram
+        LIMIT {REPEAT_TOP_K}
     """
 
     from ..operators.textops import (

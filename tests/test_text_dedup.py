@@ -430,3 +430,29 @@ def test_quality_score_ranges(spark, sf_dir):
         assert 0 <= r.punct_ratio <= 1
         assert 0 <= r.uniq_ratio <= 1
         assert 0 <= r.quality <= 1.01
+
+
+def test_repeated_ngrams_counts_cross_doc_spans(spark, sf_dir, monkeypatch):
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    # shared 8-token span across docs 1 and 2 (twice in doc 2), plus a
+    # doc-local repeat in doc 3 that must NOT be reported
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{span} x y z"),
+            Row(doc_id=2, text=f"{span} q {span}"),
+            Row(doc_id=3, text=f"local only {span.replace('w', 'v')} "
+                               f"pad {span.replace('w', 'v')}"),
+        ]
+    )
+    monkeypatch.setattr(
+        "cassandra_log_analyzer_mcp_spark.operators.textops.documents",
+        lambda spark, sf_dir: docs,
+    )
+    got = {r.gram: r for r in t.repeated_ngrams(spark, sf_dir).collect()}
+    assert span in got
+    assert got[span].n_docs == 2 and got[span].n_occurrences == 3
+    assert got[span].example_doc == 1
+    v_span = span.replace("w", "v")
+    assert v_span not in got  # repeated only within one doc
