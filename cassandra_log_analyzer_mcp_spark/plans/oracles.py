@@ -278,6 +278,8 @@ def analysis_oracles() -> dict[str, str]:
         for issue, thr, sev, _ in RECOMMENDATION_RULES
     )
     o["windowed_alerts"] = with_logs(alert_branches)
+    # the streaming twin must fire the exact same alert rows
+    o["streaming_windowed_alerts"] = o["windowed_alerts"]
 
     # Pearson r over exact-integer sums: num/den use only IEEE
     # correctly-rounded ops (incl. sqrt) in the same graph as the

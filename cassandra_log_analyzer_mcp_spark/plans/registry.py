@@ -133,6 +133,7 @@ def queries() -> dict[str, QueryFn]:
         "streaming_error_bursts": batch_bridge.streaming_error_bursts,
         "streaming_dedup_incremental":
             batch_bridge.streaming_dedup_incremental,
+        "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         # §2C — general analytics (bench headliners)
         "pricing_summary": analytics.pricing_summary,
         "shipping_priority": analytics.shipping_priority,

@@ -142,6 +142,43 @@ def streaming_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_windowed_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 5 threshold rules fired per (node, 15-min
+    window) BY THE STREAM — real-time alerting (ref README roadmap),
+    graded: windowed_alerts is source-agnostic, so running the same
+    function over the file stream in complete mode must fire exactly
+    the batch alert rows, and sharing windowed_alerts' oracle makes
+    the gate prove it value-for-value.
+    """
+    from ..operators import analysis
+
+    log_dir = _landed_log_dir(spark, sf_dir)
+    lines = spark.readStream.text(log_dir).select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.col("node").cast("string").alias("node"),
+        F.col("value").alias("raw"),
+    )
+    alerts = analysis.windowed_alerts(log_stream.parsed_stream(lines))
+    sink = f"stream_alerts_{uuid.uuid4().hex[:8]}"
+    # state is (node × window × 5 issues) — tiny; size the state-store
+    # shuffle to it (see streaming_issue_counts)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(alerts, sink, output_mode="complete")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_alerts did not finish its availableNow batch"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        "node", "win_start", "issue", "severity",
+        F.col("n_hits").cast("long").alias("n_hits"), "threshold",
+    )
+
+
 _LANDED_BATCH: dict[str, str] = {}
 
 
