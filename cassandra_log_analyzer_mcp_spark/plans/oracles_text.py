@@ -742,6 +742,79 @@ def similarity_oracles() -> dict[str, str]:
     """
 
     from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SHORTLIST,
+        PQ_SUB_DIM,
+        PQ_TOP_K,
+        QUANT_SCALE as _QS,
+    )
+
+    # mirrors operators/similarity.ann_pq_cosine: int8 sub-vectors,
+    # exact-integer codeword argmin (c·c − 2 s·c), ADC lookup-table
+    # scoring — identical integer arithmetic, no rounding protocol.
+    o["ann_pq_cosine"] = f"""
+        WITH quant AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * {_QS}) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        subs AS (
+          SELECT vec_id, m,
+                 list_slice(q, m * {PQ_SUB_DIM} + 1,
+                            m * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+          FROM quant CROSS JOIN ms
+        ),
+        cb AS (
+          SELECT m, vec_id AS code, sub AS cw FROM subs
+          WHERE vec_id < {PQ_K}
+        ),
+        enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                     CAST(list_dot_product(c.cw, c.cw) AS BIGINT)
+                     - 2 * CAST(list_dot_product(s.sub, c.cw) AS BIGINT)
+                     ASC, c.code) AS rn
+            FROM subs s JOIN cb c USING (m)) t
+          WHERE rn = 1
+        ),
+        lut AS (
+          SELECT s.vec_id AS q_id, c.m, c.code,
+                 CAST(list_dot_product(s.sub, c.cw) AS BIGINT) AS contrib
+          FROM subs s JOIN cb c USING (m)
+          WHERE s.vec_id < {KNN_N_QUERIES}
+        ),
+        pairs AS (
+          SELECT l.q_id, e.vec_id,
+                 CAST(sum(l.contrib) AS BIGINT) AS adc
+          FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+          WHERE e.vec_id != l.q_id
+          GROUP BY l.q_id, e.vec_id
+        ),
+        shortlist AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY adc DESC, vec_id) AS srn
+            FROM pairs) t
+          WHERE srn <= {PQ_SHORTLIST}
+        ),
+        rer AS (
+          SELECT s.q_id, s.vec_id,
+                 CAST(list_dot_product(qv.q, cv.q) AS BIGINT) AS qdot
+          FROM shortlist s
+          JOIN quant cv ON cv.vec_id = s.vec_id
+          JOIN quant qv ON qv.vec_id = s.q_id
+        )
+        SELECT q_id, vec_id, qdot, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY qdot DESC, vec_id) AS rn
+          FROM rer
+        ) t WHERE rn <= {PQ_TOP_K}
+    """
+
+    from ..operators.similarity import (
         CLUSTER_SAMPLE_SALT,
         CLUSTER_SAMPLE_TARGET,
         KMEANS_ITERS,

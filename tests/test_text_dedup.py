@@ -456,3 +456,20 @@ def test_repeated_ngrams_counts_cross_doc_spans(spark, sf_dir, monkeypatch):
     assert got[span].example_doc == 1
     v_span = span.replace("w", "v")
     assert v_span not in got  # repeated only within one doc
+
+
+def test_ann_pq_recall_after_rerank(spark, sf_dir):
+    """ADC shortlist + exact rerank must recover most of the true
+    top-5 (measured 0.88 at sf0.01, 0.8+ at sf0.001 where the
+    shortlist covers more of the corpus)."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_quantized_int8(spark, sf_dir)
+        .filter(F.col("rn") <= similarity.PQ_TOP_K)
+        .collect()
+    }
+    pq = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ann_pq_cosine(spark, sf_dir).collect()
+    }
+    assert len(exact & pq) / len(exact) >= 0.7
