@@ -244,6 +244,51 @@ def parse_json_lines(df: DataFrame) -> DataFrame:
     )
 
 
+#: TSV log-line schema (tab-separated shipper output; tab, not comma,
+#: because real log messages contain commas but never tabs)
+CSV_LOG_SCHEMA = (
+    "level STRING, ts STRING, thread STRING, logger STRING, "
+    "line INT, msg STRING"
+)
+
+
+def synth_csv_lines(events: DataFrame) -> DataFrame:
+    """events table → (line_id, node, raw) tab-separated log lines —
+    the third wire format (plain Cassandra, JSON, TSV) proving every
+    downstream operator is format-agnostic."""
+    f = _synth_fields(events)
+    raw = F.concat_ws(
+        "\t",
+        F.col("level"), F.col("ts_str"), F.col("thread"),
+        F.col("clazz"), F.col("line_no").cast("string"), F.col("message"),
+    )
+    return f.select("line_id", "node", raw.alias("raw"))
+
+
+def parse_csv_lines(df: DataFrame) -> DataFrame:
+    """(line_id, node, raw) TSV lines → the SAME parsed schema as
+    ``parse_lines``. from_csv is a JVM-side univocity scan — one
+    map-only stage, no Python.
+    """
+    c = F.from_csv("raw", F.lit(CSV_LOG_SCHEMA), {"sep": "\t"})
+    out = df.select(
+        "line_id",
+        "node",
+        "raw",
+        c.getField("level").alias("level"),
+        c.getField("ts").alias("ts_str"),
+        c.getField("thread").alias("thread"),
+        c.getField("logger").alias("clazz"),
+        c.getField("line").alias("line_no"),
+        c.getField("msg").alias("message"),
+    )
+    return out.filter(
+        F.col("level").isNotNull() & (F.col("level") != "")
+    ).withColumn(
+        "ts", F.replace("ts_str", F.lit(","), F.lit(".")).cast("timestamp")
+    )
+
+
 def parse_lines(df: DataFrame) -> DataFrame:
     """(line_id, node, raw, *extras) → parsed log entries (parser of
     ref :186-203), extra input columns passed through untouched.

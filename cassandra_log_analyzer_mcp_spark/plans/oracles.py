@@ -136,9 +136,10 @@ def analysis_oracles() -> dict[str, str]:
     o["log_parse"] = with_logs(
         "SELECT line_id, node, level, ts_str, thread, clazz, line_no, message FROM logs"
     )
-    # the JSON-format roundtrip must reproduce the exact same parsed
-    # fields, so it shares the oracle verbatim
+    # the JSON- and TSV-format roundtrips must reproduce the exact
+    # same parsed fields, so they share the oracle verbatim
     o["log_parse_json"] = o["log_parse"]
+    o["log_parse_csv"] = o["log_parse"]
 
     # multiline: the oracle derives each entry's stack DIRECTLY from
     # the templates (which events carry frames, and their exact text),

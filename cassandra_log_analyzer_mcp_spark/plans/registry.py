@@ -50,6 +50,16 @@ def queries() -> dict[str, QueryFn]:
         lines = synth_json_lines(table(spark, sf_dir, "events"))
         return analysis.log_parse(parse_json_lines(lines))
 
+    def log_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TSV-format roundtrip — third wire format, same parsed
+        schema, shares log_parse's oracle (any format→parse defect
+        hash-mismatches)."""
+        from ..functions.parsing import parse_csv_lines, synth_csv_lines
+        from ..sources.tables import table
+
+        lines = synth_csv_lines(table(spark, sf_dir, "events"))
+        return analysis.log_parse(parse_csv_lines(lines))
+
     def log_parse_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Multi-line entries (stack traces) segmented back onto their
         header line — the reference parser drops these (ref :186-203).
@@ -75,6 +85,7 @@ def queries() -> dict[str, QueryFn]:
         # §2A — parsing & classification
         "log_parse": _on_logs(analysis.log_parse),
         "log_parse_json": log_parse_json,
+        "log_parse_csv": log_parse_csv,
         "log_parse_multiline": log_parse_multiline,
         "issue_classify": _on_logs(analysis.issue_classify),
         "issue_counts": _on_logs(analysis.issue_counts),
