@@ -16,7 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries that execute work at build time (driver-loop iteration or an
 #: actual streaming run) — they have no single lazily-inspectable plan.
-EAGER = {"dedup_clusters", "streaming_issue_counts", "streaming_error_bursts"}
+EAGER = {
+    "dedup_clusters",
+    "streaming_issue_counts",
+    "streaming_error_bursts",
+    "streaming_dedup_incremental",
+    "streaming_windowed_alerts",
+}
 
 
 def main() -> None:
