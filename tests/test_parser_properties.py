@@ -174,3 +174,53 @@ def test_repetition_features_match_python_reference(spark, tokens):
     assert abs(r.dup_2gram_frac - dup_frac(2)) < 1e-12
     assert abs(r.dup_3gram_frac - dup_frac(3)) < 1e-12
     assert abs(r.top_token_frac - top) < 1e-12
+
+
+@settings(max_examples=15, deadline=None)
+@given(level=LEVELS, thread=THREAD, clazz=CLAZZ, line_no=LINE_NO,
+       message=MESSAGE, ts=TS)
+def test_json_tsv_roundtrip_property(
+    spark, level, thread, clazz, line_no, message, ts
+):
+    """The JSON and TSV wire formats roundtrip ARBITRARY field values
+    (quotes, brackets, colons, unicode) to the same parsed schema —
+    the structured formats must be strictly more robust than the
+    regex-parsed plain format."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        parse_csv_lines,
+        parse_json_lines,
+    )
+
+    ts_str = (
+        ts.strftime("%Y-%m-%d %H:%M:%S,") + f"{ts.microsecond // 1000:03d}"
+    )
+    fields = spark.createDataFrame(
+        [Row(line_id=0, node="n0", level=level, ts_str=ts_str,
+             thread=thread, clazz=clazz, line_no=line_no, message=message)]
+    )
+    json_raw = fields.select(
+        "line_id", "node",
+        F.to_json(F.struct(
+            F.col("level"), F.col("ts_str").alias("ts"), F.col("thread"),
+            F.col("clazz").alias("logger"), F.col("line_no").alias("line"),
+            F.col("message").alias("msg"),
+        )).alias("raw"),
+    )
+    got_j = parse_json_lines(json_raw).collect()[0]
+    assert (got_j.level, got_j.thread, got_j.clazz, got_j.line_no,
+            got_j.message) == (level, thread, clazz, line_no, message)
+    assert got_j.ts_str == ts_str
+
+    if "\t" not in message:  # TSV's one documented exclusion
+        csv_raw = fields.select(
+            "line_id", "node",
+            F.concat_ws(
+                "\t", "level", "ts_str", "thread", "clazz",
+                F.col("line_no").cast("string"), "message",
+            ).alias("raw"),
+        )
+        got_c = parse_csv_lines(csv_raw).collect()[0]
+        assert (got_c.level, got_c.thread, got_c.clazz, got_c.line_no,
+                got_c.message) == (level, thread, clazz, line_no, message)
