@@ -226,16 +226,21 @@ def node_failure_correlation(
         .groupBy("node", win)
         .agg(F.count("*").alias("e"))
     )
+    # everything below the first rollup is rollup-sized (nodes ×
+    # windows); broadcast hints keep these stages join-local instead of
+    # re-shuffling tiny frames (the counts side of the left join and
+    # the b side of the pair join are both bounded).
+    counts = counts.cache()
     grid = (
         counts.select("node").distinct()
-        .crossJoin(counts.select("win").distinct())
-        .join(counts, ["node", "win"], "left")
+        .crossJoin(F.broadcast(counts.select("win").distinct()))
+        .join(F.broadcast(counts), ["node", "win"], "left")
         .select("node", "win", F.coalesce("e", F.lit(0)).alias("e"))
     )
     a = grid.select(F.col("node").alias("na"), "win", F.col("e").alias("ea"))
     b = grid.select(F.col("node").alias("nb"), "win", F.col("e").alias("eb"))
     sums = (
-        a.join(b, "win")
+        a.join(F.broadcast(b), "win")
         .filter(F.col("na") < F.col("nb"))
         .groupBy("na", "nb")
         .agg(
