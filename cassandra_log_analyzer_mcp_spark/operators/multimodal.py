@@ -109,3 +109,86 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_byte"), 2).alias("avg_mean_byte"),
         F.round(F.avg("width"), 2).alias("avg_width"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+#: frame-sampling policy: up to MAX_FRAMES evenly-spaced frames per
+#: payload, each "resized" to half resolution with a floor.
+MAX_FRAMES = 4
+MIN_DIM = 16
+FAKE_FPS_MS = 40  # 25 fps
+
+
+def _frame_sample_stub(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake frame sampler: a 1→N Arrow fan-out (each
+    input row yields up to MAX_FRAMES output rows) — the batch shape
+    real video sampling has, which the 1→1 decode stub does not
+    exercise. Frames are evenly-spaced byte slices; "resize" halves
+    the metadata dimensions with a floor; the hash is md5 of the
+    slice. Swap the slicing for ffmpeg keyframe extraction to
+    productionize — schema and fan-out shape are already right.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+        for _, row in pdf.iterrows():
+            payload = row["payload"]
+            n = len(payload)
+            n_frames = min(MAX_FRAMES, max(1, n // 64))
+            step = n // n_frames if n_frames else 0
+            for k in range(n_frames):
+                chunk = payload[k * step : (k + 1) * step] if step else b""
+                out["doc_id"].append(row["doc_id"])
+                out["frame_idx"].append(k)
+                out["ts_ms"].append(k * FAKE_FPS_MS)
+                out["out_width"].append(
+                    max(MIN_DIM, int(row["meta"]["width"]) // 2)
+                )
+                out["out_height"].append(
+                    max(MIN_DIM, int(row["meta"]["height"]) // 2)
+                )
+                out["frame_bytes"].append(len(chunk))
+                out["frame_hash"].append(hashlib.md5(bytes(chunk)).hexdigest())
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "frame_idx": "int32", "ts_ms": "int64",
+                "out_width": "int32", "out_height": "int32",
+                "frame_bytes": "int64",
+            }
+        )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    return media.mapInPandas(_frame_sample_stub, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize over the media columns, rolled up per
+    document: frame count, bytes sampled, distinct frame hashes (the
+    dedup handle for near-identical frames), output resolution.
+
+    Rows-only driver check like multimodal_pipeline; the fan-out
+    counts and hash determinism are unit-tested exactly.
+    """
+    frames = sample_frames(with_media_columns(documents(spark, sf_dir)))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("sampled_bytes"),
+        F.countDistinct("frame_hash").alias("n_distinct_frames"),
+        F.max("out_width").alias("out_width"),
+        F.max("out_height").alias("out_height"),
+    )

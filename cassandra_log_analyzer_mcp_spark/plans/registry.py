@@ -225,6 +225,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — multimodal plumbing (rows-only: Arrow decode stage is
         # deliberately not SQL-expressible; unit-tested instead)
         "multimodal_pipeline": multimodal.multimodal_pipeline,
+        "multimodal_frames": multimodal.multimodal_frames,
     }
     return q
 

@@ -32,3 +32,35 @@ def test_pipeline_aggregates_by_source(spark, sf_dir):
     n_sources = documents(spark, sf_dir).select("source").distinct().count()
     assert len(rows) == n_sources
     assert all(r.n_items > 0 and r.total_bytes > 0 for r in rows)
+
+
+def test_frame_sampling_fanout_and_hashes(spark, sf_dir):
+    """The 1→N fan-out matches the policy exactly, and frame hashes
+    equal md5 of the evenly-spaced byte slices."""
+    import hashlib
+
+    media = multimodal.with_media_columns(documents(spark, sf_dir))
+    frames = multimodal.sample_frames(media)
+    doc = documents(spark, sf_dir).filter(F.col("doc_id") == 0).collect()[0]
+    b = doc.text.encode("utf-8")
+    n_frames = min(multimodal.MAX_FRAMES, max(1, len(b) // 64))
+    step = len(b) // n_frames
+    got = sorted(
+        frames.filter(F.col("doc_id") == 0).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(got) == n_frames
+    for k, r in enumerate(got):
+        chunk = b[k * step : (k + 1) * step]
+        assert r.frame_hash == hashlib.md5(chunk).hexdigest()
+        assert r.ts_ms == k * multimodal.FAKE_FPS_MS
+        assert r.out_width == max(multimodal.MIN_DIM, (0 % 640 + 32) // 2)
+
+
+def test_multimodal_frames_rollup(spark, sf_dir):
+    out = multimodal.multimodal_frames(spark, sf_dir).collect()
+    n_docs = documents(spark, sf_dir).count()
+    assert len(out) == n_docs
+    for r in out:
+        assert 1 <= r.n_frames <= multimodal.MAX_FRAMES
+        assert r.n_distinct_frames <= r.n_frames
