@@ -560,6 +560,88 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: per return flag, how many high- vs low-priority
+    orders shipped under it — a conditional two-way aggregation over
+    the one fact-fact join (no pivot machinery, one pass).
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+LARGE_ORDER_MIN_QTY = 150.0
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a
+    threshold, with their customer — the HAVING-then-join-back shape:
+    the quantity rollup (one fact shuffle) filters FIRST, and only the
+    few surviving orderkeys join back to orders and the broadcast
+    customer dim.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_custkey", "c_name", "total_qty",
+                "o_totalprice")
+    )
+
+
+IDLE_CUTOFF = "2001-01-01"
+
+
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: per market segment, CHURNED customers — above
+    the positive-balance average but with no orders since IDLE_CUTOFF
+    — the scalar-subquery + anti-join shape: one global average row
+    broadcast back, orders date-pruned at the scan down to the key
+    column for the LEFT ANTI probe.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp_ntz")
+    ).select("o_custkey")
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: user × event_type count pivot (compare_nodes-shaped, but
     on the generic events table). Explicit column list keeps the schema

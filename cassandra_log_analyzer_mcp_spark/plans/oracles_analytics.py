@@ -294,6 +294,49 @@ def analytics_oracles() -> dict[str, str]:
         LIMIT 20
     """
 
+    o["shipmode_priority"] = """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l.l_returnflag
+    """
+
+    from ..operators.analytics import LARGE_ORDER_MIN_QTY
+
+    o["large_orders"] = f"""
+        SELECT o.o_orderkey, c.c_custkey, c.c_name, b.total_qty,
+               o.o_totalprice
+        FROM (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING round(sum(l_quantity), 2) > {LARGE_ORDER_MIN_QTY}
+        ) b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+
+    from ..operators.analytics import IDLE_CUTOFF
+
+    o["idle_customers"] = f"""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+        GROUP BY c_mktsegment
+    """
+
     o["user_activity_pivot"] = """
         SELECT user_id,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -167,6 +167,9 @@ def queries() -> dict[str, QueryFn]:
             analytics.customer_order_distribution,
         "top_suppliers": analytics.top_suppliers,
         "returned_item_customers": analytics.returned_item_customers,
+        "shipmode_priority": analytics.shipmode_priority,
+        "large_orders": analytics.large_orders,
+        "idle_customers": analytics.idle_customers,
         "revenue_rollup": analytics.revenue_rollup,
         "event_funnel": analytics.event_funnel,
         "event_transitions": analytics.event_transitions,

@@ -73,6 +73,26 @@ def test_returned_item_customers_broadcasts_dims(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_returnflag)" in plan
 
 
+def test_large_orders_filters_rollup_before_joins(spark, sf_dir):
+    """The HAVING filter must apply to the quantity rollup BEFORE any
+    join — the join-back touches only surviving orderkeys."""
+    plan = _plan(analytics.large_orders(spark, sf_dir))
+    agg_end = plan.find("HashAggregate")
+    assert agg_end != -1
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan reads exactly the two rollup columns
+    assert "l_extendedprice" not in plan
+
+
+def test_idle_customers_is_anti_join_with_pruned_probe(spark, sf_dir):
+    """Anti-join probes only the date-filtered orders keys; the scalar
+    average broadcasts back (nested-loop on ONE row is fine)."""
+    plan = _plan(analytics.idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    assert "o_totalprice" not in plan
+
+
 def test_ann_ivf_probe_join_is_broadcast(spark, sf_dir):
     """The probe list must broadcast: a shuffle join there would
     repartition the whole corpus per query batch."""
