@@ -48,6 +48,9 @@ def queries() -> dict[str, QueryFn]:
         from ..sources.tables import table
 
         lines = synth_json_lines(table(spark, sf_dir, "events"))
+        # single-split testdata: spread the Jackson parse across cores
+        # (real log dirs arrive in many splits and skip this)
+        lines = lines.repartition(spark.sparkContext.defaultParallelism)
         return analysis.log_parse(parse_json_lines(lines))
 
     def log_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +61,7 @@ def queries() -> dict[str, QueryFn]:
         from ..sources.tables import table
 
         lines = synth_csv_lines(table(spark, sf_dir, "events"))
+        lines = lines.repartition(spark.sparkContext.defaultParallelism)
         return analysis.log_parse(parse_csv_lines(lines))
 
     def log_parse_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +71,9 @@ def queries() -> dict[str, QueryFn]:
         from ..functions.parsing import parse_multiline, synth_multiline_lines
         from ..sources.tables import table
 
-        lines = synth_multiline_lines(table(spark, sf_dir, "events"))
+        lines = synth_multiline_lines(
+            table(spark, sf_dir, "events")
+        ).repartition(spark.sparkContext.defaultParallelism)
         return parse_multiline(lines).select(
             "line_id", "node", "level", "ts_str", "thread", "clazz",
             "line_no", "message", "n_extra_lines", "stack",
