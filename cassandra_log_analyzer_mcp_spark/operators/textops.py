@@ -424,3 +424,20 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(
         F.col("n_occurrences").desc(), F.col("n_docs").desc(), "gram"
     ).limit(REPEAT_TOP_K)
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: (ground truth × prediction)
+    counts with per-truth recall — the classifier-evaluation view a
+    curation pipeline reads before trusting lang_id's gates.
+
+    Reuses lang_id's scoring plan; the matrix agg keys on the bounded
+    (lang × lang) space (map-side combinable), recall divides exact
+    counts through a window over the tiny matrix.
+    """
+    preds = lang_id(spark, sf_dir).select("lang", "pred_lang")
+    m = preds.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return m.withColumn("n_truth", F.sum("n").over(w)).withColumn(
+        "recall", F.col("n") / F.col("n_truth")
+    )

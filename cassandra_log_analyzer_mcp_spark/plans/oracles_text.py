@@ -137,6 +137,23 @@ def text_oracles() -> dict[str, str]:
         FROM (SELECT doc_id, lang, text, {score_cols} FROM documents) t
     """
 
+    # composed from lang_id's prediction CASE so the matrix cannot
+    # drift from the classifier it evaluates
+    o["lang_confusion"] = f"""
+        SELECT lang, pred_lang, n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_truth,
+               n / CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+                 AS recall
+        FROM (
+          SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM (
+            SELECT lang, {pred_case} AS pred_lang
+            FROM (SELECT lang, {score_cols} FROM documents) s
+          ) p
+          GROUP BY lang, pred_lang
+        ) m
+    """
+
     o["doc_fingerprint"] = f"""
         SELECT doc_id,
                CASE WHEN len(t) >= {FINGERPRINT_K}

@@ -196,6 +196,7 @@ def queries() -> dict[str, QueryFn]:
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
+        "lang_confusion": textops.lang_confusion,
         "doc_fingerprint": textops.doc_fingerprint,
         "vocab_top_tokens": textops.vocab_top_tokens,
         "doc_rarity": textops.doc_rarity,
