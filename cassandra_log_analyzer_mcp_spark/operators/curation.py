@@ -182,3 +182,50 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(keepers, "doc_id").select(
         "doc_id", "pred_lang", "n_tokens", "len_chars", "quality", "n_copies"
     )
+
+
+#: per-source epoch weights for importance resampling (×65536):
+#: upsample the rare high-quality source ~2.5×, downsample src0 to
+#: half, keep the rest at 1× — the "data mixing" step of a training
+#: run. Integer hex thresholds so the fractional-acceptance test is
+#: exact on both engines.
+RESAMPLE_SALT = "resample:"
+RESAMPLE_WEIGHTS = {"src3": (2, "8000"), "src0": (0, "8000")}
+RESAMPLE_DEFAULT = (1, "0000")
+
+
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling: each doc repeats
+    floor(w) + (salted-hash < frac(w)) times for its source's weight
+    w — the mixture-reweighting pass that turns curation scores into
+    an actual training epoch mix (upsampled docs appear with distinct
+    copy ids for downstream shuffling).
+
+    Pure map stage: the per-row copy count is a literal CASE + one
+    hash compare, the fan-out is posexplode over a repeat array —
+    zero shuffle, reproducible across runs/engines/cluster sizes, and
+    a doc's copy count never changes as the corpus grows.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "source")
+    whole = F.lit(RESAMPLE_DEFAULT[0])
+    frac_thr = F.lit(RESAMPLE_DEFAULT[1])
+    for src, (wh, fr) in RESAMPLE_WEIGHTS.items():
+        whole = F.when(F.col("source") == src, wh).otherwise(whole)
+        frac_thr = F.when(F.col("source") == src, fr).otherwise(frac_thr)
+    h = F.substring(
+        F.md5(F.concat(F.lit(RESAMPLE_SALT), F.col("doc_id").cast("string"))),
+        1, 4,
+    )
+    n_copies = (whole + (h < frac_thr).cast("int")).alias("n_copies")
+    counted = docs.select("doc_id", "source", n_copies)
+    return (
+        counted.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("n_copies")))
+            .alias("copy_id", "_one"),
+        )
+        .select("doc_id", "source", "n_copies", "copy_id")
+    )

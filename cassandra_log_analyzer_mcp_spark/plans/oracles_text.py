@@ -633,6 +633,40 @@ def text_oracles() -> dict[str, str]:
         f"THEN '{name}'"
         for name, bound in SPLIT_BOUNDS
     )
+    from ..operators.curation import (
+        RESAMPLE_DEFAULT,
+        RESAMPLE_SALT,
+        RESAMPLE_WEIGHTS,
+    )
+
+    whole_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN {wh}" for s, (wh, _) in RESAMPLE_WEIGHTS.items()
+        )
+        + f" ELSE {RESAMPLE_DEFAULT[0]} END"
+    )
+    frac_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN '{fr}'" for s, (_, fr) in RESAMPLE_WEIGHTS.items()
+        )
+        + f" ELSE '{RESAMPLE_DEFAULT[1]}' END"
+    )
+    o["importance_resample"] = f"""
+        SELECT doc_id, source, n_copies,
+               CAST(unnest(range(0, n_copies)) AS INT) AS copy_id
+        FROM (
+          SELECT doc_id, source,
+                 CAST({whole_case}
+                      + CASE WHEN substr(md5('{RESAMPLE_SALT}' || doc_id), 1, 4)
+                                  < {frac_case}
+                             THEN 1 ELSE 0 END AS INT) AS n_copies
+          FROM documents
+        ) t
+        WHERE n_copies > 0
+    """
+
     o["train_test_split"] = f"""
         SELECT doc_id, lang,
                CASE {split_whens} ELSE '{SPLIT_LAST}' END AS split

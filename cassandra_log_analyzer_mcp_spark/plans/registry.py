@@ -208,6 +208,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
+        "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
         "source_quality": curation.source_quality,
         "train_test_split": curation.train_test_split,

@@ -473,3 +473,30 @@ def test_ann_pq_recall_after_rerank(spark, sf_dir):
         for r in similarity.ann_pq_cosine(spark, sf_dir).collect()
     }
     assert len(exact & pq) / len(exact) >= 0.7
+
+
+def test_importance_resample_mix(spark, sf_dir):
+    """Copy counts follow the per-source weights: src0 ≈ half kept
+    (0 or 1 copies), src3 ≈ 2.5× (2 or 3), others exactly 1 — and the
+    result is deterministic across invocations."""
+    out = curation.importance_resample(spark, sf_dir)
+    per_src = {
+        r.source: r
+        for r in out.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_rows"),
+            F.min("n_copies").alias("mn"),
+            F.max("n_copies").alias("mx"),
+        )
+        .collect()
+    }
+    assert per_src["src0"].mn == 1 and per_src["src0"].mx == 1  # survivors
+    assert per_src["src3"].mn >= 2 and per_src["src3"].mx <= 3
+    for s, r in per_src.items():
+        if s not in ("src0", "src3"):
+            assert r.mn == r.mx == 1 and r.n_rows == r.n_docs
+    again = curation.importance_resample(spark, sf_dir)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
