@@ -513,6 +513,41 @@ def windowed_alerts(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
+#: alert-suppression cooldown: a repeat alert for the same (node,
+#: issue) within this many seconds of the previously FIRED alert is
+#: suppressed (alert-fatigue control; pages only on fresh incidents).
+ALERT_COOLDOWN_S = 3600
+
+
+def alert_dedup(logs: DataFrame, window_s: int = 900) -> DataFrame:
+    """Cooldown suppression over windowed_alerts: an alert fires only
+    if the previous fired window for the same (node, issue) ended more
+    than ALERT_COOLDOWN_S earlier — the page-once-per-incident policy
+    every alerting pipeline needs on top of raw threshold rules.
+
+    One lag window per (node, issue) over the ALREADY-aggregated alert
+    rows (bounded: nodes × issues × windows), so suppression adds no
+    scan and no wide shuffle. The gap compares consecutive FIRED
+    windows, so a continuous incident pages exactly once at onset and
+    can only page again after a cooldown-length quiet spell — gap
+    sessionization applied to alerts instead of errors.
+    """
+    alerts = windowed_alerts(logs, window_s)
+    w = Window.partitionBy("node", "issue").orderBy("win_start")
+    gap = F.col("win_start") - F.lag("win_start").over(w)
+    return (
+        alerts.withColumn("prev_gap_s", gap)
+        .filter(
+            F.col("prev_gap_s").isNull()
+            | (F.col("prev_gap_s") > ALERT_COOLDOWN_S)
+        )
+        .select(
+            "node", "win_start", "issue", "severity", "n_hits", "threshold",
+            F.coalesce("prev_gap_s", F.lit(-1)).alias("prev_gap_s"),
+        )
+    )
+
+
 def error_rate_rolling(logs: DataFrame, window_s: int = 3600) -> DataFrame:
     """Per-node hourly error counts with a 6-hour trailing moving
     average — the smoothed trend line an operator watches. Window

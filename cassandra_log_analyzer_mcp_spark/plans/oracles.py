@@ -282,6 +282,25 @@ def analysis_oracles() -> dict[str, str]:
     # the streaming twin must fire the exact same alert rows
     o["streaming_windowed_alerts"] = o["windowed_alerts"]
 
+    from ..operators.analysis import ALERT_COOLDOWN_S
+
+    # cooldown suppression composed over the SAME alert branches, so
+    # it cannot drift from the rules it suppresses
+    o["alert_dedup"] = with_logs(
+        f"""
+        SELECT node, win_start, issue, severity, n_hits, threshold,
+               COALESCE(prev_gap_s, -1) AS prev_gap_s
+        FROM (
+          SELECT a.*,
+                 win_start - lag(win_start) OVER (
+                   PARTITION BY node, issue ORDER BY win_start
+                 ) AS prev_gap_s
+          FROM ({alert_branches}) a
+        ) t
+        WHERE prev_gap_s IS NULL OR prev_gap_s > {ALERT_COOLDOWN_S}
+        """
+    )
+
     # Pearson r over exact-integer sums: num/den use only IEEE
     # correctly-rounded ops (incl. sqrt) in the same graph as the
     # Spark side — bit-identical doubles, no rounding.

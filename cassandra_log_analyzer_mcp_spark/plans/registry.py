@@ -144,6 +144,7 @@ def queries() -> dict[str, QueryFn]:
         "dropped_messages": _on_logs(analysis.dropped_messages),
         "log_templates": _on_logs(analysis.log_templates),
         "windowed_alerts": _on_logs(analysis.windowed_alerts),
+        "alert_dedup": _on_logs(analysis.alert_dedup),
         # §2E — the streaming path itself, bridged to a batch result so
         # the oracle verifies source→parse→classify→window end-to-end
         "streaming_issue_counts": batch_bridge.streaming_issue_counts,

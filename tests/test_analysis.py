@@ -369,3 +369,26 @@ def test_template_drift_shares(spark):
     got = {r.template: r for r in analysis.template_drift(_logs_df(spark, rows)).collect()}
     assert got["a <NUM>"].early_share == 1.0 and got["a <NUM>"].late_share == 0.0
     assert got["b"].drift == 1.0
+
+
+def test_alert_dedup_cooldown(spark):
+    # 11 timeouts per 15-min window in windows at t=0, +900s, +2h:
+    # windows 1 and 2 are 900s apart (suppressed), window 3 is
+    # 6300s > cooldown after window 2 (fires again)
+    base = datetime(2025, 1, 1, 0, 0, 0)
+    rows = []
+    lid = 0
+    for off_s in (0, 900, 2 * 3600):
+        for i in range(11):
+            rows.append(
+                ("n0", "ERROR", "request timed out",
+                 datetime.fromtimestamp(base.timestamp() + off_s + i),
+                 lid)
+            )
+            lid += 1
+    fired = analysis.windowed_alerts(_logs_df(spark, rows))
+    kept = analysis.alert_dedup(_logs_df(spark, rows))
+    assert fired.count() == 3
+    got = sorted(r.win_start for r in kept.collect())
+    assert len(got) == 2
+    assert got[1] - got[0] == 2 * 3600
