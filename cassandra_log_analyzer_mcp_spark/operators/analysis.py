@@ -354,6 +354,39 @@ def log_templates(logs: DataFrame) -> DataFrame:
     )
 
 
+TEMPLATES_PER_NODE_K = 5
+
+
+def top_templates_per_node(logs: DataFrame) -> DataFrame:
+    """Each node's TEMPLATES_PER_NODE_K most frequent masked templates
+    with their share of the node's lines — "what is this node saying"
+    at a glance (log_templates gives the corpus view; triage wants the
+    per-node one).
+
+    One (node, template)-keyed map-side-combined agg, then rank and
+    share windows over the SAME node partitioning (one shuffle total,
+    both windows reuse the agg's exchange). Share divides exact
+    integers — bit-identical, no rounding.
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    ).alias("template")
+    agg = logs.select("node", tmpl).groupBy("node", "template").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("node")
+    rk = Window.partitionBy("node").orderBy(F.col("n").desc(), "template")
+    return (
+        agg.withColumn("node_lines", F.sum("n").over(w))
+        .withColumn("rk", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rk") <= TEMPLATES_PER_NODE_K)
+        .select(
+            "node", "rk", "template", "n",
+            (F.col("n") / F.col("node_lines")).alias("share"),
+        )
+    )
+
+
 def dropped_messages(logs: DataFrame) -> DataFrame:
     """Dropped-message totals per (node, message type) — the
     tpstats-style "what is the cluster shedding" view (ref pattern

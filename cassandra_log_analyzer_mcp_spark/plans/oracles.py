@@ -531,6 +531,29 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    from ..operators.analysis import TEMPLATES_PER_NODE_K
+
+    o["top_templates_per_node"] = with_logs(
+        f"""
+        SELECT node, CAST(rk AS INT) AS rk, template, n,
+               n / node_lines AS share
+        FROM (
+          SELECT node, template, n,
+                 CAST(sum(n) OVER (PARTITION BY node) AS BIGINT)
+                   AS node_lines,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY n DESC, template) AS rk
+          FROM (
+            SELECT node,
+                   regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                                  '{TEMPLATE_NUM_TOKEN}', 'g') AS template,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM logs GROUP BY 1, 2
+          ) a
+        ) r WHERE rk <= {TEMPLATES_PER_NODE_K}
+        """
+    )
+
     # template share first-half vs second-half of the time range; all
     # divisions are exact-int / exact-int → bit-identical doubles.
     o["template_drift"] = with_logs(
