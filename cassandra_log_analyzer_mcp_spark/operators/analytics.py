@@ -642,6 +642,26 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type: counts and each
+    hour's share of the type's events — the load-shape view capacity
+    planning reads (UTC hours; the session tz pin makes the bucket
+    deterministic across engines).
+
+    One map-side-combined hash agg on the bounded (type × 24) key;
+    the share divides exact integers through a window over the tiny
+    rollup.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    )
+    agg = ev.groupBy("event_type", "hod").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return agg.withColumn("type_total", F.sum("n").over(w)).withColumn(
+        "share", F.col("n") / F.col("type_total")
+    )
+
+
 def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: user × event_type count pivot (compare_nodes-shaped, but
     on the generic events table). Explicit column list keeps the schema

@@ -337,6 +337,19 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY c_mktsegment
     """
 
+    o["event_seasonality"] = """
+        SELECT event_type, hod, n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS type_total,
+               n / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS share
+        FROM (
+          SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ) t
+    """
+
     o["user_activity_pivot"] = """
         SELECT user_id,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

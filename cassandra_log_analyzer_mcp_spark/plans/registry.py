@@ -185,6 +185,7 @@ def queries() -> dict[str, QueryFn]:
         "user_sessions": analytics.user_sessions,
         "top_users_by_value": analytics.top_users_by_value,
         "user_activity_pivot": analytics.user_activity_pivot,
+        "event_seasonality": analytics.event_seasonality,
         "event_value_percentiles": analytics.event_value_percentiles,
         "asof_purchase_before_error": analytics.asof_purchase_before_error,
         "props_json_stats": analytics.props_json_stats,
