@@ -496,9 +496,11 @@ def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter.
 
     Revenue per supplier is one map-side-combined shuffle over the
-    filtered lineitem scan; the max is an empty-frame window over the
-    (supplier-cardinality) rollup — no second scan, no self-join; the
-    supplier dim broadcasts in for the name only after the rollup.
+    filtered lineitem scan; the max is a ONE-ROW aggregate of the
+    rollup broadcast back onto it — never a single-partition window
+    (supplier cardinality is millions at scale, and an empty-frame
+    window would funnel the whole rollup through one task). The
+    supplier dim broadcasts in for the name only after the filter.
     """
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
@@ -511,11 +513,14 @@ def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        # consumed twice (max + probe); cached so the lineitem scan
+        # and rollup shuffle run once — supplier-cardinality rows
+        .cache()
     )
-    w = Window.partitionBy()
-    best = rev.withColumn(
-        "max_revenue", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    best = rev.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(
         F.broadcast(supp), best.l_suppkey == supp.s_suppkey
