@@ -23,6 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # The driver parses stdout for the single JSON line. The JVM writes
+    # to fd 1 directly (log4j console appender, Ivy, occasional
+    # SparkContext banners), bypassing sys.stdout — so save the real
+    # stdout fd and point fd 1 at stderr BEFORE the JVM launches; the
+    # JVM inherits the redirected fd and every byte of its noise lands
+    # on stderr. The JSON line alone is written to the saved fd at the
+    # end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -85,7 +96,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # Exactly one compact JSON line on the REAL stdout, nothing else
+    # (Spark noise went to stderr via the fd redirect above).
+    line = json.dumps(out, separators=(",", ":")) + "\n"
+    os.write(real_stdout, line.encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

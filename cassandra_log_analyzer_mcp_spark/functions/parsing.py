@@ -270,7 +270,11 @@ def parse_csv_lines(df: DataFrame) -> DataFrame:
     ``parse_lines``. from_csv is a JVM-side univocity scan — one
     map-only stage, no Python.
     """
-    c = F.from_csv("raw", F.lit(CSV_LOG_SCHEMA), {"sep": "\t"})
+    # quote must be DISABLED: the writer (concat_ws) never quotes, and
+    # univocity's default '"' would silently strip a leading quote off
+    # a message field ('"abc"' → 'abc'); empty string turns quoting off
+    # so arbitrary message text roundtrips byte-identical.
+    c = F.from_csv("raw", F.lit(CSV_LOG_SCHEMA), {"sep": "\t", "quote": ""})
     out = df.select(
         "line_id",
         "node",
@@ -366,27 +370,61 @@ def synth_multiline_lines(events: DataFrame) -> DataFrame:
     )
 
 
+#: line-id block width for two-stage multiline segmentation (the 100 TB
+#: analogue is the source file; fixed-width id blocks stand in here).
+MULTILINE_BLOCK_LINES = 8192
+
+
 def parse_multiline(df: DataFrame) -> DataFrame:
     """(line_id, node, raw) with continuation lines → parsed entries
     carrying ``n_extra_lines`` and the joined ``stack`` tail.
 
     Segmentation is a running count of header lines per node in line
     order (at 100 TB the order key is (file, byte offset) — exactly
-    what a text scan provides); each segment then collapses in ONE
-    hash aggregate: min_by picks the header, array_sort fixes the
-    collect_list order so the stack string is deterministic.
+    what a text scan provides), computed scale-safely in two stages:
+    a running header count WITHIN each (node, line-id block) —
+    fine-grained, massively parallel — plus each block's cumulative
+    header offset from the tiny (node × block) rollup, broadcast back.
+    ``offset + within-block count`` equals the global running count
+    exactly, including stack traces that span a block seam (their
+    continuation lines land in the next block with local count 0, so
+    they inherit the previous block's last segment id). Each segment
+    then collapses in ONE hash aggregate: min_by picks the header,
+    array_sort fixes the collect_list order so the stack string is
+    deterministic.
     """
     from pyspark.sql.window import Window
 
     is_header = F.col("raw").rlike(HEADER_REGEX)
-    w = (
-        Window.partitionBy("node")
+    blocked = df.select(
+        "line_id", "node", "raw",
+        F.floor(F.col("line_id") / MULTILINE_BLOCK_LINES).alias("block"),
+        is_header.cast("long").alias("is_hdr"),
+    )
+    w_local = (
+        Window.partitionBy("node", "block")
         .orderBy("line_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = df.select(
-        "line_id", "node", "raw",
-        F.sum(is_header.cast("long")).over(w).alias("seg"),
+    per_block = blocked.groupBy("node", "block").agg(
+        F.sum("is_hdr").alias("n_headers")
+    )
+    wb = Window.partitionBy("node").orderBy("block")
+    offsets = per_block.select(
+        "node", "block",
+        F.coalesce(
+            F.sum("n_headers").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("hdr_offset"),
+    )
+    tagged = (
+        blocked.join(F.broadcast(offsets), ["node", "block"])
+        .select(
+            "line_id", "node", "raw",
+            (F.col("hdr_offset") + F.sum("is_hdr").over(w_local)).alias("seg"),
+        )
     )
     grouped = (
         tagged.groupBy("node", "seg")

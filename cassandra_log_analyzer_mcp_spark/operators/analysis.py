@@ -125,17 +125,135 @@ def get_errors(logs: DataFrame, limit_per_node: int = 50) -> DataFrame:
     )
 
 
+#: line-id block width for two-stage per-node line numbering. At 100 TB
+#: the natural block is the file (or (date, node) partition) the line
+#: came from; the testdata has no file axis, so fixed-width line-id
+#: blocks stand in — any key that is monotone in the per-node order
+#: works identically.
+SEARCH_BUCKET_LINES = 8192
+
+
+def _numbered_lines(logs: DataFrame, context: bool = False) -> DataFrame:
+    """Per-node line numbers via two-stage numbering — scale-safe.
+
+    A single ``row_number`` over ``partitionBy(node)`` funnels a node's
+    ENTIRE history through one task; at 100 TB a node's lifetime log
+    does not fit one partition. Instead: number within (node, block)
+    — fine-grained, massively parallel — and add each block's
+    cumulative line offset, computed on the tiny (node × block) rollup
+    and broadcast back. ``line_number = offset + rank-in-block`` is
+    exactly the global per-node rank.
+
+    With ``context=True`` the rollup also carries each block's first
+    and last raw line so lag/lead at block boundaries can be patched
+    without a second wide shuffle (grep -C 1 across block seams).
+    """
+    bucket = F.floor(F.col("line_id") / SEARCH_BUCKET_LINES).alias("bucket")
+    lines = logs.select("node", "line_id", "raw", bucket)
+    rollup_aggs = [F.count("*").alias("cnt")]
+    if context:
+        rollup_aggs += [
+            F.min_by("raw", "line_id").alias("first_raw"),
+            F.max_by("raw", "line_id").alias("last_raw"),
+        ]
+    per_block = lines.groupBy("node", "bucket").agg(*rollup_aggs)
+    wb = Window.partitionBy("node").orderBy("bucket")
+    off_cols = [
+        F.col("node"),
+        F.col("bucket"),
+        F.coalesce(
+            F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("offset"),
+    ]
+    if context:
+        off_cols += [
+            F.lag("last_raw").over(wb).alias("prev_block_last"),
+            F.lead("first_raw").over(wb).alias("next_block_first"),
+        ]
+    offsets = per_block.select(*off_cols)
+    win = Window.partitionBy("node", "bucket").orderBy("line_id")
+    numbered = lines.join(F.broadcast(offsets), ["node", "bucket"]).withColumn(
+        "line_number",
+        (F.col("offset") + F.row_number().over(win)).cast("int"),
+    )
+    if context:
+        numbered = numbered.withColumn(
+            "prev_line",
+            F.coalesce(F.lag("raw").over(win), F.col("prev_block_last")),
+        ).withColumn(
+            "next_line",
+            F.coalesce(F.lead("raw").over(win), F.col("next_block_first")),
+        )
+    return numbered
+
+
+def get_errors_global(logs: DataFrame, limit: int = 50) -> DataFrame:
+    """Reference tool-surface limit semantics: ONE list of errors
+    truncated to ``limit`` ACROSS nodes (ref :816-819 concatenates
+    errors_by_node then slices ``errors[:limit]``), not per node.
+
+    The reference's cross-node order is dict insertion order; pinned
+    deterministic here as (node, ts, line_id). Three narrowing stages:
+    first-N within (node, day) — fine-grained, parallel — then first-N
+    per node over the ≤ N×days survivors, then the global rank over
+    ≤ N×nodes rows. The single-partition windows only ever see
+    survivor rows, never the error stream.
+    """
+    pre_w = Window.partitionBy("node", "day").orderBy("ts", "line_id")
+    node_w = Window.partitionBy("node").orderBy("ts", "line_id")
+    w = Window.orderBy("node", "ts", "line_id")
+    return (
+        logs.filter(F.col("is_error"))
+        .select(
+            "node", "ts_str", "level", "clazz", "message", "ts", "line_id",
+            F.to_date("ts").alias("day"),
+        )
+        .withColumn("pre_rn", F.row_number().over(pre_w))
+        .filter(F.col("pre_rn") <= limit)
+        .withColumn("nrn", F.row_number().over(node_w))
+        .filter(F.col("nrn") <= limit)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= limit)
+        .select("rn", "node", "ts_str", "level", "clazz", "message")
+    )
+
+
+def error_timeline_raw(logs: DataFrame, limit_per_node: int = 100) -> DataFrame:
+    """The reference timeline as RAW entries: every ERROR|WARN line on
+    the time axis (ref :256-257 appends the entry itself, not a count;
+    error_timeline is the aggregated interpretation). Bounded to the
+    first ``limit_per_node`` per node so the result stays renderable
+    and the operator scale-safe — same two-stage (node, day) top-N
+    shape as get_errors.
+    """
+    pre_w = Window.partitionBy("node", "day").orderBy("ts", "line_id")
+    w = Window.partitionBy("node").orderBy("ts", "line_id")
+    return (
+        logs.filter(F.col("level").isin("ERROR", "WARN"))
+        .select(
+            "node", "ts_str", "level", "thread", "clazz", "message",
+            "ts", "line_id", F.to_date("ts").alias("day"),
+        )
+        .withColumn("pre_rn", F.row_number().over(pre_w))
+        .filter(F.col("pre_rn") <= limit_per_node)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= limit_per_node)
+        .select("node", "rn", "ts_str", "level", "thread", "clazz", "message")
+    )
+
+
 def search_logs(logs: DataFrame, pattern: str, case_sensitive: bool = False) -> DataFrame:
     """Regex search with per-node line numbers (ref :311-327).
 
     Line numbers are assigned over ALL lines (reference enumerates the
-    file before matching) then the match filter applies.
+    file before matching) then the match filter applies. Numbering is
+    the two-stage block scheme (``_numbered_lines``) — no per-node
+    global window anywhere in the plan.
     """
     pat = pattern if case_sensitive else f"(?i){pattern}"
-    w = Window.partitionBy("node").orderBy("line_id")
     return (
-        logs.select("node", "line_id", "raw")
-        .withColumn("line_number", F.row_number().over(w))
+        _numbered_lines(logs)
         .filter(F.col("raw").rlike(pat))
         .select("node", "line_number", F.col("raw").alias("content"))
     )
@@ -230,6 +348,12 @@ def node_failure_correlation(
     # windows); broadcast hints keep these stages join-local instead of
     # re-shuffling tiny frames (the counts side of the left join and
     # the b side of the pair join are both bounded).
+    # Cache lifetime: deliberately session-scoped. Repeat invocations
+    # build the IDENTICAL logical plan, and Spark's CacheManager
+    # dedupes by plan equality ("already cached" lookup), so memory is
+    # bounded by one rollup-sized entry per distinct input, not per
+    # call; a long-lived service that cycles inputs should unpersist
+    # after consuming (as dedup_clusters does for its loop state).
     counts = counts.cache()
     grid = (
         counts.select("node").distinct()
@@ -546,24 +670,32 @@ def windowed_alerts(logs: DataFrame, window_s: int = 900) -> DataFrame:
     )
 
 
-#: alert-suppression cooldown: a repeat alert for the same (node,
-#: issue) within this many seconds of the previously FIRED alert is
-#: suppressed (alert-fatigue control; pages only on fresh incidents).
+#: alert-suppression quiet-spell horizon: a threshold-exceeding window
+#: for the same (node, issue) pages only if the PREVIOUS
+#: threshold-exceeding window (paged or suppressed) started more than
+#: this many seconds earlier — i.e. pages fire at the onset of an
+#: incident after a cooldown-length quiet spell, not on a
+#: per-last-page timer.
 ALERT_COOLDOWN_S = 3600
 
 
 def alert_dedup(logs: DataFrame, window_s: int = 900) -> DataFrame:
-    """Cooldown suppression over windowed_alerts: an alert fires only
-    if the previous fired window for the same (node, issue) ended more
-    than ALERT_COOLDOWN_S earlier — the page-once-per-incident policy
-    every alerting pipeline needs on top of raw threshold rules.
+    """Quiet-spell suppression over windowed_alerts: an alert pages
+    only when the gap since the previous threshold-exceeding window
+    for the same (node, issue) — whether that one paged or was itself
+    suppressed — exceeds ALERT_COOLDOWN_S. A continuous incident pages
+    exactly once at onset; any re-page requires a full cooldown-length
+    spell with NO threshold-exceeding windows first (this is gap
+    sessionization applied to alert windows: pages mark session
+    starts). Note these are quiet-spell-since-last-ALERT-WINDOW
+    semantics, not page-once-per-cooldown-since-last-PAGE: during an
+    incident that flaps at sub-cooldown intervals, no second page
+    fires even after cooldown seconds of pages-silence. The gap also
+    compares consecutive win_start values (window starts, not ends).
 
     One lag window per (node, issue) over the ALREADY-aggregated alert
     rows (bounded: nodes × issues × windows), so suppression adds no
-    scan and no wide shuffle. The gap compares consecutive FIRED
-    windows, so a continuous incident pages exactly once at onset and
-    can only page again after a cooldown-length quiet spell — gap
-    sessionization applied to alerts instead of errors.
+    scan and no wide shuffle.
     """
     alerts = windowed_alerts(logs, window_s)
     w = Window.partitionBy("node", "issue").orderBy("win_start")
@@ -660,18 +792,15 @@ def search_context(logs: DataFrame, pattern: str = "tombstone") -> DataFrame:
     (grep -C 1) — the triage view search_logs (ref :311-327) implies:
     an error rarely explains itself without the line before it.
 
-    lag/lead windows over per-node line order attach context BEFORE
-    the match filter (context lines need not match); same single
-    per-node sort as search_logs, just two more frame expressions on
-    it — no join back to the raw table.
+    lag/lead run within the same (node, block) partitions search_logs
+    numbers in (``_numbered_lines``); block-seam neighbors come from
+    the broadcast rollup's first/last lines — context attaches BEFORE
+    the match filter (context lines need not match), with no per-node
+    global window and no join back to the raw table.
     """
     pat = f"(?i){pattern}"
-    w = Window.partitionBy("node").orderBy("line_id")
     return (
-        logs.select("node", "line_id", "raw")
-        .withColumn("line_number", F.row_number().over(w))
-        .withColumn("prev_line", F.lag("raw").over(w))
-        .withColumn("next_line", F.lead("raw").over(w))
+        _numbered_lines(logs, context=True)
         .filter(F.col("raw").rlike(pat))
         .select(
             "node",

@@ -236,63 +236,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_MAX_ITERS = 20
 
 
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Unordered pairs → canonical (u = larger, v = smaller) edge set."""
+    return (
+        df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label connected components over an undirected pair list.
+    """Connected components over an undirected pair list via
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
 
     pairs(da, db) → (doc_id, cluster_id, cluster_size) for every doc
     that appears in a pair; cluster_id is the component's minimum
     doc_id (so ``doc_id == cluster_id`` marks the keeper).
 
-    Iterative label propagation — the one operator family where a
-    driver loop is legitimate (GraphX/Pregel do the same): each round
-    is label = min(label, min over neighbors' labels), a join + a
-    map-side-combinable min-agg, converging in graph-diameter rounds.
-    Near-dup components are tiny and shallow (diameter ≪ 20), so the
-    round count stays low at any corpus size; the 100 TB upgrade is
-    alternating large-star/small-star contraction (O(log²) rounds on
-    adversarial graphs) — same join shape, more bookkeeping.
+    Each round rewires edges toward local minima:
+    - large-star: every node attaches its strictly-LARGER neighbors
+      to the smallest node it can see (min of itself ∪ neighbors);
+    - small-star: every node attaches its ≤-neighbors and itself to
+      its smallest neighbor.
+    Both are a groupBy-min + an equi-join — map-side-combinable, no
+    per-component serialization — and the alternation converges to a
+    disjoint union of stars centered at component minima in O(log² n)
+    rounds EVEN on adversarial chain/path-shaped duplicate graphs,
+    where plain min-label propagation needs O(diameter) rounds. The
+    driver loop is the legitimate Pregel-style control edge; all data
+    movement stays distributed.
 
-    Convergence is detected with a scalar: labels only ever decrease,
-    so sum(labels) strictly decreases until the fixpoint — one
-    ~free aggregate per round instead of an old-vs-new anti-join.
+    Convergence: a cheap (count, Σu, Σv) fingerprint per round, with
+    an exact exceptAll equality check run only when the fingerprint
+    says fixpoint (so the anti-join happens once, at the end).
+
+    Lineage control: each round's edge set is localCheckpoint'ed
+    (eager) — the iterated plan would otherwise nest a full
+    join+agg+distinct tree per round and blow up plan
+    processing/optimization long before data size matters (the exact
+    failure GraphX's periodic checkpointing exists to prevent).
+    Checkpointed partitions are not recomputable on executor loss;
+    a production run at cluster scale would use reliable
+    checkpoint dirs at the same cut points.
     """
-    edges = (
+    edges = _canon_edges(
         pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
-        .union(pairs.select(F.col("db").alias("u"), F.col("da").alias("v")))
-        .cache()
+    ).localCheckpoint()
+    prev_stats = tuple(
+        edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0]
     )
-    # Round 0 is folded into initialization: label = min(self ∪
-    # neighbors) is one map-side-combinable agg over the edge list —
-    # no join, and for the star-shaped components near-dup graphs are
-    # mostly made of it IS already the fixpoint.
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select(
-            F.col("u").alias("doc_id"),
-            F.least("u", "mv").alias("cluster_id"),
-        )
-        .cache()
-    )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(CLUSTER_MAX_ITERS):
-        # propagate(v→u) ∪ self, then one min-agg: two shuffles per
-        # round (join + agg) — the left-join formulation costs three.
-        prop = edges.join(labels, edges["v"] == labels["doc_id"]).select(
-            edges["u"].alias("doc_id"), "cluster_id"
+        # large-star over the symmetric adjacency
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            prop.union(labels)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select("u", F.least("u", "m").alias("m"))
         )
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        # output is already (larger → smaller): v > u ≥ m, so no
+        # canonicalization pass; duplicates don't affect the min-aggs
+        # downstream. Cached (not checkpointed): it feeds two branches
+        # of ONE round whose inputs are a checkpoint cut, so the plan
+        # subtree stays constant-size.
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).cache()
+        # small-star over the (larger → smaller)-oriented edges
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = _canon_edges(
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u").alias("u"), F.col("m").alias("v")))
+        ).localCheckpoint()
+        stats = tuple(
+            new_edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0]
+        )
+        converged = stats == prev_stats and new_edges.exceptAll(
+            edges
+        ).isEmpty()
+        large.unpersist()
+        edges = new_edges
+        prev_stats = stats
+        if converged:
             break
-        prev_sum = new_sum
+    # fixpoint is a star forest: every edge is (member, component min)
+    labels = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .union(
+            edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")

@@ -226,6 +226,34 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # reference tool-surface limit semantics: ONE cross-node list
+    # truncated to 50 (ref :816-819), order pinned (node, ts, line_id)
+    o["get_errors_global"] = with_logs(
+        """
+        SELECT CAST(rn AS INT) AS rn, node, ts_str, level, clazz, message
+        FROM (
+          SELECT node, ts_str, level, clazz, message,
+                 row_number() OVER (ORDER BY node, ts, line_id) AS rn
+          FROM flagged WHERE is_error
+        ) t WHERE rn <= 50
+        """
+    )
+
+    # the reference timeline's RAW entry list (ref :256-257), bounded
+    # to the first 100 ERROR|WARN entries per node
+    o["error_timeline_raw"] = with_logs(
+        """
+        SELECT node, CAST(rn AS INT) AS rn, ts_str, level, thread, clazz,
+               message
+        FROM (
+          SELECT node, ts_str, level, thread, clazz, message,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY ts, line_id) AS rn
+          FROM logs WHERE level IN ('ERROR', 'WARN')
+        ) t WHERE rn <= 100
+        """
+    )
+
     o["search_logs"] = with_logs(
         f"""
         SELECT node, CAST(line_number AS INT) AS line_number, content FROM (

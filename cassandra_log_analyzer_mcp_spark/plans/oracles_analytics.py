@@ -329,7 +329,7 @@ def analytics_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_custs,
                round(sum(c_acctbal), 2) AS total_bal
         FROM customer c
-        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
                              WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey

@@ -38,24 +38,47 @@ def read_log_dir(
     """Read raw log lines from a glob; node extracted from the path.
 
     Returns (line_id, node, raw). line_id is a per-node monotonic line
-    number (file order within each file), the distributed analogue of
-    the reference's enumerate() (ref :319).
+    number, the distributed analogue of the reference's enumerate()
+    (ref :319), PINNED to (file name, in-file order): when a node has
+    several files (rotated ``system.log.1`` etc.) the numbering is
+    deterministic across runs and cluster layouts — files sort by
+    name, lines by position within each file. (monotonically_
+    increasing_id alone is partition-indexed, and Spark packs file
+    splits into partitions by SIZE order, so it is not file-name
+    ordered across files.)
+
+    Numbering is two-stage (no per-node global window): row_number
+    within each (node, file) partition — parallel per file — plus the
+    file's cumulative line offset from the tiny (node × file) rollup,
+    broadcast back.
     """
     tune(spark)
     df = (
         spark.read.text(path_glob)
         .select(
             F.regexp_extract(F.input_file_name(), node_regex, 1).alias("node"),
+            F.input_file_name().alias("_fname"),
             F.col("value").alias("raw"),
             F.monotonically_increasing_id().alias("_file_order"),
         )
     )
-    # Window per node keyed on the ingestion-order id. For exact
-    # line-number parity with a single file per node this is correct;
-    # across many files per node it is a stable total order.
-    w = Window.partitionBy("node").orderBy("_file_order")
-    return df.select(
-        F.row_number().over(w).alias("line_id"), "node", "raw"
+    per_file = df.groupBy("node", "_fname").agg(F.count("*").alias("cnt"))
+    wb = Window.partitionBy("node").orderBy("_fname")
+    offsets = per_file.select(
+        "node", "_fname",
+        F.coalesce(
+            F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    w = Window.partitionBy("node", "_fname").orderBy("_file_order")
+    return (
+        df.join(F.broadcast(offsets), ["node", "_fname"])
+        .select(
+            (F.col("_offset") + F.row_number().over(w)).alias("line_id"),
+            "node",
+            "raw",
+        )
     )
 
 

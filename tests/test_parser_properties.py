@@ -224,3 +224,35 @@ def test_json_tsv_roundtrip_property(
         got_c = parse_csv_lines(csv_raw).collect()[0]
         assert (got_c.level, got_c.thread, got_c.clazz, got_c.line_no,
                 got_c.message) == (level, thread, clazz, line_no, message)
+
+
+def test_tsv_roundtrips_quote_edge_cases(spark):
+    """univocity's default quote char ('"') would strip a leading
+    double quote off the message field ('"abc"' → 'abc'); parse_csv_lines
+    disables quoting so these roundtrip byte-identical (the failure
+    mode the r1 advisor verified on Spark)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        parse_csv_lines,
+    )
+
+    messages = ['"abc"', '"abc', 'a"b', '""', '"', '" leading quote space']
+    fields = spark.createDataFrame(
+        [
+            Row(line_id=i, node="n0", level="INFO",
+                ts_str="2024-01-01 00:00:00,000", thread="t", clazz="C",
+                line_no=1, message=m)
+            for i, m in enumerate(messages)
+        ]
+    )
+    csv_raw = fields.select(
+        "line_id", "node",
+        F.concat_ws(
+            "\t", "level", "ts_str", "thread", "clazz",
+            F.col("line_no").cast("string"), "message",
+        ).alias("raw"),
+    )
+    got = {r.line_id: r.message for r in parse_csv_lines(csv_raw).collect()}
+    for i, m in enumerate(messages):
+        assert got[i] == m, f"TSV mangled {m!r} -> {got[i]!r}"

@@ -179,3 +179,54 @@ def test_cluster_sizes_avoid_low_cardinality_window(spark, sf_dir):
     plan = _plan(similarity.kmeans_embeddings(spark, sf_dir))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _window_specs(plan: str) -> list[str]:
+    """Every windowspecdefinition(...) argument list in the plan."""
+    import re
+
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+def test_search_logs_has_no_per_node_global_window(spark, sf_dir):
+    """Line numbering must be two-stage: every window partitions on
+    (node, bucket) — a window partitioned by node alone funnels a
+    node's entire history through one task at scale (the r1 verdict's
+    named scale-killer)."""
+    from cassandra_log_analyzer_mcp_spark.operators import analysis
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    logs = logs_flagged(spark, sf_dir)
+    for df in (
+        analysis.search_logs(logs, "tombstone"),
+        analysis.search_context(logs, "tombstone"),
+    ):
+        plan = _plan(df)
+        specs = _window_specs(plan)
+        assert specs, "expected window expressions in the plan"
+        for spec in specs:
+            # raw-line windows must carry the bucket key; the rollup
+            # windows (offset/lag over node×bucket rows) order BY
+            # bucket — either way 'bucket' appears in the spec.
+            assert "bucket" in spec, f"per-node global window: {spec}"
+        # the numbered side joins the tiny offsets rollup by broadcast
+        assert "BroadcastHashJoin" in plan
+
+
+def test_parse_multiline_segmentation_is_blocked(spark, sf_dir):
+    """Segmentation's running header count must partition on
+    (node, block), with the cross-block offset coming from the rollup
+    — no per-node global running-sum window."""
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        parse_multiline,
+        synth_multiline_lines,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    lines = synth_multiline_lines(table(spark, sf_dir, "events"))
+    plan = _plan(parse_multiline(lines))
+    specs = _window_specs(plan)
+    assert specs
+    for spec in specs:
+        assert "block" in spec, f"per-node global window: {spec}"
+    assert "BroadcastHashJoin" in plan

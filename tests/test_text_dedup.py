@@ -500,3 +500,18 @@ def test_importance_resample_mix(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_connected_components_adversarial_long_chain(spark):
+    """A 64-node path graph has diameter 63 — plain min-label
+    propagation would need 63 rounds (far past CLUSTER_MAX_ITERS);
+    large-star/small-star contraction must converge in O(log² n)
+    rounds within the cap."""
+    pairs = spark.createDataFrame(
+        [Row(da=i, db=i + 1) for i in range(63)]
+    )
+    got = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components(pairs).collect()
+    )
+    assert got == [(i, 0, 64) for i in range(64)]
