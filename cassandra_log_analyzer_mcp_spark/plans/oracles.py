@@ -239,6 +239,23 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # silver round trip: the oracle recomputes the rollup straight
+    # from the shared CTE — any defect in write→partition→read (type
+    # drift on the partition columns, row loss, pruning bugs)
+    # hash-mismatches
+    o["silver_node_errors"] = with_logs(
+        """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date, node,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                 AS errors,
+               CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END) AS BIGINT)
+                 AS warnings,
+               CAST(count(*) AS BIGINT) AS total_lines
+        FROM flagged WHERE node IN ('node1', 'node3')
+        GROUP BY 1, 2
+        """
+    )
+
     # the reference timeline's RAW entry list (ref :256-257), bounded
     # to the first 100 ERROR|WARN entries per node
     o["error_timeline_raw"] = with_logs(

@@ -21,6 +21,7 @@ from ..operators import (
     skew,
     textops,
 )
+from ..sources.silver import silver_node_errors as _silver_node_errors
 from ..sources.tables import logs_flagged
 from ..streaming import batch_bridge
 from . import oracles
@@ -100,6 +101,9 @@ def queries() -> dict[str, QueryFn]:
         # new parity variants (reference tool-surface semantics)
         "get_errors_global": _on_logs(analysis.get_errors_global),
         "error_timeline_raw": _on_logs(analysis.error_timeline_raw),
+        # the partitioned silver layer exercised end-to-end (write →
+        # partition-pruned read → rollup)
+        "silver_node_errors": _silver_node_errors,
         # §2C remainder
         "event_transitions": analytics.event_transitions,
         "retention_cohorts": analytics.retention_cohorts,

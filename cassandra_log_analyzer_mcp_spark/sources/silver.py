@@ -39,3 +39,39 @@ def write_silver(spark: SparkSession, sf_dir: str, path: str) -> str:
 
 def read_silver(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def silver_node_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full silver round trip as a graded query: parse+classify →
+    write partitioned by (log_date, node) → read back with a node
+    filter → per-(log_date, node) error rollup.
+
+    This is the batch consumer of the layout stream_to_silver also
+    lands: the node predicate prunes whole partition directories at
+    the source (PartitionFilters in the scan — asserted in
+    tests/test_plan_shape.py), which is exactly how "errors on node3
+    yesterday" avoids touching 100 TB. The write is re-done per call
+    (build-once at scale; rewriting keeps the query hermetic for the
+    gate).
+    """
+    import os
+
+    path = os.path.join(
+        "/tmp",
+        "spark_graft_silver_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    write_silver(spark, sf_dir, path)
+    df = read_silver(spark, path).filter(
+        F.col("node").isin("node1", "node3")
+    )
+    return df.groupBy(
+        # ISO string, not DATE: engines stringify date values
+        # differently, and the gate's value hash compares strings
+        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+        F.col("node"),
+    ).agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+        F.count("*").alias("total_lines"),
+    )

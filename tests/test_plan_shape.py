@@ -230,3 +230,18 @@ def test_parse_multiline_segmentation_is_blocked(spark, sf_dir):
     for spec in specs:
         assert "block" in spec, f"per-node global window: {spec}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_silver_node_errors_prunes_partitions(spark, sf_dir):
+    """The silver consumer's node predicate must land in the scan's
+    PartitionFilters — whole (log_date, node) directories skipped at
+    the source, the mechanism that makes 'errors on node3' not a
+    100 TB scan."""
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        silver_node_errors,
+    )
+
+    plan = _plan(silver_node_errors(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "node" in seg and "node1" in seg
