@@ -132,6 +132,99 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year —
+    supplier nation × customer nation revenue for the ordered pairs
+    of NATION_1/NATION_2 over 1996-1997.
+
+    Both nation-filtered key maps broadcast (supplier and customer
+    shrink to the two nations' keys before touching facts), the
+    shipdate filter pushes to the lineitem scan, and the only
+    fact-fact shuffle is lineitem⋈orders — already pre-filtered to
+    the two supplier nations by the broadcast join, so the shuffle
+    moves a sliver of the fact table.
+    """
+    nation = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: yearly revenue lost to small-quantity orders
+    of one brand's parts — lines whose quantity is below 20% of the
+    part's average quantity.
+
+    The correlated scalar subquery decorrelates into a per-part
+    rollup broadcast back onto the brand-filtered lines (the brand
+    dim broadcast prunes lineitem FIRST, so the rollup and the probe
+    both touch only that brand's sliver). The threshold compares in
+    EXACT arithmetic: q < 0.2·avg(q) ⟺ 5·q·n < Σq (all positive) —
+    quantities are integer-valued, so both sides are exact and the
+    boundary decision can never differ between engines, unlike an
+    unrounded 0.2·avg double threshold.
+    """
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_lines_part"),
+    )
+    return (
+        li.join(F.broadcast(stats), "l_partkey")
+        .filter(
+            F.lit(5.0) * F.col("l_quantity") * F.col("n_lines_part")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: per-event-type top-5 users by total value (two-stage top-N)."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")

@@ -233,6 +233,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+#: asymmetric containment threshold (Broder 1997's containment
+#: coefficient): flag a pair when either doc's shingle set is ≥ this
+#: fraction inside the other's.
+CONTAINMENT_MIN = 0.8
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A,B) = |A∩B| / |A| — the
+    doc-inside-doc detector. A short document quoted wholesale inside
+    a much longer one has near-1 containment but low Jaccard (the
+    union is dominated by the long doc), so symmetric near-dup passes
+    miss it; containment is how pipelines catch boilerplate inclusion
+    and quote-expansion duplicates.
+
+    Candidates come from the SAME MinHash band index the Jaccard pass
+    builds (shared cached shingle arrays; the verify intersects arrays
+    map-side). Banding recall is tuned for Jaccard, so a pair with
+    high containment but tiny Jaccard may not collide — the documented
+    production upgrade is a size-stratified band index probing the
+    smaller side's bands only. The oracle shares the candidate CTE, so
+    the gate proves the scoring exactly on the shared candidate set.
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    buckets = _band_buckets(arrs)
+    cand = (
+        buckets.select(F.col("doc_id").alias("da"), "band")
+        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    a = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    scored = (
+        cand.join(a, "da")
+        .join(b, "db")
+        .select(
+            "da",
+            "db",
+            F.round(inter / F.size("arr_a"), 4).alias("containment_a"),
+            F.round(inter / F.size("arr_b"), 4).alias("containment_b"),
+            F.size("arr_a").cast("long").alias("n_a"),
+            F.size("arr_b").cast("long").alias("n_b"),
+        )
+    )
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= CONTAINMENT_MIN
+    )
+
+
 CLUSTER_MAX_ITERS = 20
 
 

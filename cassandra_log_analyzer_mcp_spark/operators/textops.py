@@ -426,6 +426,82 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(REPEAT_TOP_K)
 
 
+#: PII patterns (RE2- and Java-regex compatible; no lookarounds).
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_REGEX = r"\b\d{3}-\d{4}\b"
+
+
+def _with_synth_pii(docs: DataFrame) -> DataFrame:
+    """documents + deterministic synthetic PII fields woven into the
+    text (the corpus itself is clean synthetic prose): doc_id-keyed
+    email / IPv4 / phone suffixes on interleaved subsets, so documents
+    carry every combination of PII types including none. The oracle
+    re-derives the same strings in SQL — the scrubber is judged on
+    byte-identical redacted text.
+    """
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), ds, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat("text", email, ip, phone).alias("text")
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before anything else ships: emails, IPv4 addresses,
+    and phone-shaped digit runs replaced with typed placeholder tokens,
+    with per-doc match counts for the removal report.
+
+    Pure map stage (regexp_count + three chained regexp_replace, all
+    whole-stage codegen) — zero shuffle, scan speed at 100 TB.
+    Replacement order matters and is pinned: emails first (their
+    domains contain dots that the IP pattern must not see), then IPs,
+    then phones.
+    """
+    docs = _with_synth_pii(documents(spark, sf_dir).select("doc_id", "text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_REGEX, "<EMAIL>"),
+            PII_IPV4_REGEX,
+            "<IP>",
+        ),
+        PII_PHONE_REGEX,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_REGEX)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count("text", F.lit(PII_IPV4_REGEX)).cast("long").alias(
+            "n_ips"
+        ),
+        F.regexp_count("text", F.lit(PII_PHONE_REGEX)).cast("long").alias(
+            "n_phones"
+        ),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: (ground truth × prediction)
     counts with per-truth recall — the classifier-evaluation view a

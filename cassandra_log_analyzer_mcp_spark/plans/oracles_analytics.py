@@ -42,6 +42,44 @@ def analytics_oracles() -> dict[str, str]:
     # the salted-join twin must produce the identical result set
     o["shipping_priority_salted"] = o["shipping_priority"]
 
+    o["nation_volume"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name != cn.n_name
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """
+
+    # threshold in exact arithmetic: 5*q*n < sum(q) is the
+    # decorrelated form of q < 0.2*avg(q) (see analytics.py)
+    o["small_quantity_revenue"] = """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+        JOIN (
+          SELECT l2.l_partkey, sum(l2.l_quantity) AS sum_qty,
+                 count(*) AS n_lines_part
+          FROM lineitem l2
+          JOIN part p2 ON p2.p_partkey = l2.l_partkey
+                      AND p2.p_brand = 'Brand#1'
+          GROUP BY 1
+        ) st ON st.l_partkey = l.l_partkey
+        WHERE 5.0 * l.l_quantity * st.n_lines_part < st.sum_qty
+    """
+
     o["regional_revenue"] = """
         SELECT n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

@@ -97,6 +97,39 @@ def text_oracles() -> dict[str, str]:
         FROM documents
     """
 
+    from ..operators.textops import (
+        PII_EMAIL_REGEX,
+        PII_IPV4_REGEX,
+        PII_PHONE_REGEX,
+    )
+
+    # synthetic PII woven in with the same doc_id-keyed construction
+    # as the Spark side; the scrubbed text must match byte-identical
+    pii_text = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)"
+        " || '.0.' || (doc_id % 100) ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    o["pii_scrub"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL_REGEX}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_IPV4_REGEX}'))
+                    AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE_REGEX}'))
+                    AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_REGEX}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_REGEX}', '<IP>', 'g'),
+                 '{PII_PHONE_REGEX}', '<PHONE>', 'g') AS scrubbed
+        FROM (SELECT doc_id, {pii_text} AS t FROM documents) p
+    """
+
     # No rounding: identical IEEE computation graphs on both engines
     # (see operators/textops.py quality_score).
     o["quality_score"] = f"""
@@ -406,6 +439,34 @@ def text_oracles() -> dict[str, str]:
     o["dedup_minhash_lsh"] = f"""
         WITH {minhash_ctes}
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
+    """
+
+    from ..operators.dedup import CONTAINMENT_MIN
+
+    # containment shares the band-index candidate CTE with the
+    # Jaccard pass; DuckDB's / on integers is float division, same
+    # IEEE graph as Spark's
+    o["minhash_containment"] = f"""
+        WITH {minhash_base},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+        ),
+        arrs AS (SELECT doc_id, list(s) AS arr FROM sh GROUP BY doc_id),
+        scored AS (
+          SELECT c.da, c.db,
+                 round(len(list_intersect(a.arr, b.arr)) / len(a.arr), 4)
+                   AS containment_a,
+                 round(len(list_intersect(a.arr, b.arr)) / len(b.arr), 4)
+                   AS containment_b,
+                 CAST(len(a.arr) AS BIGINT) AS n_a,
+                 CAST(len(b.arr) AS BIGINT) AS n_b
+          FROM cand c
+          JOIN arrs a ON a.doc_id = c.da
+          JOIN arrs b ON b.doc_id = c.db
+        )
+        SELECT * FROM scored
+        WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_MIN}
     """
 
     # composed FROM the minhash pipeline + the doc→source lookup; max

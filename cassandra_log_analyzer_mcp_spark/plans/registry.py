@@ -104,7 +104,9 @@ def queries() -> dict[str, QueryFn]:
         # the partitioned silver layer exercised end-to-end (write →
         # partition-pruned read → rollup)
         "silver_node_errors": _silver_node_errors,
-        # §2C remainder
+        # §2C remainder (+ r2 additions)
+        "nation_volume": analytics.nation_volume,
+        "small_quantity_revenue": analytics.small_quantity_revenue,
         "event_transitions": analytics.event_transitions,
         "retention_cohorts": analytics.retention_cohorts,
         "user_sessions": analytics.user_sessions,
@@ -115,6 +117,7 @@ def queries() -> dict[str, QueryFn]:
         "asof_purchase_before_error": analytics.asof_purchase_before_error,
         "props_json_stats": analytics.props_json_stats,
         # §2D — text analysis
+        "pii_scrub": textops.pii_scrub,
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
@@ -139,6 +142,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_normalized": dedup.dedup_normalized,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "minhash_containment": dedup.minhash_containment,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,

@@ -245,3 +245,31 @@ def test_silver_node_errors_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert "node" in seg and "node1" in seg
+
+
+def test_nation_volume_broadcasts_dims_and_pushes_dates(spark, sf_dir):
+    """Q7 shape: nation-filtered supplier/customer maps broadcast;
+    the shipdate window reaches the lineitem scan; the only
+    sort-merge-eligible shuffle join is lineitem⋈orders."""
+    plan = _plan(analytics.nation_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_small_quantity_revenue_broadcasts_rollup(spark, sf_dir):
+    """Q17 shape: the per-part quantity rollup broadcasts back onto
+    the brand-filtered lines — no fact-fact shuffle join at all."""
+    plan = _plan(analytics.small_quantity_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """The scrubber must stay a pure map stage: no shuffle besides the
+    documented single-split testdata spread."""
+    from cassandra_log_analyzer_mcp_spark.operators.textops import pii_scrub
+
+    plan = _plan(pii_scrub(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan

@@ -515,3 +515,40 @@ def test_connected_components_adversarial_long_chain(spark):
         for r in dedup.connected_components(pairs).collect()
     )
     assert got == [(i, 0, 64) for i in range(64)]
+
+
+def test_pii_scrub_redacts_all_types(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    rows = {r.doc_id: r for r in textops.pii_scrub(spark, sf_dir).collect()}
+    # doc 105 = 3*5*7: carries every PII type exactly once
+    r = rows[105]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert "<EMAIL>" in r.scrubbed and "<IP>" in r.scrubbed
+    assert "<PHONE>" in r.scrubbed
+    assert "@example.com" not in r.scrubbed
+    assert "555-" not in r.scrubbed
+    # doc 1: clean — untouched text, zero counts
+    r1 = rows[1]
+    assert (r1.n_emails, r1.n_ips, r1.n_phones) == (0, 0, 0)
+    assert "<" not in r1.scrubbed
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """C(A,B) = |A∩B|/|A| ≥ J(A,B) always (the union is at least as
+    large as either set); every verified near-dup pair must appear in
+    the containment view with max-containment ≥ its jaccard."""
+    from cassandra_log_analyzer_mcp_spark.operators import dedup as dd
+
+    jac = {
+        (r.da, r.db): r.jaccard
+        for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.da, r.db): max(r.containment_a, r.containment_b)
+        for r in dd.minhash_containment(spark, sf_dir).collect()
+    }
+    assert cont, "expected containment pairs"
+    for pair, c in cont.items():
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9
