@@ -225,6 +225,54 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the ONLY late supplier on a
+    multi-supplier order — the "who alone holds up shared orders"
+    ranking.
+
+    The classic formulation is EXISTS + NOT-EXISTS correlated
+    subqueries (two extra lineitem probes). Spark-first it collapses
+    into ONE per-order rollup: count distinct suppliers and distinct
+    LATE suppliers per order, keep orders with >1 supplier and exactly
+    1 late one, then re-join the late lines of those orders — a single
+    extra shuffle instead of two self-probes, and the rollup rows are
+    order-cardinality, not line-cardinality. Lateness = shipped after
+    1999-06-30 (fixed audit horizon; the testdata has no receipt/commit
+    dates, so the horizon plays Q21's receiptdate > commitdate role).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (
+            F.col("l_shipdate") > F.lit("1999-06-30").cast("timestamp_ntz")
+        ).alias("late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    target = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    blamed = (
+        li.filter(F.col("late"))
+        .join(target, "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events: per-event-type top-5 users by total value (two-stage top-N)."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")

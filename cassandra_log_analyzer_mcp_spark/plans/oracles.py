@@ -487,6 +487,9 @@ def analysis_oracles() -> dict[str, str]:
         GROUP BY node, sid
         """
     )
+    # the native session_window running UNDER readStream (complete
+    # mode) must emit the exact batch sessions
+    o["streaming_error_sessions"] = o["error_sessions"]
 
     bursts_body = BURSTS_BODY
     o["error_bursts"] = with_logs(bursts_body)

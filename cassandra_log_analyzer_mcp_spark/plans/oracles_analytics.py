@@ -80,6 +80,37 @@ def analytics_oracles() -> dict[str, str]:
         WHERE 5.0 * l.l_quantity * st.n_lines_part < st.sum_qty
     """
 
+    # independent derivation via the classic EXISTS/NOT-EXISTS shape
+    # (DuckDB decorrelates it itself) — the Spark side's single-rollup
+    # reformulation must produce identical blame counts
+    o["late_sole_suppliers"] = """
+        SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
+          SELECT s.s_name, b.numwait,
+                 row_number() OVER (ORDER BY b.numwait DESC, s.s_name)
+                   AS rank
+          FROM (
+            SELECT l1.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+            FROM (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1999-06-30'
+            ) l1
+            WHERE EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey != l1.l_suppkey
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey != l1.l_suppkey
+                      AND l3.l_shipdate > TIMESTAMP '1999-06-30'
+                  )
+            GROUP BY l1.l_suppkey
+          ) b
+          JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        ) t WHERE rank <= 20
+    """
+
     o["regional_revenue"] = """
         SELECT n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

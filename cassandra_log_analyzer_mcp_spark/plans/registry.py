@@ -107,6 +107,7 @@ def queries() -> dict[str, QueryFn]:
         # §2C remainder (+ r2 additions)
         "nation_volume": analytics.nation_volume,
         "small_quantity_revenue": analytics.small_quantity_revenue,
+        "late_sole_suppliers": analytics.late_sole_suppliers,
         "event_transitions": analytics.event_transitions,
         "retention_cohorts": analytics.retention_cohorts,
         "user_sessions": analytics.user_sessions,
@@ -262,6 +263,7 @@ def queries() -> dict[str, QueryFn]:
         "streaming_dedup_incremental":
             batch_bridge.streaming_dedup_incremental,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
+        "streaming_error_sessions": batch_bridge.streaming_error_sessions,
     }
     return q
 

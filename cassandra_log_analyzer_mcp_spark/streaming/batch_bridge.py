@@ -179,6 +179,46 @@ def streaming_windowed_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-gap sessionization BY THE STREAM using Spark's NATIVE
+    session_window — the built-in merging session aggregate running
+    under readStream (complete mode over the file source; a production
+    stream swaps to watermark + append for state eviction). The same
+    error_sessions function runs unchanged on the stream, shares the
+    batch oracle, and the gate proves the native streaming session
+    state machine emits the exact batch rows.
+    """
+    from ..operators import analysis
+
+    log_dir = _landed_log_dir(spark, sf_dir)
+    lines = spark.readStream.text(log_dir).select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.col("node").cast("string").alias("node"),
+        F.col("value").alias("raw"),
+    )
+    sess = analysis.error_sessions(log_stream.parsed_stream(lines))
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # session state is keyed by node (handful of keys) — size the
+    # state-store shuffle to it (see streaming_issue_counts)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(sess, sink, output_mode="complete")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_error_sessions did not finish its availableNow batch"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        "node",
+        F.col("start_s").cast("long").alias("start_s"),
+        F.col("end_s_excl").cast("long").alias("end_s_excl"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 _LANDED_BATCH: dict[str, str] = {}
 
 
