@@ -462,6 +462,74 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.filter(pref < thr).select("vec_id", "cluster")
 
 
+#: per-cluster review-queue depth for the outlier report
+OUTLIER_TOP_K = 5
+#: vec-id block width for the two-stage per-cluster top-K
+OUTLIER_BLOCK = 128
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report: each cluster's OUTLIER_TOP_K
+    vectors farthest from their own k-means centroid — the
+    "mislabeled / off-topic / garbage document" review queue curation
+    pipelines build after clustering (a hard threshold would be
+    data-dependent; the farthest-K queue is always meaningful).
+
+    EXACT integer arithmetic: with the centroid kept as (component
+    sums s, count c), the scaled squared distance
+    ``D = Σ_i (c·q_i − s_i)²`` equals ``c²·‖q − s/c‖²`` without ever
+    forming a float mean — D is a plain long, both engines score
+    identically, and ranking ties break on vec_id. The cluster's
+    median D rides along for context (percentile↔quantile_cont, the
+    proven pairing; lossless round(…,1) on integer/.5 medians).
+
+    Plan shape: the K-row centroid-state frame broadcasts onto the
+    assignment⋈vectors join; top-K per cluster is TWO-STAGE (within
+    (cluster, vec-id block) first) because a window partitioned by
+    the K cluster ids alone would funnel the corpus through K tasks
+    at scale; the median is a K-row agg broadcast back.
+    """
+    quant = _quantized(spark, sf_dir)
+    a = kmeans_assignments(spark, sf_dir).join(quant, "vec_id")
+    cent = a.groupBy("cluster").agg(
+        F.count("*").alias("c"),
+        *[
+            F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+            for i in range(EMBED_DIM)
+        ],
+    )
+    d2 = None
+    for i in range(EMBED_DIM):
+        t = F.col("c") * F.element_at("q", i + 1) - F.col(f"s{i}")
+        d2 = t * t if d2 is None else d2 + t * t
+    scored = a.join(F.broadcast(cent), "cluster").select(
+        "vec_id", "cluster", d2.alias("dist2_scaled"),
+        F.floor(F.col("vec_id") / OUTLIER_BLOCK).alias("blk"),
+    )
+    med = scored.groupBy("cluster").agg(
+        F.round(F.expr("percentile(dist2_scaled, 0.5)"), 1).alias(
+            "median_dist2"
+        )
+    )
+    pre_w = Window.partitionBy("cluster", "blk").orderBy(
+        F.col("dist2_scaled").desc(), "vec_id"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist2_scaled").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("pre_rn", F.row_number().over(pre_w))
+        .filter(F.col("pre_rn") <= OUTLIER_TOP_K)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OUTLIER_TOP_K)
+        .join(F.broadcast(med), "cluster")
+        .select(
+            "cluster", F.col("rn").cast("int").alias("rn"), "vec_id",
+            "dist2_scaled", "median_dist2",
+        )
+    )
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_normed(spark, sf_dir)
     corpus = emb.select("vec_id", "v", "nv", _bucket_col("v").alias("bucket"))

@@ -1016,6 +1016,54 @@ def similarity_oracles() -> dict[str, str]:
         FROM per p JOIN dom d USING (cluster)
     """
 
+    from ..operators.similarity import OUTLIER_TOP_K
+
+    # final-assignment centroid state recomputed with the same
+    # exact-integer (sums, count) recipe as the iteration CTEs; the
+    # scaled distance Σ(c·q_i − s_i)² is pure BIGINT arithmetic
+    o["embedding_outliers"] = f"""
+        WITH {km_ctes},
+        aq AS (
+          SELECT a.vec_id, a.cluster, v.q
+          FROM asg a JOIN quant v USING (vec_id)
+        ),
+        fsums AS (
+          SELECT cluster, pos, CAST(sum(x) AS BIGINT) AS sv
+          FROM (SELECT cluster, unnest(q) AS x,
+                       unnest(range(1, len(q) + 1)) AS pos
+                FROM aq) u
+          GROUP BY cluster, pos
+        ),
+        fcent AS (
+          SELECT cluster, list(sv ORDER BY pos) AS s, min(c) AS c
+          FROM fsums JOIN (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS c
+            FROM aq GROUP BY cluster) n USING (cluster)
+          GROUP BY cluster
+        ),
+        scored AS (
+          SELECT aq.vec_id, aq.cluster,
+                 CAST(list_sum(list_transform(range(1, len(aq.q) + 1),
+                      i -> (fcent.c * aq.q[i] - fcent.s[i])
+                           * (fcent.c * aq.q[i] - fcent.s[i])))
+                      AS BIGINT) AS dist2_scaled
+          FROM aq JOIN fcent USING (cluster)
+        ),
+        med AS (
+          SELECT cluster, round(quantile_cont(dist2_scaled, 0.5), 1)
+                   AS median_dist2
+          FROM scored GROUP BY cluster
+        )
+        SELECT cluster, CAST(rn AS INT) AS rn, vec_id, dist2_scaled,
+               median_dist2
+        FROM (
+          SELECT s.*, m.median_dist2,
+                 row_number() OVER (PARTITION BY s.cluster
+                     ORDER BY s.dist2_scaled DESC, s.vec_id) AS rn
+          FROM scored s JOIN med m USING (cluster)
+        ) t WHERE rn <= {OUTLIER_TOP_K}
+    """
+
     o["cluster_balanced_sample"] = f"""
         WITH {km_ctes},
         sized AS (

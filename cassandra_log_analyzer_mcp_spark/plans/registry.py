@@ -159,6 +159,7 @@ def queries() -> dict[str, QueryFn]:
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "cluster_summary": similarity.cluster_summary,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
+        "embedding_outliers": similarity.embedding_outliers,
         "doc_embedding_join": similarity.doc_embedding_join,
         # rows-only tail of block 1 (weakest driver evidence)
         # HLL sketches legitimately differ across engines
