@@ -111,13 +111,14 @@ def search_report(flagged: DataFrame, pattern: str, case_sensitive: bool = False
 
 def errors_report(flagged: DataFrame, node_name: str | None = None,
                   limit: int = 50) -> str:
-    """Markdown parity with get_errors (ref :801-826)."""
+    """Markdown parity with get_errors (ref :801-826): ONE list
+    truncated to ``limit`` across nodes (the reference slices the
+    concatenated per-node lists, ref :816-819) — served by
+    get_errors_global, whose oracle pins exactly these semantics."""
     df = flagged
     if node_name:
         df = df.filter(F.col("node") == node_name)
-    errs = analysis.get_errors(df, limit_per_node=limit).orderBy(
-        "node", "rn"
-    ).limit(limit).collect()
+    errs = analysis.get_errors_global(df, limit=limit).orderBy("rn").collect()
     out = [f"# Errors ({len(errs)})", ""]
     for r in errs:
         out += [f"**{r.node}** [{r.ts_str}]", "```", r.message, "```", ""]
