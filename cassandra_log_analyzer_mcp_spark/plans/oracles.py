@@ -490,6 +490,9 @@ def analysis_oracles() -> dict[str, str]:
     # the native session_window running UNDER readStream (complete
     # mode) must emit the exact batch sessions
     o["streaming_error_sessions"] = o["error_sessions"]
+    # the exactly-once streaming silver sink must land the exact rows
+    # the batch silver write produces
+    o["streaming_silver_counts"] = o["silver_node_errors"]
 
     bursts_body = BURSTS_BODY
     o["error_bursts"] = with_logs(bursts_body)

@@ -265,6 +265,7 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_dedup_incremental,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
+        "streaming_silver_counts": batch_bridge.streaming_silver_counts,
     }
     return q
 

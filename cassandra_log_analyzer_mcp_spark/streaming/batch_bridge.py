@@ -219,6 +219,48 @@ def streaming_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_silver_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once streaming silver sink graded end-to-end: the
+    raw log stream parses+classifies, stream_to_silver lands it as
+    parquet partitioned by (log_date, node) through the checkpointed
+    commit log, and the landed table is read back into the same
+    per-day error rollup silver_node_errors computes from the BATCH
+    write path — sharing its oracle, so the gate proves the streaming
+    writer loses and duplicates nothing.
+    """
+    log_dir = _landed_log_dir(spark, sf_dir)
+    lines = spark.readStream.text(log_dir).select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.col("node").cast("string").alias("node"),
+        F.col("value").alias("raw"),
+    )
+    parsed = log_stream.parsed_stream(lines).withColumn(
+        "log_date", F.to_date("ts")
+    )
+    work = tempfile.mkdtemp(prefix="stream_silver_")
+    out = os.path.join(work, "silver")
+    ck = os.path.join(work, "ck")
+    q = log_stream.stream_to_silver(
+        parsed, out, ck, partition_cols=("log_date", "node")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_silver_counts did not finish its availableNow batch"
+        )
+    df = spark.read.parquet(out).filter(
+        F.col("node").isin("node1", "node3")
+    )
+    return df.groupBy(
+        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+        F.col("node"),
+    ).agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+        F.count("*").alias("total_lines"),
+    )
+
+
 _LANDED_BATCH: dict[str, str] = {}
 
 

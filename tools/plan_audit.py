@@ -23,6 +23,7 @@ EAGER = {
     "streaming_dedup_incremental",
     "streaming_windowed_alerts",
     "streaming_error_sessions",
+    "streaming_silver_counts",
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
