@@ -426,6 +426,67 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(REPEAT_TOP_K)
 
 
+def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: the fraction of a doc's
+    token positions lying inside a REPEAT_K-token span that also
+    occurs in ANOTHER document — the per-doc consumption view of
+    repeated_ngrams' corpus-level signal (Lee et al. 2022 drop
+    documents by exactly this kind of duplicated-span fraction, not
+    by whole-doc similarity).
+
+    Shape: positional grams (posexplode keeps the span's start), one
+    gram-keyed shuffle to find cross-document grams, a gram-keyed join
+    back (big-big on the gram key at scale — deliberately NOT a
+    broadcast; the duplicated-gram set grows with the corpus), then
+    covered positions = distinct union of [pos, pos+K) intervals per
+    doc — an explode(sequence)+distinct, integer-only until the final
+    exact division.
+    """
+    toks = documents(spark, sf_dir).select(
+        "doc_id", tokens_col().alias("t")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        shingles_col(F.col("t"), REPEAT_K).alias("g"),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode("g").alias("pos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    covered = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (REPEAT_K - 1))
+        ).alias("tp"),
+    ).distinct()
+    cnt = covered.groupBy("doc_id").agg(
+        F.count("*").alias("covered_tokens")
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("n_tokens"),
+            )
+            .otherwise(0.0)
+            .alias("coverage"),
+        )
+    )
+
+
 #: PII patterns (RE2- and Java-regex compatible; no lookarounds).
 PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

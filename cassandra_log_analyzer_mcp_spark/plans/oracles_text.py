@@ -252,6 +252,46 @@ def text_oracles() -> dict[str, str]:
         LIMIT {REPEAT_TOP_K}
     """
 
+    # per-doc coverage by cross-document REPEAT_K-spans; positions are
+    # 1-based here vs 0-based posexplode on the Spark side — only the
+    # covered-position CARDINALITY is compared, which is offset-free
+    o["repeated_span_coverage"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          SELECT doc_id, unnest(gr) AS gram,
+                 unnest(range(1, len(gr) + 1)) AS pos
+          FROM (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(len(t) - {REPEAT_K - 1}, 0) + 1),
+                     i -> array_to_string(t[i:i + {REPEAT_K - 1}], ' '))
+                     AS gr
+            FROM toks) x
+        ),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        cov AS (
+          SELECT DISTINCT doc_id, tp FROM (
+            SELECT doc_id, unnest(range(pos, pos + {REPEAT_K})) AS tp
+            FROM hits) u
+        ),
+        cnt AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+          FROM cov GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(c.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN b.n_tokens > 0
+                    THEN COALESCE(c.covered_tokens, 0) / b.n_tokens
+                    ELSE 0.0 END AS coverage
+        FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+              FROM toks) b
+        LEFT JOIN cnt c USING (doc_id)
+    """
+
     from ..operators.textops import (
         REP_DUP2_MAX,
         REP_DUP3_MAX,

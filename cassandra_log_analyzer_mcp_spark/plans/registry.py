@@ -129,6 +129,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_repetition": textops.doc_repetition,
         "repeated_ngrams": textops.repeated_ngrams,
+        "repeated_span_coverage": textops.repeated_span_coverage,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         # §2D — composed curation pipeline (featurize→filter→dedup)

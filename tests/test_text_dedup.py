@@ -552,3 +552,42 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     for pair, c in cont.items():
         if pair in jac:
             assert c >= jac[pair] - 1e-9
+
+
+def test_repeated_span_coverage_bounds(spark, sf_dir):
+    """Coverage is in [0,1] and covered_tokens never exceeds n_tokens."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    for r in textops.repeated_span_coverage(spark, sf_dir).collect():
+        assert 0.0 <= r.coverage <= 1.0
+        assert r.covered_tokens <= r.n_tokens
+
+
+def test_repeated_span_coverage_inline_corpus(spark):
+    """Known geometry: doc 0 and doc 1 are identical 10-token docs
+    (full coverage), doc 2 shares only its first 8 tokens with them
+    (coverage 8/12), doc 3 shares nothing (coverage 0)."""
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=shared + " i j"),
+            Row(doc_id=1, text=shared + " i j"),
+            Row(doc_id=2, text=shared + " x y z w"),
+            Row(doc_id=3, text="p q r s t u v w0 w1 w2"),
+        ]
+    )
+    orig = t.documents
+    try:
+        t.documents = lambda s_, d: docs
+        got = {
+            r.doc_id: r
+            for r in t.repeated_span_coverage(spark, "unused").collect()
+        }
+    finally:
+        t.documents = orig
+    assert got[0].coverage == 1.0 and got[1].coverage == 1.0
+    assert got[2].n_tokens == 12 and got[2].covered_tokens == 8
+    assert abs(got[2].coverage - 8 / 12) < 1e-12
+    assert got[3].coverage == 0.0 and got[3].covered_tokens == 0
