@@ -196,25 +196,11 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
-    probe only the nprobe closest cells per query.
-
-    The coarse quantizer is deterministic (the first IVF_N_CELLS
-    vectors as centroids) so both engines build the identical index;
-    production would k-means-train the centroids — everything from
-    assignment onward is unchanged.
-
-    Scale shape (the reason IVF beats LSH on recall/cost here):
-    - Assignment is ONE broadcast pass over the corpus: centroids are
-      broadcast, the per-vector argmax is a map-side max(struct) with
-      partial aggregation — 16 candidate rows collapse to 1 before any
-      shuffle. The assignment is the reusable index; at 100 TB it is
-      written once, partitioned by cell.
-    - Probing joins the tiny (query × nprobe) probe list — broadcast —
-      against the cell-partitioned corpus: each query scans
-      nprobe/n_cells of the data instead of all of it.
-    """
+def _ivf_index_and_probes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assignment index, probe list) shared by the in-memory and
+    persisted IVF variants — see ann_ivf_cosine for the design."""
     emb = _embeddings_normed(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
         F.col("vec_id").alias("cell"),
@@ -265,6 +251,10 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prn") <= IVF_NPROBE)
         .select("q_id", "qv", "qn", "cell")
     )
+    return assign, probes
+
+
+def _ivf_probe(assign: DataFrame, probes: DataFrame) -> DataFrame:
     # a corpus vector lives in exactly one cell and probe cells are
     # distinct per query, so (q_id, vec_id) pairs are already unique.
     pairs = (
@@ -273,6 +263,59 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
     )
     return _ranked(pairs, IVF_TOP_K).select("q_id", "vec_id", "sim", "rn")
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    probe only the nprobe closest cells per query.
+
+    The coarse quantizer is deterministic (the first IVF_N_CELLS
+    vectors as centroids) so both engines build the identical index;
+    production would k-means-train the centroids — everything from
+    assignment onward is unchanged.
+
+    Scale shape (the reason IVF beats LSH on recall/cost here):
+    - Assignment is ONE broadcast pass over the corpus: centroids are
+      broadcast, the per-vector argmax is a map-side max(struct) with
+      partial aggregation — 16 candidate rows collapse to 1 before any
+      shuffle. The assignment is the reusable index; at 100 TB it is
+      written once, partitioned by cell (ann_ivf_persisted IS that
+      path, graded).
+    - Probing joins the tiny (query × nprobe) probe list — broadcast —
+      against the cell-partitioned corpus: each query scans
+      nprobe/n_cells of the data instead of all of it.
+    """
+    assign, probes = _ivf_index_and_probes(spark, sf_dir)
+    return _ivf_probe(assign, probes)
+
+
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index as a MATERIALIZED artifact: the coarse-quantized
+    assignment (vector payload + cell) is written ONCE as parquet
+    partitioned by cell — the build-once/query-many index lifecycle a
+    production vector store runs — and probing reads the written
+    layout. Shares ann_ivf_cosine's oracle: the gate proves the
+    persisted index returns the exact in-memory results (doubles
+    roundtrip parquet bit-exactly; IEEE scoring graphs identical).
+    At scale a query's nprobe cells prune to nprobe directories of
+    the written layout.
+    """
+    import os
+
+    assign, probes = _ivf_index_and_probes(spark, sf_dir)
+    path = os.path.join(
+        "/tmp",
+        "spark_graft_ivf_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    (
+        assign.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    idx = spark.read.parquet(path)
+    return _ivf_probe(idx, probes)
 
 
 #: k-means topic clustering over the int8-quantized embeddings.

@@ -892,6 +892,9 @@ def similarity_oracles() -> dict[str, str]:
           FROM pairs
         ) t WHERE rn <= {IVF_TOP_K}
     """
+    # the parquet-persisted index must return the exact in-memory
+    # results (doubles roundtrip parquet bit-exactly)
+    o["ann_ivf_persisted"] = o["ann_ivf_cosine"]
 
     from ..operators.similarity import (
         PQ_K,

@@ -155,6 +155,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_quantized_int8": similarity.knn_quantized_int8,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
+        "ann_ivf_persisted": similarity.ann_ivf_persisted,
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "kmeans_embeddings": similarity.kmeans_embeddings,

@@ -256,3 +256,29 @@ def test_tsv_roundtrips_quote_edge_cases(spark):
     got = {r.line_id: r.message for r in parse_csv_lines(csv_raw).collect()}
     for i, m in enumerate(messages):
         assert got[i] == m, f"TSV mangled {m!r} -> {got[i]!r}"
+
+
+EMAIL_LOCAL = st.from_regex(r"[A-Za-z0-9][A-Za-z0-9._%+-]{0,15}", fullmatch=True)
+EMAIL_DOMAIN = st.from_regex(
+    r"[A-Za-z0-9][A-Za-z0-9-]{0,10}\.[A-Za-z]{2,6}", fullmatch=True
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(local=EMAIL_LOCAL, domain=EMAIL_DOMAIN)
+def test_pii_email_regex_property(local, domain):
+    """Any well-formed address embedded in prose is fully consumed by
+    the email pattern (no partial redaction leaking the local part or
+    the domain)."""
+    import re
+
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        PII_EMAIL_REGEX,
+    )
+
+    addr = f"{local}@{domain}"
+    text = f"reach me at {addr} thanks"
+    scrubbed = re.sub(PII_EMAIL_REGEX, "<EMAIL>", text)
+    assert addr not in scrubbed
+    assert "@" not in scrubbed
+    assert "<EMAIL>" in scrubbed
