@@ -377,13 +377,18 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         prev_stats = stats
         if converged:
             break
-    # fixpoint is a star forest: every edge is (member, component min)
+    # fixpoint is a star forest: every edge is (member, component min).
+    # The min-agg (not just distinct) keeps the one-label-per-doc
+    # contract even if the iteration cap exits before the verified
+    # fixpoint — a node still holding edges to two centers collapses
+    # to the smaller one instead of emitting conflicting rows.
     labels = (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .union(
             edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )
     w = Window.partitionBy("cluster_id")
     return labels.select(

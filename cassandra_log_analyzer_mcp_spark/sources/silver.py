@@ -41,6 +41,30 @@ def read_silver(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def node_errors_rollup(df: DataFrame) -> DataFrame:
+    """The shared silver-consumer rollup: filter to two nodes (the
+    pruning demonstration) and aggregate errors per (log_date, node).
+
+    ONE definition on purpose — silver_node_errors (batch write path)
+    and streaming_silver_counts (streaming sink path) share a single
+    oracle, so their rollups must be the same code, not copies.
+    """
+    return (
+        df.filter(F.col("node").isin("node1", "node3"))
+        .groupBy(
+            # ISO string, not DATE: engines stringify date values
+            # differently, and the gate's value hash compares strings
+            F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+            F.col("node"),
+        )
+        .agg(
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+            F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+            F.count("*").alias("total_lines"),
+        )
+    )
+
+
 def silver_node_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full silver round trip as a graded query: parse+classify →
     write partitioned by (log_date, node) → read back with a node
@@ -52,26 +76,15 @@ def silver_node_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_shape.py), which is exactly how "errors on node3
     yesterday" avoids touching 100 TB. The write is re-done per call
     (build-once at scale; rewriting keeps the query hermetic for the
-    gate).
+    gate) into a PID-scoped path, so concurrent sessions on one host
+    never overwrite each other's files mid-scan.
     """
     import os
 
     path = os.path.join(
         "/tmp",
-        "spark_graft_silver_"
+        f"spark_graft_silver_{os.getpid()}_"
         + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
     )
     write_silver(spark, sf_dir, path)
-    df = read_silver(spark, path).filter(
-        F.col("node").isin("node1", "node3")
-    )
-    return df.groupBy(
-        # ISO string, not DATE: engines stringify date values
-        # differently, and the gate's value hash compares strings
-        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
-        F.col("node"),
-    ).agg(
-        F.sum(F.col("is_error").cast("long")).alias("errors"),
-        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
-        F.count("*").alias("total_lines"),
-    )
+    return node_errors_rollup(read_silver(spark, path))

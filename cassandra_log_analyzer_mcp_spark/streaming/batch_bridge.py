@@ -248,17 +248,11 @@ def streaming_silver_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming_silver_counts did not finish its availableNow batch"
         )
-    df = spark.read.parquet(out).filter(
-        F.col("node").isin("node1", "node3")
-    )
-    return df.groupBy(
-        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
-        F.col("node"),
-    ).agg(
-        F.sum(F.col("is_error").cast("long")).alias("errors"),
-        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
-        F.count("*").alias("total_lines"),
-    )
+    from ..sources.silver import node_errors_rollup
+
+    # the SAME rollup code as silver_node_errors — they share one
+    # oracle, so the consumer must be shared, not copied
+    return node_errors_rollup(spark.read.parquet(out))
 
 
 _LANDED_BATCH: dict[str, str] = {}
