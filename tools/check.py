@@ -12,6 +12,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -47,7 +48,8 @@ def main() -> int:
 
     from cassandra_log_analyzer_mcp_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    cpus = os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in [
