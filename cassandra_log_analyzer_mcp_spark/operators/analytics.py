@@ -225,6 +225,117 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_3 suppliers' share of revenue delivered
+    into the AMERICA region's market, by order year — the conditional-
+    aggregation-over-deep-join shape (share = Σ(case)/Σ(all) in one
+    pass, no second join).
+
+    All dims broadcast after their own filters (region → nations →
+    customers; supplier key map carries just a nation flag); the one
+    fact-fact shuffle is lineitem⋈orders. The share divides two
+    same-pass rounded sums — deterministic under the repo's rounding
+    protocol.
+    """
+    region = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = table(spark, sf_dir, "nation")
+    rnations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(rnations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey", (F.col("n_name") == "NATION_3").alias("is_target")
+        )
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum(F.when(F.col("is_target"), vol).otherwise(0.0)), 2)
+            .alias("target_revenue"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "target_revenue",
+            "total_revenue",
+            F.round(
+                F.col("target_revenue") / F.col("total_revenue"), 4
+            ).alias("mkt_share"),
+        )
+    )
+
+
+#: Q19-style disjunctive predicate triplets: (brand, max size, min qty)
+PROMO_DISJUNCTS = [
+    ("Brand#1", 10, 10.0),
+    ("Brand#2", 20, 20.0),
+    ("Brand#3", 30, 30.0),
+]
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue from lineitems matching ANY of three
+    (brand, part-size, quantity) condition triplets — the disjunctive
+    multi-predicate join shape. The OR evaluates AFTER one equi-join
+    on partkey (never three separate joins unioned); the part side
+    pre-filters to the union of brands so the broadcast stays small,
+    and the residual disjunction is a codegen'd boolean over the
+    joined row.
+    """
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin([b for b, _, _ in PROMO_DISJUNCTS]))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = None
+    for brand, max_size, min_qty in PROMO_DISJUNCTS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") >= min_qty)
+        )
+        cond = c if cond is None else cond | c
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style: suppliers who were the ONLY late supplier on a
     multi-supplier order — the "who alone holds up shared orders"

@@ -80,6 +80,48 @@ def analytics_oracles() -> dict[str, str]:
         WHERE 5.0 * l.l_quantity * st.n_lines_part < st.sum_qty
     """
 
+    o["market_share"] = """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END), 2) AS target_revenue,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS total_revenue,
+               round(round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END), 2)
+                     / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+                     4) AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+                     AND r.r_name = 'AMERICA'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """
+
+    from ..operators.analytics import PROMO_DISJUNCTS
+
+    disjunct_sql = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size <= {sz} AND l.l_quantity >= {q})"
+        for b, sz, q in PROMO_DISJUNCTS
+    )
+    o["disjunctive_revenue"] = f"""
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE {disjunct_sql}
+        GROUP BY 1
+    """
+
     # independent derivation via the classic EXISTS/NOT-EXISTS shape
     # (DuckDB decorrelates it itself) — the Spark side's single-rollup
     # reformulation must produce identical blame counts

@@ -112,6 +112,8 @@ def queries() -> dict[str, QueryFn]:
         "nation_volume": analytics.nation_volume,
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "late_sole_suppliers": analytics.late_sole_suppliers,
+        "market_share": analytics.market_share,
+        "disjunctive_revenue": analytics.disjunctive_revenue,
         "event_transitions": analytics.event_transitions,
         "retention_cohorts": analytics.retention_cohorts,
         "user_sessions": analytics.user_sessions,
