@@ -111,6 +111,28 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow decode stage ITSELF, hash-checked: per-doc features
+    out of the real ``mapInPandas`` path (payload byte count, mean
+    byte value, metadata dims) — every one SQL-recomputable because
+    the stub's features are deterministic functions of the payload
+    bytes. This is the strongest multimodal evidence the gate can
+    give: the Python-worker Arrow round trip (schema mapping, batch
+    iteration, struct field access) must be byte-equivalent to
+    independent SQL, not just row-count-stable.
+
+    mean_byte is an exact-integer byte sum divided by an exact count —
+    bit-identical IEEE division on both engines, no rounding needed.
+    (The oracle recomputes byte sums via per-char codepoints, exact
+    for the ASCII corpus; a future non-ASCII drop would flag here
+    loudly rather than silently.)
+    """
+    feats = decode_features(with_media_columns(documents(spark, sf_dir)))
+    return feats.select(
+        "doc_id", "source", "n_bytes", "mean_byte", "width", "height"
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -292,6 +292,23 @@ def text_oracles() -> dict[str, str]:
         LEFT JOIN cnt c USING (doc_id)
     """
 
+    # the Arrow mapInPandas decode stage hash-checked: n_bytes via
+    # octet_length (UTF-8-correct), mean_byte via per-char codepoint
+    # sums (== byte sums for the ASCII corpus; a non-ASCII drop
+    # mismatches loudly), metadata dims from the doc_id formulas in
+    # multimodal.with_media_columns
+    o["multimodal_decode_check"] = """
+        SELECT doc_id, source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_transform(
+                      range(1, length(text) + 1),
+                      i -> ascii(text[i]))) AS BIGINT)
+                 / CAST(length(text) AS BIGINT) AS mean_byte,
+               CAST(doc_id % 640 + 32 AS INT) AS width,
+               CAST(doc_id % 480 + 24 AS INT) AS height
+        FROM documents
+    """
+
     from ..operators.textops import (
         REP_DUP2_MAX,
         REP_DUP3_MAX,

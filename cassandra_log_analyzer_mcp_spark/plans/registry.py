@@ -123,6 +123,9 @@ def queries() -> dict[str, QueryFn]:
         "event_value_percentiles": analytics.event_value_percentiles,
         "asof_purchase_before_error": analytics.asof_purchase_before_error,
         "props_json_stats": analytics.props_json_stats,
+        # §2D — the Arrow mapInPandas decode stage, hash-checked (the
+        # strongest multimodal evidence; the agg views stay rows-only)
+        "multimodal_decode_check": multimodal.multimodal_decode_check,
         # §2D — text analysis
         "pii_scrub": textops.pii_scrub,
         "token_count": textops.token_count,
