@@ -940,3 +940,265 @@ def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count("*").alias("n_total"),
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: the cheapest supplier per part within one
+    region — the groupwise-min + join-back shape (the classic
+    correlated MIN subquery, decorrelated).
+
+    No partsupp table exists in this data model, so "offer price" is
+    the *observed* per-(part, supplier) minimum unit price from
+    lineitem: MIN(l_extendedprice / l_quantity). The division is a
+    single IEEE op per row and MIN is order-independent, so the value
+    is bit-identical across engines with no rounding protocol needed.
+
+    Plan shape: region→nation→supplier collapses to a ~supplier-sized
+    broadcast; the part filter broadcasts too, so lineitem is pruned
+    by BOTH broadcast joins before the per-pair rollup — the only
+    shuffle is the (part, supplier) groupBy, at pair cardinality.
+    Groupwise min via row_number with (price, suppkey) tie-break;
+    final top-100 by account balance mirrors Q2's ORDER BY.
+    """
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    rsupp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    fpart = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey", "p_name")
+    )
+    offers = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .join(F.broadcast(fpart), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit").alias("min_unit_price"))
+    )
+    best = Window.partitionBy("p_partkey").orderBy(
+        F.col("min_unit_price"), F.col("s_suppkey")
+    )
+    # final top-100 via orderBy+limit → TakeOrderedAndProject (each
+    # task keeps its local 100, driver merges) — NEVER a global
+    # single-partition window over part-cardinality rows
+    return (
+        offers.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "min_unit_price",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and order year for one
+    product line (p_name LIKE 'red%') — the deep star-join +
+    two-fact-shuffle shape.
+
+    No partsupp/supplycost exists here, so cost is proxied by
+    0.1·p_retailprice·l_quantity (documented deviation; the join
+    topology — lineitem⋈part⋈supplier⋈nation⋈orders — is the point).
+    part/supplier/nation all broadcast after their filters; the single
+    fact-fact shuffle is lineitem⋈orders, with lineitem already pruned
+    to the 'red%' sliver by the part broadcast.
+    """
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum(profit), 2).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose revenue through one region's
+    suppliers exceeds a fraction of that region's total — the
+    scalar-subquery-threshold shape.
+
+    The threshold comparison runs in EXACT integer arithmetic: each
+    part's value is snapped to ten-thousandth units (the discount
+    grid) as a BIGINT, the grand total is the sum of those integers,
+    and the filter is 1000·value > total — no double comparison can
+    flip a boundary row between engines. The total is a one-row
+    broadcast (Q11's scalar subquery), never a second scan of the
+    probe side.
+    """
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    nsupp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 10000
+            )
+            .cast("long")
+            .alias("value_du"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    # consumed twice (total + probe); cached so the lineitem scan and
+    # part rollup run once — part-cardinality rows. Same session-scoped
+    # lifetime rationale as top_suppliers' rev cache.
+    pv = pv.cache()
+    total = pv.agg(F.sum("value_du").alias("total_du"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_du") * 1000 > F.col("total_du"))
+        .select(
+            "p_partkey",
+            F.round(F.col("value_du") / 10000.0, 2).alias("part_value"),
+            "n_lines",
+        )
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: how many distinct suppliers ship each
+    (brand, type, size) bucket, excluding one brand, one product line,
+    and blacklisted suppliers — the distinct-pairs + anti-join +
+    COUNT(DISTINCT) shape.
+
+    Q16's "customer complaints" NOT IN subquery maps to suppliers with
+    negative account balance. The (part, supplier) pair set collapses
+    lineitem to pair cardinality FIRST (one shuffle), the part filter
+    broadcasts, and the blacklist is a broadcast anti-join — the
+    NOT IN never rewrites to anything non-distributed.
+    """
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers in one region who shipped MORE THAN
+    HALF of a promo part's 1997 volume (where the part had competition)
+    — the nested-semi-join "excess share" shape.
+
+    Q20's availqty > ½·shipped-qty test becomes 2·supp_qty > part_qty
+    over the (part, supplier) rollup: quantities are integer-valued, so
+    both sides are exact in doubles and the comparison can never differ
+    between engines. The window runs over the ROLLUP (pair
+    cardinality), never raw lineitem; supplier/nation/region broadcast.
+    """
+    red = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        pairs.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter((F.col("n_supp") >= 2) & (2 * F.col("supp_qty") > F.col("part_qty")))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_dominated"))
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    return dom.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_name", "nation", "n_parts_dominated")

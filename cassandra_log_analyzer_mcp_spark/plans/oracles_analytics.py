@@ -472,4 +472,126 @@ def analytics_oracles() -> dict[str, str]:
         FROM events
         GROUP BY user_id
     """
+
+    # Q2-style groupwise-min: unit price is a single IEEE division per
+    # row and MIN is order-independent, so no rounding is needed
+    o["min_cost_supplier"] = """
+        WITH rsupp AS (
+          SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+          FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ), fpart AS (
+          SELECT p_partkey, p_name FROM part
+          WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+        ), offers AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 min(l.l_extendedprice / l.l_quantity) AS min_unit_price
+          FROM lineitem l
+          JOIN fpart p ON p.p_partkey = l.l_partkey
+          JOIN rsupp s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT l_partkey, l_suppkey, min_unit_price,
+                 row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY min_unit_price, l_suppkey
+                 ) AS rn
+          FROM offers
+        )
+        SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+               b.min_unit_price
+        FROM best b
+        JOIN rsupp s ON s.s_suppkey = b.l_suppkey
+        JOIN fpart p ON p.p_partkey = b.l_partkey
+        WHERE b.rn = 1
+        ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+    """
+
+    o["profit_by_nation"] = """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity), 2)
+                 AS sum_profit,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE 'red%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    """
+
+    # Q11-style scalar-subquery threshold in exact integer arithmetic:
+    # per-part value snapped to ten-thousandth units, 1000*value > total
+    o["important_parts"] = """
+        WITH nsupp AS (
+          SELECT s.s_suppkey
+          FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ), pv AS (
+          SELECT l.l_partkey AS p_partkey,
+                 CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+                            * 10000) AS BIGINT) AS value_du,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem l
+          JOIN nsupp s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1
+        ), tot AS (SELECT sum(value_du) AS total_du FROM pv)
+        SELECT p_partkey,
+               round(value_du / 10000.0, 2) AS part_value,
+               n_lines
+        FROM pv, tot
+        WHERE value_du * 1000 > total_du
+    """
+
+    o["supplier_part_counts"] = """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+    """
+
+    # Q20-style: 2*supp_qty > part_qty over integer-valued quantities
+    # is exact in doubles — no boundary flips between engines
+    o["dominant_part_suppliers"] = """
+        WITH red AS (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        ), pairs AS (
+          SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS supp_qty
+          FROM lineitem l
+          JOIN red p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2
+        ), wp AS (
+          SELECT l_partkey, l_suppkey, supp_qty,
+                 sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+                 count(*) OVER (PARTITION BY l_partkey) AS n_supp
+          FROM pairs
+        ), dom AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+          FROM wp
+          WHERE n_supp >= 2 AND 2 * supp_qty > part_qty
+          GROUP BY 1
+        )
+        SELECT s.s_name, n.n_name AS nation, d.n_parts_dominated
+        FROM dom d
+        JOIN supplier s ON s.s_suppkey = d.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    """
     return o

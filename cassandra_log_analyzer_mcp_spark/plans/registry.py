@@ -114,6 +114,11 @@ def queries() -> dict[str, QueryFn]:
         "late_sole_suppliers": analytics.late_sole_suppliers,
         "market_share": analytics.market_share,
         "disjunctive_revenue": analytics.disjunctive_revenue,
+        "min_cost_supplier": analytics.min_cost_supplier,
+        "profit_by_nation": analytics.profit_by_nation,
+        "important_parts": analytics.important_parts,
+        "supplier_part_counts": analytics.supplier_part_counts,
+        "dominant_part_suppliers": analytics.dominant_part_suppliers,
         "event_transitions": analytics.event_transitions,
         "retention_cohorts": analytics.retention_cohorts,
         "user_sessions": analytics.user_sessions,

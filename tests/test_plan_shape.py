@@ -273,3 +273,52 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     plan = _plan(pii_scrub(spark, sf_dir))
     assert "hashpartitioning" not in plan
     assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_min_cost_supplier_takeordered_no_global_window(spark, sf_dir):
+    """Q2 shape: region/part dims broadcast, the final top-100 is a
+    distributed TakeOrderedAndProject — never a single-partition
+    global window over part-cardinality rows."""
+    plan = _plan(analytics.min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profit_by_nation_single_fact_shuffle(spark, sf_dir):
+    """Q9 shape: part/supplier/nation broadcast after filters; the
+    only fact-fact shuffle join is lineitem⋈orders."""
+    plan = _plan(analytics.profit_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_important_parts_scalar_total_is_broadcast(spark, sf_dir):
+    """Q11 shape: the grand-total scalar subquery re-joins as a
+    one-row broadcast (BroadcastNestedLoopJoin), never a second
+    scan-and-shuffle of the probe side."""
+    plan = _plan(analytics.important_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both consumers (total + probe) read the cached pv rollup — the
+    # lineitem scan and part rollup execute once, not per branch
+    assert "InMemoryTableScan" in plan
+
+
+def test_supplier_part_counts_anti_join_is_broadcast(spark, sf_dir):
+    """Q16 shape: the supplier blacklist NOT-IN runs as a broadcast
+    anti-join over the distinct (part, supplier) pair set."""
+    plan = _plan(analytics.supplier_part_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dominant_part_suppliers_window_over_rollup(spark, sf_dir):
+    """Q20 shape: the share window runs over the (part, supplier)
+    rollup — the Window's child must be the aggregate, not a raw
+    lineitem scan — and dims broadcast."""
+    plan = _plan(analytics.dominant_part_suppliers(spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
