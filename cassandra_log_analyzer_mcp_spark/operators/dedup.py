@@ -698,3 +698,79 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# edit-distance dedup threshold as an exact fraction: keep a pair when
+# levenshtein(a, b) <= EDIT_NUM/EDIT_DEN of the LONGER text. Integer
+# arithmetic (EDIT_DEN*dist <= max_len) — no float boundary can flip a
+# pair between engines.
+EDIT_NUM, EDIT_DEN = 1, 5
+
+
+def editdist_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Verify candidate (da, db) pairs by character edit distance.
+
+    Two scale guards before any quadratic work runs:
+    - length prefilter: dist >= |len_a - len_b|, so a pair whose
+      length gap already exceeds the budget never reaches the DP;
+    - Spark's THRESHOLDED levenshtein (per-pair cap = the pair's own
+      budget floor(max_len/EDIT_DEN)): the banded O(k*n) algorithm
+      instead of the O(n^2) full matrix, returning -1 above the cap.
+      dist <= floor(max/D) <=> D*dist <= max over integers, so the
+      thresholded form is exactly the ratio rule the oracle states.
+    """
+    a = docs.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("db"), F.col("text").alias("tb"))
+    la, lb = F.length("ta"), F.length("tb")
+    mx = F.greatest(la, lb)
+    joined = (
+        cand.join(a, "da")
+        .join(b, "db")
+        .filter(EDIT_DEN * F.abs(la - lb) <= EDIT_NUM * mx)
+        .select(
+            "da", "db", "ta", "tb",
+            mx.alias("max_len"),
+            F.floor(EDIT_NUM * mx / EDIT_DEN).cast("int").alias("thr"),
+        )
+    )
+    return (
+        joined.select(
+            "da", "db", "max_len",
+            F.expr("levenshtein(ta, tb, thr)").alias("edit_dist"),
+        )
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (EDIT_DEN * F.col("edit_dist") <= EDIT_NUM * F.col("max_len"))
+        )
+        .select(
+            "da", "db", "edit_dist",
+            F.round(F.col("edit_dist") / F.col("max_len"), 4).alias(
+                "edit_ratio"
+            ),
+        )
+    )
+
+
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup detection — the character-
+    level modality that catches single-character typo/OCR-drift copies
+    token-set methods miss (a doc-wide find-replace barely moves the
+    edit ratio but can rewrite every shingle).
+
+    Candidates come from the SAME MinHash band index the Jaccard pass
+    uses (one index, N verify policies); verification is the exact
+    DP on candidate pairs only — never all-pairs. The oracle mirrors
+    both stages; byte-vs-char levenshtein parity holds because the
+    corpus is pure ASCII (asserted in tests).
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    buckets = _band_buckets(arrs)
+    cand = (
+        buckets.select(F.col("doc_id").alias("da"), "band")
+        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    return editdist_pairs(cand, docs)

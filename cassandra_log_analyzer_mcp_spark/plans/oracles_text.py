@@ -541,6 +541,34 @@ def text_oracles() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+    from ..operators.dedup import EDIT_DEN, EDIT_NUM
+
+    # same band-index candidates, verified by character edit distance.
+    # DuckDB's levenshtein counts BYTES where Spark counts chars —
+    # equal on this pure-ASCII corpus (pinned by a test). The ratio
+    # rule runs in exact integer arithmetic on both sides.
+    o["dedup_editdist"] = f"""
+        WITH {minhash_base},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.da, c.db,
+                 CAST(levenshtein(x.text, y.text) AS INT) AS edit_dist,
+                 greatest(length(x.text), length(y.text)) AS max_len
+          FROM cand c
+          JOIN documents x ON x.doc_id = c.da
+          JOIN documents y ON y.doc_id = c.db
+          WHERE {EDIT_DEN} * abs(length(x.text) - length(y.text))
+                  <= {EDIT_NUM} * greatest(length(x.text), length(y.text))
+        )
+        SELECT da, db, edit_dist,
+               round(edit_dist / max_len, 4) AS edit_ratio
+        FROM scored
+        WHERE {EDIT_DEN} * edit_dist <= {EDIT_NUM} * max_len
+    """
+
     # components = transitive closure of the verified-pair graph; the
     # recursive CTE computes, for each doc, every reachable doc and
     # keeps the minimum as the cluster label — independent derivation

@@ -162,6 +162,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,
+        "dedup_editdist": dedup.dedup_editdist,
         "source_overlap": dedup.source_overlap,
         "dedup_simhash": dedup.dedup_simhash,
         # §2D — similarity search

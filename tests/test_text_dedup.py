@@ -591,3 +591,49 @@ def test_repeated_span_coverage_inline_corpus(spark):
     assert got[2].n_tokens == 12 and got[2].covered_tokens == 8
     assert abs(got[2].coverage - 8 / 12) < 1e-12
     assert got[3].coverage == 0.0 and got[3].covered_tokens == 0
+
+
+def test_editdist_pairs_threshold_and_prefilter(spark):
+    """editdist_pairs keeps a typo-level pair, drops a rewrite, and
+    the length prefilter alone kills a pair whose size gap exceeds
+    the budget (the DP never needs to run for it)."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        EDIT_DEN,
+        EDIT_NUM,
+        editdist_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3  # 132 chars
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.replace("quick", "quack", 1)),  # dist 1
+            Row(doc_id=3, text="a completely different sentence."),
+            Row(doc_id=4, text=base + base),  # 2x length: prefilter kills
+        ]
+    )
+    cand = spark.createDataFrame(
+        [Row(da=1, db=2), Row(da=1, db=3), Row(da=1, db=4)]
+    )
+    got = {
+        (r.da, r.db): r.edit_dist
+        for r in editdist_pairs(cand, docs).collect()
+    }
+    assert got == {(1, 2): 1}
+    # the kept pair satisfies the exact integer ratio rule
+    assert EDIT_DEN * 1 <= EDIT_NUM * len(base)
+
+
+def test_documents_corpus_is_pure_ascii(spark, sf_dir):
+    """Parity precondition for dedup_editdist: DuckDB's levenshtein
+    counts BYTES, Spark counts CHARS — equal only on ASCII. If a
+    testdata drop ever ships non-ASCII documents, this fails before
+    the oracle mismatch confuses anyone."""
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    n = (
+        documents(spark, sf_dir)
+        .filter(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert n == 0
