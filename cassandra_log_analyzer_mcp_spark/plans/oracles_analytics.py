@@ -473,6 +473,23 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY user_id
     """
 
+    # the stream-stream join's single-micro-batch result equals this
+    # batch interval join exactly (see batch_bridge docstring)
+    o["streaming_purchase_error_join"] = """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(e.ts) AS error_us,
+               round(p.value, 2) AS purchase_value
+        FROM events p
+        JOIN events e ON e.user_id = p.user_id
+                     AND e.event_type = 'error'
+                     AND e.ts >= p.ts
+                     AND e.ts <= p.ts + INTERVAL 4 HOUR
+        WHERE p.event_type = 'purchase'
+    """
+
     # Q2-style groupwise-min: unit price is a single IEEE division per
     # row and MIN is order-independent, so no rounding is needed
     o["min_cost_supplier"] = """

@@ -283,6 +283,8 @@ def queries() -> dict[str, QueryFn]:
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,
+        "streaming_purchase_error_join":
+            batch_bridge.streaming_purchase_error_join,
     }
     return q
 

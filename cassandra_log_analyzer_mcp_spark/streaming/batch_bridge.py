@@ -334,3 +334,110 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(outdir)
+
+
+_LANDED_EVENTS: dict[str, str] = {}
+
+
+def _landed_events(spark: SparkSession, sf_dir: str) -> str:
+    """Land the normalized events table as a small parquet directory
+    (once per sf_dir per process) — the shape a CDC feed or event bus
+    archiver leaves in shared storage for a file-source stream. The
+    ts column is normalized through the batch loader FIRST, so both
+    drop formats (nanos-long vs micros NTZ) land identically.
+    """
+    if sf_dir in _LANDED_EVENTS:
+        return _LANDED_EVENTS[sf_dir]
+    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
+        prefix="landed_events_"
+    )
+    base = os.path.join(root, f"events_{uuid.uuid4().hex[:8]}")
+    (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .repartition(2)
+        .write.parquet(base)
+    )
+    _LANDED_EVENTS[sf_dir] = base
+    return base
+
+
+def streaming_purchase_error_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase joined to the same
+    user's error events in the following 4 hours — "which purchases
+    hit an error right after" — computed by Spark's symmetric-hash
+    stream-stream join with event-time watermarks on BOTH sides.
+
+    The time-range predicate + both watermarks is what bounds the join
+    state at scale (each side only buffers rows inside the watermark
+    horizon, keyed by user — the production configuration). Under the
+    single availableNow micro-batch used here the watermark never
+    advances mid-join, so nothing can be late-dropped and the result
+    equals the batch interval join EXACTLY — which is what lets the
+    DuckDB oracle hash-check the streaming join state machine.
+    """
+    land = _landed_events(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "5 hours")
+    )
+    errors = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("user_id").alias("e_user"),
+        )
+        .withWatermark("e_ts", "5 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 4 HOURS")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("e_ts").alias("error_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    sink = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+    # join state is keyed by user_id — a few hundred keys here; size
+    # the state-store shuffle to it (see streaming_issue_counts)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(joined, sink, output_mode="append")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_purchase_error_join did not finish its"
+                " availableNow batch"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)
