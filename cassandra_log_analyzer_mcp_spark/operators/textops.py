@@ -438,9 +438,12 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-keyed shuffle to find cross-document grams, a gram-keyed join
     back (big-big on the gram key at scale — deliberately NOT a
     broadcast; the duplicated-gram set grows with the corpus), then
-    covered positions = distinct union of [pos, pos+K) intervals per
-    doc — an explode(sequence)+distinct, integer-only until the final
-    exact division.
+    covered positions = interval union of [pos, pos+K) per doc via a
+    running-max-end sweep: each interval contributes the part past the
+    furthest end seen so far. One doc-keyed shuffle at HIT cardinality
+    — not the K×hits explode+global-distinct of the naive form (8×
+    less shuffle volume at K=8, and the win grows with K). Integer-only
+    until the final exact division.
     """
     toks = documents(spark, sf_dir).select(
         "doc_id", tokens_col().alias("t")
@@ -464,14 +467,23 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     hits = grams.join(dup, "gram").select("doc_id", "pos")
-    covered = hits.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (REPEAT_K - 1))
-        ).alias("tp"),
-    ).distinct()
-    cnt = covered.groupBy("doc_id").agg(
-        F.count("*").alias("covered_tokens")
+    # one row per (doc, pos) — a position's gram is unique, so the
+    # window's orderBy has no ties and the sweep is deterministic
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(F.col("pos") + REPEAT_K).over(prev)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + REPEAT_K)
+        - F.greatest(F.col("pos"), F.coalesce(run_end, F.col("pos"))),
+    )
+    cnt = (
+        hits.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
     )
     return (
         base.select("doc_id", "n_tokens")
