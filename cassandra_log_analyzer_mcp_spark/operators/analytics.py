@@ -1202,3 +1202,105 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom.join(
         F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_name", "nation", "n_parts_dominated")
+
+
+def value_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: events whose value deviates
+    from the type median by more than 3× the median absolute deviation
+    (MAD) — the two-level ordered-aggregate shape (median of
+    deviations from the median).
+
+    Both medians are exact percentiles over the per-type group (same
+    parity argument as event_value_percentiles), ROUNDED before reuse
+    so the downstream arithmetic is identical in both engines: dev and
+    the 3·MAD threshold are then single IEEE ops on identical inputs —
+    the comparison can never flip between engines. The per-type stats
+    are a ~5-row rollup broadcast back onto events twice; events
+    shuffle once per rollup, never sort globally.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.round(F.abs(F.col("value") - F.col("med")), 4)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "dev", "mad")
+    )
+
+
+def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order revenue with absolute and relative
+    growth — the lag-over-rollup trend shape.
+
+    The lag window is global-ordered BUT runs over the MONTH rollup
+    (tens of rows after aggregation), never raw orders — the module's
+    "windows over rollups" rule. Growth pct divides two already-
+    rounded sums (deterministic); the first month's growth is NULL in
+    both engines.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("month").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("growth_abs"),
+        F.round(F.col("revenue") / prev - 1, 4).alias("growth_pct"),
+    )
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding-
+    window COUNT DISTINCT that a naive range-window cannot do
+    distributed (distinct isn't decomposable over overlapping
+    frames).
+
+    The scalable formulation: distinct (user, day) pairs first (one
+    shuffle, day-cardinality × users rows), then each pair CONTRIBUTES
+    to the 7 window-ends it falls into (bounded ×7 fanout — constant,
+    unlike the window-frame rescan), distinct again, count per end
+    day. Day arithmetic is integer microsecond division — exact and
+    timezone-free in both engines. Only window-ends that are observed
+    event days are reported (broadcast semi-join on the tiny day dim).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)").alias("dday"),
+        "user_id",
+    )
+    user_days = ev.distinct()
+    days = user_days.select("dday").distinct()
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("dday"), F.col("dday") + 6)
+            ).alias("day_end"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.select(F.col("dday").alias("day_end"))),
+            "day_end",
+            "left_semi",
+        )
+        .groupBy("day_end")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

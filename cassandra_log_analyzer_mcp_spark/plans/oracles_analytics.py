@@ -490,6 +490,57 @@ def analytics_oracles() -> dict[str, str]:
         WHERE p.event_type = 'purchase'
     """
 
+    # two-level exact median (same quantile_cont parity as
+    # event_value_percentiles); both medians rounded before reuse so
+    # dev and the 3*MAD threshold are identical IEEE ops in both
+    # engines
+    o["value_outliers_robust"] = """
+        WITH med AS (
+          SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+          FROM events GROUP BY 1
+        ), dev AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+                 round(abs(e.value - m.med), 4) AS dev
+          FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+          SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value, d.med, d.dev, m.mad
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE d.dev > 3 * m.mad
+    """
+
+    o["revenue_growth"] = """
+        SELECT strftime(month, '%Y-%m-%d') AS month, revenue, n_orders,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+                 AS growth_abs,
+               round(revenue / lag(revenue) OVER (ORDER BY month) - 1, 4)
+                 AS growth_pct
+        FROM (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 round(sum(o_totalprice), 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ) t
+    """
+
+    # independent derivation: a day-dim range join instead of the
+    # Spark side's bounded x7 contribution fanout
+    o["rolling_active_users"] = """
+        WITH ud AS (
+          SELECT DISTINCT
+                 CAST(epoch_us(ts) // 86400000000 AS INT) AS dday,
+                 user_id
+          FROM events
+        ), days AS (SELECT DISTINCT dday FROM ud)
+        SELECT d.dday AS day_end,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active
+        FROM days d
+        JOIN ud u ON u.dday BETWEEN d.dday - 6 AND d.dday
+        GROUP BY 1
+    """
+
     # Q2-style groupwise-min: unit price is a single IEEE division per
     # row and MIN is order-independent, so no rounding is needed
     o["min_cost_supplier"] = """

@@ -126,6 +126,9 @@ def queries() -> dict[str, QueryFn]:
         "user_activity_pivot": analytics.user_activity_pivot,
         "event_seasonality": analytics.event_seasonality,
         "event_value_percentiles": analytics.event_value_percentiles,
+        "value_outliers_robust": analytics.value_outliers_robust,
+        "revenue_growth": analytics.revenue_growth,
+        "rolling_active_users": analytics.rolling_active_users,
         "asof_purchase_before_error": analytics.asof_purchase_before_error,
         "props_json_stats": analytics.props_json_stats,
         # §2D — the Arrow mapInPandas decode stage, hash-checked (the
