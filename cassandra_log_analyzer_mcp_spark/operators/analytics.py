@@ -1286,14 +1286,14 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     user_days = ev.distinct()
     days = user_days.select("dday").distinct()
-    contrib = (
-        user_days.select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("dday"), F.col("dday") + 6)
-            ).alias("day_end"),
-        )
-        .distinct()
+    # no .distinct() here: (user, day) pairs are already distinct and
+    # each contributes 7 DIFFERENT day_ends, and count_distinct dedups
+    # map-side anyway — an explicit distinct would add a full shuffle
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dday"), F.col("dday") + 6)
+        ).alias("day_end"),
     )
     return (
         contrib.join(

@@ -392,6 +392,23 @@ REPEAT_K = 8
 REPEAT_TOP_K = 100
 
 
+def _pos_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gram): POSITIONAL REPEAT_K-token grams, cached —
+    the shared substrate of repeated_ngrams (corpus rollup view) and
+    repeated_span_coverage (per-doc coverage view). Both call sites
+    build the identical plan, so the plan-keyed CacheManager
+    materializes the tokenize+shingle+posexplode pipeline ONCE per
+    session — the module convention (dedup.py's shingle arrays).
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.posexplode(shingles_col(tokens_col(), REPEAT_K)).alias(
+            "pos", "gram"
+        ),
+    ).cache()
+
+
 def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide repeated spans: every REPEAT_K-token n-gram that
     occurs in MORE than one document, ranked by total occurrences —
@@ -407,11 +424,7 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the exact distinct costs a second expand); both swaps are noted
     rather than made because the exact form is oracle-checkable.
     """
-    docs = documents(spark, sf_dir).select("doc_id", "text")
-    grams = docs.select(
-        "doc_id",
-        F.explode(shingles_col(tokens_col(), REPEAT_K)).alias("gram"),
-    )
+    grams = _pos_grams(spark, sf_dir).select("doc_id", "gram")
     agg = (
         grams.groupBy("gram")
         .agg(
@@ -445,21 +458,17 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     less shuffle volume at K=8, and the win grows with K). Integer-only
     until the final exact division.
     """
-    toks = documents(spark, sf_dir).select(
-        "doc_id", tokens_col().alias("t")
+    # base stays a LIGHT separate lineage (doc_id + token count, no
+    # shingles) so docs with fewer than REPEAT_K tokens — absent from
+    # the gram stream — still get a zero-coverage row via the left
+    # join below
+    base = documents(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
-    base = toks.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        shingles_col(F.col("t"), REPEAT_K).alias("g"),
-    )
-    # cached: the positional gram stream feeds BOTH the duplicated-
-    # gram aggregate and the join back — without the cache the whole
-    # tokenize+shingle+posexplode pipeline runs twice (the module
-    # convention: dedup.py's cached shingle arrays)
-    grams = base.select(
-        "doc_id", F.posexplode("g").alias("pos", "gram")
-    ).cache()
+    # shared cached positional grams (one materialization serves this
+    # AND repeated_ngrams); feeds BOTH the duplicated-gram aggregate
+    # and the join back
+    grams = _pos_grams(spark, sf_dir)
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
