@@ -392,6 +392,33 @@ REPEAT_K = 8
 REPEAT_TOP_K = 100
 
 
+def covered_token_counts(hits: DataFrame, k: int) -> DataFrame:
+    """(doc_id, covered_tokens): union length of the [pos, pos+k)
+    intervals per doc via a running-max-end sweep — each interval
+    contributes only the part past the furthest end seen so far.
+
+    Requires one row per (doc_id, pos) (a position's gram is unique,
+    so the window's orderBy has no ties and the sweep is
+    deterministic). Property-tested against a brute-force set union.
+    """
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(F.col("pos") + k).over(prev)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + k)
+        - F.greatest(F.col("pos"), F.coalesce(run_end, F.col("pos"))),
+    )
+    return (
+        hits.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+    )
+
+
 def _pos_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, gram): POSITIONAL REPEAT_K-token grams, cached —
     the shared substrate of repeated_ngrams (corpus rollup view) and
@@ -476,24 +503,7 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     hits = grams.join(dup, "gram").select("doc_id", "pos")
-    # one row per (doc, pos) — a position's gram is unique, so the
-    # window's orderBy has no ties and the sweep is deterministic
-    prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    run_end = F.max(F.col("pos") + REPEAT_K).over(prev)
-    contrib = F.greatest(
-        F.lit(0),
-        (F.col("pos") + REPEAT_K)
-        - F.greatest(F.col("pos"), F.coalesce(run_end, F.col("pos"))),
-    )
-    cnt = (
-        hits.withColumn("c", contrib)
-        .groupBy("doc_id")
-        .agg(F.sum("c").cast("long").alias("covered_tokens"))
-    )
+    cnt = covered_token_counts(hits, REPEAT_K)
     return (
         base.select("doc_id", "n_tokens")
         .join(cnt, "doc_id", "left")

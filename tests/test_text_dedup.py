@@ -637,3 +637,49 @@ def test_documents_corpus_is_pure_ascii(spark, sf_dir):
         .count()
     )
     assert n == 0
+
+
+def test_covered_token_counts_matches_brute_force(spark):
+    """Property: the running-max-end interval-union sweep equals the
+    brute-force set union of [pos, pos+k) for adversarial position
+    sets (adjacent, overlapping, nested, gapped spans)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        covered_token_counts,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=40),
+                min_size=1,
+                max_size=15,
+                unique=True,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.integers(min_value=1, max_value=9),
+    )
+    def run(doc_positions, k):
+        rows = [
+            Row(doc_id=d, pos=p)
+            for d, ps in enumerate(doc_positions)
+            for p in ps
+        ]
+        got = {
+            r.doc_id: r.covered_tokens
+            for r in covered_token_counts(
+                spark.createDataFrame(rows), k
+            ).collect()
+        }
+        want = {
+            d: len({t for p in ps for t in range(p, p + k)})
+            for d, ps in enumerate(doc_positions)
+        }
+        assert got == want
+
+    run()
