@@ -41,8 +41,15 @@ def canonical_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
 
@@ -71,16 +78,23 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"err": f"spark error: {e}"}
             failures += 1
             continue
         t_spark = time.time() - t0
         if name not in os_:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s)")
+            results[name] = {
+                "rows_only": True,
+                "spark_rows": len(sdf),
+                "err": None,
+            }
             continue
         try:
             odf = con.execute(os_[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"err": f"oracle error: {e}"}
             failures += 1
             continue
         problems = []
@@ -90,6 +104,15 @@ def main() -> int:
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         elif canonical_hash(sdf) != canonical_hash(odf):
             problems.append("value-hash mismatch")
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(map(str.lower, sdf.columns))
+            == sorted(map(str.lower, odf.columns)),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -103,6 +126,20 @@ def main() -> int:
         else:
             print(f"OK   {name}: {len(sdf)} rows ({t_spark:.1f}s)")
     print("failures:", failures)
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "failures": failures,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
