@@ -45,6 +45,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check.py [sf_dir] [--json PATH] [query ...]")
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -100,15 +103,20 @@ def main() -> int:
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
-        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+        schema_ok = sorted(map(str.lower, sdf.columns)) == sorted(
+            map(str.lower, odf.columns)
+        )
+        hash_ok = None  # null in JSON when the hash was never compared
+        if not schema_ok:
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif canonical_hash(sdf) != canonical_hash(odf):
-            problems.append("value-hash mismatch")
+        else:
+            hash_ok = canonical_hash(sdf) == canonical_hash(odf)
+            if not hash_ok:
+                problems.append("value-hash mismatch")
         results[name] = {
             "rows_match": len(sdf) == len(odf),
-            "schema_match": sorted(map(str.lower, sdf.columns))
-            == sorted(map(str.lower, odf.columns)),
-            "hash_match": not problems,
+            "schema_match": schema_ok,
+            "hash_match": hash_ok,
             "spark_rows": len(sdf),
             "oracle_rows": len(odf),
             "err": "; ".join(problems) or None,
