@@ -490,6 +490,24 @@ def analytics_oracles() -> dict[str, str]:
         WHERE p.event_type = 'purchase'
     """
 
+    # the outer variant: sentinel-advanced watermark flushes every
+    # unmatched purchase, so the streaming result equals this batch
+    # LEFT JOIN exactly (see streaming_purchase_error_left_join)
+    o["streaming_purchase_error_left_join"] = """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(e.ts) AS error_us,
+               round(p.value, 2) AS purchase_value
+        FROM events p
+        LEFT JOIN events e ON e.user_id = p.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts >= p.ts
+                          AND e.ts <= p.ts + INTERVAL 4 HOUR
+        WHERE p.event_type = 'purchase'
+    """
+
     # two-level exact median (same quantile_cont parity as
     # event_value_percentiles); both medians rounded before reuse so
     # dev and the 3*MAD threshold are identical IEEE ops in both

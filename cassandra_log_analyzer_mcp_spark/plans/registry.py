@@ -294,6 +294,8 @@ def queries() -> dict[str, QueryFn]:
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,
         "streaming_purchase_error_join":
             batch_bridge.streaming_purchase_error_join,
+        "streaming_purchase_error_left_join":
+            batch_bridge.streaming_purchase_error_left_join,
     }
     return q
 

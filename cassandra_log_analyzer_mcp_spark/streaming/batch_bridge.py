@@ -441,3 +441,141 @@ def streaming_purchase_error_join(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+_LANDED_EVENTS_OUTER: dict[str, str] = {}
+
+#: sentinel event-time lead: far past every real purchase's join
+#: horizon (4 h interval) + watermark delay (5 h), so the final
+#: watermark passes every real row's eviction threshold.
+SS_SENTINEL_LEAD = "INTERVAL 400 DAYS"
+
+
+def _landed_events_outer(spark: SparkSession, sf_dir: str) -> str:
+    """Landing dir for the OUTER stream-stream join: the normalized
+    events plus one far-future sentinel per side (user_id −1, one
+    'purchase' + one 'error'). Outer results only flush when the
+    watermark passes a row's join horizon, and the watermark only
+    moves from observed event times — the sentinels are the stream's
+    "time has moved on" signal (a heartbeat/punctuation event, the
+    standard pattern for finite replays of an outer-join topology).
+
+    Separate from _landed_events: appending sentinels to the shared
+    landing dir would leak them into every other streaming query.
+    """
+    if sf_dir in _LANDED_EVENTS_OUTER:
+        return _LANDED_EVENTS_OUTER[sf_dir]
+    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
+        prefix="landed_events_outer_"
+    )
+    base = os.path.join(root, f"events_{uuid.uuid4().hex[:8]}")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.repartition(2).write.parquet(base)
+    sentinels = (
+        ev.agg(F.max("ts").alias("ts"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(-1, "purchase"), (-2, "error")],
+                "event_id long, event_type string",
+            )
+        )
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr(SS_SENTINEL_LEAD)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(base)
+    _LANDED_EVENTS_OUTER[sf_dir] = base
+    return base
+
+
+def streaming_purchase_error_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join: every purchase, with the same
+    user's error events in the following 4 hours where they exist and
+    NULL error columns where they don't — "which purchases went
+    smoothly" — the hard streaming case, because an outer row can only
+    be emitted once the watermark proves no future match can arrive.
+
+    Mechanics under test (the production semantics, end-to-end):
+    unmatched purchases sit in join state until the global watermark
+    (min across both sides) passes their p_ts + 4 h horizon; the
+    far-future sentinel pair in the landing dir advances both sides'
+    watermarks, and availableNow's closing no-data micro-batch then
+    flushes every real outer row — making the result equal the batch
+    LEFT JOIN exactly, which lets the DuckDB oracle hash-check outer
+    emission, not just inner matching.
+
+    The sentinel filter runs on the MATERIALIZED sink table, not
+    inside the streaming plan: a pre-sink filter on user_id pushes
+    below the EventTimeWatermark operator on the purchase side and
+    silently un-advances the watermark (measured: the newest ~13 h of
+    outer rows never flush). Keeping the streaming plan filter-free is
+    load-bearing.
+    """
+    land = _landed_events_outer(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "5 hours")
+    )
+    errors = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("user_id").alias("e_user"),
+        )
+        .withWatermark("e_ts", "5 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 4 HOURS")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("e_ts").alias("error_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    sink = f"stream_ss_ljoin_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(joined, sink, output_mode="append")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_purchase_error_left_join did not finish its"
+                " availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).filter(F.col("user_id") >= 0)

@@ -202,3 +202,51 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_left_join_flushes_all_outer_rows(spark, sf_dir):
+    """The OUTER stream-stream join must equal the batch LEFT JOIN —
+    i.e. the sentinel-advanced watermark flushes EVERY unmatched
+    purchase in the closing no-data micro-batch (without the sentinel,
+    the newest ~9 h of outer rows stay in state forever), and no
+    sentinel row leaks into the result."""
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    got = batch_bridge.streaming_purchase_error_left_join(spark, sf_dir)
+    rows = {
+        (r.user_id, r.purchase_id, r.error_id, r.purchase_us, r.error_us)
+        for r in got.collect()
+    }
+    assert all(u >= 0 for (u, *_rest) in rows)  # sentinels filtered
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"), "user_id",
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"), F.col("user_id").alias("e_user"),
+    )
+    batch = {
+        (r.user_id, r.purchase_id, r.error_id, r.purchase_us, r.error_us)
+        for r in p.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 4 HOURS")),
+            "leftOuter",
+        )
+        .select(
+            "user_id", "purchase_id", "error_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.unix_micros("e_ts").alias("error_us"),
+        )
+        .collect()
+    }
+    assert rows == batch
+    assert any(eid is None for (_u, _p, eid, _pu, _eu) in rows)  # real outers
