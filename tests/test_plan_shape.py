@@ -213,6 +213,28 @@ def test_search_logs_has_no_per_node_global_window(spark, sf_dir):
         assert "BroadcastHashJoin" in plan
 
 
+def test_error_bursts_has_no_per_node_history_window(spark, sf_dir):
+    """Burst detection must sessionize via the native session_window
+    aggregate (map-side combinable); the only window function allowed
+    is the burst_id numbering over the burst-cardinality ROLLUP —
+    its spec orders by start_s (a rollup field), never by the raw
+    event time. A lag/running-sum over (node ORDER BY ts) would
+    funnel a node's entire error history through one task (the r2
+    verdict's last remaining scale-killer)."""
+    from cassandra_log_analyzer_mcp_spark.operators import analysis
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    logs = logs_flagged(spark, sf_dir)
+    for df in (
+        analysis.error_bursts(logs),
+        analysis.error_recovery(logs),
+    ):
+        plan = _plan(df)
+        assert "session_window" in plan
+        for spec in _window_specs(plan):
+            assert "start_s" in spec, f"raw-stream window: {spec}"
+
+
 def test_parse_multiline_segmentation_is_blocked(spark, sf_dir):
     """Segmentation's running header count must partition on
     (node, block), with the cross-block offset coming from the rollup
