@@ -180,17 +180,21 @@ def analysis_oracles() -> dict[str, str]:
         f"SELECT * FROM ({count_selects}) t WHERE n > 0"
     )
 
-    o["node_summary"] = with_logs(
-        """
+    node_summary_body = """
         SELECT node,
                CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END) AS BIGINT) AS warnings,
                CAST(count(*) AS BIGINT) AS total_lines
-        FROM flagged GROUP BY node
+        FROM flagged {where}GROUP BY node
         """
-    )
+    o["node_summary"] = with_logs(node_summary_body.format(where=""))
     # the salted two-stage aggregation must be EXACTLY node_summary
     o["node_summary_salted"] = o["node_summary"]
+    # the silver-layer read must reproduce node_summary exactly on its
+    # node subset — same aggregation body, only the WHERE differs
+    o["node_summary_silver"] = with_logs(
+        node_summary_body.format(where="WHERE node IN ('node1', 'node3') ")
+    )
 
     o["error_timeline"] = with_logs(
         """

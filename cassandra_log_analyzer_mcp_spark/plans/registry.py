@@ -21,7 +21,10 @@ from ..operators import (
     skew,
     textops,
 )
-from ..sources.silver import silver_node_errors as _silver_node_errors
+from ..sources.silver import (
+    node_summary_silver as _node_summary_silver,
+    silver_node_errors as _silver_node_errors,
+)
 from ..sources.tables import logs_flagged
 from ..streaming import batch_bridge
 from . import oracles
@@ -162,6 +165,9 @@ def queries() -> dict[str, QueryFn]:
         # the partitioned silver layer exercised end-to-end (write →
         # partition-pruned read → rollup)
         "silver_node_errors": _silver_node_errors,
+        # a §2B query computed FROM the silver read (build-once/query-
+        # many lifecycle), node predicate pruned at the source
+        "node_summary_silver": _node_summary_silver,
         # r2 §2C additions (never driver-graded either)
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,

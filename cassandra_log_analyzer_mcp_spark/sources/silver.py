@@ -65,6 +65,49 @@ def node_errors_rollup(df: DataFrame) -> DataFrame:
     )
 
 
+#: build-once-per-process silver locations, keyed by sf_dir. At 100 TB
+#: the silver table is written ONCE and every analysis query reads it;
+#: the cache reproduces that build-once/query-many lifecycle inside a
+#: gate sweep (silver_node_errors still rebuilds each call so the WRITE
+#: path itself stays under the hash gate).
+_SILVER_PATHS: dict[str, str] = {}
+
+
+def _default_path(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(
+        "/tmp",
+        f"spark_graft_silver_{os.getpid()}_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+
+
+def silver_path(spark: SparkSession, sf_dir: str) -> str:
+    """The silver table's location, building it on first use."""
+    path = _SILVER_PATHS.get(sf_dir)
+    if path is None:
+        path = _default_path(sf_dir)
+        write_silver(spark, sf_dir, path)
+        _SILVER_PATHS[sf_dir] = path
+    return path
+
+
+def node_summary_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node_summary computed FROM THE SILVER READ for a node subset —
+    the shape every §2B operator takes at 100 TB: no re-parse of raw
+    text, and the node predicate lands in the scan's PartitionFilters
+    so whole (log_date, node) directories are skipped at the source
+    (asserted in tests/test_plan_shape.py). Shares node_summary's
+    aggregation code and oracle body; the only delta is the node
+    subset, mirrored verbatim in the oracle's WHERE.
+    """
+    from ..operators.analysis import node_summary
+
+    df = read_silver(spark, silver_path(spark, sf_dir))
+    return node_summary(df.filter(F.col("node").isin("node1", "node3")))
+
+
 def silver_node_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full silver round trip as a graded query: parse+classify →
     write partitioned by (log_date, node) → read back with a node
@@ -79,12 +122,7 @@ def silver_node_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate) into a PID-scoped path, so concurrent sessions on one host
     never overwrite each other's files mid-scan.
     """
-    import os
-
-    path = os.path.join(
-        "/tmp",
-        f"spark_graft_silver_{os.getpid()}_"
-        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
-    )
+    path = _default_path(sf_dir)
     write_silver(spark, sf_dir, path)
+    _SILVER_PATHS[sf_dir] = path
     return node_errors_rollup(read_silver(spark, path))

@@ -269,6 +269,20 @@ def test_silver_node_errors_prunes_partitions(spark, sf_dir):
     assert "node" in seg and "node1" in seg
 
 
+def test_node_summary_silver_prunes_partitions(spark, sf_dir):
+    """The B-section-on-silver variant must push its node subset into
+    the scan's PartitionFilters — the read skips whole (log_date,
+    node) directories instead of re-parsing raw lines per query."""
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        node_summary_silver,
+    )
+
+    plan = _plan(node_summary_silver(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "node" in seg and "node1" in seg
+
+
 def test_nation_volume_broadcasts_dims_and_pushes_dates(spark, sf_dir):
     """Q7 shape: nation-filtered supplier/customer maps broadcast;
     the shipdate window reaches the lineitem scan; the only
