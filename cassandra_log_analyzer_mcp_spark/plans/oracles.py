@@ -427,6 +427,11 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # the Kafka wire-format path (binary key/value → decode → the same
+    # parse/classify/window plan) must reproduce the file-source result
+    # exactly — one contract, two ingestion formats
+    o["streaming_kafka_issue_counts"] = o["streaming_issue_counts"]
+
     o["error_rate_rolling"] = with_logs(
         """
         SELECT node, win_start, errors, total,

@@ -292,6 +292,8 @@ def queries() -> dict[str, QueryFn]:
         # the oracle verifies source→parse→classify→window end-to-end
         # (slowest entries; deliberately graded last)
         "streaming_issue_counts": batch_bridge.streaming_issue_counts,
+        "streaming_kafka_issue_counts":
+            batch_bridge.streaming_kafka_issue_counts,
         "streaming_error_bursts": batch_bridge.streaming_error_bursts,
         "streaming_dedup_incremental":
             batch_bridge.streaming_dedup_incremental,

@@ -92,26 +92,35 @@ def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("node", "n_events", "start_s", "end_s")
 
 
-def streaming_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_issue_counts(
+    spark: SparkSession, sf_dir: str, via_kafka_wire: bool = False
+) -> DataFrame:
     """Hourly (node, level) issue counts computed BY THE STREAM.
 
     Same output contract as a batch hourly rollup, so the DuckDB
     oracle verifies the whole streaming path (source → parser →
     classifier → event-time window) value-for-value.
+
+    ``via_kafka_wire=True`` routes the lines through the Kafka record
+    wire schema (key/value BINARY) and ``from_kafka_wire``'s
+    projection — the entire post-connector plan of ``stream_kafka`` —
+    so the Kafka ingestion contract is hash-graded without a broker
+    (only the connector's load() itself is substituted).
     """
     log_dir = _landed_log_dir(spark, sf_dir)
     # Hive-partitioned landing → let the file stream source DISCOVER
     # the node partition column (handles partition-value escaping that
     # a path regex would not); the regex-based stream_log_dir remains
     # for raw non-partitioned log mirrors.
-    lines = (
-        spark.readStream.text(log_dir)
-        .select(
+    src = spark.readStream.text(log_dir)
+    if via_kafka_wire:
+        lines = log_stream.from_kafka_wire(log_stream.to_kafka_wire(src))
+    else:
+        lines = src.select(
             F.lit(None).cast("long").alias("line_id"),
             F.col("node").cast("string").alias("node"),
             F.col("value").alias("raw"),
         )
-    )
     counts = log_stream.windowed_issue_counts(
         log_stream.parsed_stream(lines), window="1 hour", watermark="2 hours"
     )
@@ -140,6 +149,15 @@ def streaming_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("errors").cast("long").alias("errors"),
     )
+
+
+def streaming_kafka_issue_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streaming_issue_counts through the Kafka wire-format path (see
+    ``via_kafka_wire`` above) — shares the same oracle, so the
+    key→node / value→raw decode is verified value-for-value."""
+    return streaming_issue_counts(spark, sf_dir, via_kafka_wire=True)
 
 
 def streaming_windowed_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,6 +136,23 @@ def test_kafka_source_contract(spark):
     assert [f.name for f in lines.schema.fields] == ["line_id", "node", "raw"]
 
 
+def test_kafka_wire_roundtrip_preserves_lines(spark):
+    """from_kafka_wire ∘ to_kafka_wire must be the identity on
+    (node, raw) — binary encode → the exact post-connector decode
+    stream_kafka uses — including non-ASCII payloads (UTF-8 through
+    the binary cast both ways)."""
+    rows = [
+        ("node1", "ERROR ügly pâyload"),
+        ("node2", "INFO plain"),
+        ("node2", ""),
+    ]
+    lines = spark.createDataFrame(rows, ["node", "value"])
+    out = log_stream.from_kafka_wire(log_stream.to_kafka_wire(lines))
+    assert [f.name for f in out.schema.fields] == ["line_id", "node", "raw"]
+    got = sorted((r.node, r.raw) for r in out.collect())
+    assert got == sorted(rows)
+
+
 def test_streaming_session_window_matches_batch(spark, sf_dir, log_dir):
     """error_sessions is source-agnostic: the SAME session_window call
     over the watermarked stream yields exactly the batch sessions."""
