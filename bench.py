@@ -53,7 +53,10 @@ def build_stdout_payload(
     kept: dict[str, float] = out["queries"]  # type: ignore[assignment]
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
         kept[name] = t
-        if len(json.dumps(out, separators=(",", ":"))) > STDOUT_BYTE_BUDGET:
+        if (
+            len(json.dumps(out, separators=(",", ":")).encode())
+            > STDOUT_BYTE_BUDGET
+        ):
             del kept[name]
             break
     return out
@@ -148,9 +151,12 @@ def main() -> None:
     out = build_stdout_payload(timings, sf_val)
     # Exactly one compact JSON line on the REAL stdout, nothing else
     # (Spark noise went to stderr via the fd redirect above).
-    line = json.dumps(out, separators=(",", ":")) + "\n"
-    assert len(line) <= 2000
-    os.write(real_stdout, line.encode())
+    line = (json.dumps(out, separators=(",", ":")) + "\n").encode()
+    if len(line) > 2000:  # survives python -O, measures bytes
+        raise RuntimeError(
+            f"stdout JSON line is {len(line)} bytes (driver tails 2000)"
+        )
+    os.write(real_stdout, line)
     os.close(real_stdout)
 
 

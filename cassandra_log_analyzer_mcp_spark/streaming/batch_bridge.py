@@ -596,4 +596,7 @@ def streaming_purchase_error_left_join(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink).filter(F.col("user_id") >= 0)
+    # sentinels are identified by their RESERVED negative event_ids
+    # (-1/-2, never assigned to real events) — not by user_id, which
+    # the generator owns and could legitimately make negative some day
+    return spark.table(sink).filter(F.col("purchase_id") >= 0)

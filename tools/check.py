@@ -6,7 +6,7 @@ DuckDB at the given sf dir, then compares row count, column names/types,
 and an order-insensitive value hash (columns sorted by name, doubles
 rounded to 9 significant places before hashing).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [sf_dir] [--json PATH] [query ...]
 """
 
 from __future__ import annotations
