@@ -14,3 +14,5 @@ deliberately-stubbed multimodal decode (Arrow-batched mapInPandas).
 """
 
 __version__ = "0.1.0"
+
+from .session import clear_caches, get_spark, tune  # noqa: E402,F401

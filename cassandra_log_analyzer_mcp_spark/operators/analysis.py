@@ -352,8 +352,8 @@ def node_failure_correlation(
     # build the IDENTICAL logical plan, and Spark's CacheManager
     # dedupes by plan equality ("already cached" lookup), so memory is
     # bounded by one rollup-sized entry per distinct input, not per
-    # call; a long-lived service that cycles inputs should unpersist
-    # after consuming (as dedup_clusters does for its loop state).
+    # call; long-lived services release via session.clear_caches()
+    # between analyses (the MCP server exposes it as a tool).
     counts = counts.cache()
     grid = (
         counts.select("node").distinct()

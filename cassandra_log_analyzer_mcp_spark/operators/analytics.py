@@ -769,8 +769,8 @@ def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and rollup shuffle run once — supplier-cardinality rows.
         # Lifetime is session-scoped on purpose: repeat calls build the
         # identical plan and the CacheManager dedupes it (one entry per
-        # distinct input, not per call); a service cycling many inputs
-        # should unpersist after consuming.
+        # distinct input, not per call); long-lived services release
+        # via session.clear_caches() between analyses.
         .cache()
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))

@@ -145,6 +145,12 @@ def build_server(spark: SparkSession):
                      "severity": {"type": "string",
                                   "enum": ["all", "critical", "high", "medium"],
                                   "default": "all"}}}),
+            Tool(name="clear_caches",
+                 description="Release cached DataFrame blocks (call "
+                             "between analyses of different log sets to "
+                             "bound executor memory in a long-lived "
+                             "server).",
+                 inputSchema={"type": "object", "properties": {}}),
         ]
         if not logfiles.SSH_AVAILABLE:
             tools = [t for t in tools if "ssh" not in t.name]
@@ -208,6 +214,11 @@ def build_server(spark: SparkSession):
             return text(api.compare_report(_flagged(), args.get("nodes")))
         if name == "detect_issues":
             return text(api.issues_report(_flagged(), args.get("severity", "all")))
+        if name == "clear_caches":
+            from .session import clear_caches
+
+            clear_caches(spark)
+            return text("Caches cleared")
         raise ValueError(f"unknown tool: {name}")
 
     return server

@@ -52,6 +52,22 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def clear_caches(spark: SparkSession) -> None:
+    """Release every DataFrame block this package cached in the session.
+
+    Operators cache session-scoped on purpose (CacheManager dedupes
+    identical plans, so a gate sweep holds one entry per distinct
+    rollup, not per call) — but a LONG-LIVED service cycling many
+    inputs would accumulate executor memory forever. This is the
+    explicit lifecycle hook for that deployment: call it between
+    analyses (the MCP server exposes it as a tool). catalog.clearCache
+    drops all cached blocks in one call; per-frame bookkeeping would
+    add nothing because every cache this package creates is rebuilt
+    on demand by the next query.
+    """
+    spark.catalog.clearCache()
+
+
 def get_spark(
     app_name: str = "cassandra-log-analyzer-spark",
     master: str | None = None,

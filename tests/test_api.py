@@ -58,3 +58,20 @@ def test_mcp_server_gated(spark):
         pytest.skip("mcp installed — gate not exercised")
     with pytest.raises(RuntimeError, match="mcp is not installed"):
         server.build_server(spark)
+
+
+def test_clear_caches_releases_everything(spark, sf_dir):
+    """The long-lived-service lifecycle: after a batch of cache-creating
+    queries, clear_caches must leave the session's CacheManager empty —
+    no cached frame survives, so a server cycling log sets cannot
+    accumulate executor memory."""
+    from cassandra_log_analyzer_mcp_spark.operators import analysis, analytics
+    from cassandra_log_analyzer_mcp_spark.session import clear_caches
+
+    flagged = logs_flagged(spark, sf_dir)  # .cache() inside
+    analysis.issue_cooccurrence(flagged).count()  # caches its rollup
+    analytics.top_suppliers(spark, sf_dir).count()  # caches rev rollup
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
+    clear_caches(spark)
+    assert cm.isEmpty()
