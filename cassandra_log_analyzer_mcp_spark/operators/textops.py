@@ -391,6 +391,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPEAT_K = 8
 REPEAT_TOP_K = 100
 
+#: hot-key threshold for the coverage join-back: a gram present in
+#: more than this many DOCUMENTS (a license header, a templated intro)
+#: would own a huge shuffle bucket in the gram-keyed join. Such grams
+#: are rare BY CONSTRUCTION — at most |occurrences| / threshold can
+#: exist — so they route through a broadcast instead of the shuffle.
+#: Unlike winnowing's WINNOW_MAX_DF (which DROPS ultra-common
+#: fingerprints as non-identifying), coverage must KEEP them: a
+#: boilerplate span is exactly what the operator measures, so the
+#: split changes the plan shape, never the result.
+REPEAT_HOT_DF = 1000
+
 
 def covered_token_counts(hits: DataFrame, k: int) -> DataFrame:
     """(doc_id, covered_tokens): union length of the [pos, pos+k)
@@ -466,6 +477,38 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(REPEAT_TOP_K)
 
 
+def duplicated_gram_hits(
+    grams: DataFrame, hot_df: int = REPEAT_HOT_DF
+) -> DataFrame:
+    """(doc_id, pos) of every gram occurring in >1 document — the
+    join-back behind repeated_span_coverage, SKEW-SPLIT on gram df.
+
+    The duplicated-gram aggregate is safe at any skew (count-distinct
+    lowers to two partial-aggregable stages), but the join back is
+    keyed on the gram, and one boilerplate gram can own a huge bucket
+    that AQE can only split after materializing the map output. The
+    split routes around it: grams in ≤ hot_df docs take the ordinary
+    shuffle join (bucket ≤ hot_df docs' occurrences), while the few
+    hotter grams — at most |occurrences| / hot_df can exist — join as
+    an explicitly-broadcast set, map-side, no bucket at all. The two
+    tiers partition the duplicated grams, so the union is exactly the
+    unsplit join's output: the coverage oracle is unchanged.
+    """
+    dup = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") > 1)
+    cold = dup.filter(F.col("nd") <= hot_df).select("gram")
+    hot = dup.filter(F.col("nd") > hot_df).select("gram")
+    occ = grams.select("doc_id", "pos", "gram")
+    return (
+        occ.join(cold, "gram")
+        .select("doc_id", "pos")
+        .unionByName(
+            occ.join(F.broadcast(hot), "gram").select("doc_id", "pos")
+        )
+    )
+
+
 def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate coverage: the fraction of a doc's
     token positions lying inside a REPEAT_K-token span that also
@@ -476,8 +519,10 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: positional grams (posexplode keeps the span's start), one
     gram-keyed shuffle to find cross-document grams, a gram-keyed join
-    back (big-big on the gram key at scale — deliberately NOT a
-    broadcast; the duplicated-gram set grows with the corpus), then
+    back (big-big on the gram key at scale — the duplicated-gram set
+    grows with the corpus so it cannot broadcast wholesale; the few
+    ultra-common grams ARE broadcast via the df-tiered skew split in
+    ``duplicated_gram_hits``), then
     covered positions = interval union of [pos, pos+K) per doc via a
     running-max-end sweep: each interval contributes the part past the
     furthest end seen so far. One doc-keyed shuffle at HIT cardinality
@@ -496,13 +541,7 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND repeated_ngrams); feeds BOTH the duplicated-gram aggregate
     # and the join back
     grams = _pos_grams(spark, sf_dir)
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram")
-    )
-    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    hits = duplicated_gram_hits(grams)
     cnt = covered_token_counts(hits, REPEAT_K)
     return (
         base.select("doc_id", "n_tokens")

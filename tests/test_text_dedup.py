@@ -683,3 +683,43 @@ def test_covered_token_counts_matches_brute_force(spark):
         assert got == want
 
     run()
+
+
+def test_mega_gram_routes_through_broadcast_tier(spark):
+    """Skew split: a gram present in EVERY document must reach the
+    broadcast tier (map-side, no shuffle bucket) while rarer
+    duplicated grams keep the ordinary shuffle join — and the union
+    must equal the unsplit join's hits exactly."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    boiler = " ".join(f"b{i}" for i in range(textops.REPEAT_K))
+    rows = [
+        # every doc opens with the same REPEAT_K-token boilerplate
+        Row(doc_id=i, text=boiler + f" u{i}a u{i}b u{i}c") for i in range(20)
+    ]
+    # one pair shares an additional rare span
+    rare = " ".join(f"r{i}" for i in range(textops.REPEAT_K))
+    rows += [
+        Row(doc_id=100, text=rare + " zz1 zz2"),
+        Row(doc_id=101, text=rare + " qq1 qq2"),
+    ]
+    docs = spark.createDataFrame(rows)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            textops.shingles_col(textops.tokens_col(), textops.REPEAT_K)
+        ).alias("pos", "gram"),
+    )
+    split = textops.duplicated_gram_hits(grams, hot_df=5)
+    unsplit = textops.duplicated_gram_hits(grams, hot_df=10**9)
+    got = sorted((r.doc_id, r.pos) for r in split.collect())
+    want = sorted((r.doc_id, r.pos) for r in unsplit.collect())
+    assert got == want
+    assert len(got) > 0
+    # the boilerplate gram (df=20 > 5) flows through the broadcast arm
+    plan = split._sc._jvm.PythonSQLUtils.explainString(
+        split._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
