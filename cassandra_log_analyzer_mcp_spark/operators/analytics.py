@@ -420,6 +420,39 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: potential revenue uplift from small-quantity,
+    mid-discount lines shipped in one year — the canonical "is
+    pushdown actually working" probe: zero joins, all three predicates
+    reach the parquet scan (PushedFilters), the aggregate is one
+    partial-combined sum over the surviving rows, and the scan reads
+    exactly the four referenced columns. At 100 TB this query is pure
+    scan bandwidth; anything else in the plan is a bug.
+
+    The discount band compares against double literals — both engines
+    parse '0.05' to the same IEEE double, so the row set is identical
+    without any epsilon protocol.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 WEEK_S = 7 * 24 * 3600
 SESSION_GAP_S = 1800
 

@@ -196,6 +196,16 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY p.p_brand
     """
 
+    o["discount_band_revenue"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
     o["revenue_rollup"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

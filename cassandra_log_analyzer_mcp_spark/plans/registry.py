@@ -169,6 +169,7 @@ def queries() -> dict[str, QueryFn]:
         # many lifecycle), node predicate pruned at the source
         "node_summary_silver": _node_summary_silver,
         # r2 §2C additions (never driver-graded either)
+        "discount_band_revenue": analytics.discount_band_revenue,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,
         "rolling_active_users": analytics.rolling_active_users,

@@ -269,6 +269,19 @@ def test_silver_node_errors_prunes_partitions(spark, sf_dir):
     assert "node" in seg and "node1" in seg
 
 
+def test_discount_band_revenue_is_pure_scan(spark, sf_dir):
+    """Q6 shape: no joins, every predicate pushed to the scan, the
+    only exchange is the SinglePartition final-agg gather."""
+    plan = _plan(analytics.discount_band_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    # one Exchange node (header line per node): the final-agg gather
+    assert plan.count(") Exchange") == 1 and "SinglePartition" in plan
+    # scan reads only the four referenced columns
+    assert "l_tax" not in plan and "l_partkey" not in plan
+
+
 def test_node_summary_silver_prunes_partitions(spark, sf_dir):
     """The B-section-on-silver variant must push its node subset into
     the scan's PartitionFilters — the read skips whole (log_date,
