@@ -561,6 +561,45 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repeated_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length repeated spans: per-doc MAXIMAL intervals built
+    by coalescing overlapping/adjacent cross-document REPEAT_K-gram
+    spans — the suffix-array-flavored view of Lee et al. 2022's
+    substring dedup (a 50-token duplicated passage reports as ONE
+    50-token span, not 43 overlapping 8-grams), with the span length
+    ready for "drop docs containing a repeated span ≥ L" policies.
+
+    Shape: the skew-split gram hits (see duplicated_gram_hits), then
+    gaps-and-islands per doc — a running-max-end window decides
+    whether each hit extends the current island or opens a new one,
+    a running sum numbers the islands, and one hash agg rolls each
+    island up to (start, end). Both windows partition on doc_id over
+    HIT-cardinality rows (bounded by document length, never corpus
+    length), the same budget covered_token_counts already spends.
+    """
+    k = REPEAT_K
+    hits = duplicated_gram_hits(_pos_grams(spark, sf_dir))
+    ordered = Window.partitionBy("doc_id").orderBy("pos")
+    run_end = F.max(F.col("pos") + k).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_span",
+        (F.col("pos") > F.coalesce(run_end, F.lit(-1))).cast("long"),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k).cast("long").alias("span_end_excl"),
+        F.count("*").alias("n_grams"),
+        (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+    )
+
+
 #: PII patterns (RE2- and Java-regex compatible; no lookarounds).
 PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

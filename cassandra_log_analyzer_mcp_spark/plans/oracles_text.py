@@ -292,6 +292,54 @@ def text_oracles() -> dict[str, str]:
         LEFT JOIN cnt c USING (doc_id)
     """
 
+    # merged maximal spans: same gram/dup/hits CTEs as coverage (pos
+    # shifted to 0-based to align with posexplode), then the identical
+    # gaps-and-islands windows — running-max-end decides merges,
+    # running-sum numbers the islands
+    o["repeated_spans_merged"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          SELECT doc_id, unnest(gr) AS gram,
+                 unnest(range(1, len(gr) + 1)) AS pos
+          FROM (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(len(t) - {REPEAT_K - 1}, 0) + 1),
+                     i -> array_to_string(t[i:i + {REPEAT_K - 1}], ' '))
+                     AS gr
+            FROM toks) x
+        ),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        hits AS (SELECT g.doc_id, g.pos - 1 AS pos FROM g JOIN dup USING (gram)),
+        m AS (
+          SELECT doc_id, pos,
+                 max(pos + {REPEAT_K}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS run_end
+          FROM hits
+        ),
+        s AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN run_end IS NULL OR pos > run_end
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+          FROM m
+        )
+        SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {REPEAT_K} AS BIGINT) AS span_end_excl,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(max(pos) + {REPEAT_K} - min(pos) AS BIGINT)
+                 AS span_tokens
+        FROM s GROUP BY doc_id, span_id
+    """
+
     # the Arrow mapInPandas decode stage hash-checked: n_bytes via
     # octet_length (UTF-8-correct), mean_byte via per-char codepoint
     # sums (== byte sums for the ASCII corpus; a non-ASCII drop

@@ -122,6 +122,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_repetition": textops.doc_repetition,
         "repeated_ngrams": textops.repeated_ngrams,
         "repeated_span_coverage": textops.repeated_span_coverage,
+        "repeated_spans_merged": textops.repeated_spans_merged,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         # §2D — composed curation pipeline (featurize→filter→dedup)

@@ -723,3 +723,36 @@ def test_mega_gram_routes_through_broadcast_tier(spark):
         split._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_repeated_spans_merged_geometry(spark):
+    """Two docs share a 12-token prefix (five overlapping 8-grams →
+    ONE merged [0,12) span) and a disjoint 8-token run after unique
+    middles (second island); a third doc shares nothing."""
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    pre = " ".join(f"p{i}" for i in range(12))
+    run = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{pre} u0a u0b u0c {run}"),
+            Row(doc_id=1, text=f"{pre} v0a v0b v0c {run}"),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(16))),
+        ]
+    )
+    orig = t.documents
+    try:
+        t.documents = lambda s_, d: docs
+        rows = t.repeated_spans_merged(spark, f"unused_{id(docs)}").collect()
+    finally:
+        t.documents = orig
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc
+    for d in (0, 1):
+        spans = sorted(
+            (r.span_start, r.span_end_excl, r.n_grams) for r in by_doc[d]
+        )
+        # [0,12) from 5 merged grams; [15,23) from the single run gram
+        assert spans == [(0, 12, 5), (15, 23, 1)]
