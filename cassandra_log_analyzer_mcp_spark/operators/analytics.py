@@ -682,6 +682,119 @@ def event_value_percentiles_approx(
     )
 
 
+#: t-digest compression parameter δ: centroid count is O(δ), tail
+#: centroids stay near-singleton via the 4·n·q(1−q)/δ capacity bound.
+TDIGEST_COMPRESSION = 200
+
+
+def _tdigest_compress(means, weights, d: int = TDIGEST_COMPRESSION):
+    """Merge sorted (mean, weight) clusters under the t-digest size
+    bound: a cluster centered at quantile q may hold at most
+    4·total·q·(1−q)/δ weight (Dunning & Ertl's merging-digest rule),
+    so mid-distribution clusters are fat and tail clusters stay tiny —
+    the property that makes p99 accurate at fixed memory."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    om, ow = [], []
+    cur_m, cur_w, w_before = float(means[0]), float(weights[0]), 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q = (w_before + cur_w / 2.0) / total
+        cap = max(1.0, 4.0 * total * q * (1.0 - q) / d)
+        if cur_w + w <= cap:
+            cur_w += w
+            cur_m += (m - cur_m) * w / cur_w
+        else:
+            om.append(cur_m)
+            ow.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m), float(w)
+    om.append(cur_m)
+    ow.append(cur_w)
+    return np.asarray(om), np.asarray(ow)
+
+
+def _tdigest_quantile(means, weights, q: float) -> float:
+    """Interpolated quantile from a digest: centroid midpoints anchor
+    the cumulative-weight curve, linear between neighbors."""
+    import numpy as np
+
+    if len(means) == 1:
+        return float(means[0])
+    total = float(weights.sum())
+    cum = np.cumsum(weights) - weights / 2.0
+    t = q * total
+    if t <= cum[0]:
+        return float(means[0])
+    if t >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, t))
+    frac = (t - cum[i - 1]) / (cum[i] - cum[i - 1])
+    return float(means[i - 1] + frac * (means[i] - means[i - 1]))
+
+
+def event_value_percentiles_tdigest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type p50/p95/p99 via a MERGEABLE T-DIGEST — the documented
+    "actual 100 TB path" for percentiles, graded as a registry query
+    (rows-only: sketch values are construction-specific; the error
+    bound vs the exact ordered aggregate is unit-tested).
+
+    Topology is the real one: an Arrow ``mapInPandas`` stage turns
+    each input partition into ≤ O(δ) (mean, weight) centroids per
+    type (singleton values → one compression pass), then ONE shuffle
+    of centroid rows — volume ∝ partitions × δ, independent of row
+    count — feeds ``applyInPandas`` per type to merge digests and
+    read quantiles off the merged centroid curve. No raw value ever
+    shuffles, which is the entire point at 100 TB; contrast
+    percentile_approx (same topology, JVM-internal GK sketch) and
+    the exact twin event_value_percentiles.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+
+    def partial_digests(batches):
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            for et, vals in pdf.groupby("event_type")["value"]:
+                acc.setdefault(et, []).append(vals.to_numpy())
+        import numpy as np
+
+        for et, chunks in acc.items():
+            v = np.concatenate(chunks)
+            m, w = _tdigest_compress(v, np.ones_like(v))
+            yield pd.DataFrame(
+                {"event_type": et, "mean": m, "weight": w}
+            )
+
+    centroids = ev.mapInPandas(
+        partial_digests, "event_type string, mean double, weight double"
+    )
+
+    def merge_digests(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_compress(
+            pdf["mean"].to_numpy(), pdf["weight"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "p50": [_tdigest_quantile(m, w, 0.5)],
+                "p95": [_tdigest_quantile(m, w, 0.95)],
+                "p99": [_tdigest_quantile(m, w, 0.99)],
+                "n": [int(round(float(pdf["weight"].sum())))],
+            }
+        )
+
+    return centroids.groupBy("event_type").applyInPandas(
+        merge_digests,
+        "event_type string, p50 double, p95 double, p99 double, n long",
+    )
+
+
 def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each error event, the same user's most recent
     purchase at-or-before it.

@@ -201,6 +201,9 @@ def queries() -> dict[str, QueryFn]:
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,
+        # mergeable t-digest over Arrow stages; error-bound-tested
+        "event_value_percentiles_tdigest":
+            analytics.event_value_percentiles_tdigest,
         # Arrow decode stage deliberately not SQL-expressible
         "multimodal_pipeline": multimodal.multimodal_pipeline,
         "multimodal_frames": multimodal.multimodal_frames,

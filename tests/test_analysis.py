@@ -392,3 +392,32 @@ def test_alert_dedup_cooldown(spark):
     got = sorted(r.win_start for r in kept.collect())
     assert len(got) == 2
     assert got[1] - got[0] == 2 * 3600
+
+
+def test_tdigest_percentiles_close_to_exact(spark, sf_dir):
+    """The mergeable t-digest's outputs must sit within rank-eps of
+    their target quantiles (same rank-based criterion as the GK
+    test), and its n must be the exact count (weights are counts)."""
+    from cassandra_log_analyzer_mcp_spark.operators import analytics
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    td = {
+        r.event_type: {"0.5": r.p50, "0.95": r.p95, "0.99": r.p99, "n": r.n}
+        for r in analytics.event_value_percentiles_tdigest(
+            spark, sf_dir
+        ).collect()
+    }
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    exact_n = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert {t: v["n"] for t, v in td.items()} == exact_n
+    for t, vals in td.items():
+        n = vals["n"]
+        for target in ("0.5", "0.95", "0.99"):
+            below = ev.filter(
+                (F.col("event_type") == t) & (F.col("value") <= vals[target])
+            ).count()
+            eps = max(2.0 / n, 0.01)
+            assert abs(below / n - float(target)) <= eps, (t, target)

@@ -47,6 +47,7 @@ SECTION_2D_CORE = {
 ROWS_ONLY = {
     "distinct_users_sketch",
     "event_value_percentiles_approx",
+    "event_value_percentiles_tdigest",
     "multimodal_pipeline",
     "multimodal_frames",
 }
