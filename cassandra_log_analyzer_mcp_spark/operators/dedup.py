@@ -408,6 +408,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup cluster — the decision
+    step after clustering: each cluster KEEPS its highest-quality
+    member (ties → lowest doc_id) and drops the rest, which is how a
+    curation pipeline turns components into a kept/dropped corpus
+    (quality-aware, unlike the min-id keeper convention dedup_exact
+    uses for byte-identical copies).
+
+    Scale: every frame here is duplicate-set-cardinality (a small
+    fraction of the corpus), never corpus-sized. The quality features
+    compute map-side on the cluster members only (join on doc_id
+    first, featurize after), keeper election is ONE map-side
+    combinable max_by-style struct agg per cluster, and the label
+    join-back shuffles cluster-keyed rollup rows. quality doubles are
+    bit-identical across engines (see quality_cols), so the argmax —
+    and therefore the keep/drop decision — never diverges.
+    """
+    from .textops import quality_cols
+
+    members = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    scored = members.join(docs, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        quality_cols()["quality"].alias("quality"),
+    )
+    # struct-max elects (max quality, then min doc_id): field-order
+    # comparison, partial-aggregable, no per-cluster window
+    keeper = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "cluster_id",
+        (-F.col("best.neg_id")).cast("long").alias("keeper_id"),
+    )
+    return scored.join(keeper, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs (hamming <= SIMHASH_MAX_HAMMING).
 

@@ -639,6 +639,44 @@ def text_oracles() -> dict[str, str]:
               FROM reach GROUP BY u) c
     """
 
+    # keeper election composed from the cluster and quality oracles:
+    # highest quality wins, ties to the lowest doc_id — mirrored by
+    # the Spark side's struct-max
+    o["dedup_canonical"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        reach AS (
+          SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+        ),
+        labels AS (SELECT u AS doc_id, min(l) AS cluster_id
+                   FROM reach GROUP BY u),
+        sized AS (
+          SELECT doc_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+          FROM labels
+        ),
+        q AS ({o['quality_score']}),
+        m AS (
+          SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality
+          FROM sized s JOIN q USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, cluster_size, quality, keeper_id,
+               doc_id = keeper_id AS keep
+        FROM (
+          SELECT m.*,
+                 first_value(doc_id) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id ASC) AS keeper_id
+          FROM m
+        ) t
+    """
+
     from ..operators.dedup import (
         WINNOW_MAX_DF,
         WINNOW_MIN_SHARED,

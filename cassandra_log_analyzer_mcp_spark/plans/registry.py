@@ -139,6 +139,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "minhash_containment": dedup.minhash_containment,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_canonical": dedup.dedup_canonical,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,
         "dedup_editdist": dedup.dedup_editdist,
