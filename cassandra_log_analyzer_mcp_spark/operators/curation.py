@@ -229,3 +229,68 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_copies", "copy_id")
     )
+
+
+#: sequence packing: context length (whitespace tokens) and the
+#: shard width packing is local to. Packing is inherently sequential,
+#: so production pipelines pack WITHIN shards and parallelize across
+#: them — block_id is that shard axis here (real runs use the input
+#: file/split id); CTX is sized so a few corpus docs share a pack.
+PACK_CTX_TOKENS = 256
+PACK_BLOCK_DOCS = 64
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM pre-training batches: docs in
+    doc_id order within each block pack into PACK_CTX_TOKENS-token
+    context windows — a doc joins the current pack while it fits,
+    else opens the next; an oversized doc sits alone (truncated).
+
+    The packing loop is genuinely sequential state per shard — not
+    expressible with windows (a running sum that RESETS on overflow
+    is not a prefix aggregate) — so it runs as an Arrow
+    ``applyInPandas`` over block groups: ≤ PACK_BLOCK_DOCS rows of
+    (doc_id, n_tokens) per group, never the text. This is the
+    engine's second VALUE-HASHED Python stage (after
+    multimodal_decode_check): the DuckDB oracle replays the same
+    greedy recurrence as a recursive CTE, so the Arrow path's
+    arithmetic is checked bit-for-bit, not just its row count.
+
+    Scale: one shuffle of (doc_id, n_tokens) rollup rows keyed by
+    block — token counting stays map-side; blocks are independent so
+    the stage parallelizes to the shard count.
+    """
+    import pandas as pd
+
+    from .textops import tokens_col
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"doc_id div {PACK_BLOCK_DOCS}").alias("block_id"),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_id, pack_pos, acc = 0, 0, PACK_CTX_TOKENS + 1
+        ids, poss = [], []
+        for n in pdf["n_tokens"]:
+            if acc + n <= PACK_CTX_TOKENS:
+                pack_pos += 1
+                acc += n
+            else:
+                pack_id += 1
+                pack_pos = 1
+                acc = n
+            ids.append(pack_id)
+            poss.append(pack_pos)
+        pdf["pack_id"] = ids
+        pdf["pack_pos"] = poss
+        pdf["truncated"] = pdf["n_tokens"] > PACK_CTX_TOKENS
+        return pdf
+
+    return docs.groupBy("block_id").applyInPandas(
+        pack,
+        "doc_id long, block_id long, n_tokens long,"
+        " pack_id long, pack_pos long, truncated boolean",
+    )

@@ -821,6 +821,41 @@ def text_oracles() -> dict[str, str]:
           AND q.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
     """
 
+    from ..operators.curation import PACK_BLOCK_DOCS, PACK_CTX_TOKENS
+
+    # the greedy packing recurrence replayed doc-by-doc per block —
+    # an independent derivation of the Arrow applyInPandas loop
+    o["sequence_packing"] = f"""
+        WITH RECURSIVE i AS (
+          SELECT doc_id, doc_id // {PACK_BLOCK_DOCS} AS block_id,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                 row_number() OVER (
+                   PARTITION BY doc_id // {PACK_BLOCK_DOCS}
+                   ORDER BY doc_id) AS rn
+          FROM documents
+        ),
+        rec AS (
+          SELECT block_id, rn, doc_id, n_tokens,
+                 CAST(1 AS BIGINT) AS pack_id,
+                 CAST(1 AS BIGINT) AS pack_pos,
+                 n_tokens AS acc
+          FROM i WHERE rn = 1
+          UNION ALL
+          SELECT i.block_id, i.rn, i.doc_id, i.n_tokens,
+                 CASE WHEN r.acc + i.n_tokens <= {PACK_CTX_TOKENS}
+                      THEN r.pack_id ELSE r.pack_id + 1 END,
+                 CASE WHEN r.acc + i.n_tokens <= {PACK_CTX_TOKENS}
+                      THEN r.pack_pos + 1 ELSE CAST(1 AS BIGINT) END,
+                 CASE WHEN r.acc + i.n_tokens <= {PACK_CTX_TOKENS}
+                      THEN r.acc + i.n_tokens ELSE i.n_tokens END
+          FROM i JOIN rec r
+            ON i.block_id = r.block_id AND i.rn = r.rn + 1
+        )
+        SELECT doc_id, block_id, n_tokens, pack_id, pack_pos,
+               n_tokens > {PACK_CTX_TOKENS} AS truncated
+        FROM rec
+    """
+
     from ..operators.curation import DECONTAM_K, EVAL_MOD, QUALITY_HI
 
     # composed from the quality oracle so the gate booleans cannot

@@ -132,6 +132,7 @@ def queries() -> dict[str, QueryFn]:
         "decontaminate": curation.decontaminate,
         "source_quality": curation.source_quality,
         "train_test_split": curation.train_test_split,
+        "sequence_packing": curation.sequence_packing,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,
         "dedup_normalized": dedup.dedup_normalized,

@@ -756,3 +756,30 @@ def test_repeated_spans_merged_geometry(spark):
         )
         # [0,12) from 5 merged grams; [15,23) from the single run gram
         assert spans == [(0, 12, 5), (15, 23, 1)]
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Greedy-packing contract: pack token sums never exceed CTX
+    except for singleton truncated docs; within a block, a pack
+    break is only allowed because the next doc would not fit."""
+    from cassandra_log_analyzer_mcp_spark.operators import curation
+
+    rows = curation.sequence_packing(spark, sf_dir).collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.block_id, r.pack_id), []).append(r)
+    for (_, _), members in by_pack.items():
+        tot = sum(r.n_tokens for r in members)
+        if tot > curation.PACK_CTX_TOKENS:
+            assert len(members) == 1 and members[0].truncated
+    # break minimality: doc at pack_pos==1 (pack_id>1) must overflow
+    # its block's previous pack
+    prev_sum = {}
+    for r in sorted(rows, key=lambda r: (r.block_id, r.doc_id)):
+        key = (r.block_id, r.pack_id)
+        if r.pack_pos == 1 and r.pack_id > 1:
+            assert (
+                prev_sum[(r.block_id, r.pack_id - 1)] + r.n_tokens
+                > curation.PACK_CTX_TOKENS
+            )
+        prev_sum[key] = prev_sum.get(key, 0) + r.n_tokens
