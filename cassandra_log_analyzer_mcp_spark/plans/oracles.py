@@ -260,6 +260,38 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # restated final state, stated directly: the earliest day's
+    # overwritten (node, day) partitions hold only their error lines —
+    # UNLESS that day/node produced no errors, in which case dynamic
+    # overwrite leaves the old partition in place (the ELSE branch)
+    o["silver_restatement"] = with_logs(
+        """
+        SELECT log_date, node, errors,
+               CASE WHEN is_day0 AND errors > 0
+                    THEN err_warnings ELSE warnings END AS warnings,
+               CASE WHEN is_day0 AND errors > 0
+                    THEN errors ELSE total_lines END AS total_lines
+        FROM (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date, node,
+                 CAST(ts AS DATE) =
+                   (SELECT min(CAST(ts AS DATE)) FROM flagged) AS is_day0,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                   AS errors,
+                 CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END) AS BIGINT)
+                   AS warnings,
+                 -- WARN-level lines whose message matches an error
+                 -- pattern are is_error AND is_warning: the
+                 -- correction keeps them, so they still count
+                 CAST(sum(CASE WHEN is_error AND is_warning
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS err_warnings,
+                 CAST(count(*) AS BIGINT) AS total_lines
+          FROM flagged WHERE node IN ('node1', 'node3')
+          GROUP BY 1, 2, 3
+        ) t
+        """
+    )
+
     # the reference timeline's RAW entry list (ref :256-257), bounded
     # to the first 100 ERROR|WARN entries per node
     o["error_timeline_raw"] = with_logs(

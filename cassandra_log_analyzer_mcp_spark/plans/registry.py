@@ -24,6 +24,7 @@ from ..operators import (
 from ..sources.silver import (
     node_summary_silver as _node_summary_silver,
     silver_node_errors as _silver_node_errors,
+    silver_restatement as _silver_restatement,
 )
 from ..sources.tables import logs_flagged
 from ..streaming import batch_bridge
@@ -171,6 +172,8 @@ def queries() -> dict[str, QueryFn]:
         # a §2B query computed FROM the silver read (build-once/query-
         # many lifecycle), node predicate pruned at the source
         "node_summary_silver": _node_summary_silver,
+        # partition-level restatement via dynamic partition overwrite
+        "silver_restatement": _silver_restatement,
         # r2 §2C additions (never driver-graded either)
         "discount_band_revenue": analytics.discount_band_revenue,
         "value_outliers_robust": analytics.value_outliers_robust,

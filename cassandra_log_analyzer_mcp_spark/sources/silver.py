@@ -65,6 +65,51 @@ def node_errors_rollup(df: DataFrame) -> DataFrame:
     )
 
 
+def silver_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level RESTATEMENT — the maintenance loop a 100 TB
+    silver table lives by: upstream corrects one day's data, and only
+    that day's (log_date, node) directories rewrite via DYNAMIC
+    partition overwrite; every other partition's files are untouched
+    (asserted by inode in tests/test_silver.py — static overwrite
+    mode would truncate the whole table).
+
+    Graded end-to-end: full silver build → the earliest day is
+    re-landed keeping only its ERROR lines (the "correction") → the
+    standard node rollup reads the restated table. The oracle states
+    the expected final content directly (early day contributes errors
+    only), so a restatement that leaks old rows, drops partitions, or
+    clobbers other days hash-mismatches.
+    """
+    path = _default_path(sf_dir) + "_restate"
+    write_silver(spark, sf_dir, path)
+    restate_earliest_day(spark, sf_dir, path)
+    return node_errors_rollup(read_silver(spark, path))
+
+
+def restate_earliest_day(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """The restate step alone: re-land the earliest day keeping only
+    its error lines, via dynamic partition overwrite (only the
+    partitions PRESENT in the corrected frame rewrite)."""
+    flagged = with_issue_flags(logs(spark, sf_dir)).withColumn(
+        "log_date", F.to_date("ts")
+    )
+    day0 = flagged.agg(F.min("log_date")).collect()[0][0]
+    corrected = flagged.filter(
+        (F.col("log_date") == F.lit(day0)) & F.col("is_error")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            corrected.repartition("log_date", "node")
+            .write.mode("overwrite")
+            .partitionBy("log_date", "node")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 #: build-once-per-process silver locations, keyed by sf_dir. At 100 TB
 #: the silver table is written ONCE and every analysis query reads it;
 #: the cache reproduces that build-once/query-many lifecycle inside a

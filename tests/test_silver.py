@@ -34,3 +34,47 @@ def test_silver_partition_pruning(spark, silver_path):
     part_section = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "log_date" in part_section and "node" in part_section
     assert pruned.count() > 0
+
+
+def test_restatement_touches_only_restated_partitions(spark, sf_dir):
+    """Dynamic partition overwrite contract: the restate step rewrites
+    ONLY the corrected day's partitions — every other partition keeps
+    its original files (same inodes; static mode would truncate the
+    whole table) — and the corrected day holds only error lines."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.sources import silver
+
+    path = tempfile.mkdtemp(prefix="silver_restate_test_")
+    silver.write_silver(spark, sf_dir, path)
+
+    def inodes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_ino
+        return out
+
+    before = inodes()
+    day0 = min(
+        seg.split("=", 1)[1]
+        for seg in os.listdir(path)
+        if seg.startswith("log_date=")
+    )
+    silver.restate_earliest_day(spark, sf_dir, path)
+    after = inodes()
+    untouched = {p for p in before if f"log_date={day0}" not in p}
+    assert untouched
+    for p in untouched:
+        assert p in after and after[p] == before[p], p
+    # the corrected day's files DID change
+    changed = {p for p in before if f"log_date={day0}" in p}
+    assert changed and all(p not in after for p in changed)
+    restated = spark.read.parquet(path).filter(F.col("log_date") == day0)
+    assert restated.count() > 0
+    assert restated.filter(~F.col("is_error")).count() == 0
