@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: actual streaming run) — they have no single lazily-inspectable plan.
 EAGER = {
     "dedup_clusters",
+    "dedup_canonical",  # contains dedup_clusters' driver loop
     "streaming_issue_counts",
+    "streaming_kafka_issue_counts",
     "streaming_error_bursts",
     "streaming_dedup_incremental",
     "streaming_windowed_alerts",
