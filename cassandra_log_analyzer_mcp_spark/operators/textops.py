@@ -600,6 +600,63 @@ def repeated_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-width chunk dedup (CCNet/MassiveText line- and
+#: paragraph-level dedup, adapted to an unpunctuated corpus): docs
+#: split into ALIGNED CHUNK_TOKENS-token chunks, chunks dedup by
+#: exact digest. Far cheaper than positional grams at scale — one
+#: digest per chunk instead of one gram per position — and catches a
+#: different artifact class (whole repeated paragraphs/boilerplate
+#: blocks, not overlapping spans).
+CHUNK_TOKENS = 20
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-chunk profile: fraction of a doc's aligned
+    CHUNK_TOKENS-token chunks whose exact content appears in ANOTHER
+    document — sub-document exact dedup at chunk granularity.
+
+    Shape: chunk extraction is a per-doc array expression (transform
+    over an index sequence slicing the token array — zero shuffle,
+    codegen); the only shuffles are one digest-keyed agg to find
+    cross-doc chunks (digests, never text) and the digest-keyed join
+    back. The trailing partial chunk is kept (real pipelines hash the
+    tail too — dropping it would blind the dedup to short docs).
+    """
+    k = CHUNK_TOKENS
+    toks = tokens_col()
+    n_chunks = F.ceil(F.size(toks) / k).cast("int")
+    # guard the empty doc: sequence(0, -1) would DESCEND in Spark
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * k + 1, k), " ")
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.explode(chunks).alias("h")
+    )
+    cross = (
+        docs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    dup = docs.join(cross, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_chunks")
+    )
+    base = documents(spark, sf_dir).select(
+        "doc_id", n_chunks.cast("long").alias("n_chunks")
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+        (
+            F.coalesce("n_dup_chunks", F.lit(0)) / F.col("n_chunks")
+        ).alias("dup_chunk_frac"),
+    )
+
+
 #: PII patterns (RE2- and Java-regex compatible; no lookarounds).
 PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

@@ -292,6 +292,38 @@ def text_oracles() -> dict[str, str]:
         LEFT JOIN cnt c USING (doc_id)
     """
 
+    from ..operators.textops import CHUNK_TOKENS as _CK
+
+    # aligned-chunk digests, cross-doc set, per-doc dup fraction —
+    # list slicing is 1-based inclusive on both engines and both
+    # clamp at the array end (trailing partial chunk kept)
+    o["chunk_dedup"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        c AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(0, CAST(ceil(len(t) / {_CK}.0) AS INT)),
+                   i -> md5(array_to_string(
+                          t[i * {_CK} + 1 : i * {_CK} + {_CK}], ' '))))
+                 AS h
+          FROM toks WHERE len(t) > 0
+        ),
+        cross_c AS (
+          SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) > 1
+        ),
+        dup AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+          FROM c JOIN cross_c USING (h) GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_chunks,
+               COALESCE(d.n_dup_chunks, 0) AS n_dup_chunks,
+               COALESCE(d.n_dup_chunks, 0) / b.n_chunks
+                 AS dup_chunk_frac
+        FROM (SELECT doc_id,
+                     CAST(ceil(len(t) / {_CK}.0) AS BIGINT) AS n_chunks
+              FROM toks) b
+        LEFT JOIN dup d USING (doc_id)
+    """
+
     # merged maximal spans: same gram/dup/hits CTEs as coverage (pos
     # shifted to 0-based to align with posexplode), then the identical
     # gaps-and-islands windows — running-max-end decides merges,

@@ -56,6 +56,7 @@ R3_DRIVER_WINDOW = [
     "streaming_kafka_issue_counts",
     "dedup_canonical",
     "sequence_packing",
+    "chunk_dedup",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -102,7 +103,6 @@ R3_DRIVER_WINDOW = [
     "compare_nodes",
     "get_errors",
     "search_logs",
-    "recommendations",
 ]
 
 
@@ -183,6 +183,7 @@ def queries() -> dict[str, QueryFn]:
         "repeated_ngrams": textops.repeated_ngrams,
         "repeated_span_coverage": textops.repeated_span_coverage,
         "repeated_spans_merged": textops.repeated_spans_merged,
+        "chunk_dedup": textops.chunk_dedup,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         # §2D — composed curation pipeline (featurize→filter→dedup)
