@@ -620,29 +620,12 @@ def _subvectors(quant: DataFrame) -> DataFrame:
     )
 
 
-def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011): each vector
-    compresses to PQ_M 4-bit codes (nearest codeword per subspace),
-    ADC scores every candidate from a per-query lookup table, and the
-    top-PQ_SHORTLIST survivors re-rank with exact int8 dots — the
-    standard deployment (codes prune, originals re-rank; measured
-    recall@5 ≈ 0.88 vs exact, asserted in tests). The third classic
-    index family next to LSH and IVF: 64 int8 components collapse to
-    4 codes, the memory-bandwidth endgame of billion-scale search.
-
-    All-integer protocol: codes are int8 sub-vectors, codeword argmin
-    minimizes ||s − c||² via the exact integer form (c·c − 2 s·c — the
-    s·s term is constant per argmin and dropped), ADC scores are exact
-    integer dot sums — no float rounding anywhere, bit-identical
-    ranking across engines.
-
-    Scale shape: encoding is one broadcast join (codebook: PQ_M × PQ_K
-    tiny rows) + a map-side-combining argmin agg — the reusable index,
-    written once at 100 TB. Scoring joins the broadcast query
-    sub-vectors against the code table and never touches the original
-    vectors; per-candidate work is PQ_M 16-dim dots instead of one
-    64-dim dot against every corpus vector.
-    """
+def _pq_codes(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(quantized originals, code table, per-query ADC lookup table) —
+    the PQ index substrate shared by ann_pq_cosine and the IVF-PQ
+    hybrid. See ann_pq_cosine for the integer protocol."""
     quant = _quantized(spark, sf_dir)
     subs = _subvectors(quant)
     cb = _subvectors(quant.filter(F.col("vec_id") < PQ_K)).select(
@@ -666,7 +649,7 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", F.col("b.code").alias("code"),
                 F.col("b.cw").alias("cw"))
     )
-    qs = subs.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+    qs = subs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "m", F.col("sub").alias("qsub")
     )
     # the ADC lookup table: query-sub · codeword for every (query, m,
@@ -677,6 +660,33 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "m", "code",
         dot_long(F.col("qsub"), F.col("cw")).alias("contrib"),
     )
+    return quant, enc, lut
+
+
+def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector
+    compresses to PQ_M 4-bit codes (nearest codeword per subspace),
+    ADC scores every candidate from a per-query lookup table, and the
+    top-PQ_SHORTLIST survivors re-rank with exact int8 dots — the
+    standard deployment (codes prune, originals re-rank; measured
+    recall@5 ≈ 0.88 vs exact, asserted in tests). The third classic
+    index family next to LSH and IVF: 64 int8 components collapse to
+    4 codes, the memory-bandwidth endgame of billion-scale search.
+
+    All-integer protocol: codes are int8 sub-vectors, codeword argmin
+    minimizes ||s − c||² via the exact integer form (c·c − 2 s·c — the
+    s·s term is constant per argmin and dropped), ADC scores are exact
+    integer dot sums — no float rounding anywhere, bit-identical
+    ranking across engines.
+
+    Scale shape: encoding is one broadcast join (codebook: PQ_M × PQ_K
+    tiny rows) + a map-side-combining argmin agg — the reusable index,
+    written once at 100 TB. Scoring joins the broadcast query
+    sub-vectors against the code table and never touches the original
+    vectors; per-candidate work is PQ_M 16-dim dots instead of one
+    64-dim dot against every corpus vector.
+    """
+    quant, enc, lut = _pq_codes(spark, sf_dir, KNN_N_QUERIES)
     pairs = (
         enc.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -695,6 +705,72 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back onto the code-free originals — the corpus is touched only
     # for the ~PQ_SHORTLIST rows per query the codes let through.
     qvecs = quant.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    rer = (
+        quant.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qvecs), "q_id")
+        .select(
+            "q_id", "vec_id",
+            dot_long(F.col("qq"), F.col("q")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("q_id", "vec_id", "qdot", "rn")
+    )
+
+
+#: IVF-PQ shortlist: smaller than the flat-PQ shortlist because the
+#: IVF stage already pruned to nprobe cells' worth of candidates.
+IVFPQ_SHORTLIST = 50
+
+
+def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ hybrid — the billion-scale architecture (FAISS IVFADC,
+    Jégou et al. 2011): the coarse IVF quantizer prunes each query to
+    its nprobe cells, PQ ADC scores ONLY those candidates from the
+    broadcast lookup table (integer adds, no vector math, no original
+    vectors touched), and the shortlist re-ranks with exact int8
+    dots. Composes the two graded index substrates unchanged
+    (_ivf_index_and_probes, _pq_codes), which is exactly how the two
+    prune axes stack in production: cells bound WHICH candidates are
+    scored, codes bound HOW MUCH each costs.
+
+    Scale shape: candidate generation is the cell-partitioned index
+    joined to the broadcast probe list (nprobe/n_cells of the corpus
+    per query); ADC joins code rows to the broadcast LUT — the only
+    per-candidate state is PQ_M (m, code) pairs; the exact re-rank
+    touches originals for IVFPQ_SHORTLIST rows per query. All-integer
+    ADC/rerank protocol — bit-identical across engines.
+    """
+    assign, probes = _ivf_index_and_probes(spark, sf_dir)
+    cand = (
+        assign.select("vec_id", "cell")
+        .join(F.broadcast(probes.select("q_id", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    quant, enc, lut = _pq_codes(spark, sf_dir, ANN_N_QUERIES)
+    pairs = (
+        cand.join(enc.select("vec_id", "m", "code"), "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("contrib").alias("adc"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        pairs.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= IVFPQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    qvecs = quant.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
     )
     rer = (

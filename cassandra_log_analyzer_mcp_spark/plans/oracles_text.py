@@ -1167,6 +1167,107 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {PQ_TOP_K}
     """
 
+    from ..operators.similarity import IVFPQ_SHORTLIST
+
+    # IVF-PQ hybrid: the IVF assign/probe CTEs bound WHICH candidates
+    # are ADC-scored, the PQ enc/lut CTEs bound the per-candidate
+    # cost — composed verbatim from the two component oracles.
+    o["ann_ivf_pq_cosine"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        nemb AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM emb
+        ),
+        cent AS (
+          SELECT vec_id AS cell, v AS cv, nv AS cn FROM nemb
+          WHERE vec_id < {IVF_N_CELLS}
+        ),
+        cscored AS (
+          SELECT e.vec_id, c.cell,
+                 round(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 3) AS csim
+          FROM nemb e CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS arn
+            FROM cscored) t
+          WHERE arn = 1
+        ),
+        probe AS (
+          SELECT vec_id AS q_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS prn
+            FROM cscored WHERE vec_id < {ANN_N_QUERIES}) t
+          WHERE prn <= {IVF_NPROBE}
+        ),
+        cand AS (
+          SELECT p.q_id, a.vec_id
+          FROM probe p JOIN assign a USING (cell)
+          WHERE a.vec_id != p.q_id
+        ),
+        quant AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * {_QS}) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        subs AS (
+          SELECT vec_id, m,
+                 list_slice(q, m * {PQ_SUB_DIM} + 1,
+                            m * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+          FROM quant CROSS JOIN ms
+        ),
+        cb AS (
+          SELECT m, vec_id AS code, sub AS cw FROM subs
+          WHERE vec_id < {PQ_K}
+        ),
+        enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                     CAST(list_dot_product(c.cw, c.cw) AS BIGINT)
+                     - 2 * CAST(list_dot_product(s.sub, c.cw) AS BIGINT)
+                     ASC, c.code) AS rn
+            FROM subs s JOIN cb c USING (m)) t
+          WHERE rn = 1
+        ),
+        lut AS (
+          SELECT s.vec_id AS q_id, c.m, c.code,
+                 CAST(list_dot_product(s.sub, c.cw) AS BIGINT) AS contrib
+          FROM subs s JOIN cb c USING (m)
+          WHERE s.vec_id < {ANN_N_QUERIES}
+        ),
+        pairs AS (
+          SELECT cd.q_id, cd.vec_id,
+                 CAST(sum(l.contrib) AS BIGINT) AS adc
+          FROM cand cd
+          JOIN enc e ON e.vec_id = cd.vec_id
+          JOIN lut l ON l.q_id = cd.q_id AND l.m = e.m AND l.code = e.code
+          GROUP BY cd.q_id, cd.vec_id
+        ),
+        shortlist AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY adc DESC, vec_id) AS srn
+            FROM pairs) t
+          WHERE srn <= {IVFPQ_SHORTLIST}
+        ),
+        rer AS (
+          SELECT s.q_id, s.vec_id,
+                 CAST(list_dot_product(qv.q, cv.q) AS BIGINT) AS qdot
+          FROM shortlist s
+          JOIN quant cv ON cv.vec_id = s.vec_id
+          JOIN quant qv ON qv.vec_id = s.q_id
+        )
+        SELECT q_id, vec_id, qdot, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY qdot DESC, vec_id) AS rn
+          FROM rer
+        ) t WHERE rn <= {PQ_TOP_K}
+    """
+
     from ..operators.similarity import (
         CLUSTER_SAMPLE_SALT,
         CLUSTER_SAMPLE_TARGET,

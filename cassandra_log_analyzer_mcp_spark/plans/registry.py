@@ -57,6 +57,7 @@ R3_DRIVER_WINDOW = [
     "dedup_canonical",
     "sequence_packing",
     "chunk_dedup",
+    "ann_ivf_pq_cosine",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -102,7 +103,6 @@ R3_DRIVER_WINDOW = [
     "error_timeline",
     "compare_nodes",
     "get_errors",
-    "search_logs",
 ]
 
 
@@ -214,6 +214,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "ann_ivf_persisted": similarity.ann_ivf_persisted,
         "ann_pq_cosine": similarity.ann_pq_cosine,
+        "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "cluster_summary": similarity.cluster_summary,

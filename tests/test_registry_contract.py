@@ -49,7 +49,7 @@ NEW_IN_R3 = {
     "discount_band_revenue", "repeated_spans_merged",
     "node_summary_silver", "silver_restatement",
     "streaming_kafka_issue_counts", "dedup_canonical",
-    "sequence_packing", "chunk_dedup",
+    "sequence_packing", "chunk_dedup", "ann_ivf_pq_cosine",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged)

@@ -783,3 +783,38 @@ def test_sequence_packing_invariants(spark, sf_dir):
                 > curation.PACK_CTX_TOKENS
             )
         prev_sum[key] = prev_sum.get(key, 0) + r.n_tokens
+
+
+def test_ann_ivf_pq_recall(spark, sf_dir):
+    """The double-pruned hybrid (cells bound candidates, codes bound
+    cost) still recovers most of the true int8 top-5 (measured 0.76
+    at sf0.001 — below the single-stage indexes by design, since both
+    prune losses stack)."""
+    from pyspark.sql.window import Window
+
+    from cassandra_log_analyzer_mcp_spark.functions.vectors import dot_long
+
+    quant = similarity._quantized(spark, sf_dir)
+    qs = quant.filter(
+        F.col("vec_id") < similarity.ANN_N_QUERIES
+    ).select(F.col("vec_id").alias("q_id"), F.col("q").alias("qq"))
+    pairs = (
+        quant.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            dot_long(F.col("qq"), F.col("q")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").desc(), F.col("vec_id"))
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= similarity.PQ_TOP_K)
+        .collect()
+    }
+    hyb = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ann_ivf_pq_cosine(spark, sf_dir).collect()
+    }
+    assert len(exact & hyb) / len(exact) >= 0.6
