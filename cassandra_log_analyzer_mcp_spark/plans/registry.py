@@ -58,6 +58,7 @@ R3_DRIVER_WINDOW = [
     "sequence_packing",
     "chunk_dedup",
     "ann_ivf_pq_cosine",
+    "decontaminate_bloom",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -102,7 +103,6 @@ R3_DRIVER_WINDOW = [
     "node_summary_salted",
     "error_timeline",
     "compare_nodes",
-    "get_errors",
 ]
 
 
@@ -191,6 +191,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_sample": curation.corpus_sample,
         "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
+        "decontaminate_bloom": curation.decontaminate_bloom,
         "source_quality": curation.source_quality,
         "train_test_split": curation.train_test_split,
         "sequence_packing": curation.sequence_packing,

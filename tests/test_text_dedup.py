@@ -818,3 +818,29 @@ def test_ann_ivf_pq_recall(spark, sf_dir):
         for r in similarity.ann_ivf_pq_cosine(spark, sf_dir).collect()
     }
     assert len(exact & hyb) / len(exact) >= 0.6
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, sf_dir, monkeypatch):
+    """Bloom membership must be a strict superset of exact membership
+    (no contaminated doc missed), with per-gram counts >= exact."""
+    shared = "alpha beta gamma delta epsilon"
+    monkeypatch.setattr(
+        curation, "documents", lambda s, d: s.createDataFrame(
+            [
+                Row(doc_id=0, text=shared + " eval tail words here"),  # eval
+                Row(doc_id=1, text="intro words then " + shared),      # hit
+                Row(doc_id=2, text="q1 q2 q3 q4 q5 q6 q7 q8"),         # clean
+                Row(doc_id=97, text="x1 x2 x3 x4 x5 x6 x7"),           # eval
+            ]
+        )
+    )
+    rows = {r.doc_id: r for r in
+            curation.decontaminate_bloom(spark, sf_dir).collect()}
+    exact = {r.doc_id: r.n_shared_grams for r in
+             curation.decontaminate(spark, sf_dir).collect()}
+    assert 1 in rows and rows[1].contaminated
+    assert rows[1].n_exact_grams == exact[1] == 1  # one shared 5-gram
+    for r in rows.values():
+        assert r.n_bloom_grams >= r.n_exact_grams
+    # every exact-flagged doc appears in the bloom output
+    assert set(exact) <= set(rows)
