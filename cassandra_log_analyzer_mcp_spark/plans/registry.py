@@ -59,6 +59,7 @@ R3_DRIVER_WINDOW = [
     "chunk_dedup",
     "ann_ivf_pq_cosine",
     "decontaminate_bloom",
+    "vocab_top_tokens_mergeable",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -102,7 +103,6 @@ R3_DRIVER_WINDOW = [
     "node_summary",
     "node_summary_salted",
     "error_timeline",
-    "compare_nodes",
 ]
 
 
@@ -177,6 +177,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_confusion": textops.lang_confusion,
         "doc_fingerprint": textops.doc_fingerprint,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        "vocab_top_tokens_mergeable": textops.vocab_top_tokens_mergeable,
         "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_repetition": textops.doc_repetition,

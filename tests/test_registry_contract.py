@@ -50,7 +50,7 @@ NEW_IN_R3 = {
     "node_summary_silver", "silver_restatement",
     "streaming_kafka_issue_counts", "dedup_canonical",
     "sequence_packing", "chunk_dedup", "ann_ivf_pq_cosine",
-    "decontaminate_bloom",
+    "decontaminate_bloom", "vocab_top_tokens_mergeable",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged)

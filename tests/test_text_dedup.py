@@ -844,3 +844,29 @@ def test_decontaminate_bloom_superset_of_exact(spark, sf_dir, monkeypatch):
         assert r.n_bloom_grams >= r.n_exact_grams
     # every exact-flagged doc appears in the bloom output
     assert set(exact) <= set(rows)
+
+
+def test_heavy_hitters_bounds_contain_truth(spark, sf_dir):
+    """Mergeable-summary guarantee: for every reported token,
+    lb <= true count <= ub; and every token whose true count exceeds
+    the reported tokens' minimum ub is guaranteed to appear."""
+    hh = {r.t: (r.lb, r.ub) for r in
+          textops.vocab_top_tokens_mergeable(spark, sf_dir).collect()}
+    truth = {
+        r.token: r.n_occurrences
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("raw"))
+        .select(F.regexp_extract("raw", "[A-Za-z0-9]+", 0).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count("*").alias("n_occurrences"))
+        .collect()
+    }
+    assert hh
+    for t, (lb, ub) in hh.items():
+        assert lb <= truth[t] <= ub, (t, lb, truth[t], ub)
+    # completeness: any token truly above every reported ub must be in
+    # the report (it cannot have been dropped everywhere)
+    min_ub = min(ub for _, ub in hh.values())
+    for t, n in truth.items():
+        if n > min_ub:
+            assert t in hh, (t, n, min_ub)
