@@ -198,6 +198,20 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_frame_sample_stub, FRAME_SCHEMA)
 
 
+def multimodal_frames_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow FRAME-SAMPLING stage itself, hash-checked per frame —
+    the 1→N fan-out analogue of multimodal_decode_check: every emitted
+    frame row (index, timestamp, resized dims, slice length, slice
+    md5) is SQL-recomputable because the stub slices payload bytes
+    deterministically and the corpus is ASCII (byte slices == char
+    slices). Proves the fan-out batch shape, not just its row count:
+    an off-by-one in the slicing or a mis-mapped struct field
+    hash-mismatches. The per-doc rollup stays rows-only
+    (multimodal_frames); this is its value-level twin.
+    """
+    return sample_frames(with_media_columns(documents(spark, sf_dir)))
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample + resize over the media columns, rolled up per
     document: frame count, bytes sampled, distinct frame hashes (the

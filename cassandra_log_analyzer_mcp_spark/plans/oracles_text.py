@@ -372,6 +372,41 @@ def text_oracles() -> dict[str, str]:
         FROM s GROUP BY doc_id, span_id
     """
 
+    from ..operators.multimodal import FAKE_FPS_MS, MAX_FRAMES, MIN_DIM
+
+    # the Arrow frame-sampling fan-out hash-checked per FRAME: the
+    # stub slices payload bytes deterministically (ASCII corpus, so
+    # byte slices == char slices) and every slice md5 recomputes in
+    # SQL; all chunks are exactly `step` bytes because the k-th slice
+    # ends at (k+1)*step <= n
+    o["multimodal_frames_check"] = f"""
+        WITH m AS (
+          SELECT doc_id, text, length(text) AS n,
+                 CAST(doc_id % 640 + 32 AS INT) AS width,
+                 CAST(doc_id % 480 + 24 AS INT) AS height
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text, width, height,
+                 least({MAX_FRAMES}, greatest(1, n // 64)) AS n_frames,
+                 n // least({MAX_FRAMES}, greatest(1, n // 64)) AS step
+          FROM m
+        ),
+        e AS (
+          SELECT doc_id, text, width, height, step,
+                 unnest(range(0, n_frames)) AS k
+          FROM f
+        )
+        SELECT doc_id, CAST(k AS INT) AS frame_idx,
+               CAST(k * {FAKE_FPS_MS} AS BIGINT) AS ts_ms,
+               CAST(greatest({MIN_DIM}, width // 2) AS INT) AS out_width,
+               CAST(greatest({MIN_DIM}, height // 2) AS INT) AS out_height,
+               CAST(step AS BIGINT) AS frame_bytes,
+               md5(substr(text, CAST(k * step + 1 AS INT),
+                          CAST(step AS INT))) AS frame_hash
+        FROM e
+    """
+
     # the Arrow mapInPandas decode stage hash-checked: n_bytes via
     # octet_length (UTF-8-correct), mean_byte via per-char codepoint
     # sums (== byte sums for the ASCII corpus; a non-ASCII drop

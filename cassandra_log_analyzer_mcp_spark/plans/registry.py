@@ -60,6 +60,7 @@ R3_DRIVER_WINDOW = [
     "ann_ivf_pq_cosine",
     "decontaminate_bloom",
     "vocab_top_tokens_mergeable",
+    "multimodal_frames_check",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -102,7 +103,6 @@ R3_DRIVER_WINDOW = [
     "issue_counts",
     "node_summary",
     "node_summary_salted",
-    "error_timeline",
 ]
 
 
@@ -226,6 +226,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — the Arrow mapInPandas decode stage, hash-checked (the
         # strongest multimodal evidence; the agg views stay rows-only)
         "multimodal_decode_check": multimodal.multimodal_decode_check,
+        "multimodal_frames_check": multimodal.multimodal_frames_check,
         # new parity variants (reference tool-surface semantics)
         "get_errors_global": _on_logs(analysis.get_errors_global),
         "error_timeline_raw": _on_logs(analysis.error_timeline_raw),
