@@ -816,3 +816,73 @@ def vocab_top_tokens_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HH_TOP_K)
         .select("t", "lb", "ub", "rn")
     )
+
+
+#: BPE merge training (Sennrich et al. 2016, word-level symbols): the
+#: number of merge rounds learned on-corpus. Each round finds the
+#: globally most frequent ADJACENT symbol pair and fuses it greedily
+#: left-to-right — the tokenizer-induction loop an LLM data platform
+#: runs over its own corpus.
+BPE_N_MERGES = 8
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_N_MERGES byte-pair-encoding merges over the corpus —
+    the iterative tokenizer-training loop, Spark-first:
+
+    - pair counting is transform(sequence)+explode → ONE map-side-
+      combined hash agg per round (symbol-pair keyed);
+    - the argmax pair is a 1-row TakeOrdered collect per round (the
+      legitimate Pregel-style control edge, exactly like k-means'
+      K-row centroid collect);
+    - the merge itself is a pure map stage: a per-doc aggregate() fold
+      that fuses adjacent (a, b) greedily left-to-right (the fold
+      state is the output symbol array, so overlapping occurrences
+      resolve like reference BPE: 'a a a' with pair (a,a) → '(aa) a');
+    - each round localCheckpoints the symbol table, cutting the
+      iterated plan's lineage (same reasoning as dedup_clusters).
+
+    Ties break (count desc, left asc, right asc) — deterministic on
+    both engines; the oracle replays every round with per-doc
+    recursive-CTE folds and must land on the identical merge table.
+    """
+    docs = (
+        documents(spark, sf_dir)
+        .select("doc_id", tokens_col().alias("toks"))
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(BPE_N_MERGES):
+        pairs = (
+            docs.filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, top[0].c
+        merges.append((rnd, a, b, int(c)))
+        docs = docs.select(
+            "doc_id",
+            F.expr(
+                f"""aggregate(toks, cast(array() as array<string>),
+                  (acc, x) -> CASE
+                    WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}'
+                         AND x = '{b}'
+                    THEN concat(slice(acc, 1, size(acc) - 1),
+                                array('{a} {b}'))
+                    ELSE concat(acc, array(x)) END)"""
+            ).alias("toks"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, n_pairs long"
+    )

@@ -996,6 +996,54 @@ def text_oracles() -> dict[str, str]:
         WHERE rn <= {HH_TOP_K}
     """
 
+    from ..operators.textops import BPE_N_MERGES
+
+    # BPE merge training replayed round by round: pair counts from
+    # zipped unnests, the argmax pair as a 1-row CTE, and the greedy
+    # left-to-right fuse as a per-doc RECURSIVE fold — the same fold
+    # semantics as the Spark side's aggregate() lambda (overlapping
+    # occurrences resolve left-to-right because the fold state is the
+    # already-merged output array).
+    bpe = ["d0 AS MATERIALIZED (SELECT doc_id, " + TOKS + " AS t FROM documents)"]
+    for n in range(BPE_N_MERGES):
+        bpe.append(f"""pc{n} AS MATERIALIZED (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(t[1:len(t) - 1]) AS a,
+                   unnest(t[2:len(t)]) AS b
+            FROM d{n} WHERE len(t) >= 2) u
+          GROUP BY a, b)""")
+        bpe.append(f"""m{n} AS MATERIALIZED (
+          SELECT {n} AS rnd, a AS lft, b AS rgt, c FROM pc{n}
+          ORDER BY c DESC, a, b LIMIT 1)""")
+        bpe.append(f"""r{n} AS (
+          SELECT doc_id, 0 AS i, CAST([] AS VARCHAR[]) AS out FROM d{n}
+          UNION ALL
+          SELECT m.doc_id, m.i + 1,
+                 CASE WHEN len(m.out) > 0
+                           AND m.out[len(m.out)] = (SELECT lft FROM m{n})
+                           AND d.t[m.i + 1] = (SELECT rgt FROM m{n})
+                      THEN m.out[1:len(m.out) - 1]
+                           || [(SELECT lft FROM m{n}) || ' '
+                               || (SELECT rgt FROM m{n})]
+                      ELSE m.out || [d.t[m.i + 1]] END
+          FROM r{n} m JOIN d{n} d USING (doc_id)
+          WHERE m.i < len(d.t))""")
+        bpe.append(f"""d{n + 1} AS MATERIALIZED (
+          SELECT r.doc_id, r.out AS t FROM r{n} r JOIN d{n} d USING (doc_id)
+          WHERE r.i = len(d.t))""")
+    merge_union = " UNION ALL ".join(
+        f"SELECT rnd, lft, rgt, c FROM m{n}" for n in range(BPE_N_MERGES)
+    )
+    o["bpe_train_merges"] = (
+        "WITH RECURSIVE "
+        + ",\n".join(bpe)
+        + f"""
+        SELECT CAST(rnd AS INT) AS round, lft AS "left",
+               rgt AS "right", c AS n_pairs
+        FROM ({merge_union}) t
+    """
+    )
+
     from ..operators.curation import BLOOM_K, BLOOM_POS_HEX
 
     # Bloom positions ARE 4-hex md5 prefixes — string equality is the

@@ -61,6 +61,7 @@ R3_DRIVER_WINDOW = [
     "decontaminate_bloom",
     "vocab_top_tokens_mergeable",
     "multimodal_frames_check",
+    "bpe_train_merges",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -102,7 +103,6 @@ R3_DRIVER_WINDOW = [
     "issue_classify",
     "issue_counts",
     "node_summary",
-    "node_summary_salted",
 ]
 
 
@@ -185,6 +185,7 @@ def queries() -> dict[str, QueryFn]:
         "repeated_span_coverage": textops.repeated_span_coverage,
         "repeated_spans_merged": textops.repeated_spans_merged,
         "chunk_dedup": textops.chunk_dedup,
+        "bpe_train_merges": textops.bpe_train_merges,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         # §2D — composed curation pipeline (featurize→filter→dedup)

@@ -870,3 +870,21 @@ def test_heavy_hitters_bounds_contain_truth(spark, sf_dir):
     for t, n in truth.items():
         if n > min_ub:
             assert t in hh, (t, n, min_ub)
+
+
+def test_bpe_train_merges_hand_computed(spark, sf_dir, monkeypatch):
+    """Known corpus: 'a b' dominates round 0; the fused symbol then
+    pairs with itself and wins round 1 (greedy left-to-right, so
+    'ab ab ab' fuses as (abab)(ab))."""
+    monkeypatch.setattr(
+        textops, "documents", lambda s, d: s.createDataFrame(
+            [
+                Row(doc_id=0, text="a b a b a b c"),
+                Row(doc_id=1, text="a b a b a b d"),
+            ]
+        )
+    )
+    rows = textops.bpe_train_merges(spark, sf_dir).orderBy("round").collect()
+    assert (rows[0].left, rows[0].right, rows[0].n_pairs) == ("a", "b", 6)
+    assert (rows[1].left, rows[1].right) == ("a b", "a b")
+    assert rows[1].n_pairs == 4  # two per doc: (ab,ab),(ab,ab) overlaps

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EAGER = {
     "dedup_clusters",
     "dedup_canonical",  # contains dedup_clusters' driver loop
+    "bpe_train_merges",  # per-round argmax collect driver loop
     "streaming_issue_counts",
     "streaming_kafka_issue_counts",
     "streaming_error_bursts",
