@@ -826,26 +826,9 @@ def vocab_top_tokens_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 8
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn BPE_N_MERGES byte-pair-encoding merges over the corpus —
-    the iterative tokenizer-training loop, Spark-first:
-
-    - pair counting is transform(sequence)+explode → ONE map-side-
-      combined hash agg per round (symbol-pair keyed);
-    - the argmax pair is a 1-row TakeOrdered collect per round (the
-      legitimate Pregel-style control edge, exactly like k-means'
-      K-row centroid collect);
-    - the merge itself is a pure map stage: a per-doc aggregate() fold
-      that fuses adjacent (a, b) greedily left-to-right (the fold
-      state is the output symbol array, so overlapping occurrences
-      resolve like reference BPE: 'a a a' with pair (a,a) → '(aa) a');
-    - each round localCheckpoints the symbol table, cutting the
-      iterated plan's lineage (same reasoning as dedup_clusters).
-
-    Ties break (count desc, left asc, right asc) — deterministic on
-    both engines; the oracle replays every round with per-doc
-    recursive-CTE folds and must land on the identical merge table.
-    """
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop → (merge list, final symbol table).
+    See bpe_train_merges for the full design discussion."""
     docs = (
         documents(spark, sf_dir)
         .select("doc_id", tokens_col().alias("toks"))
@@ -883,6 +866,57 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE concat(acc, array(x)) END)"""
             ).alias("toks"),
         ).localCheckpoint()
+    return merges, docs
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_N_MERGES byte-pair-encoding merges over the corpus —
+    the iterative tokenizer-training loop, Spark-first:
+
+    - pair counting is transform(sequence)+explode → ONE map-side-
+      combined hash agg per round (symbol-pair keyed);
+    - the argmax pair is a 1-row TakeOrdered collect per round (the
+      legitimate Pregel-style control edge, exactly like k-means'
+      K-row centroid collect);
+    - the merge itself is a pure map stage: a per-doc aggregate() fold
+      that fuses adjacent (a, b) greedily left-to-right (the fold
+      state is the output symbol array, so overlapping occurrences
+      resolve like reference BPE: 'a a a' with pair (a,a) -> '(aa) a');
+    - each round localCheckpoints the symbol table, cutting the
+      iterated plan's lineage (same reasoning as dedup_clusters).
+
+    Ties break (count desc, left asc, right asc) — deterministic on
+    both engines; the oracle replays every round with per-doc
+    recursive-CTE folds and must land on the identical merge table.
+    """
+    merges, _ = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round int, left string, right string, n_pairs long"
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the merges just learned — the second
+    half of the tokenizer lifecycle (train -> encode), reported as
+    per-doc compression: raw whitespace-token count, post-merge symbol
+    count, and their exact ratio. The encode itself already happened
+    inside the training fold (the final symbol table IS the encoded
+    corpus), so this costs one zero-shuffle projection over it plus a
+    doc_id-equi join to the raw counts.
+    """
+    _, docs = _bpe_learn(spark, sf_dir)
+    raw = documents(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_raw_tokens")
+    )
+    enc = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_bpe_symbols")
+    )
+    return raw.join(enc, "doc_id").select(
+        "doc_id",
+        "n_raw_tokens",
+        "n_bpe_symbols",
+        F.when(
+            F.col("n_raw_tokens") > 0,
+            F.col("n_bpe_symbols") / F.col("n_raw_tokens"),
+        ).otherwise(1.0).alias("compression"),
     )

@@ -260,6 +260,9 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # compaction is a pure layout change — identical rollup
+    o["silver_compaction"] = o["silver_node_errors"]
+
     # restated final state, stated directly: the earliest day's
     # overwritten (node, day) partitions hold only their error lines —
     # UNLESS that day/node produced no errors, in which case dynamic

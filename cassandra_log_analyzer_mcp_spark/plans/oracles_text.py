@@ -1034,13 +1034,28 @@ def text_oracles() -> dict[str, str]:
     merge_union = " UNION ALL ".join(
         f"SELECT rnd, lft, rgt, c FROM m{n}" for n in range(BPE_N_MERGES)
     )
+    bpe_chain = "WITH RECURSIVE " + ",\n".join(bpe)
     o["bpe_train_merges"] = (
-        "WITH RECURSIVE "
-        + ",\n".join(bpe)
+        bpe_chain
         + f"""
         SELECT CAST(rnd AS INT) AS round, lft AS "left",
                rgt AS "right", c AS n_pairs
         FROM ({merge_union}) t
+    """
+    )
+    # encode = the final symbol table of the SAME chain; compression
+    # divides exact integer lengths (IEEE-identical both engines)
+    o["bpe_encode"] = (
+        bpe_chain
+        + f"""
+        SELECT z.doc_id,
+               CAST(len(d0.t) AS BIGINT) AS n_raw_tokens,
+               CAST(len(z.t) AS BIGINT) AS n_bpe_symbols,
+               CASE WHEN len(d0.t) > 0
+                    THEN CAST(len(z.t) AS BIGINT)
+                         / CAST(len(d0.t) AS BIGINT)
+                    ELSE 1.0 END AS compression
+        FROM d{BPE_N_MERGES} z JOIN d0 USING (doc_id)
     """
     )
 

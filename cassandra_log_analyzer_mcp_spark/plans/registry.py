@@ -23,6 +23,7 @@ from ..operators import (
 )
 from ..sources.silver import (
     node_summary_silver as _node_summary_silver,
+    silver_compaction as _silver_compaction,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
 )
@@ -62,6 +63,8 @@ R3_DRIVER_WINDOW = [
     "vocab_top_tokens_mergeable",
     "multimodal_frames_check",
     "bpe_train_merges",
+    "bpe_encode",
+    "silver_compaction",
     # (b) implementation changed in round 3 (oracles unchanged)
     "error_bursts",
     "error_recovery",
@@ -101,8 +104,6 @@ R3_DRIVER_WINDOW = [
     "log_parse_csv",
     "log_parse_multiline",
     "issue_classify",
-    "issue_counts",
-    "node_summary",
 ]
 
 
@@ -186,6 +187,7 @@ def queries() -> dict[str, QueryFn]:
         "repeated_spans_merged": textops.repeated_spans_merged,
         "chunk_dedup": textops.chunk_dedup,
         "bpe_train_merges": textops.bpe_train_merges,
+        "bpe_encode": textops.bpe_encode,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         # §2D — composed curation pipeline (featurize→filter→dedup)
@@ -239,6 +241,8 @@ def queries() -> dict[str, QueryFn]:
         "node_summary_silver": _node_summary_silver,
         # partition-level restatement via dynamic partition overwrite
         "silver_restatement": _silver_restatement,
+        # small-file compaction rewrite (pure layout change)
+        "silver_compaction": _silver_compaction,
         # r2 §2C additions (never driver-graded either)
         "discount_band_revenue": analytics.discount_band_revenue,
         "value_outliers_robust": analytics.value_outliers_robust,

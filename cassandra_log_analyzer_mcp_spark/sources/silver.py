@@ -110,6 +110,56 @@ def restate_earliest_day(spark: SparkSession, sf_dir: str, path: str) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_silver_fragmented(
+    spark: SparkSession, sf_dir: str, path: str, n_frags: int = 8
+) -> str:
+    """Silver written WITHOUT the partition-aligned repartition — every
+    task emits a file into every (log_date, node) directory it
+    touches, the small-file pattern a high-frequency streaming sink or
+    a naive backfill leaves behind."""
+    flagged = with_issue_flags(logs(spark, sf_dir)).withColumn(
+        "log_date", F.to_date("ts")
+    )
+    (
+        flagged.repartition(n_frags)
+        .write.mode("overwrite")
+        .partitionBy("log_date", "node")
+        .parquet(path)
+    )
+    return path
+
+
+def compact_silver(spark: SparkSession, path: str, out: str) -> str:
+    """Compaction rewrite: one file per (log_date, node) partition via
+    the partition-aligned repartition — the maintenance job that keeps
+    a streamed-into silver table scannable (every extra file is an
+    open/seek/footer-parse at 100 TB, and file listing itself becomes
+    the bottleneck)."""
+    (
+        spark.read.parquet(path)
+        .repartition("log_date", "node")
+        .write.mode("overwrite")
+        .partitionBy("log_date", "node")
+        .parquet(out)
+    )
+    return out
+
+
+def silver_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction loop GRADED end-to-end: fragmented write (many
+    files per partition) → compaction rewrite (one file per
+    partition, asserted in tests/test_silver.py) → the standard node
+    rollup from the compacted table. Shares silver_node_errors'
+    oracle: compaction must be a pure LAYOUT change — any lost or
+    duplicated row hash-mismatches.
+    """
+    frag = _default_path(sf_dir) + "_frag"
+    compacted = _default_path(sf_dir) + "_compact"
+    write_silver_fragmented(spark, sf_dir, frag)
+    compact_silver(spark, frag, compacted)
+    return node_errors_rollup(read_silver(spark, compacted))
+
+
 #: build-once-per-process silver locations, keyed by sf_dir. At 100 TB
 #: the silver table is written ONCE and every analysis query reads it;
 #: the cache reproduces that build-once/query-many lifecycle inside a

@@ -51,7 +51,8 @@ NEW_IN_R3 = {
     "streaming_kafka_issue_counts", "dedup_canonical",
     "sequence_packing", "chunk_dedup", "ann_ivf_pq_cosine",
     "decontaminate_bloom", "vocab_top_tokens_mergeable",
-    "multimodal_frames_check", "bpe_train_merges",
+    "multimodal_frames_check", "bpe_train_merges", "bpe_encode",
+    "silver_compaction",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged)

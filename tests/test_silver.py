@@ -78,3 +78,35 @@ def test_restatement_touches_only_restated_partitions(spark, sf_dir):
     restated = spark.read.parquet(path).filter(F.col("log_date") == day0)
     assert restated.count() > 0
     assert restated.filter(~F.col("is_error")).count() == 0
+
+
+def test_compaction_one_file_per_partition(spark, sf_dir):
+    """Compaction contract: the fragmented write leaves multiple files
+    in at least one partition; the rewrite leaves EXACTLY one parquet
+    file per (log_date, node) directory and the identical row set."""
+    import os
+    import tempfile
+
+    from cassandra_log_analyzer_mcp_spark.sources import silver
+
+    frag = tempfile.mkdtemp(prefix="silver_frag_")
+    comp = tempfile.mkdtemp(prefix="silver_comp_")
+    silver.write_silver_fragmented(spark, sf_dir, frag)
+    silver.compact_silver(spark, frag, comp)
+
+    def files_per_partition(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            n = sum(f.endswith(".parquet") for f in files)
+            if n:
+                out[os.path.relpath(root, path)] = n
+        return out
+
+    before = files_per_partition(frag)
+    after = files_per_partition(comp)
+    assert max(before.values()) > 1  # the problem existed
+    assert set(after) == set(before)  # no partition lost
+    assert all(n == 1 for n in after.values())  # one file each
+    a = spark.read.parquet(frag).count()
+    b = spark.read.parquet(comp).count()
+    assert a == b
