@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.texts import LANG_STOPWORDS, count_matches, lang_pattern
 from ..sources.tables import documents
@@ -293,6 +294,73 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         "doc_id long, block_id long, n_tokens long,"
         " pack_id long, pack_pos long, truncated boolean",
+    )
+
+
+#: Deterministic global corpus shuffle: seeded hash key + shard count.
+#: 256 prefix blocks (the first two hex chars of the key) make the
+#: two-stage global rank exact: block ordering IS key ordering because
+#: every key in block '0a' sorts before every key in block '0b'.
+SHUFFLE_SALT = "shuffle:seed42:"
+SHUFFLE_N_SHARDS = 16
+SHUFFLE_BLOCK_HEX = 2
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global corpus shuffle + sharding — the "randomize the
+    corpus before training" pass every pre-training run does once per
+    epoch seed: order documents by md5(seed || doc_id), assign each a
+    global position and a balanced shard id.
+
+    A naive ``row_number() OVER (ORDER BY key)`` funnels the WHOLE
+    corpus through one task. Instead the proven two-stage numbering
+    shape (operators/analysis._numbered_lines): block = the key's
+    2-hex-char prefix (256 blocks, prefix order == key order), number
+    within blocks massively parallel, add each block's cumulative
+    offset from a broadcast 256-row rollup. ``pos = offset + rank``
+    is exactly the global shuffle position; ``shard = (pos-1)·N div
+    total`` slices it into SHUFFLE_N_SHARDS near-equal shards (a
+    writer would partitionBy('shard')). Everything is a pure function
+    of (seed, doc_id): re-runs, engine swaps, and cluster resizes
+    reproduce the identical permutation.
+    """
+    docs = documents(spark, sf_dir).select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "block", F.substring("shuffle_key", 1, SHUFFLE_BLOCK_HEX)
+    )
+    per_block = keyed.groupBy("block").agg(F.count("*").alias("cnt"))
+    # 256-row rollup: the global window runs over block COUNTS only,
+    # never over corpus rows.
+    wb = Window.orderBy("block")
+    offsets = per_block.select(
+        "block",
+        F.coalesce(
+            F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    total = per_block.agg(F.sum("cnt").alias("total"))
+    win = Window.partitionBy("block").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "block")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pos",
+            (F.col("offset") + F.row_number().over(win)).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "shuffle_key",
+            "pos",
+            F.expr(
+                f"cast(((pos - 1) * {SHUFFLE_N_SHARDS}) div total as int)"
+            ).alias("shard"),
+        )
     )
 
 

@@ -1153,6 +1153,29 @@ def text_oracles() -> dict[str, str]:
                CASE {split_whens} ELSE '{SPLIT_LAST}' END AS split
         FROM documents
     """
+
+    from ..operators.curation import SHUFFLE_N_SHARDS, SHUFFLE_SALT
+
+    # The oracle states the semantics as the naive single global
+    # window; the Spark side's two-stage (block offsets + in-block
+    # rank) numbering must land on the identical permutation.
+    o["corpus_shuffle"] = f"""
+        WITH keyed AS (
+          SELECT doc_id, md5('{SHUFFLE_SALT}' || doc_id) AS shuffle_key
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, shuffle_key,
+                 CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                      AS BIGINT) AS pos,
+                 CAST(count(*) OVER () AS BIGINT) AS total
+          FROM keyed
+        )
+        SELECT doc_id, shuffle_key, pos,
+               CAST(((pos - 1) * {SHUFFLE_N_SHARDS}) // total AS INT)
+                 AS shard
+        FROM ranked
+    """
     return o
 
 

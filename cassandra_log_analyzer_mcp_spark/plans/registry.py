@@ -50,6 +50,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: covered by the local replica (CHECK_LOCAL_r03.json).
 R3_DRIVER_WINDOW = [
     # (a) new in round 3
+    "corpus_shuffle",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -103,7 +104,6 @@ R3_DRIVER_WINDOW = [
     "log_parse_json",
     "log_parse_csv",
     "log_parse_multiline",
-    "issue_classify",
 ]
 
 
@@ -193,6 +193,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
+        "corpus_shuffle": curation.corpus_shuffle,
         "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
         "decontaminate_bloom": curation.decontaminate_bloom,

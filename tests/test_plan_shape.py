@@ -371,3 +371,21 @@ def test_dominant_part_suppliers_window_over_rollup(spark, sf_dir):
     assert "Window" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_shuffle_rank_is_two_stage(spark, sf_dir):
+    """The global shuffle position must come from the two-stage
+    numbering: every window over corpus rows partitions on the key's
+    prefix block (massively parallel), with the 256-row offset rollup
+    broadcast back — never a row_number over a single global
+    partition of the corpus."""
+    plan = _plan(curation.corpus_shuffle(spark, sf_dir))
+    specs = _window_specs(plan)
+    assert specs, "expected window expressions in the plan"
+    # corpus-row windows carry the block key; the only block-free spec
+    # is the running offset over the 256-row block rollup (orders by
+    # block) — either way 'block' appears in every spec.
+    for spec in specs:
+        assert "block" in spec, f"global corpus window: {spec}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
