@@ -789,3 +789,111 @@ def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOP_K)
         .select("q_id", "vec_id", "qdot", "rn")
     )
+
+
+#: PCA power iteration: rounds and the per-round rescale target for
+#: the iterate's max-abs component. Integer bounds (documented in
+#: embedding_pca_project): |G_ij| <= n*127^2, |Gv_i| <= 64*|G|*V —
+#: longs hold to n ~ 10^9 rows; beyond that drop V by the same factor.
+#: Rounds are sized for the synthetic embeddings' nearly FLAT spectrum
+#: (unit vectors around 8 near-orthogonal centers → λ2/λ1 ≈ 0.93, so
+#: the angle to the lead eigenvector shrinks only ×0.93/round; 96
+#: rounds → cos > 0.999, asserted in tests). Iterations are
+#: DRIVER-LOCAL d×d integer matvecs — round count costs nothing at
+#: corpus scale; the corpus is scanned exactly twice regardless.
+PCA_ITERS = 96
+PCA_V_SCALE = 1 << 20
+
+
+def _gram_matrix(quant: DataFrame):
+    """EXACT-integer Gramian G = Q^T Q as a d*d list-of-lists, computed
+    the MLlib RowMatrix.computeGramianMatrix way: each Arrow batch
+    contributes its d*d partial via one numpy int64 matmul (BLAS-shape
+    work, no per-row Python), partials merge in a map-side-combined
+    groupBy over (i, j) keys — 4096 tiny rows shuffle per partition
+    regardless of corpus size — and only the d*d rollup reaches the
+    driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = EMBED_DIM
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = q.T @ q
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": g.ravel()}
+            )
+
+    rows = (
+        quant.select("q")
+        .mapInPandas(partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    gram = [[0] * d for _ in range(d)]
+    for r in rows:
+        gram[r["i"]][r["j"]] = int(r["g"])
+    return gram
+
+
+def _power_iterate(gram) -> list[int]:
+    """Dominant eigenvector by integer power iteration — EXACT state:
+    v starts all-PCA_V_SCALE, each round v <- rescale(G v) where the
+    matvec is exact integer arithmetic and the rescale maps the
+    max-abs component back to PCA_V_SCALE via non-negative floor
+    division (sign * (|x|*V // mx)) — the identical expression the
+    oracle evaluates in HUGEINT, so both engines walk the same
+    integer sequence (no float summation order, no libm). G = Q^T Q
+    is PSD, so the iteration converges monotonically with no sign
+    oscillation.
+    """
+    d = len(gram)
+    v = [PCA_V_SCALE] * d
+    for _ in range(PCA_ITERS):
+        gv = [sum(gram[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in gv) or 1
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * PCA_V_SCALE) // mx)
+            for x in gv
+        ]
+    return v
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal component — the dominant
+    direction of the (uncentered) int8-quantized embedding cloud, and
+    every vector's projection onto it: the axis used for spectral
+    ordering, coarse curriculum sorting, and 1-D diversity binning of
+    a training corpus.
+
+    Spark-first shape (MLlib RowMatrix.computePrincipalComponents):
+    the d*d Gramian aggregates distributively (numpy matmul per Arrow
+    batch + one tiny (i,j)-keyed rollup — the corpus streams ONCE and
+    only d^2 rows move), power iteration runs on the driver over d*d
+    integers (the K-row-collect control-edge pattern k-means proves),
+    and the projection is a zero-shuffle map stage against the
+    broadcast integer eigenvector. Nothing about this plan changes at
+    100 TB: one scan + 4096-row shuffle + one scan.
+
+    Exactness: quantized components, Gramian, power-iterate, and
+    projections are ALL exact int64/HUGEINT arithmetic (see
+    _power_iterate) — the oracle replays the identical integer
+    sequence, so projections hash bit-identical with no rounding
+    protocol.
+    """
+    # cached: the Gramian action and the lazy projection share one
+    # materialization (released by session.clear_caches, same
+    # lifecycle as the k-means assignment cache)
+    quant = _quantized(spark, sf_dir).cache()
+    v = _power_iterate(_gram_matrix(quant))
+    v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    return quant.select(
+        "vec_id", dot_long(F.col("q"), v_lit).alias("proj")
+    )

@@ -1645,4 +1645,55 @@ def similarity_oracles() -> dict[str, str]:
           FROM pairs
         ) t WHERE rn <= {ANN_TOP_K}
     """
+
+    from ..operators.similarity import EMBED_DIM, PCA_ITERS, PCA_V_SCALE
+
+    # Mirrors operators/similarity.embedding_pca_project: exact-integer
+    # Gramian + PCA_ITERS power-iteration rounds unrolled as CTEs. The
+    # rescale is the identical sign * (|x|*V // max) floor-division
+    # expression (HUGEINT holds |x|*V), so both engines walk the same
+    # integer eigenvector sequence and projections need no rounding.
+    # MATERIALIZED is load-bearing: each pv{r} references gv{r} twice
+    # (max subquery + projection), so inlined CTEs would re-expand the
+    # chain 2^PCA_ITERS times — materialization evaluates each round
+    # once, like the driver loop does.
+    V = PCA_V_SCALE
+    pca = [
+        f"""quant AS MATERIALIZED (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS q
+          FROM embeddings)""",
+        """upos AS (
+          SELECT vec_id, unnest(q) AS x,
+                 unnest(range(1, len(q) + 1)) AS pos
+          FROM quant)""",
+        """gram AS MATERIALIZED (
+          SELECT a.pos AS i, b.pos AS j,
+                 CAST(sum(a.x * b.x) AS BIGINT) AS g
+          FROM upos a JOIN upos b USING (vec_id)
+          GROUP BY a.pos, b.pos)""",
+        f"""pv0 AS (
+          SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i,
+                 CAST({V} AS BIGINT) AS x)""",
+    ]
+    for r in range(1, PCA_ITERS + 1):
+        pca.append(f"""gv{r} AS MATERIALIZED (
+          SELECT g.i, CAST(sum(g.g * v.x) AS BIGINT) AS x
+          FROM gram g JOIN pv{r - 1} v ON v.i = g.j
+          GROUP BY g.i)""")
+        pca.append(f"""pv{r} AS MATERIALIZED (
+          SELECT i, CAST((CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                 * ((CAST(abs(x) AS HUGEINT) * {V})
+                    // GREATEST((SELECT max(abs(x)) FROM gv{r}), 1))
+                 AS BIGINT) AS x
+          FROM gv{r})""")
+    pca.append(
+        f"vlist AS (SELECT list(x ORDER BY i) AS v FROM pv{PCA_ITERS})"
+    )
+    o["embedding_pca_project"] = f"""
+        WITH {",".join(pca)}
+        SELECT q.vec_id,
+               CAST(list_dot_product(q.q, vlist.v) AS BIGINT) AS proj
+        FROM quant q, vlist
+    """
     return o

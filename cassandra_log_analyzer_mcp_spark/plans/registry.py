@@ -51,6 +51,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 R3_DRIVER_WINDOW = [
     # (a) new in round 3
     "corpus_shuffle",
+    "embedding_pca_project",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -103,7 +104,6 @@ R3_DRIVER_WINDOW = [
     "log_parse",
     "log_parse_json",
     "log_parse_csv",
-    "log_parse_multiline",
 ]
 
 
@@ -226,6 +226,7 @@ def queries() -> dict[str, QueryFn]:
         "cluster_summary": similarity.cluster_summary,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "embedding_outliers": similarity.embedding_outliers,
+        "embedding_pca_project": similarity.embedding_pca_project,
         "doc_embedding_join": similarity.doc_embedding_join,
         # §2D — the Arrow mapInPandas decode stage, hash-checked (the
         # strongest multimodal evidence; the agg views stay rows-only)

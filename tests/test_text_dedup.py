@@ -888,3 +888,32 @@ def test_bpe_train_merges_hand_computed(spark, sf_dir, monkeypatch):
     assert (rows[0].left, rows[0].right, rows[0].n_pairs) == ("a", "b", 6)
     assert (rows[1].left, rows[1].right) == ("a b", "a b")
     assert rows[1].n_pairs == 4  # two per doc: (ab,ab),(ab,ab) overlaps
+
+
+def test_pca_matches_numpy_dominant_eigenvector(spark, sf_dir):
+    """The integer power iteration must land on the true dominant
+    eigendirection of the quantized Gramian: cosine between the
+    integer iterate and numpy's leading eigenvector > 0.999, and the
+    graded projections must equal q . v exactly."""
+    import numpy as np
+
+    quant = similarity._quantized(spark, sf_dir)
+    Q = np.array(
+        [r.q for r in quant.orderBy("vec_id").collect()], dtype=np.int64
+    )
+    gram = similarity._gram_matrix(quant)
+    assert np.array_equal(np.array(gram), Q.T @ Q)
+
+    v = np.array(similarity._power_iterate(gram), dtype=np.float64)
+    w, vecs = np.linalg.eigh(np.array(gram, dtype=np.float64))
+    lead = vecs[:, np.argmax(w)]
+    cos = abs(v @ lead) / (np.linalg.norm(v) * np.linalg.norm(lead))
+    assert cos > 0.999, cos
+
+    proj = {
+        r.vec_id: r.proj
+        for r in similarity.embedding_pca_project(spark, sf_dir).collect()
+    }
+    expect = Q @ np.array(similarity._power_iterate(gram), dtype=np.int64)
+    got = np.array([proj[i] for i in sorted(proj)], dtype=np.int64)
+    assert np.array_equal(got, expect)
