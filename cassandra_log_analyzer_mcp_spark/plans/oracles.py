@@ -295,6 +295,33 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # key-level merge: final content stated directly — the corrected
+    # rows (earliest day, MERGE_NODE, was-is_error) are WARN level
+    # after the merge, so they count as warnings always and as errors
+    # only when their MESSAGE matches an error pattern; every other
+    # row keeps its original flags. Any dropped bystander, duplicated
+    # key, or leak into another partition breaks the hash.
+    o["silver_merge_upsert"] = with_logs(
+        f"""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date, node,
+               CAST(sum(CASE WHEN (CASE WHEN corrected
+                                   THEN {_any('message', ERROR_PATTERNS)}
+                                   ELSE is_error END)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+               CAST(sum(CASE WHEN (corrected OR is_warning)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS warnings,
+               CAST(count(*) AS BIGINT) AS total_lines
+        FROM (
+          SELECT *,
+                 (CAST(ts AS DATE) =
+                    (SELECT min(CAST(ts AS DATE)) FROM flagged)
+                  AND node = 'node2' AND is_error) AS corrected
+          FROM flagged
+        ) t
+        GROUP BY 1, 2
+        """
+    )
+
     # the reference timeline's RAW entry list (ref :256-257), bounded
     # to the first 100 ERROR|WARN entries per node
     o["error_timeline_raw"] = with_logs(

@@ -24,6 +24,7 @@ from ..operators import (
 from ..sources.silver import (
     node_summary_silver as _node_summary_silver,
     silver_compaction as _silver_compaction,
+    silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
 )
@@ -52,6 +53,7 @@ R3_DRIVER_WINDOW = [
     # (a) new in round 3
     "corpus_shuffle",
     "embedding_pca_project",
+    "silver_merge_upsert",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -103,7 +105,6 @@ R3_DRIVER_WINDOW = [
     # better than one; these fill the window to exactly 50
     "log_parse",
     "log_parse_json",
-    "log_parse_csv",
 ]
 
 
@@ -245,6 +246,8 @@ def queries() -> dict[str, QueryFn]:
         "silver_restatement": _silver_restatement,
         # small-file compaction rewrite (pure layout change)
         "silver_compaction": _silver_compaction,
+        # key-level merge upsert (Delta-style MERGE on plain parquet)
+        "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)
         "discount_band_revenue": analytics.discount_band_revenue,
         "value_outliers_robust": analytics.value_outliers_robust,

@@ -110,6 +110,96 @@ def restate_earliest_day(spark: SparkSession, sf_dir: str, path: str) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+#: the upsert demo's target node: its earliest-day ERROR lines get
+#: re-leveled to WARN (flags recomputed), all other rows — including
+#: the non-error rows of the SAME partition — must survive untouched.
+MERGE_NODE = "node2"
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> None:
+    """KEY-level MERGE (Delta-style upsert) on a plain parquet silver
+    table: delete-and-replace every (node, line_id) key present in
+    ``updates``, touching ONLY the (log_date, node) partitions the
+    batch lands in.
+
+    Restatement (restate_earliest_day) replaces whole partitions;
+    this is the finer loop a CDC feed needs — rows NOT in the batch
+    survive inside rewritten partitions. Mechanics: the batch's
+    distinct partition keys (tiny — collected) become a pruning
+    filter on the base read, the batch anti-joins out its keys
+    (broadcast — batch-sized), the union re-lands via dynamic
+    partition overwrite. At 100 TB the cost is proportional to the
+    AFFECTED partitions, never the table.
+    """
+    parts = [
+        (r["log_date"], r["node"])
+        for r in updates.select("log_date", "node").distinct().collect()
+    ]
+    base = read_silver(spark, path)
+    cond = F.lit(False)
+    for d, n in parts:
+        cond = cond | (
+            (F.col("log_date") == F.lit(d)) & (F.col("node") == F.lit(n))
+        )
+    affected = base.filter(cond)
+    merged = affected.join(
+        F.broadcast(updates.select("node", "line_id")),
+        ["node", "line_id"],
+        "left_anti",
+    ).unionByName(updates)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("log_date", "node")
+            .write.mode("overwrite")
+            .partitionBy("log_date", "node")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def silver_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-level merge loop GRADED end-to-end: full silver build →
+    a correction batch (MERGE_NODE's earliest-day ERROR lines
+    re-leveled to WARN, issue flags recomputed by the SAME classifier
+    the parse path uses) merges in via ``merge_upsert`` → an all-node
+    (log_date, node) rollup reads the final table. The oracle states
+    the expected content directly (corrected rows count as warnings,
+    and as errors only if their MESSAGE matches an error pattern), so
+    a merge that drops bystander rows inside the rewritten partition,
+    duplicates keys, or leaks into other partitions hash-mismatches.
+    Untouched partitions keep their inodes (tests/test_silver.py).
+    """
+    path = _default_path(sf_dir) + "_merge"
+    write_silver(spark, sf_dir, path)
+    base = read_silver(spark, path)
+    day0 = base.agg(F.min("log_date")).collect()[0][0]
+    updates = with_issue_flags(
+        base.filter(
+            (F.col("log_date") == F.lit(day0))
+            & (F.col("node") == MERGE_NODE)
+            & F.col("is_error")
+        )
+        .drop("issues", "is_error", "is_warning")
+        .withColumn("level", F.lit("WARN"))
+    )
+    merge_upsert(spark, path, updates)
+    return (
+        read_silver(spark, path)
+        .groupBy(
+            F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+            F.col("node"),
+        )
+        .agg(
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+            F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+            F.count("*").alias("total_lines"),
+        )
+    )
+
+
 def write_silver_fragmented(
     spark: SparkSession, sf_dir: str, path: str, n_frags: int = 8
 ) -> str:

@@ -110,3 +110,70 @@ def test_compaction_one_file_per_partition(spark, sf_dir):
     a = spark.read.parquet(frag).count()
     b = spark.read.parquet(comp).count()
     assert a == b
+
+def test_merge_upsert_key_level_semantics(spark, sf_dir):
+    """Key-level merge: only the batch's (day0, MERGE_NODE) partition
+    rewrites (every other file keeps its inode — including OTHER
+    NODES of day0), bystander rows inside the rewritten partition
+    survive byte-identically, and the updated keys carry the new
+    level with no duplicates."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        with_issue_flags,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources import silver
+
+    path = tempfile.mkdtemp(prefix="silver_merge_test_")
+    silver.write_silver(spark, sf_dir, path)
+    base = silver.read_silver(spark, path)
+    day0 = base.agg(F.min("log_date")).collect()[0][0]
+    in_part = (F.col("log_date") == F.lit(day0)) & (
+        F.col("node") == silver.MERGE_NODE
+    )
+    bystanders_before = {
+        r.line_id: r.raw
+        for r in base.filter(in_part & ~F.col("is_error")).collect()
+    }
+    updated_keys = {
+        r.line_id for r in base.filter(in_part & F.col("is_error")).collect()
+    }
+    n_part_before = base.filter(in_part).count()
+
+    def inodes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_ino
+        return out
+
+    before = inodes()
+    updates = with_issue_flags(
+        base.filter(in_part & F.col("is_error"))
+        .drop("issues", "is_error", "is_warning")
+        .withColumn("level", F.lit("WARN"))
+    )
+    silver.merge_upsert(spark, path, updates)
+    after = inodes()
+
+    tag = f"log_date={day0}", f"node={silver.MERGE_NODE}"
+    untouched = {p for p in before if not (tag[0] in p and tag[1] in p)}
+    assert untouched
+    for p in untouched:
+        assert p in after and after[p] == before[p], p
+
+    final = spark.read.parquet(path).filter(in_part)
+    rows = final.collect()
+    assert len(rows) == n_part_before  # no loss, no dup
+    got_bystanders = {
+        r.line_id: r.raw for r in rows if r.line_id not in updated_keys
+    }
+    assert got_bystanders == bystanders_before
+    for r in rows:
+        if r.line_id in updated_keys:
+            assert r.level == "WARN" and r.is_warning
