@@ -564,6 +564,9 @@ def analysis_oracles() -> dict[str, str]:
     # the exactly-once streaming silver sink must land the exact rows
     # the batch silver write produces
     o["streaming_silver_counts"] = o["silver_node_errors"]
+    # the micro-batched merge must land the identical final table as
+    # the one-shot batch merge — shared oracle IS the proof
+    o["streaming_merge_upsert"] = o["silver_merge_upsert"]
 
     bursts_body = BURSTS_BODY
     o["error_bursts"] = with_logs(bursts_body)

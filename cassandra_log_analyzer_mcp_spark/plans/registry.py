@@ -54,6 +54,7 @@ R3_DRIVER_WINDOW = [
     "corpus_shuffle",
     "embedding_pca_project",
     "silver_merge_upsert",
+    "streaming_merge_upsert",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -104,7 +105,6 @@ R3_DRIVER_WINDOW = [
     # (c') round-1-graded §2A/§2B heads — two years of evidence is
     # better than one; these fill the window to exactly 50
     "log_parse",
-    "log_parse_json",
 ]
 
 
@@ -384,6 +384,7 @@ def queries() -> dict[str, QueryFn]:
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,
+        "streaming_merge_upsert": batch_bridge.streaming_merge_upsert,
         "streaming_purchase_error_join":
             batch_bridge.streaming_purchase_error_join,
         "streaming_purchase_error_left_join":

@@ -160,6 +160,38 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def all_nodes_rollup(df: DataFrame) -> DataFrame:
+    """The merge consumers' shared rollup (every node, so the merged
+    partition is visible) — ONE definition: silver_merge_upsert and
+    streaming_merge_upsert share an oracle, so their rollups must be
+    the same code, not copies."""
+    return df.groupBy(
+        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+        F.col("node"),
+    ).agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+        F.count("*").alias("total_lines"),
+    )
+
+
+def merge_updates(spark: SparkSession, path: str) -> DataFrame:
+    """The shared correction batch: MERGE_NODE's earliest-day ERROR
+    lines re-leveled to WARN, flags recomputed by the SAME classifier
+    the parse path uses."""
+    base = read_silver(spark, path)
+    day0 = base.agg(F.min("log_date")).collect()[0][0]
+    return with_issue_flags(
+        base.filter(
+            (F.col("log_date") == F.lit(day0))
+            & (F.col("node") == MERGE_NODE)
+            & F.col("is_error")
+        )
+        .drop("issues", "is_error", "is_warning")
+        .withColumn("level", F.lit("WARN"))
+    )
+
+
 def silver_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The key-level merge loop GRADED end-to-end: full silver build →
     a correction batch (MERGE_NODE's earliest-day ERROR lines
@@ -174,30 +206,8 @@ def silver_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = _default_path(sf_dir) + "_merge"
     write_silver(spark, sf_dir, path)
-    base = read_silver(spark, path)
-    day0 = base.agg(F.min("log_date")).collect()[0][0]
-    updates = with_issue_flags(
-        base.filter(
-            (F.col("log_date") == F.lit(day0))
-            & (F.col("node") == MERGE_NODE)
-            & F.col("is_error")
-        )
-        .drop("issues", "is_error", "is_warning")
-        .withColumn("level", F.lit("WARN"))
-    )
-    merge_upsert(spark, path, updates)
-    return (
-        read_silver(spark, path)
-        .groupBy(
-            F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
-            F.col("node"),
-        )
-        .agg(
-            F.sum(F.col("is_error").cast("long")).alias("errors"),
-            F.sum(F.col("is_warning").cast("long")).alias("warnings"),
-            F.count("*").alias("total_lines"),
-        )
-    )
+    merge_upsert(spark, path, merge_updates(spark, path))
+    return all_nodes_rollup(read_silver(spark, path))
 
 
 def write_silver_fragmented(

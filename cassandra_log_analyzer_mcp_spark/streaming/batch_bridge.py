@@ -600,3 +600,53 @@ def streaming_purchase_error_left_join(
     # (-1/-2, never assigned to real events) — not by user_id, which
     # the generator owns and could legitimately make negative some day
     return spark.table(sink).filter(F.col("purchase_id") >= 0)
+
+
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-level silver MERGE driven from a STREAM — the CDC
+    pattern at 100 TB: corrections arrive continuously, and each
+    micro-batch upserts into the partitioned silver table via
+    ``foreachBatch(merge_upsert)`` (partition-pruned read, broadcast
+    key anti-join, dynamic-overwrite re-land — per batch, cost ∝ the
+    batch's partitions).
+
+    The correction set lands as a 2-file parquet feed and
+    ``maxFilesPerTrigger=1`` forces two REAL micro-batches, so the
+    grade proves batch-boundary independence: applying the merge in
+    pieces must land the identical final table as the batch
+    silver_merge_upsert one-shot — they share one oracle.
+    """
+    from ..sources.silver import (
+        _default_path,
+        all_nodes_rollup,
+        merge_updates,
+        merge_upsert,
+        read_silver,
+        write_silver,
+    )
+
+    path = _default_path(sf_dir) + "_smerge"
+    write_silver(spark, sf_dir, path)
+    feed = tempfile.mkdtemp(prefix="merge_feed_") + "/updates"
+    merge_updates(spark, path).repartition(2).write.parquet(feed)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    work = tempfile.mkdtemp(prefix="merge_ck_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _epoch: merge_upsert(spark, path, batch)
+        )
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_merge_upsert did not finish its availableNow run"
+        )
+    return all_nodes_rollup(read_silver(spark, path))
