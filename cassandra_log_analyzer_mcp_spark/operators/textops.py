@@ -920,3 +920,48 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bpe_symbols") / F.col("n_raw_tokens"),
         ).otherwise(1.0).alias("compression"),
     )
+
+
+def _floor_log2(c: F.Column) -> F.Column:
+    """floor(log2(n)) for positive integers as PURE string/int ops —
+    length(bin(n)) - 1. log2()/ln() are libm-dependent (banned from
+    gated outputs); the bit length is exact on both engines."""
+    return F.length(F.bin(c)) - F.lit(1)
+
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram surprisal — the KenLM-lite quality gate: a
+    document's total/mean self-information in whole bits under the
+    corpus's own bigram distribution, surprisal(g) = floor(log2 N) −
+    floor(log2 count(g)). LOW mean bits = the doc is made of the
+    corpus's most predictable word transitions (boilerplate,
+    template spam); HIGH = rare/novel transitions (or OCR noise) —
+    both tails are what LM-based quality filters cut.
+
+    Integer-exact by construction: counts are integers, floor-log2 is
+    a bit length (_floor_log2), the per-doc sum is a long, and the
+    mean is one exact integer÷integer division rounded at 4dp — no
+    libm anywhere, so the score hash-grades bit-identically.
+
+    Scale shape: one gram-keyed count shuffle, one gram-keyed join
+    back (big-big, the doc_rarity/repeated_ngrams precedent — df-cap
+    or tiering applies unchanged if a boilerplate gram runs hot), one
+    doc-keyed agg; the 1-row total broadcasts.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    grams = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col(), 2)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    bits = _floor_log2(F.col("total")) - _floor_log2(F.col("c"))
+    return (
+        grams.join(counts, "gram")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+            F.round(F.sum(bits) / F.count("*"), 4).alias("mean_bits"),
+        )
+    )

@@ -215,6 +215,32 @@ def text_oracles() -> dict[str, str]:
         GROUP BY doc_id
     """
 
+    # bigram surprisal: bit lengths stand in for floor(log2) — pure
+    # string ops, no libm; mean is one exact int/int division
+    o["doc_surprisal"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> array_to_string(t[i:i + 1], ' '))) AS gram
+          FROM toks
+        ),
+        counts AS (
+          SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum((length(bin(total)) - 1)
+                        - (length(bin(c)) - 1)) AS BIGINT)
+                 AS surprisal_bits,
+               round(sum((length(bin(total)) - 1)
+                         - (length(bin(c)) - 1)) / count(*), 4)
+                 AS mean_bits
+        FROM g JOIN counts USING (gram), tot
+        GROUP BY doc_id
+    """
+
     o["vocab_top_tokens"] = f"""
         WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
         counts AS (

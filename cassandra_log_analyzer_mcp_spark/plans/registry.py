@@ -48,13 +48,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: remainder + parity variants that r2's reorder rotated OUT of driver
 #: evidence (ADVICE r2's medium finding — they regain driver-issued
 #: rows this round). §2D keeps its r2 driver evidence and stays
-#: covered by the local replica (CHECK_LOCAL_r03.json).
+#: covered by the local replica (CHECK_LOCAL_r03.json). The (a)
+#: section grew to 20 late in the round, displacing the §2A-head
+#: fillers that padded the window to 50 — those keep their r1 driver
+#: evidence and the replica.
 R3_DRIVER_WINDOW = [
     # (a) new in round 3
     "corpus_shuffle",
     "embedding_pca_project",
     "silver_merge_upsert",
     "streaming_merge_upsert",
+    "doc_surprisal",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -102,9 +106,6 @@ R3_DRIVER_WINDOW = [
     "value_outliers_robust",
     "revenue_growth",
     "rolling_active_users",
-    # (c') round-1-graded §2A/§2B heads — two years of evidence is
-    # better than one; these fill the window to exactly 50
-    "log_parse",
 ]
 
 
@@ -183,6 +184,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_repetition": textops.doc_repetition,
+        "doc_surprisal": textops.doc_surprisal,
         "repeated_ngrams": textops.repeated_ngrams,
         "repeated_span_coverage": textops.repeated_span_coverage,
         "repeated_spans_merged": textops.repeated_spans_merged,
