@@ -320,6 +320,50 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe(idx, probes)
 
 
+#: ann_ivf_append: every APPEND_MOD-th vector "arrives later" and is
+#: appended to the persisted index instead of being in the build.
+IVF_APPEND_MOD = 5
+
+
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE — the missing third verb of the persisted-IVF
+    lifecycle (build → persist → APPEND → query): the initial build
+    writes only the already-present vectors, a later arrival batch
+    (every IVF_APPEND_MOD-th vector) assigns against the SAME
+    broadcast centroids and parquet-APPENDS into the existing
+    cell-partitioned layout — new files land inside the affected cell
+    directories, nothing rewrites (inode test), which is how a
+    production vector store absorbs a daily embedding drop without a
+    rebuild. Probing reads the appended layout and shares
+    ann_ivf_cosine's oracle: append maintenance must produce the
+    IDENTICAL index content as a from-scratch build.
+    """
+    import os
+
+    assign, probes = _ivf_index_and_probes(spark, sf_dir)
+    path = os.path.join(
+        "/tmp",
+        f"spark_graft_ivfapp_{os.getpid()}_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    arrival = F.col("vec_id") % IVF_APPEND_MOD == 0
+    (
+        assign.filter(~arrival)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    (
+        assign.filter(arrival)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return _ivf_probe(spark.read.parquet(path), probes)
+
+
 #: k-means topic clustering over the int8-quantized embeddings.
 KMEANS_K = 8
 KMEANS_ITERS = 3

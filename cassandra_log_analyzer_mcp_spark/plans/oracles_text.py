@@ -1324,6 +1324,9 @@ def similarity_oracles() -> dict[str, str]:
     # the parquet-persisted index must return the exact in-memory
     # results (doubles roundtrip parquet bit-exactly)
     o["ann_ivf_persisted"] = o["ann_ivf_cosine"]
+    # append maintenance must land the identical index content as a
+    # from-scratch build — shared oracle IS the proof
+    o["ann_ivf_append"] = o["ann_ivf_cosine"]
 
     from ..operators.similarity import (
         PQ_K,

@@ -59,6 +59,7 @@ R3_DRIVER_WINDOW = [
     "silver_merge_upsert",
     "streaming_merge_upsert",
     "doc_surprisal",
+    "ann_ivf_append",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -105,7 +106,8 @@ R3_DRIVER_WINDOW = [
     "error_timeline_raw",
     "value_outliers_robust",
     "revenue_growth",
-    "rolling_active_users",
+    # rolling_active_users dropped to fit: it holds r2 driver-issued
+    # evidence (pass(d) in CORRECTNESS_r02) and the replica each round
 ]
 
 
@@ -222,6 +224,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "ann_ivf_persisted": similarity.ann_ivf_persisted,
+        "ann_ivf_append": similarity.ann_ivf_append,
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,

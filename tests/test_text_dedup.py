@@ -917,3 +917,47 @@ def test_pca_matches_numpy_dominant_eigenvector(spark, sf_dir):
     expect = Q @ np.array(similarity._power_iterate(gram), dtype=np.int64)
     got = np.array([proj[i] for i in sorted(proj)], dtype=np.int64)
     assert np.array_equal(got, expect)
+
+
+def test_ivf_append_preserves_existing_files(spark, sf_dir):
+    """Append maintenance: the arrival batch's files land INSIDE the
+    existing cell directories without touching the initial build's
+    files (same inodes), and the appended layout holds exactly the
+    full assignment."""
+    import os
+    import tempfile
+
+    assign, _ = similarity._ivf_index_and_probes(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_append_test_") + "/idx"
+    arrival = F.col("vec_id") % similarity.IVF_APPEND_MOD == 0
+    (
+        assign.filter(~arrival)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+    def inodes():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_ino
+        return out
+
+    before = inodes()
+    (
+        assign.filter(arrival)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    after = inodes()
+    assert before
+    for p, ino in before.items():
+        assert after.get(p) == ino, p
+    assert len(after) > len(before)
+    assert spark.read.parquet(path).count() == assign.count()
