@@ -735,6 +735,33 @@ def _tdigest_quantile(means, weights, q: float) -> float:
     return float(means[i - 1] + frac * (means[i] - means[i - 1]))
 
 
+def tdigest_partial_centroids(ev: DataFrame) -> DataFrame:
+    """Per-partition per-type digest centroids — the distributed half
+    of the t-digest topology, shared by the batch percentile query and
+    the streaming digest-state bridge: each input partition compresses
+    to ≤ O(δ) (mean, weight) rows per type, so only centroid rows ever
+    leave the scan stage."""
+    import pandas as pd
+
+    def partial_digests(batches):
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            for et, vals in pdf.groupby("event_type")["value"]:
+                acc.setdefault(et, []).append(vals.to_numpy())
+        import numpy as np
+
+        for et, chunks in acc.items():
+            v = np.concatenate(chunks)
+            m, w = _tdigest_compress(v, np.ones_like(v))
+            yield pd.DataFrame(
+                {"event_type": et, "mean": m, "weight": w}
+            )
+
+    return ev.mapInPandas(
+        partial_digests, "event_type string, mean double, weight double"
+    )
+
+
 def event_value_percentiles_tdigest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -756,24 +783,7 @@ def event_value_percentiles_tdigest(
     import pandas as pd
 
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-
-    def partial_digests(batches):
-        acc: dict[str, list] = {}
-        for pdf in batches:
-            for et, vals in pdf.groupby("event_type")["value"]:
-                acc.setdefault(et, []).append(vals.to_numpy())
-        import numpy as np
-
-        for et, chunks in acc.items():
-            v = np.concatenate(chunks)
-            m, w = _tdigest_compress(v, np.ones_like(v))
-            yield pd.DataFrame(
-                {"event_type": et, "mean": m, "weight": w}
-            )
-
-    centroids = ev.mapInPandas(
-        partial_digests, "event_type string, mean double, weight double"
-    )
+    centroids = tdigest_partial_centroids(ev)
 
     def merge_digests(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _tdigest_compress(

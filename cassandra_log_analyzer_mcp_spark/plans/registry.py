@@ -390,6 +390,10 @@ def queries() -> dict[str, QueryFn]:
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,
         "streaming_merge_upsert": batch_bridge.streaming_merge_upsert,
+        # rows-only: mergeable digest state across micro-batches
+        # (rank-error + exact-count unit-tested, like the batch digest)
+        "streaming_percentiles_tdigest":
+            batch_bridge.streaming_percentiles_tdigest,
         "streaming_purchase_error_join":
             batch_bridge.streaming_purchase_error_join,
         "streaming_purchase_error_left_join":

@@ -650,3 +650,84 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming_merge_upsert did not finish its availableNow run"
         )
     return all_nodes_rollup(read_silver(spark, path))
+
+
+def streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous percentiles via MERGEABLE T-DIGEST STATE — the
+    streaming twin of event_value_percentiles_tdigest and the
+    production shape of a live p99 dashboard: each micro-batch runs
+    the SAME distributed partial-centroid stage
+    (analytics.tdigest_partial_centroids — only ≤ O(δ) centroid rows
+    per type ever leave the executors), and the driver folds those
+    centroids into a running digest per type. State stays ≤ δ
+    centroids per type FOREVER — stream length never grows it, which
+    is what makes the sketch (not a raw-value buffer) the 100 TB
+    path. Events replay as a 2-file feed with maxFilesPerTrigger=1,
+    so the merge provably crosses a real micro-batch boundary.
+
+    Rows-only by design (like the batch digest): centroid layouts are
+    construction-specific, so cross-engine hashes don't apply — the
+    rank-error bound vs the exact ordered aggregate and the exact
+    total count are unit-tested instead (tests/test_streaming.py).
+    """
+    import numpy as np
+
+    from ..operators.analytics import (
+        _tdigest_compress,
+        _tdigest_quantile,
+        tdigest_partial_centroids,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    feed = tempfile.mkdtemp(prefix="tdigest_feed_") + "/events"
+    ev.repartition(2).write.parquet(feed)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    state: dict[str, tuple] = {}
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        for r in tdigest_partial_centroids(batch).collect():
+            m, w = state.get(r.event_type, ((), ()))
+            state[r.event_type] = (m + (r.mean,), w + (r.weight,))
+        for et, (m, w) in state.items():
+            cm, cw = _tdigest_compress(
+                np.asarray(m, dtype=np.float64),
+                np.asarray(w, dtype=np.float64),
+            )
+            state[et] = (tuple(cm), tuple(cw))
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tdigest_ck_") + "/ck",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_percentiles_tdigest did not finish its"
+            " availableNow run"
+        )
+    rows = []
+    for et, (m, w) in state.items():
+        cm = np.asarray(m, dtype=np.float64)
+        cw = np.asarray(w, dtype=np.float64)
+        rows.append(
+            (
+                et,
+                _tdigest_quantile(cm, cw, 0.5),
+                _tdigest_quantile(cm, cw, 0.95),
+                _tdigest_quantile(cm, cw, 0.99),
+                int(round(float(cw.sum()))),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_type string, p50 double, p95 double, p99 double, n long"
+    )

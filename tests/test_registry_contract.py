@@ -68,6 +68,7 @@ ROWS_ONLY = {
     "distinct_users_sketch",
     "event_value_percentiles_approx",
     "event_value_percentiles_tdigest",
+    "streaming_percentiles_tdigest",
     "multimodal_pipeline",
     "multimodal_frames",
 }

@@ -267,3 +267,37 @@ def test_streaming_left_join_flushes_all_outer_rows(spark, sf_dir):
     }
     assert rows == batch
     assert any(eid is None for (_u, _p, eid, _pu, _eu) in rows)  # real outers
+
+
+def test_streaming_tdigest_rank_accurate_across_batches(spark, sf_dir):
+    """The digest state folded across two real micro-batches must
+    land within rank-eps of the target quantiles, with the exact
+    total count — same criterion as the batch digest's test, proving
+    mergeability holds across the stream's batch boundary."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    td = {
+        r.event_type: {"0.5": r.p50, "0.95": r.p95, "0.99": r.p99, "n": r.n}
+        for r in batch_bridge.streaming_percentiles_tdigest(
+            spark, sf_dir
+        ).collect()
+    }
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    exact_n = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {t: v["n"] for t, v in td.items()} == exact_n
+    for t, vals in td.items():
+        n = vals["n"]
+        for target in ("0.5", "0.95", "0.99"):
+            below = ev.filter(
+                (F.col("event_type") == t) & (F.col("value") <= vals[target])
+            ).count()
+            eps = max(2.0 / n, 0.01)
+            assert abs(below / n - float(target)) <= eps, (t, target)
