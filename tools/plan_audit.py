@@ -20,6 +20,9 @@ EAGER = {
     "dedup_clusters",
     "dedup_canonical",  # contains dedup_clusters' driver loop
     "bpe_train_merges",  # per-round argmax collect driver loop
+    # runs its availableNow stream at build time; the returned frame
+    # is a driver-local createDataFrame of the digest state
+    "streaming_percentiles_tdigest",
     "streaming_issue_counts",
     "streaming_kafka_issue_counts",
     "streaming_error_bursts",
