@@ -360,6 +360,10 @@ def analytics_oracles() -> dict[str, str]:
         ) u WHERE NOT is_purchase
     """
 
+    # the per-user carry-forward STATE operator must equal the batch
+    # window formulation — shared oracle IS the proof
+    o["streaming_asof_join"] = o["asof_purchase_before_error"]
+
     o["late_shipment_priority"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         FROM orders o

@@ -60,6 +60,7 @@ R3_DRIVER_WINDOW = [
     "streaming_merge_upsert",
     "doc_surprisal",
     "ann_ivf_append",
+    "streaming_asof_join",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -105,9 +106,9 @@ R3_DRIVER_WINDOW = [
     "get_errors_global",
     "error_timeline_raw",
     "value_outliers_robust",
-    "revenue_growth",
-    # rolling_active_users dropped to fit: it holds r2 driver-issued
-    # evidence (pass(d) in CORRECTNESS_r02) and the replica each round
+    # revenue_growth + rolling_active_users dropped to fit: both hold
+    # r2 driver-issued evidence (pass(d) in CORRECTNESS_r02) and the
+    # replica each round
 ]
 
 
@@ -394,6 +395,8 @@ def queries() -> dict[str, QueryFn]:
         # (rank-error + exact-count unit-tested, like the batch digest)
         "streaming_percentiles_tdigest":
             batch_bridge.streaming_percentiles_tdigest,
+        # unbounded-lookback as-of via per-user carry-forward state
+        "streaming_asof_join": batch_bridge.streaming_asof_join,
         "streaming_purchase_error_join":
             batch_bridge.streaming_purchase_error_join,
         "streaming_purchase_error_left_join":

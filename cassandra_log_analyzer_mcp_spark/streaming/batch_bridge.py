@@ -731,3 +731,67 @@ def streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "event_type string, p50 double, p95 double, p99 double, n long"
     )
+
+
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-lookback STREAMING AS-OF JOIN graded end-to-end
+    (see streaming/asof_state.py): the purchase/error feed lands as
+    two TIME-SPLIT parquet files (early half first, mtimes forced so
+    the file source replays them in event-time order), and
+    ``maxFilesPerTrigger=1`` drives two real micro-batches through the
+    per-user carry-forward state — errors in batch 2 must join
+    purchases remembered from batch 1. Shares
+    asof_purchase_before_error's oracle, so the custom stateful
+    operator is hash-proven equal to the batch window formulation.
+    """
+    import time as _time
+
+    from . import asof_state
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("epoch"),
+    )
+    tagged = ev.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "event_id",
+        "user_id",
+        "epoch",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    split = tagged.approxQuantile("epoch", [0.5], 0.0)[0]
+    feed = tempfile.mkdtemp(prefix="asof_feed_") + "/events"
+    early = os.path.join(feed, "0_early")
+    late = os.path.join(feed, "1_late")
+    tagged.filter(F.col("epoch") < split).repartition(1).write.parquet(early)
+    tagged.filter(F.col("epoch") >= split).repartition(1).write.parquet(late)
+    # the file source replays oldest-mtime-first: pin the early half
+    # strictly older so batch 1 IS the early event-time window
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            p = os.path.join(root, f)
+            os.utime(p, (now + offset, now + offset))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(early).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    joined = asof_state.streaming_asof(stream)
+    sink = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(joined, sink, output_mode="append")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_asof_join did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

@@ -301,3 +301,33 @@ def test_streaming_tdigest_rank_accurate_across_batches(spark, sf_dir):
             ).count()
             eps = max(2.0 / n, 0.01)
             assert abs(below / n - float(target)) <= eps, (t, target)
+
+
+def test_streaming_asof_state_crosses_batch_boundary(spark, sf_dir):
+    """The per-user carry-forward state must survive the micro-batch
+    boundary: some error in the late batch joins a purchase that
+    arrived in the early batch, and every join is backward in time."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    out = batch_bridge.streaming_asof_join(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("long").alias("epoch")
+    ).filter(F.col("event_type").isin("purchase", "error"))
+    split = ev.approxQuantile("epoch", [0.5], 0.0)[0]
+    rows = out.collect()
+    assert rows
+    assert all(
+        r.last_purchase_epoch is None or r.last_purchase_epoch <= r.err_epoch
+        for r in rows
+    )
+    crossed = [
+        r
+        for r in rows
+        if r.last_purchase_epoch is not None
+        and r.err_epoch >= split
+        and r.last_purchase_epoch < split
+    ]
+    assert crossed, "no join crossed the batch boundary"
