@@ -23,6 +23,7 @@ EAGER = {
     # runs its availableNow stream at build time; the returned frame
     # is a driver-local createDataFrame of the digest state
     "streaming_percentiles_tdigest",
+    "streaming_asof_join",  # availableNow run at build; memory sink
     "streaming_issue_counts",
     "streaming_kafka_issue_counts",
     "streaming_error_bursts",
