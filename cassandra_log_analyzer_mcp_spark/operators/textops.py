@@ -922,6 +922,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: doc_surprisal's hot-gram threshold: bigrams with more occurrences
+#: than this broadcast instead of shuffling (≤ total/HOT can exist)
+SURPRISAL_HOT_C = 10_000
+
+
 def _floor_log2(c: F.Column) -> F.Column:
     """floor(log2(n)) for positive integers as PURE string/int ops —
     length(bin(n)) - 1. log2()/ln() are libm-dependent (banned from
@@ -929,7 +934,9 @@ def _floor_log2(c: F.Column) -> F.Column:
     return F.length(F.bin(c)) - F.lit(1)
 
 
-def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_surprisal(
+    spark: SparkSession, sf_dir: str, hot_c: int = SURPRISAL_HOT_C
+) -> DataFrame:
     """Per-document bigram surprisal — the KenLM-lite quality gate: a
     document's total/mean self-information in whole bits under the
     corpus's own bigram distribution, surprisal(g) = floor(log2 N) −
@@ -943,20 +950,28 @@ def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is one exact integer÷integer division rounded at 4dp — no
     libm anywhere, so the score hash-grades bit-identically.
 
-    Scale shape: one gram-keyed count shuffle, one gram-keyed join
-    back (big-big, the doc_rarity/repeated_ngrams precedent — df-cap
-    or tiering applies unchanged if a boilerplate gram runs hot), one
-    doc-keyed agg; the 1-row total broadcasts.
+    Scale shape: one gram-keyed count shuffle, then the join back is
+    SKEW-SPLIT on occurrence count exactly like duplicated_gram_hits:
+    grams with ≤ SURPRISAL_HOT_C occurrences take the ordinary
+    shuffle join (bounded buckets), the few hotter boilerplate grams
+    — at most total/SURPRISAL_HOT_C can exist — join as an
+    explicitly-broadcast set, map-side. The tiers partition the
+    vocabulary, so the union is exactly the unsplit join's output
+    (tested against it); then one doc-keyed agg, 1-row total
+    broadcast.
     """
     docs = documents(spark, sf_dir).select("doc_id", "text")
     grams = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col(), 2)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    cold = counts.filter(F.col("c") <= hot_c)
+    hot = counts.filter(F.col("c") > hot_c)
     total = counts.agg(F.sum("c").alias("total"))
     bits = _floor_log2(F.col("total")) - _floor_log2(F.col("c"))
     return (
-        grams.join(counts, "gram")
+        grams.join(cold, "gram")
+        .unionByName(grams.join(F.broadcast(hot), "gram"))
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -961,3 +961,24 @@ def test_ivf_append_preserves_existing_files(spark, sf_dir):
         assert after.get(p) == ino, p
     assert len(after) > len(before)
     assert spark.read.parquet(path).count() == assign.count()
+
+
+def test_surprisal_mega_bigram_routes_through_broadcast_tier(
+    spark, sf_dir, monkeypatch
+):
+    """doc_surprisal's skew split: a bigram occurring in every doc
+    must flow through the broadcast arm while the tail keeps the
+    shuffle join — and the tiered result must equal the unsplit
+    computation exactly."""
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    rows = [
+        Row(doc_id=i, text=f"common pair u{i}a u{i}b u{i}c")
+        for i in range(30)
+    ]
+    monkeypatch.setattr(t, "documents", lambda s, d: s.createDataFrame(rows))
+    split = t.doc_surprisal(spark, sf_dir, hot_c=5)
+    unsplit = t.doc_surprisal(spark, sf_dir, hot_c=10**9)
+    got = sorted(map(tuple, split.collect()))
+    want = sorted(map(tuple, unsplit.collect()))
+    assert got == want and len(got) == 30
