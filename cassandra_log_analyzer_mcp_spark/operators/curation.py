@@ -434,3 +434,45 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_exact_grams", F.lit(0)).alias("n_exact_grams"),
         (F.coalesce("n_exact_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT sink of the curation pipeline: docs + metadata land
+    as gzip JSONL sharded by the seeded corpus shuffle — the format
+    every training loader actually ingests — then the written shards
+    read BACK with an explicit schema into a per-shard rollup that an
+    oracle recomputes straight from the source tables. Escaping
+    fidelity is the real failure mode JSONL export has (embedded
+    quotes/newlines/unicode silently corrupt rows); sum-of-chars and
+    doc counts over the ROUND-TRIPPED text catch any mangling, and
+    per-shard distinct sources pin the shard assignment itself.
+
+    Scale shape: the shard map is corpus_shuffle's output joined back
+    doc_id-equi (bucketing-friendly; broadcast at gate scale), the
+    write is partitionBy(shard) with the partition-aligned repartition
+    (one writer task per shard — the silver layer's small-file
+    lesson), and the rollup reads only shard/text/source columns.
+    """
+    import os
+    import tempfile
+
+    docs = documents(spark, sf_dir).select("doc_id", "text", "source")
+    shards = corpus_shuffle(spark, sf_dir).select("doc_id", "shard")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix=f"jsonl_export_{os.getpid()}_"), "shards"
+    )
+    (
+        docs.join(shards, "doc_id")
+        .repartition("shard")
+        .write.partitionBy("shard")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "doc_id long, text string, source string, shard int"
+    ).option("recursiveFileLookup", "false").json(path)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -1202,6 +1202,29 @@ def text_oracles() -> dict[str, str]:
                  AS shard
         FROM ranked
     """
+
+    # rollup over the gzip-JSONL ROUND TRIP: recomputed straight from
+    # the source tables, so any escaping/row corruption in the export
+    # (or a wrong shard assignment) hash-mismatches
+    o["jsonl_shard_export"] = f"""
+        WITH keyed AS (
+          SELECT doc_id, md5('{SHUFFLE_SALT}' || doc_id) AS shuffle_key
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+                 count(*) OVER () AS total
+          FROM keyed
+        )
+        SELECT CAST(((pos - 1) * {SHUFFLE_N_SHARDS}) // total AS INT)
+                 AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM ranked JOIN documents USING (doc_id)
+        GROUP BY 1
+    """
     return o
 
 

@@ -61,6 +61,7 @@ R3_DRIVER_WINDOW = [
     "doc_surprisal",
     "ann_ivf_append",
     "streaming_asof_join",
+    "jsonl_shard_export",
     "discount_band_revenue",
     "repeated_spans_merged",
     "node_summary_silver",
@@ -105,9 +106,9 @@ R3_DRIVER_WINDOW = [
     "props_json_stats",
     "get_errors_global",
     "error_timeline_raw",
-    "value_outliers_robust",
-    # revenue_growth + rolling_active_users dropped to fit: both hold
-    # r2 driver-issued evidence (pass(d) in CORRECTNESS_r02) and the
+    # value_outliers_robust, revenue_growth and rolling_active_users
+    # dropped to fit the late additions: all three hold r2
+    # driver-issued evidence (pass(d) in CORRECTNESS_r02) and the
     # replica each round
 ]
 
@@ -200,6 +201,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
         "corpus_shuffle": curation.corpus_shuffle,
+        "jsonl_shard_export": curation.jsonl_shard_export,
         "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
         "decontaminate_bloom": curation.decontaminate_bloom,
