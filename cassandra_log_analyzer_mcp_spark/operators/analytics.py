@@ -732,7 +732,13 @@ def _tdigest_quantile(means, weights, q: float) -> float:
         return float(means[-1])
     i = int(np.searchsorted(cum, t))
     frac = (t - cum[i - 1]) / (cum[i] - cum[i - 1])
-    return float(means[i - 1] + frac * (means[i] - means[i - 1]))
+    # convex combination, NOT a + frac*(b-a): when |a| >> |b| the
+    # subtraction absorbs b's low bits and frac≈1 can land ABOVE b,
+    # breaking quantile monotonicity (hypothesis-found). The clip
+    # pins the result inside its segment, so segments — and therefore
+    # quantiles — stay ordered.
+    lo, hi = float(means[i - 1]), float(means[i])
+    return float(min(max(lo * (1.0 - frac) + hi * frac, lo), hi))
 
 
 def tdigest_partial_centroids(ev: DataFrame) -> DataFrame:
