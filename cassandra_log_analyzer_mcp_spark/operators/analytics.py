@@ -1466,3 +1466,168 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_end")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four aggregation levels
+    (both dims, each dim alone, grand total) in ONE pass — Catalyst
+    plans the cube as a single Expand (4 rows out per input row)
+    feeding one partially-aggregated hash aggregate, not one job per
+    level, so at 100 TB the fact is scanned exactly once for the whole
+    lattice. ``grouping_id`` disambiguates subtotal NULLs from data
+    NULLs; its bit order (first cube column = MSB) matches the
+    GROUPING() bit vector DuckDB/Postgres emit, which the shared hash
+    gate proves.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+#: bloom_pruned_join: k md5-derived positions in a 16-bit space —
+#: the same position recipe as curation.decontaminate_bloom, applied
+#: to JOIN pruning: the build side's positions form the runtime
+#: filter, the probe side keeps a row only when ALL K positions hit.
+BLOOM_JOIN_K = 3
+BLOOM_JOIN_POS_HEX = 4
+
+
+def _bloom_join_positions(key: F.Column) -> list[F.Column]:
+    return [
+        F.substring(
+            F.md5(F.concat(F.lit(f"bj{j}:"), key.cast("string"))),
+            1,
+            BLOOM_JOIN_POS_HEX,
+        )
+        for j in range(BLOOM_JOIN_K)
+    ]
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the hand-rolled analogue of
+    Spark's runtime row-group filters: lineitem ⋈ (orders WHERE
+    urgent) is a fact-fact join whose probe side is mostly rows that
+    will never match, and at 100 TB every such row still pays the
+    shuffle write unless something prunes it BEFORE the exchange.
+
+    The build side's join keys compress to ≤ 2^16 4-hex md5 positions
+    (a Bloom bit-set, kilobytes regardless of key count); the probe
+    side passes only rows whose BLOOM_JOIN_K positions ALL hit —
+    three broadcast hash SEMI-joins, map-side, upstream of the real
+    join's shuffle. Bloom membership is a strict superset of true
+    membership, so the subsequent exact join returns the identical
+    result — proven by sharing the plain-join oracle — while the
+    shuffled probe volume drops to sel + ε (ε = the measurable
+    false-positive rate of the 3-hash filter).
+
+    Plan shape (pinned in tests/test_plan_shape.py): the three semi
+    BroadcastHashJoins sit BELOW the final join in the probe subtree,
+    i.e. pruning happens before the fact rows move.
+    """
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    pruned = li
+    for j, pos in enumerate(_bloom_join_positions(F.col("l_orderkey"))):
+        bits = (
+            urgent.select(
+                _bloom_join_positions(F.col("o_orderkey"))[j].alias("p")
+            )
+            .distinct()
+        )
+        pruned = pruned.join(
+            F.broadcast(bits), pos == F.col("p"), "left_semi"
+        )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(
+            urgent.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+#: interval_overlap_join: high-value purchase windows ± HV_WINDOW_S
+#: seconds, binned to HV_WINDOW_S-second buckets for the range join.
+HV_VALUE_MIN = 200.0
+HV_WINDOW_S = 600
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-overlap) join — the operator Spark has no
+    native physical strategy for: error events falling inside ±
+    HV_WINDOW_S of any high-value purchase, with NO shared equi-key
+    between the sides. Naively that is a BroadcastNestedLoopJoin with
+    an inequality predicate — O(|A|·|B|) and a non-starter at scale.
+
+    The scale-safe formulation is bin-and-residual: time is cut into
+    HV_WINDOW_S-second bins; each interval explodes to the ≤ 3 bins it
+    covers (bounded fanout — interval length / bin size + 1), each
+    point keeps its single bin, the join becomes an EQUI-join on the
+    bin feeding the exact residual predicate. Because a point's bin is
+    unique, every qualifying (interval, point) pair is produced
+    exactly once — no post-join distinct. Work scales with genuinely
+    overlapping density per bin, not |A|·|B|; skewed bins fall to AQE.
+
+    Windows with no errors survive via a left join from the interval
+    side onto the per-window rollup (counts coalesce to 0).
+    """
+    ev = table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    hv = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > HV_VALUE_MIN)
+    ).select(
+        F.col("event_id").alias("hv_event_id"),
+        F.col("user_id").alias("hv_user_id"),
+        (us - HV_WINDOW_S * 1_000_000).alias("lo_us"),
+        (us + HV_WINDOW_S * 1_000_000).alias("hi_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        F.col("user_id").alias("err_user_id"),
+        us.alias("err_us"),
+    )
+    bin_us = HV_WINDOW_S * 1_000_000
+    binned_hv = hv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo_us div {bin_us}"), F.expr(f"hi_us div {bin_us}")
+            )
+        ).alias("bin"),
+    )
+    binned_err = err.withColumn("bin", F.expr(f"err_us div {bin_us}"))
+    hits = (
+        binned_hv.join(binned_err, "bin")
+        .filter(
+            (F.col("err_us") >= F.col("lo_us"))
+            & (F.col("err_us") <= F.col("hi_us"))
+        )
+        .groupBy("hv_event_id")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.count_distinct("err_user_id").alias("n_err_users"),
+        )
+    )
+    return hv.select("hv_event_id", "hv_user_id").join(
+        hits, "hv_event_id", "left"
+    ).select(
+        "hv_event_id",
+        "hv_user_id",
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        F.coalesce("n_err_users", F.lit(0)).alias("n_err_users"),
+    )

@@ -694,4 +694,58 @@ def analytics_oracles() -> dict[str, str]:
         JOIN region r ON r.r_regionkey = n.n_regionkey
         WHERE r.r_name = 'EUROPE'
     """
+
+    # Mirrors operators/analytics.revenue_cube: DuckDB GROUPING()'s
+    # bit vector (first argument = MSB) matches Spark's grouping_id().
+    o["revenue_cube"] = """
+        SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    # bloom_pruned_join's oracle is the PLAIN join: Bloom membership
+    # is a strict superset of true membership, so the pruned plan must
+    # hash-match the unpruned semantics exactly.
+    o["bloom_pruned_join"] = """
+        SELECT l.l_linestatus,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_linestatus
+    """
+
+    from ..operators.analytics import HV_VALUE_MIN, HV_WINDOW_S
+
+    # interval_overlap_join's oracle is the naive inequality join the
+    # binned plan replaces — semantics identical, O(|A|*|B|) shape.
+    o["interval_overlap_join"] = f"""
+        WITH hv AS (
+          SELECT event_id AS hv_event_id, user_id AS hv_user_id,
+                 epoch_us(ts) - {HV_WINDOW_S * 1_000_000} AS lo_us,
+                 epoch_us(ts) + {HV_WINDOW_S * 1_000_000} AS hi_us
+          FROM events
+          WHERE event_type = 'purchase' AND value > {HV_VALUE_MIN}
+        ), err AS (
+          SELECT event_id AS err_event_id, user_id AS err_user_id,
+                 epoch_us(ts) AS err_us
+          FROM events WHERE event_type = 'error'
+        ), hits AS (
+          SELECT hv.hv_event_id,
+                 CAST(count(*) AS BIGINT) AS n_errors,
+                 CAST(count(DISTINCT err.err_user_id) AS BIGINT)
+                   AS n_err_users
+          FROM hv JOIN err
+            ON err.err_us >= hv.lo_us AND err.err_us <= hv.hi_us
+          GROUP BY 1
+        )
+        SELECT hv.hv_event_id, hv.hv_user_id,
+               COALESCE(h.n_errors, 0) AS n_errors,
+               COALESCE(h.n_err_users, 0) AS n_err_users
+        FROM hv LEFT JOIN hits h USING (hv_event_id)
+    """
     return o

@@ -258,6 +258,10 @@ def queries() -> dict[str, QueryFn]:
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)
         "discount_band_revenue": analytics.discount_band_revenue,
+        # r4 §2C additions
+        "revenue_cube": analytics.revenue_cube,
+        "bloom_pruned_join": analytics.bloom_pruned_join,
+        "interval_overlap_join": analytics.interval_overlap_join,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,
         "rolling_active_users": analytics.rolling_active_users,

@@ -389,3 +389,41 @@ def test_corpus_shuffle_rank_is_two_stage(spark, sf_dir):
         assert "block" in spec, f"global corpus window: {spec}"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_pruned_join_prunes_before_shuffle(spark, sf_dir):
+    """The three Bloom-position semi-joins must sit in the probe
+    subtree BELOW the final orderkey join — the fact rows are pruned
+    before they are shuffled (or broadcast-joined) against orders."""
+    plan = _plan(analytics.bloom_pruned_join(spark, sf_dir))
+    tree = plan.split("(1) ")[0]
+    semi = [ln for ln in tree.splitlines() if "LeftSemi" in ln]
+    assert len(semi) == 3
+    # every semi join is DEEPER in the tree (more indented) than the
+    # final exact join — pruning happens on the probe side, upstream
+    exact = [
+        ln for ln in tree.splitlines()
+        if ("BroadcastHashJoin Inner" in ln or "SortMergeJoin" in ln)
+    ]
+    assert exact, tree
+    exact_indent = min(len(ln) - len(ln.lstrip(" :+-")) for ln in exact)
+    assert all(
+        len(ln) - len(ln.lstrip(" :+-")) > exact_indent for ln in semi
+    )
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The range join must lower to an EQUI-join on the time bin —
+    never a BroadcastNestedLoopJoin evaluating the inequality over the
+    cross product."""
+    plan = _plan(analytics.interval_overlap_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_cube_is_single_expand_pass(spark, sf_dir):
+    """The 4-level cube lattice computes in ONE scan: a single Expand
+    node feeding partial hash aggregation — not a job per level."""
+    tree = _plan(analytics.revenue_cube(spark, sf_dir)).split("(1) ")[0]
+    assert tree.count("Expand") == 1
+    assert tree.count("Scan parquet") == 1
