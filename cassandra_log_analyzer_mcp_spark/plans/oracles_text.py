@@ -1225,6 +1225,52 @@ def text_oracles() -> dict[str, str]:
         FROM ranked JOIN documents USING (doc_id)
         GROUP BY 1
     """
+
+    from ..operators.textops import QC_MOD, QC_SHIFT
+
+    # Mirrors operators/textops.quality_classifier: identical integer
+    # weight expression from the same md5 hex chars.
+    o["quality_classifier"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKS}) AS t FROM documents
+        ), w AS (
+          SELECT doc_id,
+                 (ascii(substr(md5(t), 1, 1)) * 7
+                  + ascii(substr(md5(t), 2, 1)) * 13
+                  + ascii(substr(md5(t), 3, 1)) * 3
+                  + ascii(substr(md5(t), 4, 1)) * 31)
+                   % {QC_MOD} - {QC_SHIFT} AS w
+          FROM tok
+        ), s AS (
+          SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.score, 0) AS score,
+               COALESCE(s.score, 0) > 0 AS keep
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+    # Mirrors operators/curation.domain_mixture: exact integer counts,
+    # single division at the end in both engines.
+    o["domain_mixture"] = f"""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               n_tokens / total_tokens AS observed_share,
+               total_tokens / (n_sources * n_tokens) AS mix_weight
+        FROM per CROSS JOIN tot
+    """
+
     return o
 
 

@@ -197,6 +197,7 @@ def queries() -> dict[str, QueryFn]:
         "bpe_encode": textops.bpe_encode,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
+        "quality_classifier": textops.quality_classifier,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
@@ -206,6 +207,7 @@ def queries() -> dict[str, QueryFn]:
         "decontaminate": curation.decontaminate,
         "decontaminate_bloom": curation.decontaminate_bloom,
         "source_quality": curation.source_quality,
+        "domain_mixture": curation.domain_mixture,
         "train_test_split": curation.train_test_split,
         "sequence_packing": curation.sequence_packing,
         # §2D — deduplication

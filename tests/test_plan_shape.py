@@ -427,3 +427,22 @@ def test_revenue_cube_is_single_expand_pass(spark, sf_dir):
     tree = _plan(analytics.revenue_cube(spark, sf_dir)).split("(1) ")[0]
     assert tree.count("Expand") == 1
     assert tree.count("Scan parquet") == 1
+
+
+def test_quality_classifier_single_doc_shuffle(spark, sf_dir):
+    """Hashed linear scoring: md5 + weight arithmetic in codegen, one
+    doc_id-keyed exchange (partial agg collapses docs map-side), no
+    window, no interpreted higher-order fold."""
+    plan = _plan(textops.quality_classifier(spark, sf_dir))
+    # exactly one hash shuffle: the partially-aggregated doc_id rollup
+    # (the round-robin exchanges are the documented single-split
+    # testdata spread in sources.tables.documents)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_domain_mixture_broadcasts_totals(spark, sf_dir):
+    """The 1-row totals frame joins back broadcast — never a shuffle
+    keyed on a constant."""
+    tree = _plan(curation.domain_mixture(spark, sf_dir)).split("(1) ")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
