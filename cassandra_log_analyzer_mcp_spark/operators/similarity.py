@@ -941,3 +941,68 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.select(
         "vec_id", dot_long(F.col("q"), v_lit).alias("proj")
     )
+
+
+#: semantic_dedup: within-cluster cosine threshold NUM/DEN (exact
+#: integer cross-multiplication — no sqrt, no float protocol).
+SEMDEDUP_NUM = 3
+SEMDEDUP_DEN = 10
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-dup removal scoped to k-means clusters — pairwise cosine is
+    computed ONLY inside each cluster, turning the quadratic corpus
+    problem into Σ_c |c|² work, and a doc is dropped when a
+    same-cluster neighbor above threshold has a smaller id (one
+    survivor per connected dup neighborhood, deterministic).
+
+    Exactness: cos(a,b) ≥ N/D over the int8-quantized vectors ⟺
+    qdot > 0 ∧ qdot²·D² ≥ N²·(qa·qa)(qb·qb) — pure long arithmetic
+    (|qdot²·D²| ≤ 2^47), so the keep/drop set is bit-identical across
+    engines with no rounding anywhere.
+
+    Scale shape: the cluster id is the join key (the SemDeDup trick —
+    candidates never cross clusters); at 100 TB a giant cluster is
+    sub-bucketed with the LSH band machinery dedup_embedding_cosine
+    already grades, leaving this operator's contract unchanged. The
+    neighbor counts partial-aggregate map-side; reusing
+    kmeans_assignments' cached assignment means no extra Lloyd pass.
+    """
+    quant = _quantized(spark, sf_dir)
+    asg = kmeans_assignments(spark, sf_dir)
+    aq = asg.join(quant, "vec_id").select(
+        "vec_id", "cluster", "q", dot_long(F.col("q"), F.col("q")).alias("qq")
+    )
+    a = aq.select(
+        F.col("vec_id").alias("va"), "cluster",
+        F.col("q").alias("q_a"), F.col("qq").alias("qq_a"),
+    )
+    b = aq.select(
+        F.col("vec_id").alias("vb"), "cluster",
+        F.col("q").alias("q_b"), F.col("qq").alias("qq_b"),
+    )
+    qdot = dot_long(F.col("q_a"), F.col("q_b"))
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("va") != F.col("vb"))
+        .select("cluster", "va", "vb", qdot.alias("qdot"), "qq_a", "qq_b")
+        .filter(
+            (F.col("qdot") > 0)
+            & (
+                F.col("qdot") * F.col("qdot") * (SEMDEDUP_DEN * SEMDEDUP_DEN)
+                >= (SEMDEDUP_NUM * SEMDEDUP_NUM) * F.col("qq_a") * F.col("qq_b")
+            )
+        )
+        .groupBy("va")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.sum((F.col("vb") < F.col("va")).cast("long")).alias("n_lower"),
+        )
+    )
+    return aq.join(near, aq.vec_id == near.va, "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        (F.coalesce("n_lower", F.lit(0)) > 0).alias("dropped"),
+    )

@@ -1794,4 +1794,40 @@ def similarity_oracles() -> dict[str, str]:
                CAST(list_dot_product(q.q, vlist.v) AS BIGINT) AS proj
         FROM quant q, vlist
     """
+
+    from ..operators.similarity import SEMDEDUP_DEN, SEMDEDUP_NUM
+
+    # Mirrors operators/similarity.semantic_dedup: same km_ctes
+    # assignment, same integer cross-multiplied cosine threshold.
+    o["semantic_dedup"] = f"""
+        WITH {km_ctes},
+        aq AS (
+          SELECT a.vec_id, a.cluster, v.q,
+                 CAST(list_dot_product(v.q, v.q) AS BIGINT) AS qq
+          FROM asg a JOIN quant v USING (vec_id)
+        ),
+        cand AS (
+          SELECT x.vec_id AS va, y.vec_id AS vb,
+                 CAST(list_dot_product(x.q, y.q) AS BIGINT) AS qdot,
+                 x.qq AS qa, y.qq AS qb
+          FROM aq x JOIN aq y
+            ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+        ),
+        near AS (
+          SELECT va,
+                 CAST(count(*) AS BIGINT) AS n_near,
+                 CAST(sum(CASE WHEN vb < va THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lower
+          FROM cand
+          WHERE qdot > 0
+            AND qdot * qdot * {SEMDEDUP_DEN * SEMDEDUP_DEN}
+                >= {SEMDEDUP_NUM * SEMDEDUP_NUM} * qa * qb
+          GROUP BY va
+        )
+        SELECT a.vec_id, a.cluster,
+               COALESCE(n.n_near, 0) AS n_near,
+               COALESCE(n.n_lower, 0) > 0 AS dropped
+        FROM aq a LEFT JOIN near n ON n.va = a.vec_id
+    """
+
     return o

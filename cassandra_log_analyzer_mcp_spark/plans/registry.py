@@ -233,6 +233,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "semantic_dedup": similarity.semantic_dedup,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "cluster_summary": similarity.cluster_summary,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,

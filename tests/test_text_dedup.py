@@ -982,3 +982,22 @@ def test_surprisal_mega_bigram_routes_through_broadcast_tier(
     got = sorted(map(tuple, split.collect()))
     want = sorted(map(tuple, unsplit.collect()))
     assert got == want and len(got) == 30
+
+
+def test_semantic_dedup_survivor_invariants(spark, sf_dir):
+    """The drop rule (a lower-id near neighbor exists) implies: docs
+    with no near neighbor are never dropped, the globally-lowest id is
+    never dropped, and at least one near-dup pair exists in the
+    synthetic corpus (the threshold is not vacuous)."""
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert any(r.n_near > 0 for r in rows)
+    assert any(r.dropped for r in rows)
+    for r in rows:
+        if r.n_near == 0:
+            assert not r.dropped
+    assert not by_id[min(by_id)].dropped
