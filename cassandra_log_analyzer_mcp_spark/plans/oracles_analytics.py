@@ -748,4 +748,26 @@ def analytics_oracles() -> dict[str, str]:
                COALESCE(h.n_err_users, 0) AS n_err_users
         FROM hv LEFT JOIN hits h USING (hv_event_id)
     """
+
+    from ..sources.silver import (
+        ZORDER_U_HI,
+        ZORDER_U_LO,
+        ZORDER_V_HI,
+        ZORDER_V_LO,
+    )
+
+    # zorder_layout's oracle recomputes the 2-D probe straight from
+    # the source table — the z-ordered rewrite must be a pure layout
+    # change (u_bucket = user_id & 255 on both engines).
+    o["zorder_layout"] = f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE (user_id & 255) >= {ZORDER_U_LO}
+          AND (user_id & 255) <= {ZORDER_U_HI}
+          AND value >= {ZORDER_V_LO} AND value < {ZORDER_V_HI}
+        GROUP BY event_type
+    """
     return o

@@ -23,6 +23,7 @@ from ..operators import (
 )
 from ..sources.silver import (
     node_summary_silver as _node_summary_silver,
+    zorder_layout as _zorder_layout,
     silver_compaction as _silver_compaction,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
@@ -257,6 +258,8 @@ def queries() -> dict[str, QueryFn]:
         "silver_restatement": _silver_restatement,
         # small-file compaction rewrite (pure layout change)
         "silver_compaction": _silver_compaction,
+        # z-order clustered rewrite + 2-D probe (pure layout change)
+        "zorder_layout": _zorder_layout,
         # key-level merge upsert (Delta-style MERGE on plain parquet)
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)

@@ -321,3 +321,95 @@ def silver_node_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_silver(spark, sf_dir, path)
     _SILVER_PATHS[sf_dir] = path
     return node_errors_rollup(read_silver(spark, path))
+
+
+#: zorder_layout: 8 bits per dimension interleaved into a 16-bit
+#: z-value; ZORDER_FILES range partitions over it.
+ZORDER_BITS = 8
+ZORDER_FILES = 16
+ZORDER_U_LO, ZORDER_U_HI = 4, 7         # user-bucket probe range
+ZORDER_V_LO, ZORDER_V_HI = 50.0, 150.0   # value probe range
+
+
+def _zvalue(u, v):
+    """Interleave the low ZORDER_BITS of two int columns (u odd bits,
+    v even bits) — pure shift/mask codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(u, i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(v, i).bitwiseAND(1), 2 * i)
+        )
+    return z
+
+
+def write_zorder(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """events rewritten in z-order over (user bucket, value bucket):
+    repartitionByRange on the interleaved z-value + sort within
+    partitions, so every output file covers a small HYPER-RECTANGLE of
+    the 2-D key space and its parquet min/max stats on BOTH plain
+    columns are tight — the layout trick (Delta/Iceberg OPTIMIZE
+    ZORDER) that makes multi-dimensional predicates prune files
+    without partitioning by either column."""
+    from pyspark.sql import functions as F
+
+    from .tables import table
+
+    ev = table(spark, sf_dir, "events")
+    mask = (1 << ZORDER_BITS) - 1
+    zed = ev.select(
+        "*",
+        F.col("user_id").bitwiseAND(mask).alias("u_bucket"),
+        F.least(
+            F.floor(F.col("value")).cast("int"), F.lit(mask)
+        ).bitwiseAND(mask).alias("v_bucket"),
+    )
+    zed = zed.withColumn(
+        "z", _zvalue(F.col("u_bucket"), F.col("v_bucket"))
+    )
+    (
+        zed.repartitionByRange(ZORDER_FILES, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering GRADED end-to-end: events rewritten
+    z-ordered on (user bucket, value bucket), then a 2-D selective
+    probe (both predicates at once) rolled up from the read-back.
+
+    The oracle recomputes the probe straight from the source table —
+    the rewrite must be a pure LAYOUT change (any lost/dup row
+    hash-mismatches), while tests/test_silver.py asserts the layout
+    EFFECT: the probe's matching rows concentrate in a small fraction
+    of the written files, where the same probe over a round-robin
+    layout touches all of them. At 100 TB that file locality is what
+    parquet min/max pruning turns into skipped IO."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(
+        "/tmp",
+        f"spark_graft_zorder_{os.getpid()}_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    write_zorder(spark, sf_dir, path)
+    back = spark.read.parquet(path)
+    probe = back.filter(
+        (F.col("u_bucket") >= ZORDER_U_LO)
+        & (F.col("u_bucket") <= ZORDER_U_HI)
+        & (F.col("value") >= ZORDER_V_LO)
+        & (F.col("value") < ZORDER_V_HI)
+    )
+    return probe.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

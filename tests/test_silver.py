@@ -177,3 +177,52 @@ def test_merge_upsert_key_level_semantics(spark, sf_dir):
     for r in rows:
         if r.line_id in updated_keys:
             assert r.level == "WARN" and r.is_warning
+
+
+def test_zorder_probe_locality(spark, sf_dir):
+    """The 2-D probe's matching rows must concentrate in FEWER files
+    under the z-ordered layout than under a round-robin layout of the
+    same data into the same file count — the locality that parquet
+    min/max stats turn into skipped IO at scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        ZORDER_FILES,
+        ZORDER_U_HI,
+        ZORDER_U_LO,
+        ZORDER_V_HI,
+        ZORDER_V_LO,
+        write_zorder,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    zpath = f"/tmp/spark_graft_zorder_test_{os.getpid()}"
+    rpath = f"/tmp/spark_graft_rr_test_{os.getpid()}"
+    write_zorder(spark, sf_dir, zpath)
+    mask = 255
+    ev = table(spark, sf_dir, "events").select(
+        "*",
+        F.col("user_id").bitwiseAND(mask).alias("u_bucket"),
+    )
+    ev.repartition(ZORDER_FILES).write.mode("overwrite").parquet(rpath)
+
+    def probe_files(path):
+        probe = (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("u_bucket") >= ZORDER_U_LO)
+                & (F.col("u_bucket") <= ZORDER_U_HI)
+                & (F.col("value") >= ZORDER_V_LO)
+                & (F.col("value") < ZORDER_V_HI)
+            )
+            .select(F.input_file_name().alias("f"))
+        )
+        return probe.distinct().count(), probe.count()
+
+    zf, zn = probe_files(zpath)
+    rf, rn = probe_files(rpath)
+    assert zn == rn and zn > 0  # same matching rows either way
+    assert zf < rf  # z-order concentrates them in fewer files
+    assert zf <= ZORDER_FILES // 2
