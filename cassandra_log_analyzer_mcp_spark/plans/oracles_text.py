@@ -1271,6 +1271,24 @@ def text_oracles() -> dict[str, str]:
         FROM per CROSS JOIN tot
     """
 
+
+    from ..streaming.batch_bridge import STREAM_HH_TOP_K
+
+    # Mirrors streaming/batch_bridge.streaming_topk_tokens: graded in
+    # the exact regime (vocab << cap), so the merged stream state must
+    # equal the batch top-K with the same (count desc, token) order.
+    o["streaming_topk_tokens"] = f"""
+        WITH tok AS (
+          SELECT unnest({TOKS}) AS t FROM documents
+        ), c AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+        )
+        SELECT t, c, CAST(rk AS INT) AS rk FROM (
+          SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk
+          FROM c) r
+        WHERE rk <= {STREAM_HH_TOP_K}
+    """
+
     return o
 
 

@@ -409,6 +409,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_percentiles_tdigest,
         # unbounded-lookback as-of via per-user carry-forward state
         "streaming_asof_join": batch_bridge.streaming_asof_join,
+        # bounded heavy-hitter state folded across micro-batches
+        "streaming_topk_tokens": batch_bridge.streaming_topk_tokens,
         "streaming_purchase_error_join":
             batch_bridge.streaming_purchase_error_join,
         "streaming_purchase_error_left_join":

@@ -331,3 +331,20 @@ def test_streaming_asof_state_crosses_batch_boundary(spark, sf_dir):
         and r.last_purchase_epoch < split
     ]
     assert crossed, "no join crossed the batch boundary"
+
+
+def test_topk_merge_stays_bounded_and_keeps_heavies():
+    """Below the exact regime the capped merge must (a) never exceed
+    the cap and (b) keep any token whose per-batch counts always rank
+    inside the cap — the guaranteed-heavy-hitter property."""
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        _merge_capped,
+    )
+
+    state = {}
+    # 3 batches: 'big' dominates every batch; tail tokens churn
+    for b in range(3):
+        rows = [("big", 100)] + [(f"t{b}_{i}", 1) for i in range(10)]
+        _merge_capped(state, rows, cap=4)
+        assert len(state) <= 4
+    assert state["big"] == 300
