@@ -1026,3 +1026,36 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("score", F.lit(0)).alias("score"),
         (F.coalesce("score", F.lit(0)) > 0).alias("keep"),
     )
+
+
+def doc_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-concentration quality gate: per-doc Gini–Simpson
+    diversity 1 − Σ(c_t/n)² — the libm-free stand-in for token
+    entropy (same ordering on concentration, but EXACT: integer
+    Σc²/n² divided once, so both engines agree bit-for-bit where a
+    log-based entropy would hit libm divergence).
+
+    A doc repeating one token scores → 0; maximally diverse → 1−1/n.
+    Two chained partial-agg shuffles, (doc, token) then doc — no
+    window, no join; scan-speed at any scale.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tc = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    nn = F.col("n_tokens") * F.col("n_tokens")
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.when(F.col("n_tokens") > 0, (nn - F.col("sum_c2")) / nn)
+        .otherwise(F.lit(0.0))
+        .alias("gini_diversity"),
+    )

@@ -1289,6 +1289,30 @@ def text_oracles() -> dict[str, str]:
         WHERE rk <= {STREAM_HH_TOP_K}
     """
 
+
+    # Mirrors operators/textops.doc_gini_diversity: exact integer
+    # sums, single division — bit-identical doubles.
+    o["doc_gini_diversity"] = f"""
+        WITH tc AS (
+          SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents) u
+          GROUP BY doc_id, t
+        ), per AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(c * c) AS BIGINT) AS sum_c2
+          FROM tc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_distinct, 0) AS n_distinct,
+               CASE WHEN p.n_tokens > 0
+                    THEN (p.n_tokens * p.n_tokens - p.sum_c2)
+                         / (p.n_tokens * p.n_tokens)
+                    ELSE 0.0 END AS gini_diversity
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
     return o
 
 

@@ -25,6 +25,7 @@ from ..sources.silver import (
     node_summary_silver as _node_summary_silver,
     zorder_layout as _zorder_layout,
     silver_compaction as _silver_compaction,
+    silver_incremental_rollup as _silver_incremental_rollup,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
@@ -199,6 +200,7 @@ def queries() -> dict[str, QueryFn]:
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         "quality_classifier": textops.quality_classifier,
+        "doc_gini_diversity": textops.doc_gini_diversity,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
@@ -260,6 +262,8 @@ def queries() -> dict[str, QueryFn]:
         "silver_compaction": _silver_compaction,
         # z-order clustered rewrite + 2-D probe (pure layout change)
         "zorder_layout": _zorder_layout,
+        # incremental view maintenance: append day -> merge partials
+        "silver_incremental_rollup": _silver_incremental_rollup,
         # key-level merge upsert (Delta-style MERGE on plain parquet)
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)

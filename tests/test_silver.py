@@ -226,3 +226,42 @@ def test_zorder_probe_locality(spark, sf_dir):
     assert zn == rn and zn > 0  # same matching rows either way
     assert zf < rf  # z-order concentrates them in fewer files
     assert zf <= ZORDER_FILES // 2
+
+
+def test_incremental_rollup_delta_read_is_pruned(spark, sf_dir):
+    """Maintenance must read ONLY the appended day: the delta scan
+    carries a log_date PartitionFilter, so history partitions are
+    pruned at the source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.functions.parsing import (
+        with_issue_flags,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        _default_path,
+        node_errors_rollup,
+        read_silver,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        silver_incremental_rollup,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs
+
+    silver_incremental_rollup(spark, sf_dir)  # builds the _ivm table
+    path = _default_path(sf_dir) + "_ivm"
+    flagged = with_issue_flags(logs(spark, sf_dir))
+    last_day = flagged.agg(
+        F.max(F.to_date("ts"))
+    ).collect()[0][0]
+    delta = node_errors_rollup(
+        read_silver(spark, path).filter(
+            F.col("log_date") == F.lit(last_day)
+        )
+    )
+    plan = delta._sc._jvm.PythonSQLUtils.explainString(
+        delta._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "log_date" in plan.split("PartitionFilters")[1].splitlines()[0]
