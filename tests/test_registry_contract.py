@@ -3,12 +3,12 @@
 The round driver records at most the FIRST 50 ``queries()`` entries
 into CORRECTNESS_r{N}.json (rounds 1 and 2 each produced exactly 50
 rows — a count cap). Each round the capture window is pointed at the
-queries with the weakest driver-issued evidence; round 3's window
-(registry.R3_DRIVER_WINDOW) holds the round's NEW queries, the queries
-whose IMPLEMENTATION changed against an unchanged oracle, and the §2C
-remainder that round 2's reorder rotated out of driver evidence
-(ADVICE r2). These tests pin that strategy so a re-shuffle can't
-silently evict them.
+queries with the weakest driver-issued evidence; round 4's window
+(registry.R4_DRIVER_WINDOW) holds the round-4 additions, the round-3
+additions (whose driver artifacts never landed — local replica only),
+the round-3-changed implementations, and as much of the §2C remainder
+rotation list as fits. These tests pin that strategy so a re-shuffle
+can't silently evict them.
 
 No Spark session needed — pure dict inspection.
 """
@@ -44,7 +44,15 @@ SECTION_2D_CORE = {
     "multimodal_decode_check",
 }
 
-#: queries NEW in round 3 (oracled) — must be driver-graded this round
+#: queries NEW in round 4 (oracled) — must be driver-graded this round
+NEW_IN_R4 = {
+    "revenue_cube", "bloom_pruned_join", "interval_overlap_join",
+    "quality_classifier", "domain_mixture", "semantic_dedup",
+    "zorder_layout", "silver_incremental_rollup", "doc_gini_diversity",
+    "streaming_topk_tokens",
+}
+
+#: queries NEW in round 3 (oracled) — driver evidence still pending
 NEW_IN_R3 = {
     "discount_band_revenue", "repeated_spans_merged",
     "node_summary_silver", "silver_restatement",
@@ -74,16 +82,16 @@ ROWS_ONLY = {
 }
 
 
-def test_r3_window_is_first_50() -> None:
+def test_r4_window_is_first_50() -> None:
     order = list(registry.queries())
-    assert len(registry.R3_DRIVER_WINDOW) == 50
-    assert order[:50] == registry.R3_DRIVER_WINDOW
+    assert len(registry.R4_DRIVER_WINDOW) == 50
+    assert order[:50] == registry.R4_DRIVER_WINDOW
 
 
 def test_new_and_changed_inside_driver_capture_window() -> None:
     first_50 = set(list(registry.queries())[:50])
-    missing = (NEW_IN_R3 | CHANGED_IN_R3) - first_50
-    assert not missing, f"round-3 queries outside the window: {missing}"
+    missing = (NEW_IN_R4 | NEW_IN_R3 | CHANGED_IN_R3) - first_50
+    assert not missing, f"round-3/4 queries outside the window: {missing}"
 
 
 def test_every_query_oracled_or_documented_rows_only() -> None:
