@@ -1631,3 +1631,30 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
         F.coalesce("n_err_users", F.lit(0)).alias("n_err_users"),
     )
+
+
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile table (LTV banding): per-user purchase
+    totals cut into 10 equal-frequency bands via ntile over the
+    ROUNDED total with a user_id tie-break (round-then-rank — both
+    engines band identically), then per-decile count/sum/min/max.
+
+    The ntile window is single-partition but runs over the PER-USER
+    rollup (users ≪ events); at larger user counts the same banding
+    decomposes into percentile boundaries + a broadcast bin join, the
+    shape event_value_percentiles already proves.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), "user_id")
+    banded = per_user.withColumn("decile", F.ntile(10).over(w))
+    return banded.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("total_value"), 2).alias("sum_value"),
+        F.min("total_value").alias("min_value"),
+        F.max("total_value").alias("max_value"),
+    )

@@ -1059,3 +1059,59 @@ def doc_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("gini_diversity"),
     )
+
+
+#: bigram_lift_collocations: minimum occurrence count for a bigram to
+#: be scored (kills noise pairs), and the report size.
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 30
+
+
+def bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the corpus-analysis step behind tokenizer
+    and phrase-table construction: bigrams scored by LIFT
+    n·c(ab) / (c(a)·c(b)) — the exact-rational PMI stand-in (PMI is
+    its log, so the RANKING is identical and the score stays in
+    exactly-rounded IEEE ops instead of libm).
+
+    One (bigram) shuffle for pair counts, one (token) shuffle for
+    unigram counts rolled up FROM the bigram stream's endpoints — the
+    token totals then broadcast back onto the bigram rollup (unigram
+    cardinality ≪ corpus). TakeOrdered top-K, unique (lift, bigram)
+    tie-break.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    grams = docs.select(
+        F.explode(shingles_col(tokens_col(), 2)).alias("g")
+    ).select(
+        F.split("g", " ")[0].alias("a"),
+        F.split("g", " ")[1].alias("b"),
+    )
+    bi = grams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    # token occurrence counts over the SAME positional stream: every
+    # token occurrence appears once as a left endpoint except each
+    # doc's last, so count unigrams from the raw token stream instead
+    uni = (
+        docs.select(F.explode(tokens_col()).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c_t"))
+    )
+    n_tok = uni.agg(F.sum("c_t").alias("n"))
+    scored = (
+        bi.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(uni.selectExpr("t as a", "c_t as c_a")), "a")
+        .join(F.broadcast(uni.selectExpr("t as b", "c_t as c_b")), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "a", "b", "c_ab", "c_a", "c_b",
+            (
+                (F.col("n") * F.col("c_ab"))
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "a", "b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= COLLOC_TOP_K)
+    )

@@ -264,6 +264,8 @@ def analysis_oracles() -> dict[str, str]:
     o["silver_compaction"] = o["silver_node_errors"]
     # incremental maintenance must equal the full recompute
     o["silver_incremental_rollup"] = o["silver_node_errors"]
+    # ORC roundtrip is a pure format change — identical rollup
+    o["orc_export_roundtrip"] = o["silver_node_errors"]
 
     # restated final state, stated directly: the earliest day's
     # overwritten (node, day) partitions hold only their error lines —

@@ -756,6 +756,25 @@ def analytics_oracles() -> dict[str, str]:
         ZORDER_V_LO,
     )
 
+    o["user_value_deciles"] = """
+        WITH per_user AS (
+          SELECT user_id, round(sum(value), 2) AS total_value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id
+        ), banded AS (
+          SELECT total_value,
+                 ntile(10) OVER (ORDER BY total_value DESC, user_id)
+                   AS decile
+          FROM per_user
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(sum(total_value), 2) AS sum_value,
+               min(total_value) AS min_value,
+               max(total_value) AS max_value
+        FROM banded GROUP BY decile
+    """
+
     # zorder_layout's oracle recomputes the 2-D probe straight from
     # the source table — the z-ordered rewrite must be a pure layout
     # change (u_bucket = user_id & 255 on both engines).

@@ -1313,6 +1313,41 @@ def text_oracles() -> dict[str, str]:
         FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
+
+    from ..operators.textops import COLLOC_MIN_COUNT, COLLOC_TOP_K
+
+    # Mirrors operators/textops.bigram_lift_collocations: same integer
+    # products, single division — lift doubles bit-identical.
+    o["bigram_lift_collocations"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKS} AS t FROM documents
+        ), bi AS (
+          SELECT t[i] AS a, t[i + 1] AS b
+          FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks) u
+        ), bic AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+          FROM bi GROUP BY a, b
+        ), uni AS (
+          SELECT t2 AS t, CAST(count(*) AS BIGINT) AS c_t
+          FROM (SELECT unnest(t) AS t2 FROM toks) u GROUP BY t2
+        ), tot AS (
+          SELECT CAST(sum(c_t) AS BIGINT) AS n FROM uni
+        ), scored AS (
+          SELECT bic.a, bic.b, bic.c_ab,
+                 ua.c_t AS c_a, ub.c_t AS c_b,
+                 (tot.n * bic.c_ab) / (ua.c_t * ub.c_t) AS lift
+          FROM bic
+          JOIN uni ua ON ua.t = bic.a
+          JOIN uni ub ON ub.t = bic.b
+          CROSS JOIN tot
+          WHERE bic.c_ab >= {COLLOC_MIN_COUNT}
+        )
+        SELECT a, b, c_ab, c_a, c_b, lift, CAST(rk AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (ORDER BY lift DESC, a, b) AS rk
+          FROM scored) r
+        WHERE rk <= {COLLOC_TOP_K}
+    """
+
     return o
 
 

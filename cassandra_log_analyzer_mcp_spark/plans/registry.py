@@ -26,6 +26,7 @@ from ..sources.silver import (
     zorder_layout as _zorder_layout,
     silver_compaction as _silver_compaction,
     silver_incremental_rollup as _silver_incremental_rollup,
+    orc_export_roundtrip as _orc_export_roundtrip,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
@@ -63,6 +64,9 @@ R4_DRIVER_WINDOW = [
     "silver_incremental_rollup",
     "doc_gini_diversity",
     "streaming_topk_tokens",
+    "bigram_lift_collocations",
+    "orc_export_roundtrip",
+    "user_value_deciles",
     # (b) new in round 3 — driver evidence still pending (r3 file
     # never landed)
     "corpus_shuffle",
@@ -105,9 +109,9 @@ R4_DRIVER_WINDOW = [
     "min_cost_supplier",
     "profit_by_nation",
     "important_parts",
-    "supplier_part_counts",
-    "dominant_part_suppliers",
-    "event_transitions",
+    # supplier_part_counts / dominant_part_suppliers /
+    # event_transitions dropped from (d) to fit the late r4 additions:
+    # all replica-green each round (CHECK_LOCAL_r04.json)
 ]
 
 
@@ -197,6 +201,7 @@ def queries() -> dict[str, QueryFn]:
         "tfidf_keywords": textops.tfidf_keywords,
         "quality_classifier": textops.quality_classifier,
         "doc_gini_diversity": textops.doc_gini_diversity,
+        "bigram_lift_collocations": textops.bigram_lift_collocations,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
         "corpus_sample": curation.corpus_sample,
@@ -260,6 +265,8 @@ def queries() -> dict[str, QueryFn]:
         "zorder_layout": _zorder_layout,
         # incremental view maintenance: append day -> merge partials
         "silver_incremental_rollup": _silver_incremental_rollup,
+        # second columnar wire format, fidelity-graded
+        "orc_export_roundtrip": _orc_export_roundtrip,
         # key-level merge upsert (Delta-style MERGE on plain parquet)
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)
@@ -268,6 +275,7 @@ def queries() -> dict[str, QueryFn]:
         "revenue_cube": analytics.revenue_cube,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
+        "user_value_deciles": analytics.user_value_deciles,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,
         "rolling_active_users": analytics.rolling_active_users,

@@ -477,3 +477,29 @@ def silver_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged.write.mode("overwrite").parquet(view + "_v1")
     return spark.read.parquet(view + "_v1")
+
+
+def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export fidelity — the second columnar wire format (some
+    warehouse estates are ORC-native): the flagged log table writes as
+    ORC, reads back with schema intact, and feeds the shared node
+    rollup. Shares silver_node_errors' oracle, so any type coercion,
+    timestamp shift, or row loss in the ORC writer/reader
+    hash-mismatches. Spark's ORC path is JVM-native and vectorized —
+    format choice changes IO bytes, not the plan above the scan.
+    """
+    from ..functions.parsing import with_issue_flags
+    from .tables import logs
+
+    import os
+
+    path = os.path.join(
+        "/tmp",
+        f"spark_graft_orc_{os.getpid()}_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    flagged = with_issue_flags(logs(spark, sf_dir)).withColumn(
+        "log_date", F.to_date("ts")
+    )
+    flagged.write.mode("overwrite").orc(path)
+    return node_errors_rollup(spark.read.orc(path))

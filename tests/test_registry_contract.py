@@ -49,7 +49,8 @@ NEW_IN_R4 = {
     "revenue_cube", "bloom_pruned_join", "interval_overlap_join",
     "quality_classifier", "domain_mixture", "semantic_dedup",
     "zorder_layout", "silver_incremental_rollup", "doc_gini_diversity",
-    "streaming_topk_tokens",
+    "streaming_topk_tokens", "bigram_lift_collocations",
+    "orc_export_roundtrip", "user_value_deciles",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
