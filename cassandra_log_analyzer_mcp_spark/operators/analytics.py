@@ -1658,3 +1658,108 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total_value").alias("min_value"),
         F.max("total_value").alias("max_value"),
     )
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the ANALYZE TABLE / data-catalog
+    shape): per column of events — null count, exact distinct count,
+    min/max rendered to strings — in a SINGLE scan: one aggregate
+    computes every column's stats side by side (Spark plans the
+    multi-distinct via one Expand), then the wide row unpivots to the
+    long (column, stats) form catalogs store. At 100 TB you swap the
+    exact distincts for approx_count_distinct and keep the plan;
+    exact here so the oracle hash-matches.
+
+    Timestamps render through date_format (engine-neutral ISO text),
+    doubles through format_number-free plain casts — the profile is a
+    STRING surface by design, so one recipe covers every type.
+    """
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        s_min, s_max = F.min(col).cast("string"), F.max(col).cast("string")
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(col).alias(f"{c}__ndv"),
+            s_min.alias(f"{c}__min"),
+            s_max.alias(f"{c}__max"),
+        ]
+    wide = ev.agg(F.count("*").alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) as (column, n_nulls, n_distinct,"
+        " min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct",
+             "min_value", "max_value")
+
+
+def constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ/dbt-test shape) over
+    the warehouse tables — each constraint evaluates DISTRIBUTED and
+    lands one (check, n_violations, passed) row:
+
+    - fk_lineitem_orders / fk_orders_customer: referential integrity
+      via LEFT ANTI join (probe side streams, build side's keys are
+      the join's natural build — no row ever widens).
+    - pk_orders_unique / pk_lineitem_unique: key uniqueness via
+      groupBy HAVING count>1 (map-side partial agg first).
+    - range checks: pure scan predicates (quantity positive, discount
+      in [0,1]) — pushed to the reader.
+
+    The suite unions five 1-row aggregates; each rides its own
+    minimal scan. At 100 TB each check is a scan/join you would run
+    anyway — the value is the uniform report the orchestration gates
+    on.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def report(name: str, violations) -> DataFrame:
+        return violations.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("check"),
+            F.col("n").cast("long").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+
+    fk_li = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    fk_ord = orders.select("o_custkey").join(
+        cust.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    pk_ord = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    pk_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    rng = li.filter(
+        (F.col("l_quantity") <= 0)
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    )
+    checks = [
+        report("fk_lineitem_orders", fk_li),
+        report("fk_orders_customer", fk_ord),
+        report("pk_orders_unique", pk_ord),
+        report("pk_lineitem_unique", pk_li),
+        report("lineitem_ranges", rng),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -756,6 +756,79 @@ def analytics_oracles() -> dict[str, str]:
         ZORDER_V_LO,
     )
 
+
+    o["table_profile"] = """
+        WITH wide AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id__nulls,
+            CAST(count(DISTINCT event_id) AS BIGINT) AS event_id__ndv,
+            CAST(min(event_id) AS VARCHAR) AS event_id__min,
+            CAST(max(event_id) AS VARCHAR) AS event_id__max,
+            CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id__nulls,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS user_id__ndv,
+            CAST(min(user_id) AS VARCHAR) AS user_id__min,
+            CAST(max(user_id) AS VARCHAR) AS user_id__max,
+            CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type__nulls,
+            CAST(count(DISTINCT event_type) AS BIGINT) AS event_type__ndv,
+            CAST(min(event_type) AS VARCHAR) AS event_type__min,
+            CAST(max(event_type) AS VARCHAR) AS event_type__max,
+            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value__nulls,
+            CAST(count(DISTINCT value) AS BIGINT) AS value__ndv,
+            CAST(min(value) AS VARCHAR) AS value__min,
+            CAST(max(value) AS VARCHAR) AS value__max,
+            CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props__nulls,
+            CAST(count(DISTINCT props) AS BIGINT) AS props__ndv,
+            CAST(min(props) AS VARCHAR) AS props__min,
+            CAST(max(props) AS VARCHAR) AS props__max
+          FROM events
+        )
+          SELECT 'event_id' AS "column", n_rows, event_id__nulls AS n_nulls,
+                 event_id__ndv AS n_distinct, event_id__min AS min_value,
+                 event_id__max AS max_value FROM wide
+          UNION ALL
+          SELECT 'user_id' AS "column", n_rows, user_id__nulls AS n_nulls,
+                 user_id__ndv AS n_distinct, user_id__min AS min_value,
+                 user_id__max AS max_value FROM wide
+          UNION ALL
+          SELECT 'event_type' AS "column", n_rows, event_type__nulls AS n_nulls,
+                 event_type__ndv AS n_distinct, event_type__min AS min_value,
+                 event_type__max AS max_value FROM wide
+          UNION ALL
+          SELECT 'value' AS "column", n_rows, value__nulls AS n_nulls,
+                 value__ndv AS n_distinct, value__min AS min_value,
+                 value__max AS max_value FROM wide
+          UNION ALL
+          SELECT 'props' AS "column", n_rows, props__nulls AS n_nulls,
+                 props__ndv AS n_distinct, props__min AS min_value,
+                 props__max AS max_value FROM wide
+    """
+
+    o["constraint_checks"] = """
+        SELECT 'fk_lineitem_orders' AS "check",
+               CAST(count(*) AS BIGINT) AS n_violations,
+               count(*) = 0 AS passed
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT),
+               count(*) = 0
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'pk_orders_unique', CAST(count(*) AS BIGINT), count(*) = 0
+        FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+              HAVING count(*) > 1) t
+        UNION ALL
+        SELECT 'pk_lineitem_unique', CAST(count(*) AS BIGINT),
+               count(*) = 0
+        FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t
+        UNION ALL
+        SELECT 'lineitem_ranges', CAST(count(*) AS BIGINT), count(*) = 0
+        FROM lineitem
+        WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+    """
+
     o["user_value_deciles"] = """
         WITH per_user AS (
           SELECT user_id, round(sum(value), 2) AS total_value

@@ -67,6 +67,8 @@ R4_DRIVER_WINDOW = [
     "bigram_lift_collocations",
     "orc_export_roundtrip",
     "user_value_deciles",
+    "table_profile",
+    "constraint_checks",
     # (b) new in round 3 — driver evidence still pending (r3 file
     # never landed)
     "corpus_shuffle",
@@ -107,11 +109,10 @@ R4_DRIVER_WINDOW = [
     "market_share",
     "disjunctive_revenue",
     "min_cost_supplier",
-    "profit_by_nation",
-    "important_parts",
-    # supplier_part_counts / dominant_part_suppliers /
-    # event_transitions dropped from (d) to fit the late r4 additions:
-    # all replica-green each round (CHECK_LOCAL_r04.json)
+    # profit_by_nation / important_parts / supplier_part_counts /
+    # dominant_part_suppliers / event_transitions dropped from (d) to
+    # fit the late r4 additions: all replica-green each round
+    # (CHECK_LOCAL_r04.json)
 ]
 
 
@@ -276,6 +277,8 @@ def queries() -> dict[str, QueryFn]:
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
+        "table_profile": analytics.table_profile,
+        "constraint_checks": analytics.constraint_checks,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,
         "rolling_active_users": analytics.rolling_active_users,

@@ -50,7 +50,8 @@ NEW_IN_R4 = {
     "quality_classifier", "domain_mixture", "semantic_dedup",
     "zorder_layout", "silver_incremental_rollup", "doc_gini_diversity",
     "streaming_topk_tokens", "bigram_lift_collocations",
-    "orc_export_roundtrip", "user_value_deciles",
+    "orc_export_roundtrip", "user_value_deciles", "table_profile",
+    "constraint_checks",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
