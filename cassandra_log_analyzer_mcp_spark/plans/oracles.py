@@ -266,6 +266,8 @@ def analysis_oracles() -> dict[str, str]:
     o["silver_incremental_rollup"] = o["silver_node_errors"]
     # ORC roundtrip is a pure format change — identical rollup
     o["orc_export_roundtrip"] = o["silver_node_errors"]
+    # the v0 snapshot read AFTER v1 exists must equal the original
+    o["silver_time_travel"] = o["silver_node_errors"]
 
     # restated final state, stated directly: the earliest day's
     # overwritten (node, day) partitions hold only their error lines —

@@ -848,6 +848,20 @@ def analytics_oracles() -> dict[str, str]:
         FROM banded GROUP BY decile
     """
 
+    # Mirrors sources/silver.schema_evolution_read: the same modular
+    # drop split recomputed from the source table.
+    o["schema_evolution_read"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pre_evolution,
+               CAST(count(DISTINCT CASE WHEN event_id % 2 = 1
+                 THEN 'ch' || CAST(user_id % 4 AS VARCHAR) END)
+                 AS BIGINT) AS n_channels,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """
+
     # zorder_layout's oracle recomputes the 2-D probe straight from
     # the source table — the z-ordered rewrite must be a pure layout
     # change (u_bucket = user_id & 255 on both engines).

@@ -27,6 +27,8 @@ from ..sources.silver import (
     silver_compaction as _silver_compaction,
     silver_incremental_rollup as _silver_incremental_rollup,
     orc_export_roundtrip as _orc_export_roundtrip,
+    silver_time_travel as _silver_time_travel,
+    schema_evolution_read as _schema_evolution_read,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
@@ -69,6 +71,8 @@ R4_DRIVER_WINDOW = [
     "user_value_deciles",
     "table_profile",
     "constraint_checks",
+    "silver_time_travel",
+    "schema_evolution_read",
     # (b) new in round 3 — driver evidence still pending (r3 file
     # never landed)
     "corpus_shuffle",
@@ -107,9 +111,8 @@ R4_DRIVER_WINDOW = [
     "small_quantity_revenue",
     "late_sole_suppliers",
     "market_share",
-    "disjunctive_revenue",
-    "min_cost_supplier",
-    # profit_by_nation / important_parts / supplier_part_counts /
+    # disjunctive_revenue / min_cost_supplier / profit_by_nation /
+    # important_parts / supplier_part_counts /
     # dominant_part_suppliers / event_transitions dropped from (d) to
     # fit the late r4 additions: all replica-green each round
     # (CHECK_LOCAL_r04.json)
@@ -268,6 +271,10 @@ def queries() -> dict[str, QueryFn]:
         "silver_incremental_rollup": _silver_incremental_rollup,
         # second columnar wire format, fidelity-graded
         "orc_export_roundtrip": _orc_export_roundtrip,
+        # manifest-based snapshot versioning (file-level MVCC)
+        "silver_time_travel": _silver_time_travel,
+        # cross-drop schema evolution via mergeSchema read
+        "schema_evolution_read": _schema_evolution_read,
         # key-level merge upsert (Delta-style MERGE on plain parquet)
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)

@@ -51,7 +51,7 @@ NEW_IN_R4 = {
     "zorder_layout", "silver_incremental_rollup", "doc_gini_diversity",
     "streaming_topk_tokens", "bigram_lift_collocations",
     "orc_export_roundtrip", "user_value_deciles", "table_profile",
-    "constraint_checks",
+    "constraint_checks", "silver_time_travel", "schema_evolution_read",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

@@ -265,3 +265,35 @@ def test_incremental_rollup_delta_read_is_pruned(spark, sf_dir):
     )
     assert "PartitionFilters" in plan
     assert "log_date" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_time_travel_v1_matches_restatement(spark, sf_dir):
+    """The manifest-MVCC v1 read must equal the dynamic-overwrite
+    restatement's table content (same correction, two commit
+    mechanisms), and the physical v0 files must all still exist."""
+    import json
+    import os
+
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        _default_path,
+        node_errors_rollup,
+        read_silver,
+        silver_restatement,
+        silver_time_travel,
+    )
+
+    silver_time_travel(spark, sf_dir)  # builds the _tt table
+    path = _default_path(sf_dir) + "_tt"
+    with open(os.path.join(path, "_manifests", "v0.json")) as f:
+        v0 = json.load(f)
+    with open(os.path.join(path, "_manifests", "v1.json")) as f:
+        v1 = json.load(f)
+    assert all(os.path.exists(f) for f in v0)  # nothing deleted
+
+    v1_rollup = node_errors_rollup(
+        spark.read.option("basePath", path).parquet(*v1)
+    )
+    expect = silver_restatement(spark, sf_dir)  # dynamic-overwrite twin
+    got = {tuple(r) for r in v1_rollup.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want
