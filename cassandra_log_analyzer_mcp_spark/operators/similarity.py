@@ -1009,3 +1009,47 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_counts,
         "vec_id long, cluster int, n_near long, dropped boolean",
     )
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): each query probes its
+    own hyperplane bucket PLUS the ANN_N_PLANES buckets at Hamming
+    distance 1 — the standard recall lever that beats adding hash
+    tables because probes reuse the ONE corpus index (near misses
+    most often differ by a single low-margin plane sign).
+
+    Spark shape: the probe set is a per-query exploded array (1 +
+    n_planes rows per query — bounded fanout on the tiny broadcast
+    query side), the corpus stays bucketed once, and the join remains
+    the same bucket equi-join as single-probe. A corpus vector owns
+    exactly one bucket and probe buckets are distinct, so each
+    (query, candidate) pair is produced once — no dedup. Recall
+    uplift over single-probe is asserted against brute force in
+    tests.
+    """
+    emb = _embeddings_normed(spark, sf_dir)
+    corpus = emb.select("vec_id", "v", "nv", _bucket_col("v").alias("bucket"))
+    base = corpus.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"), "bucket",
+    )
+    flips = [F.col("bucket")]
+    for i in range(1, ANN_N_PLANES + 1):
+        c = F.substring("bucket", i, 1)
+        flipped = F.when(c == "1", "0").otherwise("1")
+        flips.append(
+            F.concat(
+                F.substring("bucket", 1, i - 1),
+                flipped,
+                F.expr(f"substring(bucket, {i + 1})"),
+            )
+        )
+    probes = base.select(
+        "q_id", "qv", "qn", F.explode(F.array(*flips)).alias("bucket")
+    )
+    pairs = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
+    )
+    return _ranked(pairs, ANN_TOP_K).select("q_id", "vec_id", "sim", "rn")

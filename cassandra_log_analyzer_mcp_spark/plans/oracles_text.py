@@ -1821,6 +1821,36 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {ANN_TOP_K}
     """
 
+    # Mirrors operators/similarity.ann_lsh_multiprobe: candidates are
+    # corpus vectors whose bucket is within Hamming distance 1 of the
+    # query's bucket (own + one-flip probes). The oracle states it as
+    # a char-difference predicate over the tiny bucket strings.
+    hamming1 = " + ".join(
+        f"(CASE WHEN substr(q.bucket, {i}, 1) = substr(e.bucket, {i}, 1)"
+        " THEN 0 ELSE 1 END)"
+        for i in range(1, ANN_N_PLANES + 1)
+    )
+    o["ann_lsh_multiprobe"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        corpus AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM emb),
+        pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 round(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 3) AS sim
+          FROM corpus e JOIN corpus q
+            ON ({hamming1}) <= 1
+          WHERE q.vec_id < {ANN_N_QUERIES} AND e.vec_id != q.vec_id
+        )
+        SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {ANN_TOP_K}
+    """
+
     from ..operators.similarity import EMBED_DIM, PCA_ITERS, PCA_V_SCALE
 
     # Mirrors operators/similarity.embedding_pca_project: exact-integer

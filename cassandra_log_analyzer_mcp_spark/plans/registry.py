@@ -73,6 +73,7 @@ R4_DRIVER_WINDOW = [
     "constraint_checks",
     "silver_time_travel",
     "schema_evolution_read",
+    "ann_lsh_multiprobe",
     # (b) new in round 3 — driver evidence still pending (r3 file
     # never landed)
     "corpus_shuffle",
@@ -110,8 +111,7 @@ R4_DRIVER_WINDOW = [
     "nation_volume",
     "small_quantity_revenue",
     "late_sole_suppliers",
-    "market_share",
-    # disjunctive_revenue / min_cost_supplier / profit_by_nation /
+    # market_share / disjunctive_revenue / min_cost_supplier / profit_by_nation /
     # important_parts / supplier_part_counts /
     # dominant_part_suppliers / event_transitions dropped from (d) to
     # fit the late r4 additions: all replica-green each round
@@ -235,6 +235,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
+        "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "ann_ivf_persisted": similarity.ann_ivf_persisted,
         "ann_ivf_append": similarity.ann_ivf_append,
