@@ -39,6 +39,7 @@ from ..operators.dedup import (
     SIMHASH_MAX_HAMMING,
 )
 from ..operators.similarity import (
+    ANN_N_PLANES,
     ANN_N_QUERIES,
     ANN_TOP_K,
     EMBED_DEDUP_MIN_SIM,
