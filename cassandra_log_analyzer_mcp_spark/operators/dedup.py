@@ -823,3 +823,36 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = documents(spark, sf_dir).select("doc_id", "text")
     return editdist_pairs(cand, docs)
+
+
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline observability: the cluster-size HISTOGRAM of the
+    near-dup graph (size → how many components, how many docs) plus
+    the singleton row — the report that tells a curation run whether
+    duplication is long-tail pairs or a pathological mega-cluster
+    (boilerplate explosion) BEFORE keeper election rewrites the
+    corpus. Composes the graded connected components; rollups are
+    component-cardinality sized, so cost beyond the shared cluster
+    build is negligible at any scale.
+    """
+    from ..sources.tables import documents
+
+    cc = dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    n_total = documents(spark, sf_dir).select("doc_id").count()
+    n_in_graph = cc.select("doc_id").distinct().count()
+    singletons = spark.createDataFrame(
+        [(1, n_total - n_in_graph, n_total - n_in_graph)],
+        schema="cluster_size long, n_clusters long, n_docs long",
+    )
+    return hist.select(
+        F.col("cluster_size").cast("long"),
+        F.col("n_clusters").cast("long"),
+        F.col("n_docs").cast("long"),
+    ).unionByName(singletons)

@@ -733,6 +733,40 @@ def text_oracles() -> dict[str, str]:
               FROM reach GROUP BY u) c
     """
 
+    # histogram over the same recursive-CTE components + the
+    # singleton remainder from the documents total
+    o["dedup_graph_stats"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        reach AS (
+          SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+        ),
+        labels AS (SELECT u AS doc_id, min(l) AS cluster_id
+                   FROM reach GROUP BY u),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+                    AS cluster_size FROM labels GROUP BY cluster_id),
+        hist AS (
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY cluster_size
+        ),
+        single AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 CAST((SELECT count(*) FROM documents)
+                      - (SELECT count(*) FROM labels) AS BIGINT)
+                   AS n_clusters,
+                 CAST((SELECT count(*) FROM documents)
+                      - (SELECT count(*) FROM labels) AS BIGINT)
+                   AS n_docs
+        )
+        SELECT * FROM hist UNION ALL SELECT * FROM single
+    """
+
     # keeper election composed from the cluster and quality oracles:
     # highest quality wins, ties to the lowest doc_id — mirrored by
     # the Spark side's struct-max

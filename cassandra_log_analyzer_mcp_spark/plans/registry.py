@@ -74,6 +74,7 @@ R4_DRIVER_WINDOW = [
     "silver_time_travel",
     "schema_evolution_read",
     "ann_lsh_multiprobe",
+    "dedup_graph_stats",
     # (b) new in round 3 — driver evidence still pending (r3 file
     # never landed)
     "corpus_shuffle",
@@ -110,8 +111,7 @@ R4_DRIVER_WINDOW = [
     # (the rest keep r1/r2 driver evidence + the replica each round)
     "nation_volume",
     "small_quantity_revenue",
-    "late_sole_suppliers",
-    # market_share / disjunctive_revenue / min_cost_supplier / profit_by_nation /
+    # late_sole_suppliers / market_share / disjunctive_revenue / min_cost_supplier / profit_by_nation /
     # important_parts / supplier_part_counts /
     # dominant_part_suppliers / event_transitions dropped from (d) to
     # fit the late r4 additions: all replica-green each round
@@ -226,6 +226,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_containment": dedup.minhash_containment,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_canonical": dedup.dedup_canonical,
+        "dedup_graph_stats": dedup.dedup_graph_stats,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,
         "dedup_editdist": dedup.dedup_editdist,

@@ -52,7 +52,7 @@ NEW_IN_R4 = {
     "streaming_topk_tokens", "bigram_lift_collocations",
     "orc_export_roundtrip", "user_value_deciles", "table_profile",
     "constraint_checks", "silver_time_travel", "schema_evolution_read",
-    "ann_lsh_multiprobe",
+    "ann_lsh_multiprobe", "dedup_graph_stats",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
