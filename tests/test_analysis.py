@@ -421,3 +421,73 @@ def test_tdigest_percentiles_close_to_exact(spark, sf_dir):
             ).count()
             eps = max(2.0 / n, 0.01)
             assert abs(below / n - float(target)) <= eps, (t, target)
+
+
+def test_interval_bin_join_equals_brute_force(spark):
+    """Property: the bin-and-residual range join produces EXACTLY the
+    brute-force pair set on adversarial intervals (boundary-touching,
+    bin-straddling, duplicates)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    # points at bin edges, interval ends exactly on points, overlaps
+    W = 10  # bin width = window
+    hv = [(1, 100), (2, 109), (3, 120), (4, 95)]      # (id, ts)
+    err = [(10, 90), (11, 100), (12, 110), (13, 119), (14, 130), (15, 131)]
+    hv_df = spark.createDataFrame(
+        [(i, t - W, t + W) for i, t in hv], "hid long, lo long, hi long"
+    )
+    err_df = spark.createDataFrame(err, "eid long, ets long")
+    binned_hv = hv_df.select(
+        "*",
+        F.explode(
+            F.sequence(F.expr(f"lo div {W}"), F.expr(f"hi div {W}"))
+        ).alias("bin"),
+    )
+    binned_err = err_df.withColumn("bin", F.expr(f"ets div {W}"))
+    got = {
+        (r.hid, r.eid)
+        for r in binned_hv.join(binned_err, "bin")
+        .filter((F.col("ets") >= F.col("lo")) & (F.col("ets") <= F.col("hi")))
+        .select("hid", "eid")
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, t in hv
+        for j, u in err
+        if t - W <= u <= t + W
+    }
+    assert got == want
+
+
+def test_bloom_prune_reduces_probe_rows(spark, sf_dir):
+    """The 3-position Bloom prune must pass every true-match row and
+    strictly fewer rows than the unpruned fact (the runtime-filter
+    payoff the plan exists for)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        _bloom_join_positions,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    pruned = li
+    for j, pos in enumerate(_bloom_join_positions(F.col("l_orderkey"))):
+        bits = urgent.select(
+            _bloom_join_positions(F.col("o_orderkey"))[j].alias("p")
+        ).distinct()
+        pruned = pruned.join(F.broadcast(bits), pos == F.col("p"), "left_semi")
+    n_fact = li.count()
+    n_pruned = pruned.count()
+    n_true = li.join(
+        urgent.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert n_true <= n_pruned < n_fact
