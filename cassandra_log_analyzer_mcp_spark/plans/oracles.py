@@ -260,6 +260,24 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # DPP join: rack r1 is exactly the odd-ordinal nodes, so the
+    # oracle recomputes the joined rollup from raw flagged lines with
+    # the same parity arithmetic (no dim table needed on this side)
+    o["silver_dpp_join"] = with_logs(
+        """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date, node,
+               'r' || CAST(CAST(substr(node, 5) AS INT) % 2 AS VARCHAR)
+                 AS rack,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                 AS errors,
+               CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END) AS BIGINT)
+                 AS warnings,
+               CAST(count(*) AS BIGINT) AS total_lines
+        FROM flagged WHERE CAST(substr(node, 5) AS INT) % 2 = 1
+        GROUP BY 1, 2, 3
+        """
+    )
+
     # compaction is a pure layout change — identical rollup
     o["silver_compaction"] = o["silver_node_errors"]
     # incremental maintenance must equal the full recompute

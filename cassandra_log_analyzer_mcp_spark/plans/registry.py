@@ -29,6 +29,7 @@ from ..sources.silver import (
     orc_export_roundtrip as _orc_export_roundtrip,
     silver_time_travel as _silver_time_travel,
     schema_evolution_read as _schema_evolution_read,
+    silver_dpp_join as _silver_dpp_join,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
@@ -277,6 +278,8 @@ def queries() -> dict[str, QueryFn]:
         "silver_time_travel": _silver_time_travel,
         # cross-drop schema evolution via mergeSchema read
         "schema_evolution_read": _schema_evolution_read,
+        # runtime (dynamic) partition pruning from a broadcast dim
+        "silver_dpp_join": _silver_dpp_join,
         # key-level merge upsert (Delta-style MERGE on plain parquet)
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)

@@ -630,3 +630,48 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("channel").alias("n_channels"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def write_node_dim(spark: SparkSession, path: str) -> None:
+    """A tiny node→rack dimension written as its OWN parquet source
+    (rack = parity of the node ordinal). Being a separate source
+    matters: dynamic partition pruning fires on a join between two
+    scans, not on a literal IN-list the optimizer would constant-fold.
+    """
+    from ..functions.parsing import N_NODES
+
+    rows = [(f"node{i}", f"r{i % 2}") for i in range(N_NODES)]
+    dim = spark.createDataFrame(rows, "node string, rack string")
+    dim.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def silver_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING graded end-to-end — the join-time
+    twin of node_summary_silver's static pruning: the fact side is the
+    (log_date, node)-partitioned silver, the dim side is a separate
+    node→rack parquet filtered to one rack, and the fact scan's
+    partition filter is the RUNTIME subquery Spark derives from the
+    broadcast dim (``dynamicpruningexpression`` in the scan, asserted
+    in tests/test_plan_shape.py). At 100 TB this is how "errors in
+    rack r1" skips every other rack's directories without anyone
+    hand-listing its nodes.
+
+    The rack predicate selects exactly the odd-ordinal nodes, so the
+    oracle recomputes the rollup from raw flagged lines with the same
+    parity arithmetic — a lost partition, a wrong prune, or a join
+    dropping rows all hash-mismatch.
+    """
+    fact = read_silver(spark, silver_path(spark, sf_dir))
+    dim_path = _default_path(sf_dir) + "_nodedim"
+    write_node_dim(spark, dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("rack") == "r1")
+    joined = fact.join(F.broadcast(dim), "node")
+    return joined.groupBy(
+        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+        F.col("node"),
+        F.col("rack"),
+    ).agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+        F.count("*").alias("total_lines"),
+    )

@@ -446,3 +446,19 @@ def test_domain_mixture_broadcasts_totals(spark, sf_dir):
     keyed on a constant."""
     tree = _plan(curation.domain_mixture(spark, sf_dir)).split("(1) ")[0]
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+
+
+def test_silver_dpp_join_prunes_at_runtime(spark, sf_dir):
+    """The rack-filtered dim must drive a RUNTIME partition filter on
+    the silver fact scan (dynamicpruningexpression) — join-time
+    directory skipping, not a full-fact scan followed by a join."""
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        silver_dpp_join,
+    )
+
+    plan = _plan(silver_dpp_join(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "dynamicpruningexpression" in seg
+    # and the dim side rides a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
