@@ -592,6 +592,18 @@ def analysis_oracles() -> dict[str, str]:
     # the one-shot batch merge — shared oracle IS the proof
     o["streaming_merge_upsert"] = o["silver_merge_upsert"]
 
+    # dropDuplicatesWithinWatermark over the doubled landing must
+    # reconstruct the duplicate-free source exactly: n_events==n_ids
+    # per type, and the value sum catches double-counts
+    o["streaming_dedup_watermarked"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
+        """
+
     bursts_body = BURSTS_BODY
     o["error_bursts"] = with_logs(bursts_body)
 

@@ -422,6 +422,9 @@ def queries() -> dict[str, QueryFn]:
         "streaming_error_bursts": batch_bridge.streaming_error_bursts,
         "streaming_dedup_incremental":
             batch_bridge.streaming_dedup_incremental,
+        # native dropDuplicatesWithinWatermark state-store dedup
+        "streaming_dedup_watermarked":
+            batch_bridge.streaming_dedup_watermarked,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,

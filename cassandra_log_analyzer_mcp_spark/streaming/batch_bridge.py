@@ -883,3 +883,86 @@ def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, c, i + 1) for i, (t, c) in enumerate(top)],
         schema="t string, c bigint, rk int",
     )
+
+
+_LANDED_DUP_EVENTS: dict[str, str] = {}
+
+#: redelivery fan: every event_id divisible by DUP_MOD lands TWICE —
+#: the deterministic stand-in for an at-least-once event bus
+DUP_MOD = 7
+
+
+def _landed_dup_events(spark: SparkSession, sf_dir: str) -> str:
+    """Land the events table WITH synthetic redelivery duplicates
+    (once per sf_dir per process): every DUP_MOD-th event appears in
+    two files, byte-identical — what an at-least-once shipper leaves
+    behind after a retry."""
+    if sf_dir in _LANDED_DUP_EVENTS:
+        return _LANDED_DUP_EVENTS[sf_dir]
+    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
+        prefix="landed_dup_events_"
+    )
+    base = os.path.join(root, f"dup_events_{uuid.uuid4().hex[:8]}")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    dups = ev.filter(F.col("event_id") % DUP_MOD == 0)
+    ev.unionByName(dups).repartition(2).write.parquet(base)
+    _LANDED_DUP_EVENTS[sf_dir] = base
+    return base
+
+
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion from an at-least-once feed via Spark's
+    NATIVE ``dropDuplicatesWithinWatermark`` — the state-store twin of
+    the foreachBatch approach in streaming_dedup_incremental: first
+    sighting of an event_id passes through, redeliveries inside the
+    watermark horizon are suppressed by keyed state, and the watermark
+    is what BOUNDS that state at scale (a key's entry is freed once
+    the watermark passes its event time + delay — without it the
+    dedup index grows with the stream forever).
+
+    The delay here exceeds the testdata's full event-time span, so no
+    state is evicted mid-run and the deduped stream must equal the
+    duplicate-free source EXACTLY — which is what lets the DuckDB
+    oracle grade the state machine: n_events == n_ids per type (a
+    leaked duplicate breaks it) and the value sum (a double-count or
+    a dropped first sighting breaks it).
+    """
+    land = _landed_dup_events(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    deduped = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(deduped, sink, output_mode="append")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_watermarked did not finish its"
+                " availableNow batch"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -348,3 +348,22 @@ def test_topk_merge_stays_bounded_and_keeps_heavies():
         _merge_capped(state, rows, cap=4)
         assert len(state) <= 4
     assert state["big"] == 300
+
+
+def test_watermark_dedup_actually_sees_duplicates(spark, sf_dir):
+    """The graded query is only evidence if the landing REALLY holds
+    redeliveries: assert the doubled landing has more rows than keys,
+    and the deduped sink restores exactly one row per event_id."""
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    land = batch_bridge._landed_dup_events(spark, sf_dir)
+    landed = spark.read.parquet(land)
+    n_rows = landed.count()
+    n_keys = landed.select("event_id").distinct().count()
+    assert n_rows > n_keys  # duplicates present going in
+
+    out = batch_bridge.streaming_dedup_watermarked(spark, sf_dir)
+    row = out.selectExpr(
+        "sum(n_events) AS n", "sum(n_ids) AS k"
+    ).collect()[0]
+    assert row.n == row.k == n_keys  # exactly-once coming out
