@@ -278,6 +278,30 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # the v0→v1 change feed, stated from first principles: the
+    # errors-only restatement DELETES exactly the non-error rows of
+    # the earliest day on nodes that had ≥1 error that day (nodes
+    # without errors get no new files, so their partitions are not in
+    # the manifest delta at all); no inserts or updates exist
+    o["silver_changes_between"] = with_logs(
+        """
+        SELECT 'delete' AS op,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date,
+               node,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM flagged
+        WHERE CAST(ts AS DATE) =
+                (SELECT min(CAST(ts AS DATE)) FROM flagged)
+          AND NOT is_error
+          AND node IN (
+            SELECT DISTINCT node FROM flagged
+            WHERE CAST(ts AS DATE) =
+                    (SELECT min(CAST(ts AS DATE)) FROM flagged)
+              AND is_error)
+        GROUP BY 1, 2, 3
+        """
+    )
+
     # compaction is a pure layout change — identical rollup
     o["silver_compaction"] = o["silver_node_errors"]
     # incremental maintenance must equal the full recompute

@@ -30,6 +30,7 @@ from ..sources.silver import (
     silver_time_travel as _silver_time_travel,
     schema_evolution_read as _schema_evolution_read,
     silver_dpp_join as _silver_dpp_join,
+    silver_changes_between as _silver_changes_between,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
@@ -280,6 +281,8 @@ def queries() -> dict[str, QueryFn]:
         "schema_evolution_read": _schema_evolution_read,
         # runtime (dynamic) partition pruning from a broadcast dim
         "silver_dpp_join": _silver_dpp_join,
+        # manifest-delta change data feed between snapshots
+        "silver_changes_between": _silver_changes_between,
         # key-level merge upsert (Delta-style MERGE on plain parquet)
         "silver_merge_upsert": _silver_merge_upsert,
         # r2 §2C additions (never driver-graded either)

@@ -297,3 +297,27 @@ def test_time_travel_v1_matches_restatement(spark, sf_dir):
     got = {tuple(r) for r in v1_rollup.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want
+
+
+def test_cdc_reads_only_manifest_delta_partitions(spark, sf_dir):
+    """The change feed's IO must be proportional to the restated day:
+    the changed-directory set derived from the manifest delta is a
+    small strict subset of the table's partition directories."""
+    import os
+
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        _build_versioned_silver,
+        _default_path,
+        _manifest_read,
+    )
+
+    path = _default_path(sf_dir) + "_cdc_prune"
+    _build_versioned_silver(spark, sf_dir, path)
+    v0 = set(_manifest_read(path, 0))
+    v1 = set(_manifest_read(path, 1))
+    all_dirs = {os.path.dirname(f) for f in v0 | v1}
+    changed = {os.path.dirname(f) for f in v0 ^ v1}
+    assert changed and changed < all_dirs
+    # only the earliest day's directories may appear in the delta
+    days = {d.split("log_date=")[1].split("/")[0] for d in changed}
+    assert len(days) == 1
