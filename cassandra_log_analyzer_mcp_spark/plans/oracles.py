@@ -302,6 +302,19 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # post-erasure content, stated directly: everything but the
+    # subject (silver.ERASE_USER = 7) — a leaked subject row,
+    # over-deletion, or a double-read rewrite all hash-mismatch
+    o["silver_delete_rewrite"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE user_id <> 7
+        GROUP BY event_type
+        """
+
     # compaction is a pure layout change — identical rollup
     o["silver_compaction"] = o["silver_node_errors"]
     # incremental maintenance must equal the full recompute

@@ -746,3 +746,75 @@ def silver_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_warning").cast("long")).alias("warnings"),
         F.count("*").alias("total_lines"),
     )
+
+
+#: the erasure demo's target subject key
+ERASE_USER = 7
+
+
+def silver_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted KEY ERASURE (the GDPR/right-to-be-forgotten verb) via
+    COPY-ON-WRITE at file granularity: the table lands clustered by
+    user bucket, the subject's rows are located with
+    ``input_file_name()`` (a pushed-down scan, not a table rewrite),
+    and ONLY the files that contain the subject are rewritten without
+    those rows — every other file survives byte-identical (inode-
+    asserted in tests/test_silver.py). At 100 TB this is the
+    difference between rewriting gigabytes and rewriting the table:
+    erasure cost ∝ the subject's file footprint, which the clustered
+    layout keeps at one file per shard, exactly like Delta/Iceberg
+    DELETE with a clustered table.
+
+    Graded end-to-end: the post-erasure table's per-type rollup
+    (rows, distinct users, value sum) against an oracle that states
+    the expected content directly (everything but the subject) — a
+    leaked row, an over-deleted file, or a double-counted rewrite all
+    hash-mismatch.
+    """
+    import os
+
+    from .tables import table
+
+    path = _default_path(sf_dir) + "_erase"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # cluster by user bucket so a subject's rows concentrate in ONE
+    # file per shard — the layout that makes erasure file-local
+    ev.repartition(8, F.col("user_id") % 8).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    base = spark.read.parquet(path)
+    touched = sorted(
+        r.f
+        for r in base.filter(F.col("user_id") == ERASE_USER)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    all_files = sorted(
+        "file://" + f for f in _manifest_files(spark, path)
+    )
+    untouched = [f for f in all_files if f not in touched]
+
+    rewrite_path = path + "_rw"
+    (
+        spark.read.parquet(*touched)
+        .filter(F.col("user_id") != ERASE_USER)
+        .write.mode("overwrite")
+        .parquet(rewrite_path)
+    )
+    rewritten = [
+        "file://" + f for f in _manifest_files(spark, rewrite_path)
+    ]
+    final = spark.read.parquet(*(untouched + rewritten))
+    return final.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

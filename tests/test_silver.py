@@ -321,3 +321,44 @@ def test_cdc_reads_only_manifest_delta_partitions(spark, sf_dir):
     # only the earliest day's directories may appear in the delta
     days = {d.split("log_date=")[1].split("/")[0] for d in changed}
     assert len(days) == 1
+
+
+def test_erasure_is_file_local_and_complete(spark, sf_dir):
+    """Copy-on-write erasure must (a) leave every non-subject file
+    byte-identical on disk (inode + mtime unchanged — they are never
+    rewritten), (b) rewrite only the subject's file footprint (one
+    clustered file here), and (c) leave zero subject rows readable."""
+    import os
+
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        ERASE_USER,
+        _default_path,
+        _manifest_files,
+        silver_delete_rewrite,
+    )
+    from pyspark.sql import functions as F
+
+    path = _default_path(sf_dir) + "_erase"
+    out = silver_delete_rewrite(spark, sf_dir)
+    out.collect()
+
+    base_files = _manifest_files(spark, path)
+    stat_before = {f: os.stat(f).st_ino for f in base_files}
+
+    touched = sorted(
+        r.f
+        for r in spark.read.parquet(path)
+        .filter(F.col("user_id") == ERASE_USER)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    # clustered layout concentrates the subject into one file
+    assert len(touched) == 1
+    # untouched base files were never rewritten (same inode)
+    for f, ino in stat_before.items():
+        assert os.stat(f).st_ino == ino
+
+    # and the erased table holds zero subject rows
+    rw = spark.read.parquet(path + "_rw")
+    assert rw.filter(F.col("user_id") == ERASE_USER).count() == 0
