@@ -767,6 +767,42 @@ def text_oracles() -> dict[str, str]:
         SELECT * FROM hist UNION ALL SELECT * FROM single
     """
 
+    # fixed-point PageRank over the same verified-pair graph: the
+    # three rounds unroll to plain CTEs running the IDENTICAL integer
+    # expression graph (floor divisions), so the hash is bit-exact
+    from ..operators.dedup import PR_ITERS, PR_SCALE, PR_TOP
+
+    pr_base = (15 * PR_SCALE) // 100
+    pr_rounds = []
+    pr_prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        pr_rounds.append(
+            f"""
+        c{i} AS (SELECT e.v AS u, sum(r.r // g.d) AS s
+                 FROM edges e JOIN {pr_prev} r ON r.u = e.u
+                              JOIN deg g ON g.u = e.u
+                 GROUP BY e.v),
+        r{i} AS (SELECT g.u,
+                        CAST({pr_base} + coalesce((85 * c.s) // 100, 0)
+                             AS BIGINT) AS r
+                 FROM deg g LEFT JOIN c{i} c ON c.u = g.u)"""
+        )
+        pr_prev = f"r{i}"
+    o["doc_pagerank"] = f"""
+        WITH {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+                FROM edges GROUP BY u),
+        r0 AS (SELECT u, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+        {','.join(pr_rounds)}
+        SELECT r.u AS doc_id, g.d AS degree, r.r AS pagerank
+        FROM {pr_prev} r JOIN deg g USING (u)
+        ORDER BY pagerank DESC, doc_id LIMIT {PR_TOP}
+    """
+
     # keeper election composed from the cluster and quality oracles:
     # highest quality wins, ties to the lowest doc_id — mirrored by
     # the Spark side's struct-max

@@ -230,6 +230,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_canonical": dedup.dedup_canonical,
         "dedup_graph_stats": dedup.dedup_graph_stats,
+        # fixed-point integer PageRank over the near-dup graph
+        "doc_pagerank": dedup.doc_pagerank,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,
         "dedup_editdist": dedup.dedup_editdist,

@@ -1042,3 +1042,27 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     m_sim = {(r.q_id, r.rn): r.sim for r in _m(spark, sf_dir).collect()}
     for key, sv in s_sim.items():
         assert key in m_sim and m_sim[key] >= sv
+
+
+def test_pagerank_hub_dominates_and_mass_is_bounded(spark):
+    """Structural invariants of the integer PageRank iteration on a
+    star graph: the hub outranks every leaf, leaves tie exactly (the
+    graph is symmetric under leaf permutation and the arithmetic is
+    integer-deterministic), and total mass stays within the floored
+    fixed-point envelope (≤ n·SCALE, > n·base)."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        PR_SCALE,
+        pagerank_ranks,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "da long, db long"
+    )
+    ranks, _deg = pagerank_ranks(pairs)
+    rows = {r.u: r.r for r in ranks.collect()}
+    hub, leaves = rows[0], [rows[i] for i in range(1, 9)]
+    assert all(hub > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1
+    n = len(rows)
+    base = (15 * PR_SCALE) // 100
+    assert n * base < sum(rows.values()) <= n * PR_SCALE
