@@ -909,3 +909,69 @@ def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
         "end_s",
         (F.col("end_s") - F.col("start_s")).alias("duration_s"),
     )
+
+
+#: CUSUM protocol: per-node reference k = ceil(mean hourly errors)
+#: (exact integer ceil-div), alarm threshold h = CUSUM_H_MULT · k.
+CUSUM_H_MULT = 3
+
+
+def error_cusum_changepoints(logs: DataFrame) -> DataFrame:
+    """Sequential change-point detection (Page's CUSUM) on each
+    node's hourly error counts — the online "this node's error regime
+    SHIFTED" detector that a fixed-threshold alert (windowed_alerts)
+    can't express: CUSUM accumulates small persistent drifts that
+    never individually cross a threshold.
+
+    The recursion S_t = max(0, S_{t-1} + x_t − k) is deliberately NOT
+    computed as a recursion: it has the closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums
+    P of (x − k), which is two plain WINDOW functions (running sum +
+    running min) — whole-stage-codegen'd in Spark and expressible in
+    ANSI SQL for the oracle, no loop on either engine.
+
+    Scale shape: the raw scan rolls up to (node, hour) FIRST
+    (map-side combinable), missing hours zero-fill from a per-node
+    sequence explode (an hour with no lines still decays the
+    statistic), and the windows run over the tiny per-node hourly
+    series — the same rollup-then-window discipline as
+    error_rate_rolling. All arithmetic is exact-integer: k is a
+    ceil-div, the alarm rule compares integers, no float protocol
+    needed.
+    """
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("h")
+    hourly = logs.filter(F.col("is_error")).groupBy("node", hour).agg(
+        F.count("*").alias("x")
+    )
+    bounds = hourly.groupBy("node").agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+        F.sum("x").alias("tot"),
+    )
+    slots = bounds.select(
+        "node",
+        "tot",
+        ((F.col("h1") - F.col("h0")) / 3600 + 1).cast("long").alias("n_slots"),
+        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h"),
+    )
+    series = (
+        slots.join(hourly, ["node", "h"], "left")
+        .fillna(0, subset=["x"])
+        .withColumn("k", F.expr("(tot + n_slots - 1) div n_slots"))
+        .withColumn("d", F.col("x") - F.col("k"))
+    )
+    w = Window.partitionBy("node").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = series.withColumn("p", F.sum("d").over(w)).withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return cusum.filter(
+        F.col("s") > CUSUM_H_MULT * F.col("k")
+    ).select(
+        "node",
+        F.col("h").cast("long").alias("hour_s"),
+        F.col("x").cast("long").alias("n_errors"),
+        F.col("s").cast("long").alias("cusum"),
+        F.col("k").cast("long").alias("k_ref"),
+    )

@@ -570,6 +570,55 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # CUSUM via its closed form (prefix sum − clamped running min);
+    # all-integer arithmetic end to end, zero-filled hours from
+    # generate_series mirroring the Spark side's sequence explode
+    o["error_cusum_changepoints"] = with_logs(
+        """
+        SELECT node, h AS hour_s, x AS n_errors, s AS cusum, k AS k_ref
+        FROM (
+          SELECT node, h, x, k,
+                 CAST(p - least(0, min(p) OVER (PARTITION BY node
+                        ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)) AS BIGINT) AS s
+          FROM (
+            SELECT node, h, x, k,
+                   sum(x - k) OVER (PARTITION BY node ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS p
+            FROM (
+              SELECT s.node, s.h, CAST(coalesce(hr.x, 0) AS BIGINT) AS x,
+                     CAST((s.tot + s.n_slots - 1) // s.n_slots AS BIGINT)
+                       AS k
+              FROM (
+                SELECT node, tot, (h1 - h0) // 3600 + 1 AS n_slots,
+                       unnest(generate_series(h0, h1, 3600)) AS h
+                FROM (
+                  SELECT node, min(h) AS h0, max(h) AS h1,
+                         sum(x) AS tot
+                  FROM (
+                    SELECT node,
+                           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                             AS h,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM flagged WHERE is_error GROUP BY 1, 2
+                  ) hh GROUP BY node
+                ) b
+              ) s
+              LEFT JOIN (
+                SELECT node,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                         AS h,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM flagged WHERE is_error GROUP BY 1, 2
+              ) hr ON hr.node = s.node AND hr.h = s.h
+            ) series
+          ) pre
+        ) cz
+        WHERE s > 3 * k
+        """
+    )
+
     # medians of integer counts are integers or exact .5 midpoints, so
     # round(…,1) is lossless and the >2× comparison is identical IEEE
     # arithmetic on both engines.

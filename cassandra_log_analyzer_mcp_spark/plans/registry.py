@@ -374,6 +374,10 @@ def queries() -> dict[str, QueryFn]:
         "top_error_classes": _on_logs(analysis.top_error_classes),
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
         "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
+        # Page's CUSUM regime-shift detector (closed-form windows)
+        "error_cusum_changepoints": _on_logs(
+            analysis.error_cusum_changepoints
+        ),
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),

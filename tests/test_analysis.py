@@ -491,3 +491,33 @@ def test_bloom_prune_reduces_probe_rows(spark, sf_dir):
         "left_semi",
     ).count()
     assert n_true <= n_pruned < n_fact
+
+
+def test_cusum_fires_only_after_sustained_shift(spark):
+    """Synthetic regime shift: 10 quiet hours (1 err/h) then 5 noisy
+    hours (10 err/h). k = ceil(60/15) = 4, so the quiet region's
+    prefix sums only fall (S=0, no alarm) and the noisy region climbs
+    by 6/hour — alarms exactly when S ∈ {18, 24, 30} > 3k = 12, i.e.
+    the shift's last three hours. Derived by hand from the CUSUM
+    definition, so this pins the closed-form rewrite, the zero-fill,
+    and the integer k in one pass."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_cusum_changepoints,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000 - (1_600_000_000 % 3600)
+    rows = []
+    for hr in range(15):
+        n = 1 if hr < 10 else 10
+        rows += [(base + hr * 3600 + i, "n1", True) for i in range(n)]
+    logs = (
+        spark.createDataFrame(rows, "epoch long, node string, is_error boolean")
+        .select(
+            F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error"
+        )
+    )
+    out = error_cusum_changepoints(logs).orderBy("hour_s").collect()
+    assert [r.cusum for r in out] == [18, 24, 30]
+    assert [r.hour_s for r in out] == [base + h * 3600 for h in (12, 13, 14)]
+    assert all(r.k_ref == 4 for r in out)
