@@ -58,6 +58,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: §2C-remainder rotation list as fit. Everything outside the window
 #: is covered by CHECK_LOCAL_r04.json, the full-surface replica.
 R4_DRIVER_WINDOW = [
+    # (a0) newest round-4 additions (zero evidence history anywhere)
+    "silver_dpp_join",
+    "streaming_dedup_watermarked",
+    "silver_changes_between",
+    "silver_delete_rewrite",
+    "doc_pagerank",
+    "error_cusum_changepoints",
     # (a) new in round 4
     "revenue_cube",
     "bloom_pruned_join",
@@ -103,22 +110,18 @@ R4_DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_encode",
     "silver_compaction",
-    # (c) implementation changed in round 3 (oracles unchanged)
+    # (c) implementation changed in round 3 (oracles unchanged) — the
+    # two highest-complexity members keep their slots; error_recovery
+    # / burst_context / streaming_error_bursts / repeated_span_coverage
+    # were evicted for the (a0) additions: their oracles are the
+    # r1/r2-driver-graded ones and the replica re-verifies them every
+    # round (CHECK_LOCAL_r04.json)
     "error_bursts",
-    "error_recovery",
-    "burst_context",
-    "streaming_error_bursts",
-    "repeated_span_coverage",
     "streaming_purchase_error_left_join",
-    # (d) §2C-remainder rotation list — as many as fit the 50 cap
-    # (the rest keep r1/r2 driver evidence + the replica each round)
-    "nation_volume",
-    "small_quantity_revenue",
-    # late_sole_suppliers / market_share / disjunctive_revenue / min_cost_supplier / profit_by_nation /
-    # important_parts / supplier_part_counts /
-    # dominant_part_suppliers / event_transitions dropped from (d) to
-    # fit the late r4 additions: all replica-green each round
-    # (CHECK_LOCAL_r04.json)
+    # (d) §2C-remainder rotation list — emptied this round to fit the
+    # (a0) additions: nation_volume / small_quantity_revenue (and the
+    # rest of the rotation) keep r1/r2 driver evidence + the replica
+    # each round (CHECK_LOCAL_r04.json)
 ]
 
 
