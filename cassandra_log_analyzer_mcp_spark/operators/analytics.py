@@ -1763,3 +1763,49 @@ def constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders IN FLIGHT per day — interval cardinality over time,
+    computed the scale-right way: each order's open interval
+    [orderdate, last shipment) becomes a +1/−1 DELTA pair, deltas
+    roll up per day (one shuffle on a calendar-bounded key), and one
+    running sum turns the rollup into the open count. The naive
+    formulation (calendar × orders "is d inside the interval" join)
+    is O(days · orders); this is O(orders) + a prefix sum over at
+    most a few thousand day rows — the events-not-snapshots idiom
+    every inventory/backlog dashboard needs at 100 TB.
+
+    The running sum is a single-partition window ON PURPOSE: its
+    input is the per-day rollup, whose cardinality is bounded by the
+    calendar regardless of data scale (same argument as the rollup
+    windows in revenue_growth). Orders with no lineitems have no
+    shipment and are excluded (inner join semantics, mirrored in the
+    oracle).
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_d")
+    )
+    ends = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.to_date(F.max("l_shipdate")).alias("end_d"))
+    )
+    iv = orders.join(ends, orders.o_orderkey == ends.l_orderkey)
+    deltas = iv.select(
+        F.col("start_d").alias("day"), F.lit(1).alias("d")
+    ).unionAll(iv.select(F.col("end_d").alias("day"), F.lit(-1).alias("d")))
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_ends"),
+        F.sum("d").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_starts").cast("long"),
+        F.col("n_ends").cast("long"),
+        F.sum("net").over(w).cast("long").alias("n_open"),
+    )

@@ -829,6 +829,34 @@ def analytics_oracles() -> dict[str, str]:
         WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
     """
 
+    # interval cardinality via the same delta encoding: +1 at order
+    # date, −1 at last shipment, running sum over the day rollup
+    o["open_orders_timeline"] = """
+        WITH iv AS (
+          SELECT o.o_orderkey,
+                 CAST(o.o_orderdate AS DATE) AS start_d,
+                 CAST(max(l.l_shipdate) AS DATE) AS end_d
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ), deltas AS (
+          SELECT start_d AS day, 1 AS d FROM iv
+          UNION ALL
+          SELECT end_d AS day, -1 AS d FROM iv
+        ), daily AS (
+          SELECT day,
+                 CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_starts,
+                 CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ends,
+                 sum(d) AS net
+          FROM deltas GROUP BY day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_starts, n_ends,
+               CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+        FROM daily
+    """
+
     o["user_value_deciles"] = """
         WITH per_user AS (
           SELECT user_id, round(sum(value), 2) AS total_value

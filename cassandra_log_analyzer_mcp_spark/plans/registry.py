@@ -300,6 +300,8 @@ def queries() -> dict[str, QueryFn]:
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
+        # interval cardinality over time via delta prefix sums
+        "open_orders_timeline": analytics.open_orders_timeline,
         "table_profile": analytics.table_profile,
         "constraint_checks": analytics.constraint_checks,
         "value_outliers_robust": analytics.value_outliers_robust,
