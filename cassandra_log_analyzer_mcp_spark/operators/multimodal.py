@@ -228,3 +228,82 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("out_width").alias("out_width"),
         F.max("out_height").alias("out_height"),
     )
+
+
+#: synthetic PCM: AUDIO_CHUNKS md5 blocks → 16·AUDIO_CHUNKS bytes →
+#: big-endian int16 samples, AUDIO_WIN samples per analysis window
+#: (one md5 block per window, so win_id == chunk index).
+AUDIO_CHUNKS = 4
+AUDIO_WIN = 8
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_id", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def with_audio_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic raw-PCM binary payload (md5-chained
+    bytes) — the decode-free modality: raw PCM needs no codec
+    library, so unlike the image stub the WHOLE audio path (binary
+    column → Arrow batch → numpy window math) computes real values
+    end to end."""
+    parts = [
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":a{c}")))
+        for c in range(AUDIO_CHUNKS)
+    ]
+    return docs.select("doc_id", F.unhex(F.concat(*parts)).alias("pcm"))
+
+
+def _audio_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Vectorized per-window energy over int16 PCM: ONE frombuffer of
+    the whole Arrow batch (equal-length payloads), reshape to
+    (docs, windows, samples), integer square-sum — no per-row Python,
+    no floats (int64 energy is exact and engine-portable)."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        arr = (
+            np.frombuffer(b"".join(pdf["pcm"]), dtype=">i2")
+            .astype(np.int64)
+            .reshape(n, -1)
+        )
+        nw = arr.shape[1] // AUDIO_WIN
+        w = arr.reshape(n, nw, AUDIO_WIN)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), nw),
+                "win_id": np.tile(np.arange(nw, dtype=np.int32), n),
+                "energy": (w * w).sum(axis=2).ravel(),
+                "peak": np.abs(w).max(axis=2).ravel().astype(np.int32),
+            }
+        )
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy extraction with VALUE-LEVEL grading of
+    the binary path: the payload is genuine raw PCM in a binary
+    column, the feature stage is a genuine Arrow ``mapInPandas``
+    numpy kernel, and because raw PCM needs no decoder the oracle can
+    recompute every sample from the same md5 hex arithmetic in SQL —
+    extending multimodal_decode_check's evidence from byte statistics
+    to a real signal-processing kernel (per-window energy + peak).
+
+    Scale shape: map-only (zero shuffles before the gate's collect);
+    payload bytes stream executor-side through Arrow batches and
+    never hit the driver; the kernel is one vectorized reshape over
+    the whole batch, not per-row Python.
+    """
+    docs = documents(spark, sf_dir).select("doc_id")
+    return with_audio_payload(docs).mapInPandas(
+        _audio_energy_batches, _AUDIO_SCHEMA
+    )

@@ -451,6 +451,45 @@ def text_oracles() -> dict[str, str]:
         FROM documents
     """
 
+    # the PCM kernel recomputed sample-by-sample from the same md5
+    # hex arithmetic (4 hex digits → big-endian int16, two's
+    # complement), no binary types needed SQL-side; one md5 block per
+    # window so win_id == chunk index
+    from ..operators.multimodal import AUDIO_CHUNKS, AUDIO_WIN
+
+    hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+    o["multimodal_audio_energy"] = f"""
+        WITH ks AS (
+          SELECT doc_id, unnest(range(0, {AUDIO_CHUNKS * AUDIO_WIN}))
+                   AS k
+          FROM documents
+        ),
+        hx4 AS (
+          SELECT doc_id, k,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':a'
+                            || CAST(k // {AUDIO_WIN} AS VARCHAR)),
+                        CAST((k % {AUDIO_WIN}) * 4 + 1 AS INT), 4) AS hx
+          FROM ks
+        ),
+        vals AS (
+          SELECT doc_id, k,
+                 ({hexd.format(i=1)}) * 4096
+                 + ({hexd.format(i=2)}) * 256
+                 + ({hexd.format(i=3)}) * 16
+                 + ({hexd.format(i=4)}) AS v
+          FROM hx4
+        ),
+        sv AS (
+          SELECT doc_id, k,
+                 CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+          FROM vals
+        )
+        SELECT doc_id, CAST(k // {AUDIO_WIN} AS INT) AS win_id,
+               CAST(sum(s * s) AS BIGINT) AS energy,
+               CAST(max(abs(s)) AS INT) AS peak
+        FROM sv GROUP BY 1, 2
+    """
+
     from ..operators.textops import (
         REP_DUP2_MAX,
         REP_DUP3_MAX,

@@ -262,6 +262,8 @@ def queries() -> dict[str, QueryFn]:
         # strongest multimodal evidence; the agg views stay rows-only)
         "multimodal_decode_check": multimodal.multimodal_decode_check,
         "multimodal_frames_check": multimodal.multimodal_frames_check,
+        # decode-free PCM signal kernel, value-graded end to end
+        "multimodal_audio_energy": multimodal.multimodal_audio_energy,
         # new parity variants (reference tool-surface semantics)
         "get_errors_global": _on_logs(analysis.get_errors_global),
         "error_timeline_raw": _on_logs(analysis.error_timeline_raw),

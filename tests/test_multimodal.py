@@ -64,3 +64,37 @@ def test_multimodal_frames_rollup(spark, sf_dir):
     for r in out:
         assert 1 <= r.n_frames <= multimodal.MAX_FRAMES
         assert r.n_distinct_frames <= r.n_frames
+
+
+def test_audio_energy_matches_hashlib_reference(spark, sf_dir):
+    """Independent Python recomputation (hashlib + struct, no numpy,
+    no Spark) of one document's window energies must equal the Arrow
+    kernel's output — pins endianness, two's complement, and window
+    alignment without involving either engine's SQL."""
+    import hashlib
+    import struct
+
+    from cassandra_log_analyzer_mcp_spark.operators.multimodal import (
+        AUDIO_CHUNKS,
+        AUDIO_WIN,
+        multimodal_audio_energy,
+    )
+
+    doc_id = 3
+    expect = []
+    for c in range(AUDIO_CHUNKS):
+        raw = bytes.fromhex(
+            hashlib.md5(f"{doc_id}:a{c}".encode()).hexdigest()
+        )
+        samples = struct.unpack(f">{AUDIO_WIN}h", raw)
+        expect.append(
+            (c, sum(s * s for s in samples), max(abs(s) for s in samples))
+        )
+
+    out = (
+        multimodal_audio_energy(spark, sf_dir)
+        .filter(f"doc_id = {doc_id}")
+        .orderBy("win_id")
+        .collect()
+    )
+    assert [(r.win_id, r.energy, r.peak) for r in out] == expect
