@@ -1053,3 +1053,51 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
     )
     return _ranked(pairs, ANN_TOP_K).select("q_id", "vec_id", "sim", "rn")
+
+
+#: ann_ivf_delete: every IVF_DELETE_MOD-th vector is tombstoned.
+IVF_DELETE_MOD = 6
+
+
+def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETION — the fourth verb of the persisted-IVF lifecycle
+    (build → persist → append → DELETE), done the way every production
+    vector store does it: TOMBSTONES, not file rewrites. The deleted
+    keys land as a tiny parquet beside the index; queries read the
+    cell-partitioned layout and mask tombstoned vectors with one
+    broadcast anti-join before scoring. Contrast with
+    silver_delete_rewrite's copy-on-write: here deletes are deferred
+    (a later compaction folds tombstones into the cell files), so
+    delete latency is O(deleted keys) regardless of index size.
+
+    Graded: probing the masked index against an oracle that runs the
+    full IVF pipeline on the surviving corpus — a tombstoned vector
+    leaking into any top-K list, or the mask dropping a live vector,
+    hash-mismatches.
+    """
+    import os
+
+    assign, probes = _ivf_index_and_probes(spark, sf_dir)
+    path = os.path.join(
+        "/tmp",
+        f"spark_graft_ivfdel_{os.getpid()}_"
+        + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+    )
+    (
+        assign.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    tomb_path = path + "_tombstones"
+    (
+        assign.filter(F.col("vec_id") % IVF_DELETE_MOD == 0)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tomb_path)
+    )
+    idx = spark.read.parquet(path)
+    tombs = spark.read.parquet(tomb_path)
+    live = idx.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return _ivf_probe(live, probes)

@@ -1584,6 +1584,20 @@ def similarity_oracles() -> dict[str, str]:
     # from-scratch build — shared oracle IS the proof
     o["ann_ivf_append"] = o["ann_ivf_cosine"]
 
+    # tombstone delete: the same IVF pipeline over the SURVIVING
+    # corpus — derived from the shared oracle by narrowing the pairs
+    # stage (the assert pins the anchor so a template edit can't
+    # silently produce an un-narrowed oracle)
+    from ..operators.similarity import IVF_DELETE_MOD
+
+    _ivf_pairs_anchor = "WHERE a.vec_id != p.q_id"
+    assert _ivf_pairs_anchor in o["ann_ivf_cosine"]
+    o["ann_ivf_delete"] = o["ann_ivf_cosine"].replace(
+        _ivf_pairs_anchor,
+        _ivf_pairs_anchor
+        + f" AND a.vec_id % {IVF_DELETE_MOD} != 0",
+    )
+
     from ..operators.similarity import (
         PQ_K,
         PQ_M,

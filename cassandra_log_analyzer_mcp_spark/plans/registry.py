@@ -248,6 +248,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
         "ann_ivf_persisted": similarity.ann_ivf_persisted,
         "ann_ivf_append": similarity.ann_ivf_append,
+        # tombstone-masked deletion on the persisted index
+        "ann_ivf_delete": similarity.ann_ivf_delete,
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,

@@ -1066,3 +1066,22 @@ def test_pagerank_hub_dominates_and_mass_is_bounded(spark):
     n = len(rows)
     base = (15 * PR_SCALE) // 100
     assert n * base < sum(rows.values()) <= n * PR_SCALE
+
+
+def test_ivf_delete_masks_tombstones_and_changes_results(spark, sf_dir):
+    """The tombstone mask must be load-bearing: no deleted vec_id in
+    any top-K list, and at least one list differs from the undeleted
+    index (otherwise the test proves nothing about masking)."""
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        IVF_DELETE_MOD,
+        ann_ivf_cosine,
+        ann_ivf_delete,
+    )
+
+    deleted = ann_ivf_delete(spark, sf_dir).collect()
+    assert deleted
+    assert all(r.vec_id % IVF_DELETE_MOD != 0 for r in deleted)
+
+    full = {(r.q_id, r.rn): r.vec_id for r in ann_ivf_cosine(spark, sf_dir).collect()}
+    masked = {(r.q_id, r.rn): r.vec_id for r in deleted}
+    assert any(full.get(k) != v for k, v in masked.items())
