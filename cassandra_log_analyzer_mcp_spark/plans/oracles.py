@@ -356,6 +356,11 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # CDC closure: feed applied to v0 must reconstruct v1 — graded
+    # against the first-principles restated-content oracle, which
+    # never sees the feed (a self-consistent-but-wrong feed fails)
+    o["silver_cdc_apply"] = o["silver_restatement"]
+
     # key-level merge: final content stated directly — the corrected
     # rows (earliest day, MERGE_NODE, was-is_error) are WARN level
     # after the merge, so they count as warnings always and as errors

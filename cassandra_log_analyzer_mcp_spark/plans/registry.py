@@ -32,6 +32,7 @@ from ..sources.silver import (
     silver_dpp_join as _silver_dpp_join,
     silver_changes_between as _silver_changes_between,
     silver_delete_rewrite as _silver_delete_rewrite,
+    silver_cdc_apply as _silver_cdc_apply,
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
@@ -293,6 +294,8 @@ def queries() -> dict[str, QueryFn]:
         "silver_dpp_join": _silver_dpp_join,
         # manifest-delta change data feed between snapshots
         "silver_changes_between": _silver_changes_between,
+        # CDC closure: feed applied to v0 reconstructs v1
+        "silver_cdc_apply": _silver_cdc_apply,
         # copy-on-write key erasure, file-local via clustered layout
         "silver_delete_rewrite": _silver_delete_rewrite,
         # key-level merge upsert (Delta-style MERGE on plain parquet)

@@ -624,10 +624,24 @@ def silver_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, and nothing else), so a diff that invents updates, misses
     a partition, or leaks unchanged rows hash-mismatches.
     """
-    import os
-
     path = _default_path(sf_dir) + "_cdc"
     _build_versioned_silver(spark, sf_dir, path)
+    feed = _changes_feed(spark, path)
+    return feed.groupBy(
+        F.col("op"),
+        F.date_format(F.col("row.log_date"), "yyyy-MM-dd").alias(
+            "log_date"
+        ),
+        F.col("row.node").alias("node"),
+    ).agg(F.count("*").alias("n_rows"))
+
+
+def _changes_feed(spark: SparkSession, path: str) -> DataFrame:
+    """The raw (op, row) change feed between v0 and v1 of a
+    versioned silver table — shared by the graded feed rollup and
+    the CDC-apply closure proof."""
+    import os
+
     v0 = set(_manifest_read(path, 0))
     v1 = set(_manifest_read(path, 1))
     changed = {os.path.dirname(f) for f in v0 ^ v1}
@@ -638,9 +652,10 @@ def silver_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = [c for c in old.columns if c != "line_id"]
     o = old.select("line_id", F.struct(*payload).alias("o"))
     n = new.select("line_id", F.struct(*payload).alias("n"))
-    feed = (
+    return (
         o.join(n, "line_id", "full_outer")
         .select(
+            F.col("line_id"),
             F.when(F.col("o").isNull(), F.lit("insert"))
             .when(F.col("n").isNull(), F.lit("delete"))
             .when(
@@ -651,13 +666,41 @@ def silver_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("op").isNotNull())
     )
-    return feed.groupBy(
-        F.col("op"),
-        F.date_format(F.col("row.log_date"), "yyyy-MM-dd").alias(
-            "log_date"
-        ),
-        F.col("row.node").alias("node"),
-    ).agg(F.count("*").alias("n_rows"))
+
+
+def silver_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CLOSURE — the property that makes a change feed USABLE by
+    downstream mirrors: applying the computed v0→v1 feed to a v0 read
+    must reconstruct v1 exactly. Apply is the standard consumer
+    algebra: drop every fed key from the base (delete/update), then
+    union the fed rows back in (insert/update). Graded through the
+    restatement rollup oracle silver_restatement already carries —
+    i.e. the oracle never sees the feed at all; it states v1's
+    content from first principles, so a feed that is merely
+    self-consistent (but wrong) fails here even if
+    silver_changes_between's own rollup passed.
+
+    Scale: the apply's anti-join is keyed by the feed (restated-day
+    cardinality, broadcastable), so mirror maintenance costs
+    O(changes), the entire point of shipping a feed instead of the
+    table.
+    """
+    path = _default_path(sf_dir) + "_cdcapply"
+    _build_versioned_silver(spark, sf_dir, path)
+    feed = _changes_feed(spark, path).cache()
+    v0 = spark.read.option("basePath", path).parquet(
+        *_manifest_read(path, 0)
+    )
+    dropped_keys = feed.filter(
+        F.col("op").isin("delete", "update")
+    ).select("line_id")
+    upserts = feed.filter(
+        F.col("op").isin("insert", "update")
+    ).select("line_id", "row.*")
+    applied = v0.join(
+        F.broadcast(dropped_keys), "line_id", "left_anti"
+    ).unionByName(upserts.select(*v0.columns))
+    return node_errors_rollup(applied)
 
 
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
