@@ -706,6 +706,41 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
+    # decimal money: identical explicit casts pin every scale; no
+    # round() anywhere — exactness IS the protocol
+    o["pricing_summary_decimal"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(qty) * 100 AS BIGINT) AS sum_qty_c2,
+               CAST(sum(price) * 100 AS BIGINT) AS sum_base_c2,
+               CAST(sum(CAST(price * (CAST(1 AS DECIMAL(12,2)) - disc)
+                    AS DECIMAL(20,4))) * 10000 AS BIGINT)
+                 AS sum_disc_price_c4,
+               CAST(sum(CAST(price * (CAST(1 AS DECIMAL(12,2)) - disc)
+                             * (CAST(1 AS DECIMAL(12,2)) + tax)
+                    AS DECIMAL(24,6))) * 1000000 AS BIGINT)
+                 AS sum_charge_c6,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                 CAST(l_discount AS DECIMAL(12,2)) AS disc,
+                 CAST(l_tax AS DECIMAL(12,2)) AS tax
+          FROM lineitem
+        ) t
+        GROUP BY 1, 2
+    """
+
+    o["revenue_grouping_sets"] = """
+        SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """
+
     # bloom_pruned_join's oracle is the PLAIN join: Bloom membership
     # is a strict superset of true membership, so the pruned plan must
     # hash-match the unpruned semantics exactly.

@@ -304,6 +304,10 @@ def queries() -> dict[str, QueryFn]:
         "discount_band_revenue": analytics.discount_band_revenue,
         # r4 §2C additions
         "revenue_cube": analytics.revenue_cube,
+        # arbitrary-lattice GROUPING SETS (third lattice verb)
+        "revenue_grouping_sets": analytics.revenue_grouping_sets,
+        # exact-decimal money rollup (no rounding protocol needed)
+        "pricing_summary_decimal": analytics.pricing_summary_decimal,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
