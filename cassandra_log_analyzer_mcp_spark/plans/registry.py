@@ -66,6 +66,12 @@ R4_DRIVER_WINDOW = [
     "silver_delete_rewrite",
     "doc_pagerank",
     "error_cusum_changepoints",
+    "open_orders_timeline",
+    "multimodal_audio_energy",
+    "ann_ivf_delete",
+    "silver_cdc_apply",
+    "revenue_grouping_sets",
+    "pricing_summary_decimal",
     # (a) new in round 4
     "revenue_cube",
     "bloom_pruned_join",
@@ -87,7 +93,18 @@ R4_DRIVER_WINDOW = [
     "ann_lsh_multiprobe",
     "dedup_graph_stats",
     # (b) new in round 3 — driver evidence still pending (r3 file
-    # never landed)
+    # never landed). Six members were evicted for the late (a0)
+    # additions, chosen because each shares its oracle or aggregation
+    # body with another graded query (so a driver grade elsewhere
+    # partially exercises them) and each carries targeted unit tests:
+    # discount_band_revenue (pure-scan Q6, plan-shape-tested),
+    # node_summary_silver (node_summary's graded body + pruning test),
+    # silver_restatement (its oracle is now ALSO graded via
+    # silver_cdc_apply), silver_compaction (layout-only, shares
+    # silver_node_errors' oracle), streaming_kafka_issue_counts
+    # (shares the windowed-counts oracle), vocab_top_tokens_mergeable
+    # (bounded twin of graded vocab_top_tokens, property-tested).
+    # All six stay replica-green in CHECK_LOCAL_r04.json.
     "corpus_shuffle",
     "embedding_pca_project",
     "silver_merge_upsert",
@@ -96,21 +113,15 @@ R4_DRIVER_WINDOW = [
     "ann_ivf_append",
     "streaming_asof_join",
     "jsonl_shard_export",
-    "discount_band_revenue",
     "repeated_spans_merged",
-    "node_summary_silver",
-    "silver_restatement",
-    "streaming_kafka_issue_counts",
     "dedup_canonical",
     "sequence_packing",
     "chunk_dedup",
     "ann_ivf_pq_cosine",
     "decontaminate_bloom",
-    "vocab_top_tokens_mergeable",
     "multimodal_frames_check",
     "bpe_train_merges",
     "bpe_encode",
-    "silver_compaction",
     # (c) implementation changed in round 3 (oracles unchanged) — the
     # two highest-complexity members keep their slots; error_recovery
     # / burst_context / streaming_error_bursts / repeated_span_coverage

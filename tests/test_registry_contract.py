@@ -57,17 +57,26 @@ NEW_IN_R4 = {
     "silver_dpp_join", "streaming_dedup_watermarked",
     "silver_changes_between", "silver_delete_rewrite",
     "doc_pagerank", "error_cusum_changepoints",
+    "open_orders_timeline", "multimodal_audio_energy",
+    "ann_ivf_delete", "silver_cdc_apply",
+    "revenue_grouping_sets", "pricing_summary_decimal",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
 NEW_IN_R3 = {
-    "discount_band_revenue", "repeated_spans_merged",
-    "node_summary_silver", "silver_restatement",
-    "streaming_kafka_issue_counts", "dedup_canonical",
+    "repeated_spans_merged", "dedup_canonical",
     "sequence_packing", "chunk_dedup", "ann_ivf_pq_cosine",
-    "decontaminate_bloom", "vocab_top_tokens_mergeable",
+    "decontaminate_bloom",
     "multimodal_frames_check", "bpe_train_merges", "bpe_encode",
-    "silver_compaction",
+}
+
+#: round-3 additions evicted from the window for the late round-4
+#: queries: each shares its oracle/aggregation body with another
+#: graded query and keeps targeted unit tests + the replica gate.
+NEW_IN_R3_REPLICA_ONLY = {
+    "discount_band_revenue", "node_summary_silver",
+    "silver_restatement", "silver_compaction",
+    "streaming_kafka_issue_counts", "vocab_top_tokens_mergeable",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
@@ -105,9 +114,10 @@ def test_new_and_changed_inside_driver_capture_window() -> None:
     first_50 = set(list(registry.queries())[:50])
     missing = (NEW_IN_R4 | NEW_IN_R3 | CHANGED_IN_R3_WINDOWED) - first_50
     assert not missing, f"round-3/4 queries outside the window: {missing}"
-    # the evicted changed-in-r3 queries must still be registered (the
-    # replica gate covers them)
+    # the evicted queries must still be registered (the replica gate
+    # covers them)
     assert CHANGED_IN_R3_REPLICA_ONLY <= set(registry.queries())
+    assert NEW_IN_R3_REPLICA_ONLY <= set(registry.queries())
 
 
 def test_every_query_oracled_or_documented_rows_only() -> None:
