@@ -1115,3 +1115,80 @@ def bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= COLLOC_TOP_K)
     )
+
+
+#: skyline band quantization: floor(quality · SKYLINE_BANDS) is the
+#: local-prune partition key (quality lives in [0, ~1]).
+SKYLINE_BANDS = 20
+
+
+def doc_quality_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO SKYLINE over (maximize quality, minimize token count) —
+    the "best trade-off frontier" operator class (Börzsönyi et al.,
+    ICDE 2001): a doc survives iff no other doc is at least as good
+    on both axes and strictly better on one. Different verb from
+    top-K (no single score) and from banding (no fixed cutoffs).
+
+    Distributed shape — the classic two-stage skyline:
+    1. roll up to (q, min t) groups (one keyed shuffle; ties at the
+       group minimum all survive, exact dominance semantics);
+    2. LOCAL prune inside quality bands: a keyed window (partitioned
+       by band) drops any q-group whose min-t fails the band's
+       running minimum — map-scale, no global ordering;
+    3. GLOBAL refine over band survivors only: the strictly-ordered
+       running-min pass that needs a single partition runs on the
+       pruned frontier candidates, not the corpus — the standard
+       local-skyline/global-merge decomposition, O(n) + tiny.
+    The window trick replaces the O(n²) pairwise dominance test with
+    running minima; the ORACLE deliberately runs the O(n²) NOT EXISTS
+    formulation instead — two independent derivations of the same
+    frontier.
+
+    quality doubles are bit-identical across engines (int/int IEEE
+    terms, see quality_cols), so dominance comparisons need no
+    rounding protocol.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    qc = quality_cols()
+    feats = docs.select(
+        "doc_id",
+        qc["n_tokens"].alias("t"),
+        qc["quality"].alias("q"),
+    )
+    return pareto_frontier(feats)
+
+
+def pareto_frontier(feats: DataFrame) -> DataFrame:
+    """The banded two-stage skyline over any (doc_id, t, q) frame —
+    separate from the corpus binding so dominance semantics
+    (including ties) are property-testable against brute force."""
+    groups = feats.groupBy("q").agg(F.min("t").alias("mt"))
+    band = F.floor(F.col("q") * SKYLINE_BANDS).alias("band")
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        groups.select("q", "mt", band)
+        .withColumn("prev_mt", F.min("mt").over(w_local))
+        .filter(F.col("prev_mt").isNull() | (F.col("mt") < F.col("prev_mt")))
+    )
+    w_global = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        local.select("q", "mt")
+        .withColumn("gprev", F.min("mt").over(w_global))
+        .filter(F.col("gprev").isNull() | (F.col("mt") < F.col("gprev")))
+        .select("q", "mt")
+    )
+    return (
+        feats.join(frontier, "q")
+        .filter(F.col("t") == F.col("mt"))
+        .select(
+            "doc_id",
+            F.col("t").cast("long").alias("n_tokens"),
+            F.col("q").alias("quality"),
+        )
+    )

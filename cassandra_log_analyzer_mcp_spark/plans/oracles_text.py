@@ -152,6 +152,22 @@ def text_oracles() -> dict[str, str]:
         ) t
     """
 
+    # skyline: the O(n²) NOT EXISTS dominance formulation — an
+    # INDEPENDENT derivation of the frontier the Spark side reaches
+    # via banded running minima (n_tokens is INT here vs the graded
+    # BIGINT, so re-cast)
+    o["doc_quality_skyline"] = f"""
+        WITH f AS ({o['quality_score']})
+        SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+               a.quality
+        FROM f a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM f b
+          WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
+            AND (b.quality > a.quality OR b.n_tokens < a.n_tokens)
+        )
+    """
+
     langs = list(LANG_STOPWORDS)
     score_cols = ",\n".join(
         f"CAST(len(regexp_extract_all(text, '{lang_pattern(lg)}')) AS INT) AS s_{lg}"

@@ -204,6 +204,8 @@ def queries() -> dict[str, QueryFn]:
         "pii_scrub": textops.pii_scrub,
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
+        # Pareto frontier over (quality ↑, tokens ↓) — skyline verb
+        "doc_quality_skyline": textops.doc_quality_skyline,
         "lang_id": textops.lang_id,
         "lang_confusion": textops.lang_confusion,
         "doc_fingerprint": textops.doc_fingerprint,

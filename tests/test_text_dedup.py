@@ -1085,3 +1085,35 @@ def test_ivf_delete_masks_tombstones_and_changes_results(spark, sf_dir):
     full = {(r.q_id, r.rn): r.vec_id for r in ann_ivf_cosine(spark, sf_dir).collect()}
     masked = {(r.q_id, r.rn): r.vec_id for r in deleted}
     assert any(full.get(k) != v for k, v in masked.items())
+
+
+def test_skyline_matches_brute_force_with_ties(spark):
+    """Exact dominance semantics on a crafted point set: duplicates
+    of a frontier point BOTH survive (neither dominates the other),
+    a point matching a frontier point on one axis but worse on the
+    other dies, and the result equals the O(n²) brute force."""
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        pareto_frontier,
+    )
+
+    pts = [
+        (1, 10, 0.9),   # frontier
+        (2, 10, 0.9),   # exact duplicate — must ALSO survive
+        (3, 5, 0.5),    # frontier (fewer tokens)
+        (4, 10, 0.8),   # dominated by 1 (same t, lower q)
+        (5, 6, 0.5),    # dominated by 3 (same q, more t)
+        (6, 4, 0.2),    # frontier (fewest tokens)
+        (7, 20, 0.95),  # frontier (highest quality)
+    ]
+    feats = spark.createDataFrame(pts, "doc_id long, t long, q double")
+    got = {r.doc_id for r in pareto_frontier(feats).collect()}
+
+    brute = {
+        a[0]
+        for a in pts
+        if not any(
+            b[2] >= a[2] and b[1] <= a[1] and (b[2] > a[2] or b[1] < a[1])
+            for b in pts
+        )
+    }
+    assert got == brute == {1, 2, 3, 6, 7}
