@@ -462,3 +462,44 @@ def test_silver_dpp_join_prunes_at_runtime(spark, sf_dir):
     assert "dynamicpruningexpression" in seg
     # and the dim side rides a broadcast, not a shuffle join
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_is_single_expand_single_scan(spark, sf_dir):
+    """The whole 3-level report must be ONE Expand into one
+    aggregation over one fact scan — not a job per level."""
+    plan = _plan(analytics.revenue_grouping_sets(spark, sf_dir))
+    assert plan.count(") Expand") == 1
+    assert plan.count(") Scan parquet") == 1  # tree + detail = 1 node
+
+
+def test_decimal_pricing_aggregates_partially(spark, sf_dir):
+    """Decimal sums must partial-aggregate like any long sum: a
+    map-side HashAggregate before the single grouped exchange."""
+    plan = _plan(analytics.pricing_summary_decimal(spark, sf_dir))
+    assert plan.count(") HashAggregate") == 2
+    assert "partial_sum" in plan  # map-side combine of decimal sums
+    assert plan.count(") Exchange") == 1
+
+
+def test_audio_energy_is_map_only(spark, sf_dir):
+    """The PCM kernel is a pure map pipeline: scan → project →
+    Arrow eval, zero exchanges before the gate's collect."""
+    from cassandra_log_analyzer_mcp_spark.operators.multimodal import (
+        multimodal_audio_energy,
+    )
+
+    plan = _plan(multimodal_audio_energy(spark, sf_dir))
+    # the only exchange is the loader's round-robin input spread —
+    # no hash shuffle, no aggregation before the kernel
+    assert "hashpartitioning" not in plan
+    assert ") HashAggregate" not in plan
+    assert plan.count(") MapInPandas") == 1
+
+
+def test_open_orders_window_runs_on_day_rollup(spark, sf_dir):
+    """The single-partition running sum must consume the per-day
+    rollup, not raw rows: exactly one SinglePartition exchange, fed
+    by a grouped aggregate."""
+    plan = _plan(analytics.open_orders_timeline(spark, sf_dir))
+    assert plan.count("SinglePartition") == 1
+    assert plan.count(") HashAggregate") >= 2  # partial+final day rollup
