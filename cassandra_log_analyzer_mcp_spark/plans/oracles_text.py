@@ -152,6 +152,25 @@ def text_oracles() -> dict[str, str]:
         ) t
     """
 
+    # phrase search: adjacency recounted straight from the documents
+    # with the identical tokenizer — the index never enters the
+    # oracle; the position-set count handles overlapping occurrences
+    from ..operators.textops import SEARCH_PHRASES
+
+    _phrase_parts = " UNION ALL ".join(
+        f"""
+        SELECT '{w1} {w2}' AS phrase, doc_id,
+               CAST(len(list_filter(range(1, len(tk)),
+                    i -> tk[i] = '{w1}' AND tk[i+1] = '{w2}'))
+                 AS BIGINT) AS n_matches
+        FROM t"""
+        for w1, w2 in SEARCH_PHRASES
+    )
+    o["phrase_search_positional"] = f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents)
+        SELECT * FROM ({_phrase_parts}) u WHERE n_matches > 0
+    """
+
     # skyline: the O(n²) NOT EXISTS dominance formulation — an
     # INDEPENDENT derivation of the frontier the Spark side reaches
     # via banded running minima (n_tokens is INT here vs the graded

@@ -206,6 +206,8 @@ def queries() -> dict[str, QueryFn]:
         "quality_score": textops.quality_score,
         # Pareto frontier over (quality ↑, tokens ↓) — skyline verb
         "doc_quality_skyline": textops.doc_quality_skyline,
+        # positional postings index probe (adjacency phrase match)
+        "phrase_search_positional": textops.phrase_search_positional,
         "lang_id": textops.lang_id,
         "lang_confusion": textops.lang_confusion,
         "doc_fingerprint": textops.doc_fingerprint,

@@ -503,3 +503,17 @@ def test_open_orders_window_runs_on_day_rollup(spark, sf_dir):
     plan = _plan(analytics.open_orders_timeline(spark, sf_dir))
     assert plan.count("SinglePartition") == 1
     assert plan.count(") HashAggregate") >= 2  # partial+final day rollup
+
+
+def test_phrase_probe_prunes_postings_partitions(spark, sf_dir):
+    """The phrase terms' first letters must land in the postings
+    scan's PartitionFilters — a term lookup reads its letter
+    directory, not the index."""
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        phrase_search_positional,
+    )
+
+    plan = _plan(phrase_search_positional(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "pfx" in seg
