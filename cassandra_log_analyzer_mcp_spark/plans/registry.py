@@ -72,6 +72,8 @@ R4_DRIVER_WINDOW = [
     "silver_cdc_apply",
     "revenue_grouping_sets",
     "pricing_summary_decimal",
+    "doc_quality_skyline",
+    "phrase_search_positional",
     # (a) new in round 4
     "revenue_cube",
     "bloom_pruned_join",
@@ -118,10 +120,13 @@ R4_DRIVER_WINDOW = [
     "sequence_packing",
     "chunk_dedup",
     "ann_ivf_pq_cosine",
+    # (multimodal_frames_check and bpe_encode evicted late for the
+    # skyline/phrase additions: the frames check's Arrow value-level
+    # evidence is covered in-window by multimodal_audio_energy, and
+    # bpe_encode composes on in-window bpe_train_merges' output with
+    # its own unit tests; both replica-green every round)
     "decontaminate_bloom",
-    "multimodal_frames_check",
     "bpe_train_merges",
-    "bpe_encode",
     # (c) implementation changed in round 3 (oracles unchanged) — the
     # two highest-complexity members keep their slots; error_recovery
     # / burst_context / streaming_error_bursts / repeated_span_coverage

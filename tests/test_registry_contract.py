@@ -60,14 +60,14 @@ NEW_IN_R4 = {
     "open_orders_timeline", "multimodal_audio_energy",
     "ann_ivf_delete", "silver_cdc_apply",
     "revenue_grouping_sets", "pricing_summary_decimal",
+    "doc_quality_skyline", "phrase_search_positional",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
 NEW_IN_R3 = {
     "repeated_spans_merged", "dedup_canonical",
     "sequence_packing", "chunk_dedup", "ann_ivf_pq_cosine",
-    "decontaminate_bloom",
-    "multimodal_frames_check", "bpe_train_merges", "bpe_encode",
+    "decontaminate_bloom", "bpe_train_merges",
 }
 
 #: round-3 additions evicted from the window for the late round-4
@@ -77,6 +77,7 @@ NEW_IN_R3_REPLICA_ONLY = {
     "discount_band_revenue", "node_summary_silver",
     "silver_restatement", "silver_compaction",
     "streaming_kafka_issue_counts", "vocab_top_tokens_mergeable",
+    "multimodal_frames_check", "bpe_encode",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
