@@ -34,6 +34,7 @@ EAGER = {
     "streaming_purchase_error_join",
     "streaming_purchase_error_left_join",
     "streaming_topk_tokens",  # availableNow run; driver-state result
+    "streaming_dedup_watermarked",  # availableNow run; memory sink
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
