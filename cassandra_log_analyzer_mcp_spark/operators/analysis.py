@@ -975,3 +975,66 @@ def error_cusum_changepoints(logs: DataFrame) -> DataFrame:
         F.col("s").cast("long").alias("cusum"),
         F.col("k").cast("long").alias("k_ref"),
     )
+
+
+#: node_health_score penalty weights (exact integers — the composite
+#: stays hash-exact across engines) and relative grade thresholds.
+HEALTH_W_ERROR = 5
+HEALTH_W_WARN = 1
+HEALTH_W_BURST = 50
+HEALTH_W_DROPPED = 2
+
+
+def node_health_score(logs: DataFrame) -> DataFrame:
+    """The cluster-health REPORT CARD — the composed per-node verdict
+    the reference's analyze_cluster tool narrates, as one graded
+    table: error/warning volume, burst count, and shed (dropped)
+    messages fold into an integer penalty, nodes rank by it, and a
+    relative grade flags who needs attention (attention ≥ 3/4 of the
+    worst penalty, watch ≥ 1/2 — RELATIVE cutoffs, so the report
+    adapts to any cluster's baseline instead of hardcoding absolute
+    rates).
+
+    Composition, not recomputation: node_summary, error_bursts
+    (native session_window), and dropped_messages each contribute
+    their already-scale-safe rollup; the joins and the rank/max
+    windows run over node-cardinality rows. All arithmetic is exact
+    integer — no float protocol anywhere.
+    """
+    ns = node_summary(logs)
+    nb = error_bursts(logs).groupBy("node").agg(
+        F.count("*").alias("n_bursts")
+    )
+    dr = dropped_messages(logs).groupBy("node").agg(
+        F.sum("total_dropped").alias("n_dropped")
+    )
+    j = (
+        ns.join(nb, "node", "left")
+        .join(dr, "node", "left")
+        .fillna(0, subset=["n_bursts", "n_dropped"])
+    )
+    penalty = (
+        HEALTH_W_ERROR * F.col("errors")
+        + HEALTH_W_WARN * F.col("warnings")
+        + HEALTH_W_BURST * F.col("n_bursts")
+        + HEALTH_W_DROPPED * F.col("n_dropped")
+    ).alias("penalty")
+    scored = j.select(
+        "node", "errors", "warnings",
+        F.col("n_bursts").cast("long").alias("n_bursts"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        penalty,
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("penalty"), "node")
+    return scored.select(
+        "*",
+        F.row_number().over(w_rank).alias("rank"),
+        F.when(
+            4 * F.col("penalty") >= 3 * F.max("penalty").over(w_all),
+            "attention",
+        )
+        .when(2 * F.col("penalty") >= F.max("penalty").over(w_all), "watch")
+        .otherwise("ok")
+        .alias("grade"),
+    )

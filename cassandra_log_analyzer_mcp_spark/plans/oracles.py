@@ -852,6 +852,58 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # health report card: the same three rollups composed in SQL,
+    # integer penalty + relative grade cutoffs (no float protocol)
+    from ..operators.analysis import (
+        HEALTH_W_BURST,
+        HEALTH_W_DROPPED,
+        HEALTH_W_ERROR,
+        HEALTH_W_WARN,
+    )
+
+    o["node_health_score"] = with_logs(
+        f"""
+        SELECT node, errors, warnings, n_bursts, n_dropped, penalty,
+               CAST(row_number() OVER (ORDER BY penalty DESC, node)
+                    AS INT) AS rank,
+               CASE WHEN 4 * penalty >= 3 * max(penalty) OVER ()
+                      THEN 'attention'
+                    WHEN 2 * penalty >= max(penalty) OVER ()
+                      THEN 'watch'
+                    ELSE 'ok' END AS grade
+        FROM (
+          SELECT ns.node, ns.errors, ns.warnings,
+                 coalesce(nb.n_bursts, 0) AS n_bursts,
+                 coalesce(dr.n_dropped, 0) AS n_dropped,
+                 {HEALTH_W_ERROR} * ns.errors
+                   + {HEALTH_W_WARN} * ns.warnings
+                   + {HEALTH_W_BURST} * coalesce(nb.n_bursts, 0)
+                   + {HEALTH_W_DROPPED} * coalesce(dr.n_dropped, 0)
+                     AS penalty
+          FROM (
+            SELECT node,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errors,
+                   CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END)
+                        AS BIGINT) AS warnings
+            FROM flagged GROUP BY node
+          ) ns
+          LEFT JOIN (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_bursts
+            FROM ({BURSTS_BODY}) b GROUP BY node
+          ) nb ON nb.node = ns.node
+          LEFT JOIN (
+            SELECT node,
+                   CAST(sum(CAST(regexp_extract(message,
+                        '{DROPPED_REGEX}', 1) AS BIGINT)) AS BIGINT)
+                     AS n_dropped
+            FROM logs WHERE regexp_matches(message, '{DROPPED_REGEX}')
+            GROUP BY 1
+          ) dr ON dr.node = ns.node
+        ) p
+        """
+    )
+
     # two-source correlation: metrics aggregate straight off events,
     # error counts off the parsed+flagged logs; percentile ==
     # quantile_cont (both linear-interpolate; same proven pairing as

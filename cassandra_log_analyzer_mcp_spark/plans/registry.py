@@ -381,6 +381,8 @@ def queries() -> dict[str, QueryFn]:
         "issue_counts": _on_logs(analysis.issue_counts),
         # §2B — cluster analysis
         "node_summary": _on_logs(analysis.node_summary),
+        # composed cluster-health report card (integer penalty+grade)
+        "node_health_score": _on_logs(analysis.node_health_score),
         # salted twin shares node_summary's oracle: the skew-spray +
         # combine MUST be exactly equal, proven through the hash gate
         "node_summary_salted": _on_logs(
