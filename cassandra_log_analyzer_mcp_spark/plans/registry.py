@@ -74,6 +74,7 @@ R4_DRIVER_WINDOW = [
     "pricing_summary_decimal",
     "doc_quality_skyline",
     "phrase_search_positional",
+    "node_health_score",
     # (a) new in round 4
     "revenue_cube",
     "bloom_pruned_join",
@@ -114,7 +115,9 @@ R4_DRIVER_WINDOW = [
     "doc_surprisal",
     "ann_ivf_append",
     "streaming_asof_join",
-    "jsonl_shard_export",
+    # (jsonl_shard_export evicted for node_health_score: its graded
+    # contract — sink write → read-back → shared rollup fidelity — is
+    # exercised in-window by orc_export_roundtrip; replica-green)
     "repeated_spans_merged",
     "dedup_canonical",
     "sequence_packing",

@@ -61,6 +61,7 @@ NEW_IN_R4 = {
     "ann_ivf_delete", "silver_cdc_apply",
     "revenue_grouping_sets", "pricing_summary_decimal",
     "doc_quality_skyline", "phrase_search_positional",
+    "node_health_score",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
@@ -74,6 +75,7 @@ NEW_IN_R3 = {
 #: queries: each shares its oracle/aggregation body with another
 #: graded query and keeps targeted unit tests + the replica gate.
 NEW_IN_R3_REPLICA_ONLY = {
+    "jsonl_shard_export",
     "discount_band_revenue", "node_summary_silver",
     "silver_restatement", "silver_compaction",
     "streaming_kafka_issue_counts", "vocab_top_tokens_mergeable",
