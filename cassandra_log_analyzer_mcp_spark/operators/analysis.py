@@ -916,6 +916,34 @@ def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
 CUSUM_H_MULT = 3
 
 
+def cusum_series(logs: DataFrame) -> DataFrame:
+    """The zero-filled (node, hour, count, reference-k) series both
+    CUSUM formulations consume — the batch closed form and the
+    streaming cross-batch fold share it, so their alarm semantics
+    cannot drift apart."""
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("h")
+    hourly = logs.filter(F.col("is_error")).groupBy("node", hour).agg(
+        F.count("*").alias("x")
+    )
+    bounds = hourly.groupBy("node").agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+        F.sum("x").alias("tot"),
+    )
+    slots = bounds.select(
+        "node",
+        "tot",
+        ((F.col("h1") - F.col("h0")) / 3600 + 1).cast("long").alias("n_slots"),
+        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h"),
+    )
+    return (
+        slots.join(hourly, ["node", "h"], "left")
+        .fillna(0, subset=["x"])
+        .withColumn("k", F.expr("(tot + n_slots - 1) div n_slots"))
+        .select("node", "h", F.col("x").cast("long").alias("x"), "k")
+    )
+
+
 def error_cusum_changepoints(logs: DataFrame) -> DataFrame:
     """Sequential change-point detection (Page's CUSUM) on each
     node's hourly error counts — the online "this node's error regime
@@ -939,27 +967,7 @@ def error_cusum_changepoints(logs: DataFrame) -> DataFrame:
     ceil-div, the alarm rule compares integers, no float protocol
     needed.
     """
-    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("h")
-    hourly = logs.filter(F.col("is_error")).groupBy("node", hour).agg(
-        F.count("*").alias("x")
-    )
-    bounds = hourly.groupBy("node").agg(
-        F.min("h").alias("h0"),
-        F.max("h").alias("h1"),
-        F.sum("x").alias("tot"),
-    )
-    slots = bounds.select(
-        "node",
-        "tot",
-        ((F.col("h1") - F.col("h0")) / 3600 + 1).cast("long").alias("n_slots"),
-        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h"),
-    )
-    series = (
-        slots.join(hourly, ["node", "h"], "left")
-        .fillna(0, subset=["x"])
-        .withColumn("k", F.expr("(tot + n_slots - 1) div n_slots"))
-        .withColumn("d", F.col("x") - F.col("k"))
-    )
+    series = cusum_series(logs).withColumn("d", F.col("x") - F.col("k"))
     w = Window.partitionBy("node").orderBy("h").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -624,6 +624,10 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # the cross-batch streaming fold must emit the batch closed
+    # form's exact alarm set — shared oracle IS the proof
+    o["streaming_cusum_alerts"] = o["error_cusum_changepoints"]
+
     # medians of integer counts are integers or exact .5 midpoints, so
     # round(…,1) is lossless and the >2× comparison is identical IEEE
     # arithmetic on both engines.

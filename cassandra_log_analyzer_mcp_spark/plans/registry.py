@@ -75,6 +75,7 @@ R4_DRIVER_WINDOW = [
     "doc_quality_skyline",
     "phrase_search_positional",
     "node_health_score",
+    "streaming_cusum_alerts",
     # (a) new in round 4
     "revenue_cube",
     "bloom_pruned_join",
@@ -111,7 +112,9 @@ R4_DRIVER_WINDOW = [
     "corpus_shuffle",
     "embedding_pca_project",
     "silver_merge_upsert",
-    "streaming_merge_upsert",
+    # (streaming_merge_upsert evicted for streaming_cusum_alerts: it
+    # shares in-window silver_merge_upsert's oracle and keeps its
+    # batch-boundary unit tests; replica-green every round)
     "doc_surprisal",
     "ann_ivf_append",
     "streaming_asof_join",
@@ -478,6 +481,8 @@ def queries() -> dict[str, QueryFn]:
         # native dropDuplicatesWithinWatermark state-store dedup
         "streaming_dedup_watermarked":
             batch_bridge.streaming_dedup_watermarked,
+        # cross-batch CUSUM detector state (shares the batch oracle)
+        "streaming_cusum_alerts": batch_bridge.streaming_cusum_alerts,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,

@@ -966,3 +966,78 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM regime detector AS A STREAM — detector state (prefix
+    sum, clamped running minimum) carried ACROSS micro-batch
+    boundaries: the zero-filled hourly series lands as two TIME-SPLIT
+    files (early hours strictly older mtime), ``maxFilesPerTrigger=1``
+    drives two real micro-batches, and an alarm in the late batch
+    depends on drift accumulated in the early one — the sequential-
+    detection twin of streaming_asof_join's carry-forward state.
+
+    The reference level k comes from the shared batch series (a
+    production CUSUM runs against a historical baseline, not the
+    stream itself); the fold state is two integers per node
+    (rollup-cardinality, same bounded-driver-state argument as the
+    t-digest and top-K folds — burst_state.py proves the
+    applyInPandasWithState shape for unbounded key spaces). Shares
+    error_cusum_changepoints' oracle: the cross-batch fold must
+    produce the batch closed form's EXACT alarm set.
+    """
+    import time as _time
+
+    from ..operators.analysis import CUSUM_H_MULT, cusum_series
+    from ..sources.tables import logs_flagged
+
+    series = cusum_series(logs_flagged(spark, sf_dir))
+    split = series.approxQuantile("h", [0.5], 0.0)[0]
+    feed = tempfile.mkdtemp(prefix="cusum_feed_") + "/series"
+    early = os.path.join(feed, "0_early")
+    late = os.path.join(feed, "1_late")
+    series.filter(F.col("h") < split).repartition(1).write.parquet(early)
+    series.filter(F.col("h") >= split).repartition(1).write.parquet(late)
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            p = os.path.join(root, f)
+            os.utime(p, (now + offset, now + offset))
+
+    state: dict[str, tuple[int, int]] = {}
+    alarms: list[tuple[str, int, int, int, int]] = []
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        # rollup-cardinality rows; sorted so each node's hours fold
+        # in event order within the batch (files split by hour keep
+        # cross-batch order correct)
+        for r in batch.orderBy("node", "h").collect():
+            p, m = state.get(r.node, (0, 0))
+            p += r.x - r.k
+            m = min(m, p)  # m seeds at 0 == least(0, min prefix p)
+            state[r.node] = (p, m)
+            s = p - m
+            if s > CUSUM_H_MULT * r.k:
+                alarms.append((r.node, int(r.h), int(r.x), s, int(r.k)))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(early).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_cusum_alerts did not finish its availableNow run"
+        )
+    return spark.createDataFrame(
+        alarms,
+        schema="node string, hour_s long, n_errors long, cusum long,"
+        " k_ref long",
+    )

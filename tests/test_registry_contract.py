@@ -61,7 +61,7 @@ NEW_IN_R4 = {
     "ann_ivf_delete", "silver_cdc_apply",
     "revenue_grouping_sets", "pricing_summary_decimal",
     "doc_quality_skyline", "phrase_search_positional",
-    "node_health_score",
+    "node_health_score", "streaming_cusum_alerts",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
@@ -75,7 +75,7 @@ NEW_IN_R3 = {
 #: queries: each shares its oracle/aggregation body with another
 #: graded query and keeps targeted unit tests + the replica gate.
 NEW_IN_R3_REPLICA_ONLY = {
-    "jsonl_shard_export",
+    "jsonl_shard_export", "streaming_merge_upsert",
     "discount_band_revenue", "node_summary_silver",
     "silver_restatement", "silver_compaction",
     "streaming_kafka_issue_counts", "vocab_top_tokens_mergeable",

@@ -367,3 +367,33 @@ def test_watermark_dedup_actually_sees_duplicates(spark, sf_dir):
         "sum(n_events) AS n", "sum(n_ids) AS k"
     ).collect()[0]
     assert row.n == row.k == n_keys  # exactly-once coming out
+
+
+def test_streaming_cusum_state_crosses_batches(spark):
+    """The detector must genuinely fold across micro-batches: the
+    feed replays as two hour-split batches, and the late half must
+    contain alarms whose cumulative statistic could only come from
+    early-half history. Runs at sf0.01 — the default sf0.001 series
+    is too sparse to raise any alarm (k=1, no sustained drift)."""
+    sf_dir = "/root/testdata/sf0.01"
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        cusum_series,
+        error_cusum_changepoints,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        streaming_cusum_alerts,
+    )
+
+    out = streaming_cusum_alerts(spark, sf_dir).collect()
+    assert out
+    # exact agreement with the batch closed form
+    batch = error_cusum_changepoints(logs_flagged(spark, sf_dir)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    # and alarms exist on BOTH sides of the hour-median split, so the
+    # second micro-batch demonstrably consumed carried state
+    split = cusum_series(logs_flagged(spark, sf_dir)).approxQuantile(
+        "h", [0.5], 0.0
+    )[0]
+    hours = [r.hour_s for r in out]
+    assert any(h < split for h in hours) and any(h >= split for h in hours)
