@@ -492,3 +492,41 @@ def with_issue_flags(df: DataFrame) -> DataFrame:
             "is_warning": is_warning_col(),
         }
     )
+
+
+#: corrupt-tolerance demo: every CORRUPT_MOD-th JSON line is mangled
+#: (prefixed so it can never parse) — deterministic stand-in for the
+#: torn writes / partial flushes a 100 TB log landing always contains.
+CORRUPT_MOD = 9
+
+
+def corrupt_some_lines(lines: DataFrame) -> DataFrame:
+    """Mangle every CORRUPT_MOD-th line's payload (unparseable by
+    construction: prefixed AND brace-stripped)."""
+    bad = F.concat(F.lit("###torn###"), F.substring("raw", 1, 40))
+    return lines.select(
+        "line_id",
+        "node",
+        F.when(F.col("line_id") % CORRUPT_MOD == 0, bad)
+        .otherwise(F.col("raw"))
+        .alias("raw"),
+    )
+
+
+def parse_json_tolerant(df: DataFrame) -> DataFrame:
+    """PERMISSIVE parse: rows that fail the Jackson scan surface as
+    is_corrupt=true WITH their raw payload retained (the
+    _corrupt_record contract) instead of killing the job — at 100 TB
+    a landing always contains torn writes, and a parser that throws
+    on the first one never finishes. Map-only, JVM-side."""
+    j = F.from_json("raw", JSON_LOG_SCHEMA)
+    return df.select(
+        "line_id",
+        "node",
+        "raw",
+        j.getField("level").alias("level"),
+        j.getField("msg").alias("message"),
+        (
+            j.isNull() | j.getField("level").isNull()
+        ).alias("is_corrupt"),
+    )

@@ -141,6 +141,26 @@ def analysis_oracles() -> dict[str, str]:
     o["log_parse_json"] = o["log_parse"]
     o["log_parse_csv"] = o["log_parse"]
 
+    # PERMISSIVE parse over the torn landing: the corruption rule is
+    # pure modular arithmetic, so the oracle states the expected
+    # parsed/corrupt split directly — a swallowed good line or a
+    # leaked bad one hash-mismatches
+    from ..functions.parsing import CORRUPT_MOD
+
+    o["log_parse_corrupt_tolerant"] = with_logs(
+        f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN line_id % {CORRUPT_MOD} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN line_id % {CORRUPT_MOD} != 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+               CAST(sum(CASE WHEN line_id % {CORRUPT_MOD} != 0
+                             AND level = 'ERROR'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM logs GROUP BY node
+        """
+    )
+
     # multiline: the oracle derives each entry's stack DIRECTLY from
     # the templates (which events carry frames, and their exact text),
     # never re-simulating the segmentation — so any window/grouping

@@ -171,6 +171,40 @@ def queries() -> dict[str, QueryFn]:
         lines = lines.repartition(spark.sparkContext.defaultParallelism)
         return analysis.log_parse(parse_json_lines(lines))
 
+    def log_parse_corrupt_tolerant(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """BAD-RECORD TOLERANCE graded: the JSON landing is salted
+        with deterministically torn lines (every CORRUPT_MOD-th,
+        unparseable by construction) and the PERMISSIVE parse must
+        neither kill the job nor miscount — corrupt rows surface as
+        flagged rows with the raw payload retained, parsed rows are
+        untouched. At 100 TB a landing ALWAYS contains torn writes;
+        a parser that throws on the first one never finishes. The
+        oracle mirrors the corruption rule arithmetically, so a
+        swallowed good line or a leaked bad one hash-mismatches."""
+        from ..functions.parsing import (
+            corrupt_some_lines,
+            parse_json_tolerant,
+            synth_json_lines,
+        )
+        from ..sources.tables import table
+
+        lines = corrupt_some_lines(
+            synth_json_lines(table(spark, sf_dir, "events"))
+        ).repartition(spark.sparkContext.defaultParallelism)
+        parsed = parse_json_tolerant(lines)
+        return parsed.groupBy("node").agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("is_corrupt").cast("long")).alias("n_corrupt"),
+            F.sum((~F.col("is_corrupt")).cast("long")).alias("n_parsed"),
+            F.sum(
+                (
+                    (F.col("level") == "ERROR") & ~F.col("is_corrupt")
+                ).cast("long")
+            ).alias("n_errors"),
+        )
+
     def log_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         """TSV-format roundtrip — third wire format, same parsed
         schema, shares log_parse's oracle (any format→parse defect
@@ -382,6 +416,8 @@ def queries() -> dict[str, QueryFn]:
         "log_parse": _on_logs(analysis.log_parse),
         "log_parse_json": log_parse_json,
         "log_parse_csv": log_parse_csv,
+        # PERMISSIVE parse over a deterministically torn landing
+        "log_parse_corrupt_tolerant": log_parse_corrupt_tolerant,
         "log_parse_multiline": log_parse_multiline,
         "issue_classify": _on_logs(analysis.issue_classify),
         "issue_counts": _on_logs(analysis.issue_counts),

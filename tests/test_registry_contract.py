@@ -64,6 +64,14 @@ NEW_IN_R4 = {
     "node_health_score", "streaming_cusum_alerts",
 }
 
+#: round-4 additions past the 50-slot cap — replica-covered, each
+#: with targeted unit evidence (the window already holds 16 r4 rows;
+#: further eviction of unique-oracle r3 rows would trade like for
+#: like).
+NEW_IN_R4_REPLICA_ONLY = {
+    "log_parse_corrupt_tolerant",
+}
+
 #: queries NEW in round 3 (oracled) — driver evidence still pending
 NEW_IN_R3 = {
     "repeated_spans_merged", "dedup_canonical",
@@ -121,6 +129,7 @@ def test_new_and_changed_inside_driver_capture_window() -> None:
     # covers them)
     assert CHANGED_IN_R3_REPLICA_ONLY <= set(registry.queries())
     assert NEW_IN_R3_REPLICA_ONLY <= set(registry.queries())
+    assert NEW_IN_R4_REPLICA_ONLY <= set(registry.queries())
 
 
 def test_every_query_oracled_or_documented_rows_only() -> None:
