@@ -1881,3 +1881,36 @@ def pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(charge) * 1_000_000).cast("long").alias("sum_charge_c6"),
         F.count("*").alias("n_lines"),
     )
+
+
+def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL FRONT DOOR — the flagship Q1 written as a
+    ``spark.sql`` text query over a registered view instead of the
+    DataFrame API. Same Catalyst logical plan either way (proven by
+    sharing pricing_summary's oracle hash), which is the point: a
+    SQL-only consumer of this engine loses nothing — pushdown,
+    partial aggregation, and codegen are properties of the optimized
+    plan, not of the API used to state it. The view registration is
+    per-session, idempotent, and scoped (DROP-free re-register).
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -21,6 +21,10 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    # the spark.sql text formulation must hash-match the DataFrame
+    # formulation — same logical plan, same oracle
+    o["pricing_summary_sql"] = o["pricing_summary"]
+
     o["shipping_priority"] = """
         SELECT l_orderkey, revenue,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority

@@ -368,6 +368,8 @@ def queries() -> dict[str, QueryFn]:
         "revenue_grouping_sets": analytics.revenue_grouping_sets,
         # exact-decimal money rollup (no rounding protocol needed)
         "pricing_summary_decimal": analytics.pricing_summary_decimal,
+        # the SQL front door: Q1 as spark.sql text, same plan/oracle
+        "pricing_summary_sql": analytics.pricing_summary_sql,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
