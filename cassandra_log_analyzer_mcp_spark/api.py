@@ -151,3 +151,27 @@ def issues_report(flagged: DataFrame, severity: str = "all") -> str:
         if severity == "all" or r.severity.lower() == severity.lower():
             out += [f"**{r.issue}** ({r.severity})", f"→ {r.recommendation}", ""]
     return "\n".join(out)
+
+
+def health_report(flagged: DataFrame) -> str:
+    """Markdown report over node_health_score — the composed
+    report-card narrative the reference's analyze_cluster implies
+    (who needs attention, ranked, with the penalty breakdown)."""
+    rows = analysis.node_health_score(flagged).orderBy("rank").collect()
+    out = [
+        "# Cluster Health",
+        "",
+        "| Rank | Node | Grade | Penalty | Errors | Warnings | Bursts | Dropped |",
+        "|------|------|-------|---------|--------|----------|--------|---------|",
+    ]
+    for r in rows:
+        out.append(
+            f"| {r.rank} | {r.node} | {r.grade} | {r.penalty} |"
+            f" {r.errors} | {r.warnings} | {r.n_bursts} | {r.n_dropped} |"
+        )
+    flagged_rows = [r for r in rows if r.grade != "ok"]
+    if flagged_rows:
+        out += ["", "Needs attention: " + ", ".join(
+            f"{r.node} ({r.grade})" for r in flagged_rows
+        )]
+    return "\n".join(out)

@@ -75,3 +75,18 @@ def test_clear_caches_releases_everything(spark, sf_dir):
     assert not cm.isEmpty()
     clear_caches(spark)
     assert cm.isEmpty()
+
+
+def test_health_report_renders_all_nodes(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.api import health_report
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    md = health_report(logs_flagged(spark, sf_dir))
+    assert md.startswith("# Cluster Health")
+    for node in ("node0", "node1", "node2", "node3"):
+        assert node in md
+    # the rank column is 1..4 in order
+    import re
+
+    ranks = [int(m) for m in re.findall(r"\| (\d+) \| node", md)]
+    assert ranks == sorted(ranks) and len(ranks) == 4
