@@ -145,6 +145,11 @@ def build_server(spark: SparkSession):
                      "severity": {"type": "string",
                                   "enum": ["all", "critical", "high", "medium"],
                                   "default": "all"}}}),
+            Tool(name="cluster_health",
+                 description="Ranked per-node health report card "
+                             "(integer penalty from errors/warnings/"
+                             "bursts/dropped, relative grades).",
+                 inputSchema={"type": "object", "properties": {}}),
             Tool(name="clear_caches",
                  description="Release cached DataFrame blocks (call "
                              "between analyses of different log sets to "
@@ -214,6 +219,8 @@ def build_server(spark: SparkSession):
             return text(api.compare_report(_flagged(), args.get("nodes")))
         if name == "detect_issues":
             return text(api.issues_report(_flagged(), args.get("severity", "all")))
+        if name == "cluster_health":
+            return text(api.health_report(_flagged()))
         if name == "clear_caches":
             from .session import clear_caches
 
