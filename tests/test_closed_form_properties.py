@@ -1,0 +1,88 @@
+"""Property evidence for the closed-form rewrites: the window
+formulations must equal the textbook sequential definitions on
+randomized inputs (seeded — deterministic across runs). Each test
+ships ALL its random cases through ONE Spark job (hypothesis-per-
+example would pay the JVM roundtrip per case)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_cusum_closed_form_equals_recursion_on_random_series(spark):
+    """S_t = P_t − min(0, min_{j≤t} P_j) (two windows) must equal the
+    textbook recursion S_t = max(0, S_{t−1} + x_t − k) for every
+    prefix, on 40 random integer series driven through the REAL
+    operator as 40 synthetic nodes."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        CUSUM_H_MULT,
+        error_cusum_changepoints,
+    )
+
+    rng = random.Random(20260814)
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = []
+    series = {}
+    for n in range(40):
+        node = f"s{n:02d}"
+        hours = rng.randint(4, 30)
+        xs = [rng.randint(0, 12) for _ in range(hours)]
+        # ensure first/last hour nonempty so the operator's observed
+        # [h0, h1] span equals the intended series (zero-fill covers
+        # interior gaps, which the series generator creates via 0s)
+        xs[0] = max(xs[0], 1)
+        xs[-1] = max(xs[-1], 1)
+        series[node] = xs
+        for hr, x in enumerate(xs):
+            rows += [
+                (base + hr * 3600 + i, node, True) for i in range(x)
+            ]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(
+        F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error"
+    )
+    got = {
+        (r.node, r.hour_s): (r.n_errors, r.cusum, r.k_ref)
+        for r in error_cusum_changepoints(logs).collect()
+    }
+
+    expect = {}
+    for node, xs in series.items():
+        tot, slots = sum(xs), len(xs)
+        k = -(-tot // slots)  # ceil div
+        s = 0
+        for hr, x in enumerate(xs):
+            s = max(0, s + x - k)  # textbook recursion
+            if s > CUSUM_H_MULT * k:
+                expect[(node, base + hr * 3600)] = (x, s, k)
+    assert got == expect and expect  # non-vacuous
+
+
+def test_skyline_matches_brute_force_on_random_points(spark):
+    """The banded two-stage frontier must equal O(n²) dominance on
+    random point sets WITH engineered ties (duplicate points, shared
+    q values, shared t values)."""
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        pareto_frontier,
+    )
+
+    rng = random.Random(4)
+    pts = []
+    for i in range(200):
+        q = round(rng.uniform(0, 1), 2)  # coarse grid → many q ties
+        t = rng.randint(1, 40)           # many t ties
+        pts.append((i, t, q))
+    pts += [(1000 + i, t, q) for i, (_, t, q) in enumerate(pts[:20])]
+
+    feats = spark.createDataFrame(pts, "doc_id long, t long, q double")
+    got = {r.doc_id for r in pareto_frontier(feats).collect()}
+    brute = {
+        a[0]
+        for a in pts
+        if not any(
+            b[2] >= a[2] and b[1] <= a[1] and (b[2] > a[2] or b[1] < a[1])
+            for b in pts
+        )
+    }
+    assert got == brute and brute
