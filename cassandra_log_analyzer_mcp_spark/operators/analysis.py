@@ -1046,3 +1046,20 @@ def node_health_score(logs: DataFrame) -> DataFrame:
         .otherwise("ok")
         .alias("grade"),
     )
+
+
+def node_summary_unpivot(logs: DataFrame) -> DataFrame:
+    """UNPIVOT (melt) — the inverse verb of user_activity_pivot: the
+    wide per-node summary unpivots to tidy (node, metric, value)
+    rows via the native ``unpivot`` operator (an Expand, no join, no
+    shuffle beyond the summary's own rollup). The tidy layout is what
+    generic dashboards and metric stores ingest; at 100 TB the
+    unpivot adds a constant ×3 fan-out on node-cardinality rows,
+    nothing data-sized.
+    """
+    return node_summary(logs).unpivot(
+        ["node"],
+        ["errors", "warnings", "total_lines"],
+        "metric",
+        "value",
+    )

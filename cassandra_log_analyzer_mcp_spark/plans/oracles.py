@@ -216,6 +216,22 @@ def analysis_oracles() -> dict[str, str]:
         node_summary_body.format(where="WHERE node IN ('node1', 'node3') ")
     )
 
+    # UNPIVOT: stated as the UNION-ALL tidy form
+    o["node_summary_unpivot"] = with_logs(
+        """
+        SELECT node, metric, value FROM (
+          SELECT node,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                      AS BIGINT) AS errors,
+                 CAST(sum(CASE WHEN is_warning THEN 1 ELSE 0 END)
+                      AS BIGINT) AS warnings,
+                 CAST(count(*) AS BIGINT) AS total_lines
+          FROM flagged GROUP BY node
+        ) w
+        UNPIVOT (value FOR metric IN (errors, warnings, total_lines))
+        """
+    )
+
     o["error_timeline"] = with_logs(
         """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

@@ -427,6 +427,8 @@ def queries() -> dict[str, QueryFn]:
         "node_summary": _on_logs(analysis.node_summary),
         # composed cluster-health report card (integer penalty+grade)
         "node_health_score": _on_logs(analysis.node_health_score),
+        # the UNPIVOT verb (wide -> tidy melt, native Expand)
+        "node_summary_unpivot": _on_logs(analysis.node_summary_unpivot),
         # salted twin shares node_summary's oracle: the skew-spray +
         # combine MUST be exactly equal, proven through the hash gate
         "node_summary_salted": _on_logs(

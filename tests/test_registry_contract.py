@@ -70,7 +70,7 @@ NEW_IN_R4 = {
 #: like).
 NEW_IN_R4_REPLICA_ONLY = {
     "log_parse_corrupt_tolerant",
-    "pricing_summary_sql",
+    "pricing_summary_sql", "node_summary_unpivot",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
