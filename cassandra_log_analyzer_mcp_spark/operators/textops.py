@@ -826,9 +826,20 @@ def vocab_top_tokens_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 8
 
 
+_BPE_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _bpe_learn(spark: SparkSession, sf_dir: str):
-    """Shared BPE training loop → (merge list, final symbol table).
+    """Shared BPE training loop → (merge list, final symbol table),
+    memoized per (session, sf_dir): train-once/encode-many is the
+    tokenizer lifecycle's whole point — bpe_encode must not pay the
+    8-round training loop again (the final symbol table survives as
+    localCheckpointed blocks for the session's lifetime; released by
+    session.clear_caches' checkpoint cleanup semantics on teardown).
     See bpe_train_merges for the full design discussion."""
+    key = (id(spark), sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     docs = (
         documents(spark, sf_dir)
         .select("doc_id", tokens_col().alias("toks"))
@@ -866,6 +877,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
                     ELSE concat(acc, array(x)) END)"""
             ).alias("toks"),
         ).localCheckpoint()
+    _BPE_CACHE[key] = (merges, docs)
     return merges, docs
 
 
