@@ -549,13 +549,30 @@ def silver_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     which a v1 read would hash-mismatch); tests prove the v1 read
     equals the dynamic-overwrite restatement's content.
     """
-    path = _default_path(sf_dir) + "_tt"
-    _build_versioned_silver(spark, sf_dir, path)
+    path = versioned_silver(spark, sf_dir)
     v0 = _manifest_read(path, 0)
     # basePath anchors the file-list read so the partition columns
     # (log_date, node) are still recovered
     base = spark.read.option("basePath", path).parquet(*v0)
     return node_errors_rollup(base)
+
+
+_VERSIONED_PATHS: dict[tuple[int, str], str] = {}
+
+
+def versioned_silver(spark: SparkSession, sf_dir: str) -> str:
+    """The shared two-commit table (v0 + v1 manifests), built ONCE
+    per (session, sf_dir): time travel, the change feed, and the CDC
+    apply all READ this immutable artifact — parquet files and
+    manifests never mutate after the build, so sharing is safe and
+    rebuilding per query would just re-pay two full silver writes."""
+    key = (id(spark), sf_dir)
+    path = _VERSIONED_PATHS.get(key)
+    if path is None:
+        path = _default_path(sf_dir) + "_versioned"
+        _build_versioned_silver(spark, sf_dir, path)
+        _VERSIONED_PATHS[key] = path
+    return path
 
 
 def _build_versioned_silver(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -624,8 +641,7 @@ def silver_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, and nothing else), so a diff that invents updates, misses
     a partition, or leaks unchanged rows hash-mismatches.
     """
-    path = _default_path(sf_dir) + "_cdc"
-    _build_versioned_silver(spark, sf_dir, path)
+    path = versioned_silver(spark, sf_dir)
     feed = _changes_feed(spark, path)
     return feed.groupBy(
         F.col("op"),
@@ -685,8 +701,7 @@ def silver_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(changes), the entire point of shipping a feed instead of the
     table.
     """
-    path = _default_path(sf_dir) + "_cdcapply"
-    _build_versioned_silver(spark, sf_dir, path)
+    path = versioned_silver(spark, sf_dir)
     feed = _changes_feed(spark, path).cache()
     v0 = spark.read.option("basePath", path).parquet(
         *_manifest_read(path, 0)

@@ -275,15 +275,15 @@ def test_time_travel_v1_matches_restatement(spark, sf_dir):
     import os
 
     from cassandra_log_analyzer_mcp_spark.sources.silver import (
-        _default_path,
         node_errors_rollup,
         read_silver,
         silver_restatement,
         silver_time_travel,
+        versioned_silver,
     )
 
-    silver_time_travel(spark, sf_dir)  # builds the _tt table
-    path = _default_path(sf_dir) + "_tt"
+    silver_time_travel(spark, sf_dir)  # ensures the shared build
+    path = versioned_silver(spark, sf_dir)
     with open(os.path.join(path, "_manifests", "v0.json")) as f:
         v0 = json.load(f)
     with open(os.path.join(path, "_manifests", "v1.json")) as f:
