@@ -1101,3 +1101,80 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombs = spark.read.parquet(tomb_path)
     live = idx.join(F.broadcast(tombs), "vec_id", "left_anti")
     return _ivf_probe(live, probes)
+
+
+#: reciprocal-rank fusion: score = Σ_lists floor(RRF_SCALE/(RRF_K + rank))
+#: — the standard k=60 RRF (Cormack et al., SIGIR 2009) in exact
+#: integer arithmetic so the fusion hash-grades bit-identically.
+RRF_K = 60
+RRF_SCALE = 10**9
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — dense (embedding cosine top-K) and sparse
+    (distinct-token overlap top-K) rankings fused by reciprocal-rank
+    fusion, the modern default for corpus search and RAG retrieval:
+    neither signal alone sees everything (synonyms hide from tokens,
+    rare names hide from embeddings), and RRF needs no score
+    calibration between them — only ranks.
+
+    Composition: the dense list IS knn_cosine_brute's graded output;
+    the sparse list ranks corpus docs by distinct-token intersection
+    with the query doc (broadcast queries × map-side array_intersect
+    — the honest brute baseline; the scale path probes the
+    phrase-search postings index instead of scanning). The fusion is
+    a full-outer rank join + one integer expression + a per-query
+    top-K — list-cardinality data, nothing corpus-sized. Ranks (not
+    scores) cross the modality boundary, so the doubles on the dense
+    side never touch the fused arithmetic: RRF is exact-integer end
+    to end.
+    """
+    from ..functions.texts import tokens_col
+    from ..sources.tables import documents
+
+    dense = knn_cosine_brute(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("drn")
+    )
+    tk = documents(spark, sf_dir).select(
+        "doc_id", F.array_distinct(tokens_col()).alias("tk")
+    )
+    q = tk.filter(F.col("doc_id") < KNN_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), F.col("tk").alias("qtk")
+    )
+    sp = (
+        tk.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.size(F.array_intersect("tk", "qtk")).alias("ov"),
+        )
+        .filter(F.col("ov") > 0)
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.desc("ov"), "doc_id")
+    sparse = (
+        sp.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= KNN_TOP_K)
+        .select("q_id", "doc_id", "srn")
+    )
+    fused = (
+        dense.join(sparse, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + drn)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + srn)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_scaled"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_scaled"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= KNN_TOP_K)
+        .select("q_id", "doc_id", "rrf_scaled", F.col("rn").cast("int"))
+    )

@@ -1517,6 +1517,62 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {KNN_TOP_K}
     """
 
+    # hybrid RRF: both component rankings re-derived independently
+    # (dense = the knn oracle's shape, sparse = token-set overlap),
+    # fused with the identical integer floor-division arithmetic
+    from ..operators.similarity import RRF_K, RRF_SCALE
+
+    o["hybrid_rrf_search"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dpairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                 round(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 3) AS sim
+          FROM emb e, emb q
+          WHERE q.vec_id < {KNN_N_QUERIES} AND e.vec_id != q.vec_id
+        ),
+        drank AS (
+          SELECT q_id, doc_id, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, doc_id) AS rn
+            FROM dpairs
+          ) t WHERE rn <= {KNN_TOP_K}
+        ),
+        tk AS (
+          SELECT doc_id, list_distinct({TOKS}) AS tk FROM documents
+        ),
+        sp AS (
+          SELECT q.doc_id AS q_id, d.doc_id,
+                 len(list_intersect(d.tk, q.tk)) AS ov
+          FROM tk d, tk q
+          WHERE q.doc_id < {KNN_N_QUERIES} AND d.doc_id != q.doc_id
+        ),
+        srank AS (
+          SELECT q_id, doc_id, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY ov DESC, doc_id) AS rn
+            FROM sp WHERE ov > 0
+          ) t WHERE rn <= {KNN_TOP_K}
+        ),
+        fused AS (
+          SELECT coalesce(d.q_id, s.q_id) AS q_id,
+                 coalesce(d.doc_id, s.doc_id) AS doc_id,
+                 CAST(coalesce({RRF_SCALE} // ({RRF_K} + d.rn), 0)
+                      + coalesce({RRF_SCALE} // ({RRF_K} + s.rn), 0)
+                      AS BIGINT) AS rrf_scaled
+          FROM drank d FULL OUTER JOIN srank s
+            ON d.q_id = s.q_id AND d.doc_id = s.doc_id
+        )
+        SELECT q_id, doc_id, rrf_scaled, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf_scaled DESC, doc_id) AS rn
+          FROM fused
+        ) t WHERE rn <= {KNN_TOP_K}
+    """
+
     from ..operators.similarity import QUANT_SCALE
 
     o["knn_quantized_int8"] = f"""
