@@ -1063,3 +1063,54 @@ def node_summary_unpivot(logs: DataFrame) -> DataFrame:
         "metric",
         "value",
     )
+
+
+#: scd_owner_join: owners rotate across SCD_TEAMS at the era split.
+SCD_TEAMS = 3
+
+
+def scd_owner_join(logs: DataFrame) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION (SCD Type 2) join — the validity-
+    interval lookup every warehouse needs and plain equi-joins can't
+    express: each node's OWNER changes mid-history (era split at the
+    integer midpoint of the observed time span), the dimension keeps
+    both versions with [valid_from, valid_to) intervals, and each log
+    line joins the version whose interval covers its event time.
+
+    Distinct from the as-of join (latest-prior EVENT from a stream):
+    SCD2 rows carry explicit validity ranges maintained by the
+    dimension's own change process. Join shape: the dim is
+    versions × keys (tiny) → broadcast; the interval predicate is a
+    residual on the node-equi join — zero shuffle added to the scan.
+    The era split is exact integer arithmetic ((min+max) div 2), so
+    the oracle reproduces the dimension without any float protocol.
+    """
+    spark = logs.sparkSession
+    b = logs.agg(
+        F.min(F.col("ts").cast("long")).alias("lo"),
+        F.max(F.col("ts").cast("long")).alias("hi"),
+    ).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    mid = (lo + hi) // 2
+    from ..functions.parsing import N_NODES
+
+    rows = []
+    for i in range(N_NODES):
+        rows.append((f"node{i}", lo, mid, f"team{i % SCD_TEAMS}"))
+        rows.append(
+            (f"node{i}", mid, hi + 1, f"team{(i + 1) % SCD_TEAMS}")
+        )
+    dim = spark.createDataFrame(
+        rows, "node string, valid_from long, valid_to long, owner string"
+    )
+    epoch = F.col("ts").cast("long")
+    joined = logs.join(
+        F.broadcast(dim),
+        (logs.node == dim.node)
+        & (epoch >= dim.valid_from)
+        & (epoch < dim.valid_to),
+    )
+    return joined.groupBy(logs.node, dim.owner).agg(
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+        F.count("*").alias("total_lines"),
+    )

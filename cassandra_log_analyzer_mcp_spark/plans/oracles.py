@@ -216,6 +216,30 @@ def analysis_oracles() -> dict[str, str]:
         node_summary_body.format(where="WHERE node IN ('node1', 'node3') ")
     )
 
+    # SCD2: the dimension reproduced arithmetically (node ordinal,
+    # era split at the exact integer midpoint of the span)
+    from ..operators.analysis import SCD_TEAMS
+
+    o["scd_owner_join"] = with_logs(
+        f"""
+        SELECT node,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <
+                     (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+                              + max(CAST(floor(epoch(ts)) AS BIGINT)))
+                             // 2 FROM flagged)
+                    THEN 'team' || CAST(CAST(substr(node, 5) AS INT)
+                                        % {SCD_TEAMS} AS VARCHAR)
+                    ELSE 'team' || CAST((CAST(substr(node, 5) AS INT)
+                                         + 1) % {SCD_TEAMS} AS VARCHAR)
+               END AS owner,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors,
+               CAST(count(*) AS BIGINT) AS total_lines
+        FROM flagged
+        GROUP BY 1, 2
+        """
+    )
+
     # UNPIVOT: stated as the UNION-ALL tidy form
     o["node_summary_unpivot"] = with_logs(
         """

@@ -431,6 +431,8 @@ def queries() -> dict[str, QueryFn]:
         "node_health_score": _on_logs(analysis.node_health_score),
         # the UNPIVOT verb (wide -> tidy melt, native Expand)
         "node_summary_unpivot": _on_logs(analysis.node_summary_unpivot),
+        # SCD2 validity-interval dimension join (broadcast + residual)
+        "scd_owner_join": _on_logs(analysis.scd_owner_join),
         # salted twin shares node_summary's oracle: the skew-spray +
         # combine MUST be exactly equal, proven through the hash gate
         "node_summary_salted": _on_logs(
