@@ -1914,3 +1914,43 @@ def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+def user_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-RANGE window frame — the frame type rows-frames can't
+    emulate: for every purchase, the same user's spend in the 3600
+    SECONDS strictly before it (rangeBetween on the epoch ORDER
+    value, so gaps and ties are handled by TIME, not row position —
+    two purchases in the same second both exclude themselves and
+    include each other is decided by the range bound, identically on
+    both engines).
+
+    Scale: user-keyed partitions (each user's purchase history is
+    small), one shuffle; the frame scan is linear per partition.
+    Output money is rounded per the repo's double protocol.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("epoch"),
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch",
+        F.round("value", 2).alias("value"),
+        F.coalesce(F.round(F.sum("value").over(w), 2), F.lit(0.0)).alias(
+            "trailing_1h_spend"
+        ),
+        F.count("*").over(w).cast("long").alias("n_prior_1h"),
+    )

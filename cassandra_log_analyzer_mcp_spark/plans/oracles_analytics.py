@@ -21,6 +21,22 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    # value-RANGE frame: identical RANGE bounds in ANSI SQL; the
+    # trailing sum rounds per the double protocol, count is exact
+    o["user_trailing_spend"] = """
+        SELECT event_id, user_id, epoch, round(value, 2) AS value,
+               coalesce(round(sum(value) OVER w, 2), 0.0)
+                 AS trailing_1h_spend,
+               CAST(count(*) OVER w AS BIGINT) AS n_prior_1h
+        FROM (
+          SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+          FROM events WHERE event_type = 'purchase'
+        ) t
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+                     RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+    """
+
     # the spark.sql text formulation must hash-match the DataFrame
     # formulation — same logical plan, same oracle
     o["pricing_summary_sql"] = o["pricing_summary"]

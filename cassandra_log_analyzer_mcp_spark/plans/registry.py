@@ -372,6 +372,8 @@ def queries() -> dict[str, QueryFn]:
         "pricing_summary_decimal": analytics.pricing_summary_decimal,
         # the SQL front door: Q1 as spark.sql text, same plan/oracle
         "pricing_summary_sql": analytics.pricing_summary_sql,
+        # value-RANGE window frame (time-based trailing aggregate)
+        "user_trailing_spend": analytics.user_trailing_spend,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
