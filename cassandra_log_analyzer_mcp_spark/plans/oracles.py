@@ -684,6 +684,21 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # stream-static enrichment: rack recomputed from node parity,
+    # windowed counts stated directly
+    o["streaming_rack_counts"] = with_logs(
+        """
+        SELECT strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:00:00') AS hour,
+               'r' || CAST(CAST(substr(node, 5) AS INT) % 2 AS VARCHAR)
+                 AS rack,
+               level,
+               CAST(count(*) AS BIGINT) AS n
+        FROM logs
+        GROUP BY 1, 2, 3
+        """
+    )
+
     # the cross-batch streaming fold must emit the batch closed
     # form's exact alarm set — shared oracle IS the proof
     o["streaming_cusum_alerts"] = o["error_cusum_changepoints"]

@@ -1041,3 +1041,60 @@ def streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="node string, hour_s long, n_errors long, cusum long,"
         " k_ref long",
     )
+
+
+def streaming_rack_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM–STATIC join — the enrichment shape every production
+    stream runs (events vs a reference table) and the one join family
+    the streaming section didn't yet grade: the parsed log stream
+    joins the STATIC node→rack dimension (the same separate parquet
+    source silver_dpp_join probes) BEFORE its windowed aggregation.
+    Stream-static joins need no watermark and keep no join state —
+    the static side broadcasts into every micro-batch, so enrichment
+    adds zero state-store pressure at any scale.
+
+    Graded per (hour, rack, level) against an oracle that recomputes
+    the rack from node parity — a dropped or duplicated enrichment
+    row breaks the hash.
+    """
+    from ..sources.silver import _default_path, write_node_dim
+
+    log_dir = _landed_log_dir(spark, sf_dir)
+    dim_path = _default_path(sf_dir) + "_nodedim_stream"
+    write_node_dim(spark, dim_path)
+    rack_dim = spark.read.parquet(dim_path)
+
+    lines = spark.readStream.text(log_dir).select(
+        F.lit(None).cast("long").alias("line_id"),
+        F.col("node").cast("string").alias("node"),
+        F.col("value").alias("raw"),
+    )
+    parsed = log_stream.parsed_stream(lines)
+    enriched = parsed.join(F.broadcast(rack_dim), "node")
+    counts = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            "rack",
+            "level",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"stream_rack_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(counts, sink, output_mode="complete")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_rack_counts did not finish its availableNow batch"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "rack",
+        "level",
+        F.col("n").cast("long").alias("n"),
+    )

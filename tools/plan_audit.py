@@ -35,6 +35,8 @@ EAGER = {
     "streaming_purchase_error_left_join",
     "streaming_topk_tokens",  # availableNow run; driver-state result
     "streaming_dedup_watermarked",  # availableNow run; memory sink
+    "streaming_cusum_alerts",  # availableNow run; driver-state fold
+    "streaming_rack_counts",  # availableNow run; memory sink
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
