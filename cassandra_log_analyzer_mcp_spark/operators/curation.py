@@ -512,3 +512,54 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_sources") * F.col("n_tokens"))
         ).alias("mix_weight"),
     )
+
+
+#: k_anonymity_audit thresholds: groups smaller than ANON_K violate
+#: k-anonymity; groups whose rows all belong to ONE user violate
+#: l-diversity (l = 2) — both on the quasi-identifier key below.
+ANON_K = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY AUDIT — the release-gate complement to pii_scrub
+    (remove identifiers) and silver_delete_rewrite (erase subjects):
+    before a dataset ships, measure how re-identifiable it still is.
+    Quasi-identifier = (event_type, event date, value band of 50):
+    k-anonymity counts cohorts smaller than ANON_K (a row in a
+    5-person cohort is 1-in-5 identifiable; a singleton cohort is
+    unique), l-diversity counts cohorts where every row belongs to
+    ONE user (the cohort key itself leaks that user's activity even
+    when k passes).
+
+    One QI-keyed hash aggregate (map-side combinable: count +
+    count-distinct-user per cohort), then an event_type rollup of the
+    cohort table — cohort-cardinality data after the first shuffle.
+    All counts exact integers.
+    """
+    from ..sources.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (F.floor(F.col("value") / 50) * 50).cast("long").alias("band"),
+        "user_id",
+    )
+    cohorts = ev.groupBy("event_type", "d", "band").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    return cohorts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cohorts"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_cohort"),
+        F.sum((F.col("n") < ANON_K).cast("long")).alias(
+            "k_violating_cohorts"
+        ),
+        F.sum(F.when(F.col("n") < ANON_K, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("k_violating_rows"),
+        F.sum((F.col("n_users") == 1).cast("long")).alias(
+            "l_homogeneous_cohorts"
+        ),
+    )

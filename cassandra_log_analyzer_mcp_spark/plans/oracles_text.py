@@ -1048,6 +1048,29 @@ def text_oracles() -> dict[str, str]:
 
     # Composition of the already-generated quality / lang / dedup SQL —
     # the curation oracle can't drift from its components.
+    # privacy audit: cohort table + rollup restated in SQL; all
+    # counts exact integers (thresholds mirrored from curation.ANON_K)
+    from ..operators.curation import ANON_K
+
+    o["k_anonymity_audit"] = f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_cohorts,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(min(n) AS BIGINT) AS min_cohort,
+               CAST(sum(CASE WHEN n < {ANON_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k_violating_cohorts,
+               CAST(sum(CASE WHEN n < {ANON_K} THEN n ELSE 0 END)
+                    AS BIGINT) AS k_violating_rows,
+               CAST(sum(CASE WHEN n_users = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS l_homogeneous_cohorts
+        FROM (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(floor(value / 50) * 50 AS BIGINT) AS band,
+                 count(*) AS n, count(DISTINCT user_id) AS n_users
+          FROM events GROUP BY 1, 2, 3
+        ) c GROUP BY event_type
+    """
+
     o["corpus_curation"] = f"""
         WITH q AS ({o['quality_score']}),
              l AS ({o['lang_id']}),

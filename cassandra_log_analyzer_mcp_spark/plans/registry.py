@@ -275,6 +275,8 @@ def queries() -> dict[str, QueryFn]:
         "bigram_lift_collocations": textops.bigram_lift_collocations,
         # §2D — composed curation pipeline (featurize→filter→dedup)
         "corpus_curation": curation.corpus_curation,
+        # release-gate privacy audit (k-anonymity + l-diversity)
+        "k_anonymity_audit": curation.k_anonymity_audit,
         "corpus_sample": curation.corpus_sample,
         "corpus_shuffle": curation.corpus_shuffle,
         "jsonl_shard_export": curation.jsonl_shard_export,
