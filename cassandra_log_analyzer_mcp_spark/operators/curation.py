@@ -563,3 +563,48 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_homogeneous_cohorts"
         ),
     )
+
+
+def _leading_ones(bits_col: F.Column) -> F.Column:
+    """Count of leading 1-bits of a positive 63-bit integer column —
+    via bin(): position of the first '0' in the zero-padded binary
+    string. Pure string/int ops, exact on both engines (the log-free
+    route to geometric variates)."""
+    padded = F.lpad(F.bin(bits_col), 63, "0")
+    return F.coalesce(
+        F.nullif(F.instr(padded, "0"), F.lit(0)) - 1, F.lit(63)
+    )
+
+
+def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE-LAPLACE (two-sided geometric, p = 1/2) noised release
+    counts — the differential-privacy mechanism SHAPE, fully log-free:
+    a geometric(1/2) magnitude is "how many leading 1-bits" in a
+    uniform bit string (P[≥ k] = 2^-k exactly), the sign is one more
+    bit, and the noise adds to the true per-type count. Everything
+    derives from md5(seed ‖ key), so the oracle replays the identical
+    draw — which is also the honest caveat, stated loudly: a FIXED
+    seed makes this a mechanism demonstration (plumbing, calibration,
+    exact sampling without ln()), not a privacy guarantee; production
+    swaps the seed column for a secret per-release nonce and the
+    guarantee is ε = ln 2 per count.
+
+    Scale: one map-combinable count, then O(groups) noise arithmetic.
+    """
+    from ..sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_type")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    h = F.md5(F.concat(F.lit("dp-v1:"), F.col("event_type")))
+    # 60 bits of the hash → magnitude source; 1 more hex digit → sign
+    bits = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    mag = _leading_ones(bits)
+    sign = F.when(
+        F.conv(F.substring(h, 16, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return counts.select(
+        "event_type",
+        F.col("n").cast("long").alias("true_n"),
+        (F.col("n") + sign * mag).cast("long").alias("released_n"),
+        (sign * mag).cast("long").alias("noise"),
+    )

@@ -1048,6 +1048,28 @@ def text_oracles() -> dict[str, str]:
 
     # Composition of the already-generated quality / lang / dedup SQL —
     # the curation oracle can't drift from its components.
+    # DP mechanism: identical md5 draw — magnitude = leading 1-bits
+    # of 60 hash bits (bin + first-'0' position), sign = one more bit
+    o["dp_noised_counts"] = """
+        SELECT event_type,
+               CAST(n AS BIGINT) AS true_n,
+               CAST(n + sgn * mag AS BIGINT) AS released_n,
+               CAST(sgn * mag AS BIGINT) AS noise
+        FROM (
+          SELECT event_type, n,
+                 coalesce(nullif(strpos(lpad(bin(
+                     CAST('0x' || substr(md5('dp-v1:' || event_type),
+                                         1, 15) AS BIGINT)
+                   ), 63, '0'), '0'), 0) - 1, 63) AS mag,
+                 CASE WHEN CAST('0x' || substr(
+                        md5('dp-v1:' || event_type), 16, 1) AS BIGINT)
+                        % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT event_type, count(*) AS n
+                FROM events GROUP BY event_type) c
+        ) t
+    """
+
     # privacy audit: cohort table + rollup restated in SQL; all
     # counts exact integers (thresholds mirrored from curation.ANON_K)
     from ..operators.curation import ANON_K

@@ -277,6 +277,8 @@ def queries() -> dict[str, QueryFn]:
         "corpus_curation": curation.corpus_curation,
         # release-gate privacy audit (k-anonymity + l-diversity)
         "k_anonymity_audit": curation.k_anonymity_audit,
+        # discrete-Laplace noised release (log-free DP mechanism)
+        "dp_noised_counts": curation.dp_noised_counts,
         "corpus_sample": curation.corpus_sample,
         "corpus_shuffle": curation.corpus_shuffle,
         "jsonl_shard_export": curation.jsonl_shard_export,

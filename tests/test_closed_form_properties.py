@@ -86,3 +86,23 @@ def test_skyline_matches_brute_force_on_random_points(spark):
         )
     }
     assert got == brute and brute
+
+
+def test_dp_geometric_sampler_is_calibrated():
+    """The log-free geometric sampler must have the distribution its
+    ε-claim assumes: leading-1-bit counts of uniform hashes follow
+    P[mag ≥ k] = 2^-k, so E[mag] = 1 and P[mag = 0] = 1/2. Checked in
+    pure Python over 20k keys (no Spark — this pins the MATH, the
+    gate pins the engine parity)."""
+    import hashlib
+
+    mags = []
+    for i in range(20_000):
+        h = hashlib.md5(f"dp-v1:key{i}".encode()).hexdigest()
+        bits = bin(int(h[:15], 16))[2:].zfill(60)
+        mags.append(len(bits) - len(bits.lstrip("1")))
+    n = len(mags)
+    mean = sum(mags) / n
+    p0 = sum(1 for m in mags if m == 0) / n
+    assert 0.93 < mean < 1.07
+    assert 0.48 < p0 < 0.52

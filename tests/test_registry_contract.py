@@ -72,7 +72,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "log_parse_corrupt_tolerant",
     "pricing_summary_sql", "node_summary_unpivot",
     "hybrid_rrf_search", "scd_owner_join", "user_trailing_spend",
-    "streaming_rack_counts", "k_anonymity_audit",
+    "streaming_rack_counts", "k_anonymity_audit", "dp_noised_counts",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
