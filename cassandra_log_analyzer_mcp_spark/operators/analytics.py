@@ -1954,3 +1954,49 @@ def user_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).cast("long").alias("n_prior_1h"),
     )
+
+
+def value_drift_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA DRIFT detection — "did the value distribution move
+    between the first and second half of history?", the monitoring
+    gate a training pipeline runs before ingesting a new era. The
+    value histogram (bands of 50) is compared era-vs-era with a
+    chi-square-style per-band divergence (a−b)²/(a+b) — emitted PER
+    BAND, not summed: each contribution is ONE exact-integer division
+    (IEEE-identical across engines, rounded at 4dp per the repo
+    protocol), and the top drifting bands are exactly what an
+    operator inspects anyway. Era split is the exact integer midpoint
+    of the epoch span (same arithmetic as scd_owner_join, so the
+    oracle reproduces it verbatim).
+
+    Scale: one (type, band, era)-keyed map-combinable count, then
+    band-cardinality arithmetic.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("long").alias("epoch"),
+        (F.floor(F.col("value") / 50) * 50).cast("long").alias("band"),
+    )
+    b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
+    mid = (int(b.lo) + int(b.hi)) // 2
+    counted = ev.groupBy(
+        "event_type",
+        "band",
+        (F.col("epoch") < mid).alias("is_early"),
+    ).agg(F.count("*").alias("n"))
+    pivoted = counted.groupBy("event_type", "band").agg(
+        F.sum(F.when(F.col("is_early"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("early_n"),
+        F.sum(F.when(~F.col("is_early"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("late_n"),
+    )
+    a, c = F.col("early_n"), F.col("late_n")
+    return pivoted.select(
+        "event_type",
+        "band",
+        "early_n",
+        "late_n",
+        F.round((a - c) * (a - c) / (a + c), 4).alias("divergence"),
+    )

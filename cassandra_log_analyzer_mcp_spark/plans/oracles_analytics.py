@@ -21,6 +21,31 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    # drift gate: same integer era split, per-band single division
+    o["value_drift_eras"] = """
+        SELECT event_type, band, early_n, late_n,
+               round((early_n - late_n) * (early_n - late_n)
+                     / (early_n + late_n), 4) AS divergence
+        FROM (
+          SELECT event_type,
+                 CAST(floor(value / 50) * 50 AS BIGINT) AS band,
+                 CAST(sum(CASE WHEN epoch <
+                       (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+                                + max(CAST(floor(epoch(ts)) AS BIGINT)))
+                               // 2 FROM events)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS early_n,
+                 CAST(sum(CASE WHEN epoch >=
+                       (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+                                + max(CAST(floor(epoch(ts)) AS BIGINT)))
+                               // 2 FROM events)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS late_n
+          FROM (SELECT event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                FROM events) e
+          GROUP BY 1, 2
+        ) h
+    """
+
     # value-RANGE frame: identical RANGE bounds in ANSI SQL; the
     # trailing sum rounds per the double protocol, count is exact
     o["user_trailing_spend"] = """

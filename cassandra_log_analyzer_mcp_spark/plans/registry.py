@@ -378,6 +378,8 @@ def queries() -> dict[str, QueryFn]:
         "pricing_summary_sql": analytics.pricing_summary_sql,
         # value-RANGE window frame (time-based trailing aggregate)
         "user_trailing_spend": analytics.user_trailing_spend,
+        # era-vs-era histogram drift gate (per-band chi-square terms)
+        "value_drift_eras": analytics.value_drift_eras,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
