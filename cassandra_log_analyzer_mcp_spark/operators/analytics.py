@@ -2000,3 +2000,63 @@ def value_drift_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late_n",
         F.round((a - c) * (a - c) / (a + c), 4).alias("divergence"),
     )
+
+
+#: cascade_erasure subject: the customer key erased across the chain.
+ERASE_CUSTKEY = 11
+
+
+def cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADING erasure — the referential-integrity half of the
+    GDPR story silver_delete_rewrite's single-table copy-on-write
+    doesn't cover: deleting a subject from `customer` must also take
+    their `orders` and those orders' `lineitem` rows, or the "erased"
+    person remains reconstructible from the fact tables. The FK
+    closure is computed top-down (subject → orderkeys → line rows);
+    the subject's orderkey set is broadcast, so each fact prunes
+    map-side — erasure cost ∝ the subject's data, never the tables.
+
+    Graded as the post-erasure census PLUS the integrity proof in the
+    same row: surviving counts per table AND the orphan counts
+    (orders without a customer, lineitems without an order — both
+    must be 0, asserted by anti-joins over the surviving sets). The
+    oracle recomputes every figure from the FK arithmetic directly.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    cust_left = cust.filter(F.col("c_custkey") != ERASE_CUSTKEY)
+    dead_orders = orders.filter(
+        F.col("o_custkey") == ERASE_CUSTKEY
+    ).select("o_orderkey")
+    orders_left = orders.filter(F.col("o_custkey") != ERASE_CUSTKEY)
+    li_left = li.join(
+        F.broadcast(dead_orders),
+        li.l_orderkey == dead_orders.o_orderkey,
+        "left_anti",
+    )
+    orphan_orders = orders_left.join(
+        cust_left,
+        orders_left.o_custkey == cust_left.c_custkey,
+        "left_anti",
+    )
+    orphan_li = li_left.join(
+        orders_left.select("o_orderkey"),
+        li_left.l_orderkey == orders_left.o_orderkey,
+        "left_anti",
+    )
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    # five 1-row aggregates crossJoined into the census row — one
+    # lazy plan, no driver-side counting
+    return (
+        one("customers_left", cust_left)
+        .crossJoin(one("orders_left", orders_left))
+        .crossJoin(one("lineitems_left", li_left))
+        .crossJoin(one("orphan_orders", orphan_orders))
+        .crossJoin(one("orphan_lineitems", orphan_li))
+    )

@@ -21,6 +21,40 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    # cascade erasure: every census figure from FK arithmetic
+    from ..operators.analytics import ERASE_CUSTKEY
+
+    o["cascade_erasure"] = f"""
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey != {ERASE_CUSTKEY}) AS customers_left,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders
+           WHERE o_custkey != {ERASE_CUSTKEY}) AS orders_left,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_orderkey = l.l_orderkey
+               AND o.o_custkey = {ERASE_CUSTKEY}))
+            AS lineitems_left,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders o
+           WHERE o.o_custkey != {ERASE_CUSTKEY}
+             AND NOT EXISTS (
+               SELECT 1 FROM customer c
+               WHERE c.c_custkey = o.o_custkey
+                 AND c.c_custkey != {ERASE_CUSTKEY}))
+            AS orphan_orders,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_orderkey = l.l_orderkey
+               AND o.o_custkey = {ERASE_CUSTKEY})
+             AND NOT EXISTS (
+               SELECT 1 FROM orders o2
+               WHERE o2.o_orderkey = l.l_orderkey
+                 AND o2.o_custkey != {ERASE_CUSTKEY}))
+            AS orphan_lineitems
+    """
+
     # drift gate: same integer era split, per-band single division
     o["value_drift_eras"] = """
         SELECT event_type, band, early_n, late_n,

@@ -380,6 +380,8 @@ def queries() -> dict[str, QueryFn]:
         "user_trailing_spend": analytics.user_trailing_spend,
         # era-vs-era histogram drift gate (per-band chi-square terms)
         "value_drift_eras": analytics.value_drift_eras,
+        # FK-closure subject erasure with integrity proof
+        "cascade_erasure": analytics.cascade_erasure,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,
