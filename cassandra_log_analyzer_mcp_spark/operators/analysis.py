@@ -1114,3 +1114,33 @@ def scd_owner_join(logs: DataFrame) -> DataFrame:
         F.sum(F.col("is_error").cast("long")).alias("errors"),
         F.count("*").alias("total_lines"),
     )
+
+
+def error_rate_sliding(logs: DataFrame) -> DataFrame:
+    """SLIDING event-time windows — the windowing mechanic the
+    tumbling (error_rate_windowed) and row-frame (error_rate_rolling)
+    variants don't exercise: ``window(ts, '1 hour', '15 minutes')``
+    assigns every line to its FOUR overlapping hour windows (Spark
+    plans this as a 4-row Expand feeding one hash aggregate — fan-out
+    ×slides, still map-side combinable, no self-join). This is the
+    smooth dashboard trendline: a burst shows in four successive
+    points instead of aliasing on a tumbling boundary.
+
+    The oracle reproduces the window arithmetic directly (the k-th
+    covering window of t starts at floor(t/900)·900 − k·900,
+    k ∈ 0..3, clipped to starts > t − 3600) — integer epoch math.
+    """
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        logs.groupBy("node", win.alias("w"))
+        .agg(
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+            F.count("*").alias("total"),
+        )
+        .select(
+            "node",
+            F.col("w.start").cast("long").alias("win_start"),
+            "errors",
+            "total",
+        )
+    )

@@ -635,6 +635,25 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # sliding windows: the k-th covering window of t starts at
+    # floor(t/900)*900 - k*900 (k in 0..3) — integer epoch math
+    o["error_rate_sliding"] = with_logs(
+        """
+        SELECT node, win_start,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors,
+               CAST(count(*) AS BIGINT) AS total
+        FROM (
+          SELECT f.node, f.is_error,
+                 (CAST(floor(epoch(f.ts) / 900) AS BIGINT) - k.k) * 900
+                   AS win_start
+          FROM flagged f
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        ) s
+        GROUP BY 1, 2
+        """
+    )
+
     # CUSUM via its closed form (prefix sum − clamped running min);
     # all-integer arithmetic end to end, zero-filled hours from
     # generate_series mirroring the Spark side's sequence explode

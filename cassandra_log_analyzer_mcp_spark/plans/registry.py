@@ -472,6 +472,8 @@ def queries() -> dict[str, QueryFn]:
         "top_error_classes": _on_logs(analysis.top_error_classes),
         "error_rate_windowed": _on_logs(analysis.error_rate_windowed),
         "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
+        # sliding event-time windows (4x overlap Expand, one agg)
+        "error_rate_sliding": _on_logs(analysis.error_rate_sliding),
         # Page's CUSUM regime-shift detector (closed-form windows)
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints
