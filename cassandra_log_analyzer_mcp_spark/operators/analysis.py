@@ -1144,3 +1144,57 @@ def error_rate_sliding(logs: DataFrame) -> DataFrame:
             "total",
         )
     )
+
+
+#: chi-square critical value at α = 0.05, df = 1 (the 2×2 test)
+CHI2_CRIT_95 = 3.841
+
+
+def error_independence_chi2(logs: DataFrame) -> DataFrame:
+    """HYPOTHESIS TESTING — "is this node's error rate genuinely
+    different from the rest of the cluster, or noise?": each node's
+    2×2 contingency table (this node vs rest × error vs clean) gets
+    the chi-square statistic χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)),
+    which is ONE exact-integer numerator over ONE exact-integer
+    denominator — a single IEEE division, rounded at 4dp, no
+    float-sum protocol — flagged against the 95% critical value.
+    compare_nodes ranks rates; this says whether the difference is
+    STATISTICALLY REAL, which is what pages an on-call at 3am.
+
+    Shape: one node-keyed rollup, a 1-row cluster total broadcast
+    back, O(nodes) arithmetic. int64 holds N·(ad−bc)² up to ~10^9
+    lines per the numerator's magnitude analysis; beyond that the
+    same expression runs in DECIMAL(38).
+    """
+    per = logs.groupBy("node").agg(
+        F.sum(F.col("is_error").cast("long")).alias("a"),
+        F.sum((~F.col("is_error")).cast("long")).alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "a",
+        "b",
+        (F.col("ta") - F.col("a")).alias("c"),
+        (F.col("tb") - F.col("b")).alias("d"),
+        (F.col("ta") + F.col("tb")).alias("n"),
+    )
+    num = F.col("n") * (
+        F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    ) * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    chi2 = F.round(num / den, 4)
+    return j.select(
+        "node",
+        F.col("a").alias("errors"),
+        (F.col("a") + F.col("b")).alias("lines"),
+        chi2.alias("chi2"),
+        (chi2 > CHI2_CRIT_95).alias("significant_95"),
+    )

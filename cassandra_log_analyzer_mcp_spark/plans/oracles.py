@@ -635,6 +635,33 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # 2x2 chi-square: integer numerator/denominator, one division
+    o["error_independence_chi2"] = with_logs(
+        """
+        SELECT node, a AS errors, a + b AS lines,
+               round(n * (a * d - b * c) * (a * d - b * c)
+                     / ((a + b) * (c + d) * (a + c) * (b + d)), 4)
+                 AS chi2,
+               round(n * (a * d - b * c) * (a * d - b * c)
+                     / ((a + b) * (c + d) * (a + c) * (b + d)), 4)
+                 > 3.841 AS significant_95
+        FROM (
+          SELECT node, a, b,
+                 (sum(a) OVER ()) - a AS c,
+                 (sum(b) OVER ()) - b AS d,
+                 (sum(a) OVER ()) + (sum(b) OVER ()) AS n
+          FROM (
+            SELECT node,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN is_error THEN 0 ELSE 1 END)
+                        AS BIGINT) AS b
+            FROM flagged GROUP BY node
+          ) p
+        ) t
+        """
+    )
+
     # sliding windows: the k-th covering window of t starts at
     # floor(t/900)*900 - k*900 (k in 0..3) — integer epoch math
     o["error_rate_sliding"] = with_logs(

@@ -474,6 +474,10 @@ def queries() -> dict[str, QueryFn]:
         "error_rate_rolling": _on_logs(analysis.error_rate_rolling),
         # sliding event-time windows (4x overlap Expand, one agg)
         "error_rate_sliding": _on_logs(analysis.error_rate_sliding),
+        # exact-arithmetic 2x2 chi-square significance per node
+        "error_independence_chi2": _on_logs(
+            analysis.error_independence_chi2
+        ),
         # Page's CUSUM regime-shift detector (closed-form windows)
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints
