@@ -1162,9 +1162,10 @@ def error_independence_chi2(logs: DataFrame) -> DataFrame:
     STATISTICALLY REAL, which is what pages an on-call at 3am.
 
     Shape: one node-keyed rollup, a 1-row cluster total broadcast
-    back, O(nodes) arithmetic. int64 holds N·(ad−bc)² up to ~10^9
-    lines per the numerator's magnitude analysis; beyond that the
-    same expression runs in DECIMAL(38).
+    back, O(nodes) arithmetic. The products run in DECIMAL(38)
+    (int64 overflows past ~10⁶ lines — caught by the sf0.1 gate);
+    the division runs on the correctly-rounded double images of the
+    two exact integers, identically on both engines.
     """
     per = logs.groupBy("node").agg(
         F.sum(F.col("is_error").cast("long")).alias("a"),
@@ -1181,15 +1182,21 @@ def error_independence_chi2(logs: DataFrame) -> DataFrame:
         (F.col("tb") - F.col("b")).alias("d"),
         (F.col("ta") + F.col("tb")).alias("n"),
     )
-    num = F.col("n") * (
-        F.col("a") * F.col("d") - F.col("b") * F.col("c")
-    ) * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
-    den = (
-        (F.col("a") + F.col("b"))
-        * (F.col("c") + F.col("d"))
-        * (F.col("a") + F.col("c"))
-        * (F.col("b") + F.col("d"))
+    # DECIMAL(38) arithmetic: N·(ad−bc)² overflows int64 past ~10⁶
+    # lines (measured at sf0.1); decimal keeps it exact to 10³⁸ and
+    # the final division runs on the correctly-rounded double images
+    # of both exact integers — one IEEE division on both engines.
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    diff = dec(F.col("a")) * dec(F.col("d")) - dec(F.col("b")) * dec(
+        F.col("c")
     )
+    num = (dec(F.col("n")) * diff * diff).cast("double")
+    den = (
+        dec(F.col("a") + F.col("b"))
+        * dec(F.col("c") + F.col("d"))
+        * dec(F.col("a") + F.col("c"))
+        * dec(F.col("b") + F.col("d"))
+    ).cast("double")
     chi2 = F.round(num / den, 4)
     return j.select(
         "node",

@@ -639,11 +639,19 @@ def analysis_oracles() -> dict[str, str]:
     o["error_independence_chi2"] = with_logs(
         """
         SELECT node, a AS errors, a + b AS lines,
-               round(n * (a * d - b * c) * (a * d - b * c)
-                     / ((a + b) * (c + d) * (a + c) * (b + d)), 4)
+               round(CAST(CAST(n AS HUGEINT)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          AS DOUBLE)
+                     / CAST(CAST(a + b AS HUGEINT) * (c + d)
+                            * (a + c) * (b + d) AS DOUBLE), 4)
                  AS chi2,
-               round(n * (a * d - b * c) * (a * d - b * c)
-                     / ((a + b) * (c + d) * (a + c) * (b + d)), 4)
+               round(CAST(CAST(n AS HUGEINT)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          AS DOUBLE)
+                     / CAST(CAST(a + b AS HUGEINT) * (c + d)
+                            * (a + c) * (b + d) AS DOUBLE), 4)
                  > 3.841 AS significant_95
         FROM (
           SELECT node, a, b,
