@@ -2060,3 +2060,72 @@ def cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(one("orphan_orders", orphan_orders))
         .crossJoin(one("orphan_lineitems", orphan_li))
     )
+
+
+#: association-rule thresholds: pair support (co-occurrence count)
+COPURCHASE_MIN_SUPPORT = 3
+
+
+def part_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules — "parts bought together":
+    unordered part pairs co-occurring in an order, with support
+    (pair count), confidence (pair/antecedent, both directions) and
+    scaled lift — the Apriori-style first pass every recommender
+    bootstrap runs.
+
+    Scale shape: the pair generator is an ORDER-KEYED self-join, so
+    candidate volume is Σ_orders (lines choose 2) — bounded by the
+    per-order line count (≤ 7 in TPC-H-shaped data), never
+    corpus-quadratic; part supports roll up separately and join the
+    pair table by part key (broadcastable dim-sized rollups).
+    Float protocol: confidence/lift are single exact-integer
+    divisions rounded at 4dp (lift scaled by the order count's
+    integer image: lift = support·N / (sup_a·sup_b), one division).
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= COPURCHASE_MIN_SUPPORT)
+    )
+    part_sup = li.groupBy("l_partkey").agg(F.count("*").alias("sup"))
+    # the scalar order count is driver state like k-means' centroids —
+    # one long, collected once
+    n = li.select("l_orderkey").distinct().count()
+    out = (
+        pairs.join(
+            part_sup.select(
+                F.col("l_partkey").alias("pa"), F.col("sup").alias("sup_a")
+            ),
+            "pa",
+        )
+        .join(
+            part_sup.select(
+                F.col("l_partkey").alias("pb"), F.col("sup").alias("sup_b")
+            ),
+            "pb",
+        )
+    )
+    return out.select(
+        "pa",
+        "pb",
+        F.col("support").cast("long"),
+        F.round(F.col("support") / F.col("sup_a"), 4).alias("conf_a_to_b"),
+        F.round(F.col("support") / F.col("sup_b"), 4).alias("conf_b_to_a"),
+        F.round(
+            F.col("support") * F.lit(n) / (F.col("sup_a") * F.col("sup_b")),
+            4,
+        ).alias("lift"),
+    )

@@ -21,6 +21,35 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY l_returnflag, l_linestatus
     """
 
+    # market basket: same pair/support/lift arithmetic
+    from ..operators.analytics import COPURCHASE_MIN_SUPPORT
+
+    o["part_copurchase_rules"] = f"""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}
+        ),
+        sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s
+                FROM li GROUP BY 1),
+        n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+              FROM li)
+        SELECT p.pa, p.pb, p.support,
+               round(p.support / sa.s, 4) AS conf_a_to_b,
+               round(p.support / sb.s, 4) AS conf_b_to_a,
+               round(p.support * n.n / (sa.s * sb.s), 4) AS lift
+        FROM pairs p
+        JOIN sup sa ON sa.l_partkey = p.pa
+        JOIN sup sb ON sb.l_partkey = p.pb
+        CROSS JOIN n
+    """
+
     # cascade erasure: every census figure from FK arithmetic
     from ..operators.analytics import ERASE_CUSTKEY
 

@@ -382,6 +382,8 @@ def queries() -> dict[str, QueryFn]:
         "value_drift_eras": analytics.value_drift_eras,
         # FK-closure subject erasure with integrity proof
         "cascade_erasure": analytics.cascade_erasure,
+        # market-basket association rules (support/confidence/lift)
+        "part_copurchase_rules": analytics.part_copurchase_rules,
         "bloom_pruned_join": analytics.bloom_pruned_join,
         "interval_overlap_join": analytics.interval_overlap_join,
         "user_value_deciles": analytics.user_value_deciles,

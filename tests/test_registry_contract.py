@@ -74,7 +74,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "hybrid_rrf_search", "scd_owner_join", "user_trailing_spend",
     "streaming_rack_counts", "k_anonymity_audit", "dp_noised_counts",
     "value_drift_eras", "cascade_erasure", "error_rate_sliding",
-    "error_independence_chi2",
+    "error_independence_chi2", "part_copurchase_rules",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
