@@ -939,3 +939,42 @@ def pagerank_ranks(pairs: DataFrame):
             ).alias("r"),
         )
     return state.select("u", "r"), deg
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE counting on the near-dup graph — the third graph
+    metric next to components (dedup_clusters) and centrality
+    (doc_pagerank): triangles measure CLIQUISHNESS, and in a dedup
+    graph that distinguishes a tight template family (every copy
+    similar to every other → many triangles) from a drift chain
+    (a~b~c but a≁c → none), which changes the keeper policy.
+
+    Canonical-order enumeration (a < b < c): wedges from one
+    edge-edge equi-join on the middle vertex, closed by one more
+    equi-join against the edge set — each triangle counted exactly
+    once, per-member counts from one explode+rollup. At corpus scale
+    the standard degree-ordering trick (orient edges low→high degree)
+    bounds the wedge join's skew; the verified-pair graph here is
+    candidate-bounded already.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    e = _canon_edges(
+        pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
+    ).select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        )
+        .select("a", "b", "c")
+    )
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return members.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

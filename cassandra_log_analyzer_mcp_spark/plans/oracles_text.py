@@ -841,6 +841,25 @@ def text_oracles() -> dict[str, str]:
         SELECT * FROM hist UNION ALL SELECT * FROM single
     """
 
+    # triangles: canonical-order triple join over the same edges
+    o["dedup_graph_triangles"] = f"""
+        WITH {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b
+              FROM pairs WHERE da != db),
+        tri AS (
+          SELECT ab.a, ab.b, bc.b AS c
+          FROM e ab
+          JOIN e bc ON bc.a = ab.b
+          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+          SELECT unnest([a, b, c]) AS doc_id FROM tri
+        ) m GROUP BY doc_id
+    """
+
     # fixed-point PageRank over the same verified-pair graph: the
     # three rounds unroll to plain CTEs running the IDENTICAL integer
     # expression graph (floor divisions), so the hash is bit-exact

@@ -300,6 +300,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_graph_stats": dedup.dedup_graph_stats,
         # fixed-point integer PageRank over the near-dup graph
         "doc_pagerank": dedup.doc_pagerank,
+        # triangle counts (cliquishness) on the same graph
+        "dedup_graph_triangles": dedup.dedup_graph_triangles,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_winnow": dedup.dedup_winnow,
         "dedup_editdist": dedup.dedup_editdist,
