@@ -1205,3 +1205,57 @@ def error_independence_chi2(logs: DataFrame) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > CHI2_CRIT_95).alias("significant_95"),
     )
+
+
+def node_coverage_gaps(logs: DataFrame) -> DataFrame:
+    """MISSING-DATA audit — the monitoring question underneath every
+    other metric: "is this node even REPORTING?" An hour with zero
+    lines is invisible to every rollup above; here the zero-filled
+    hour grid (same sequence-explode machinery as cusum_series)
+    makes absence itself the signal: per node, expected vs observed
+    hours, the count of silent hours, and the LONGEST silent streak
+    (computed with the gaps-and-islands trick — silent hours group by
+    hour_index − rank, one window over the tiny per-node hour grid).
+
+    All integers; the longest-streak window runs over hour-grid
+    cardinality, bounded by the calendar.
+    """
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("h")
+    hourly = logs.groupBy("node", hour).agg(F.count("*").alias("x"))
+    bounds = hourly.groupBy("node").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "node", F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h")
+    )
+    filled = grid.join(hourly, ["node", "h"], "left").select(
+        "node", "h", F.col("x").isNull().alias("silent")
+    )
+    w = Window.partitionBy("node").orderBy("h")
+    streaks = (
+        filled.withColumn("idx", F.row_number().over(w))
+        .filter(F.col("silent"))
+        .withColumn(
+            "grp",
+            F.col("idx")
+            - F.row_number().over(Window.partitionBy("node").orderBy("h")),
+        )
+        .groupBy("node", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("node")
+        .agg(F.max("len").alias("longest_gap_hours"))
+    )
+    totals = filled.groupBy("node").agg(
+        F.count("*").cast("long").alias("expected_hours"),
+        F.sum((~F.col("silent")).cast("long")).alias("observed_hours"),
+        F.sum(F.col("silent").cast("long")).alias("silent_hours"),
+    )
+    return totals.join(streaks, "node", "left").select(
+        "node",
+        "expected_hours",
+        "observed_hours",
+        "silent_hours",
+        F.coalesce(F.col("longest_gap_hours"), F.lit(0))
+        .cast("long")
+        .alias("longest_gap_hours"),
+    )

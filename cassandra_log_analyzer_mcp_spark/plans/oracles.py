@@ -635,6 +635,53 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # coverage gaps: zero-filled grid + gaps-and-islands streaks
+    o["node_coverage_gaps"] = with_logs(
+        """
+        , hourly AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 count(*) AS x
+          FROM logs GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+          FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                FROM hourly GROUP BY node) b
+        ),
+        filled AS (
+          SELECT g.node, g.h, hr.x IS NULL AS silent
+          FROM grid g LEFT JOIN hourly hr
+            ON hr.node = g.node AND hr.h = g.h
+        ),
+        streaks AS (
+          SELECT node, max(len) AS longest FROM (
+            SELECT node, grp, count(*) AS len FROM (
+              SELECT node, h,
+                     row_number() OVER (PARTITION BY node ORDER BY h)
+                     - row_number() OVER (PARTITION BY node, silent
+                                          ORDER BY h) AS grp
+              FROM filled
+              QUALIFY silent
+            ) s GROUP BY node, grp
+          ) m GROUP BY node
+        )
+        SELECT t.node,
+               CAST(t.expected_hours AS BIGINT) AS expected_hours,
+               CAST(t.observed_hours AS BIGINT) AS observed_hours,
+               CAST(t.silent_hours AS BIGINT) AS silent_hours,
+               CAST(coalesce(s.longest, 0) AS BIGINT)
+                 AS longest_gap_hours
+        FROM (
+          SELECT node, count(*) AS expected_hours,
+                 sum(CASE WHEN silent THEN 0 ELSE 1 END)
+                   AS observed_hours,
+                 sum(CASE WHEN silent THEN 1 ELSE 0 END) AS silent_hours
+          FROM filled GROUP BY node
+        ) t LEFT JOIN streaks s ON s.node = t.node
+        """
+    )
+
     # 2x2 chi-square: integer numerator/denominator, one division
     o["error_independence_chi2"] = with_logs(
         """

@@ -482,6 +482,8 @@ def queries() -> dict[str, QueryFn]:
         "error_independence_chi2": _on_logs(
             analysis.error_independence_chi2
         ),
+        # missing-data audit (silent hours + longest streak)
+        "node_coverage_gaps": _on_logs(analysis.node_coverage_gaps),
         # Page's CUSUM regime-shift detector (closed-form windows)
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints

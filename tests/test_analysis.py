@@ -521,3 +521,27 @@ def test_cusum_fires_only_after_sustained_shift(spark):
     assert [r.cusum for r in out] == [18, 24, 30]
     assert [r.hour_s for r in out] == [base + h * 3600 for h in (12, 13, 14)]
     assert all(r.k_ref == 4 for r in out)
+
+
+def test_coverage_gaps_finds_engineered_silence(spark):
+    """Synthetic node with hours 0-2 active, 3-6 silent, 7 active,
+    9 active (8 silent): expected 10 grid hours, 5 silent, longest
+    streak 4 — pins the zero-fill and the gaps-and-islands streak."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        node_coverage_gaps,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000 - (1_600_000_000 % 3600)
+    active = [0, 1, 2, 7, 9]
+    rows = [(base + h * 3600, "nX", False) for h in active]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error")
+    r = node_coverage_gaps(logs).collect()[0]
+    assert (
+        r.expected_hours,
+        r.observed_hours,
+        r.silent_hours,
+        r.longest_gap_hours,
+    ) == (10, 5, 5, 4)

@@ -75,7 +75,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "streaming_rack_counts", "k_anonymity_audit", "dp_noised_counts",
     "value_drift_eras", "cascade_erasure", "error_rate_sliding",
     "error_independence_chi2", "part_copurchase_rules",
-    "dedup_graph_triangles",
+    "dedup_graph_triangles", "node_coverage_gaps",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
