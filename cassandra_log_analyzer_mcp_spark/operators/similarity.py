@@ -1178,3 +1178,55 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_TOP_K)
         .select("q_id", "doc_id", "rrf_scaled", F.col("rn").cast("int"))
     )
+
+
+def embedding_drift_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE drift — the vector sibling of value_drift_eras
+    (a training pipeline monitors BOTH: payload histograms and the
+    geometry of its representation space): the corpus splits into two
+    ingestion batches (vec_id parity — the deterministic stand-in for
+    drop N vs drop N+1) and each DIMENSION's mean shift is computed
+    in exact-integer arithmetic over the int8-quantized vectors:
+    shift = (sa·nb − sb·na)/(na·nb) is one integer numerator over one
+    integer denominator — a single division, rounded at 6dp, scaled
+    back by the quantization factor downstream if physical units are
+    wanted.
+
+    Shape: posexplode → (dim, batch)-keyed map-combinable integer
+    sums (the codegen path — array-lambda folds run interpreted),
+    then O(dims) arithmetic.
+    """
+    quant = _quantized(spark, sf_dir)
+    per_dim = (
+        quant.select(
+            (F.col("vec_id") % 2 == 0).alias("batch_a"),
+            F.posexplode("q").alias("dim", "qv"),
+        )
+        .groupBy("dim", "batch_a")
+        .agg(F.count("*").alias("n"), F.sum("qv").alias("s"))
+    )
+    pivoted = per_dim.groupBy("dim").agg(
+        F.sum(F.when(F.col("batch_a"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("batch_a"), F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(~F.col("batch_a"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(~F.col("batch_a"), F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    shift = (
+        F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    ) / (F.col("na") * F.col("nb"))
+    return pivoted.select(
+        F.col("dim").cast("int"),
+        "na",
+        "sa",
+        "nb",
+        "sb",
+        F.round(shift, 6).alias("mean_shift_q"),
+    )

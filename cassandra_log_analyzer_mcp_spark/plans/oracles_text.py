@@ -1637,6 +1637,42 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {KNN_TOP_K}
     """
 
+    from ..operators.similarity import QUANT_SCALE as _QS
+
+    # embedding drift: same quantization + parity split + single
+    # exact-integer division
+    o["embedding_drift_batches"] = f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_QS}) AS BIGINT))
+                   AS qv
+          FROM embeddings
+        ),
+        expl AS (
+          SELECT vec_id % 2 = 0 AS batch_a,
+                 unnest(generate_series(1, len(qv))) AS dim1,
+                 qv
+          FROM q
+        ),
+        per AS (
+          SELECT CAST(dim1 - 1 AS INT) AS dim, batch_a,
+                 count(*) AS n, sum(qv[dim1]) AS s
+          FROM expl GROUP BY 1, 2
+        ),
+        piv AS (
+          SELECT dim,
+                 CAST(sum(CASE WHEN batch_a THEN n ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN batch_a THEN s ELSE 0 END) AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN batch_a THEN 0 ELSE n END) AS BIGINT) AS nb,
+                 CAST(sum(CASE WHEN batch_a THEN 0 ELSE s END) AS BIGINT) AS sb
+          FROM per GROUP BY dim
+        )
+        SELECT dim, na, sa, nb, sb,
+               round((sa * nb - sb * na) / (na * nb), 6) AS mean_shift_q
+        FROM piv
+    """
+
     from ..operators.similarity import QUANT_SCALE
 
     o["knn_quantized_int8"] = f"""

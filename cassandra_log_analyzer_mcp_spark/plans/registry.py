@@ -319,6 +319,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_delete": similarity.ann_ivf_delete,
         # dense+sparse reciprocal-rank fusion (exact-integer RRF)
         "hybrid_rrf_search": similarity.hybrid_rrf_search,
+        # per-dimension embedding drift between ingestion batches
+        "embedding_drift_batches": similarity.embedding_drift_batches,
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
