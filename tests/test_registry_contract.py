@@ -76,7 +76,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "value_drift_eras", "cascade_erasure", "error_rate_sliding",
     "error_independence_chi2", "part_copurchase_rules",
     "dedup_graph_triangles", "node_coverage_gaps",
-    "embedding_drift_batches",
+    "embedding_drift_batches", "shard_balance_report",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
