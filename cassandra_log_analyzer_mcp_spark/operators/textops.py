@@ -1298,3 +1298,66 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "phrase", "doc_id", F.col("n_matches").cast("long")
     )
+
+
+#: augmentation dropout rate: a token drops when its seeded hash's
+#: first hex digit is '0' — exactly 1/16.
+AUG_SEED = "aug-v1"
+
+
+def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DATA AUGMENTATION — token dropout (the
+    regularizing corruption a training pipeline applies on the fly,
+    made reproducible): token i of doc d drops iff
+    md5(seed‖doc‖pos‖token) starts with '0' (exactly 1/16), so every
+    epoch seed yields a new-but-replayable corpus view — the same
+    seeded-hash determinism contract as corpus_shuffle and
+    train_test_split, extended to CONTENT transformation.
+
+    Pure map stage (posexplode → filter → re-aggregate in position
+    order): one doc-keyed shuffle to reassemble, no joins. Graded on
+    (kept, dropped, md5 of the augmented text) per doc — the oracle
+    replays the identical draw with list_filter, so one mis-dropped
+    token flips the text hash.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+    keep = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(AUG_SEED),
+                F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"),
+                F.col("tok"),
+            )
+        ),
+        1,
+        1,
+    ) != "0"
+    marked = toks.withColumn("keep", keep)
+    rebuilt = (
+        marked.filter("keep")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).tok,
+                " ",
+            ).alias("aug_text"),
+        )
+    )
+    totals = marked.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("kept"), F.lit(0)))
+        .cast("long")
+        .alias("dropped"),
+        F.md5(F.coalesce(F.col("aug_text"), F.lit(""))).alias("aug_hash"),
+    )

@@ -152,6 +152,26 @@ def text_oracles() -> dict[str, str]:
         ) t
     """
 
+    # augmentation: the identical seeded draw replayed per token
+    from ..operators.textops import AUG_SEED
+
+    o["augment_token_dropout"] = f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+        kept AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 list_filter(tk, (tok, i) ->
+                   substr(md5('{AUG_SEED}:' || doc_id || ':' || (i - 1)
+                              || ':' || tok), 1, 1) != '0') AS ktoks
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(len(ktoks) AS BIGINT) AS kept,
+               CAST(n_tokens - len(ktoks) AS BIGINT) AS dropped,
+               md5(array_to_string(ktoks, ' ')) AS aug_hash
+        FROM kept
+    """
+
     # phrase search: adjacency recounted straight from the documents
     # with the identical tokenizer — the index never enters the
     # oracle; the position-set count handles overlapping occurrences

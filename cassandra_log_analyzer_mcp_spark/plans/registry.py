@@ -251,6 +251,8 @@ def queries() -> dict[str, QueryFn]:
         "quality_score": textops.quality_score,
         # Pareto frontier over (quality ↑, tokens ↓) — skyline verb
         "doc_quality_skyline": textops.doc_quality_skyline,
+        # reproducible token-dropout augmentation (seeded hash draw)
+        "augment_token_dropout": textops.augment_token_dropout,
         # positional postings index probe (adjacency phrase match)
         "phrase_search_positional": textops.phrase_search_positional,
         "lang_id": textops.lang_id,
