@@ -1259,3 +1259,44 @@ def node_coverage_gaps(logs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("longest_gap_hours"),
     )
+
+
+def impute_hourly_locf(logs: DataFrame) -> DataFrame:
+    """GAP IMPUTATION (last observation carried forward) — the
+    time-series repair step between node_coverage_gaps (find the
+    silence) and any model consuming the series (which needs a dense
+    matrix): silent hours take the most recent observed hourly error
+    count, with an is_imputed flag so downstream can weight them.
+    Mechanic: the zero-filled grid LEFT-joins the observed rollup and
+    ``last(x, ignorenulls)`` over an unbounded-preceding window per
+    node carries values forward — leading silence (before the first
+    observation) stays NULL→0 with its flag, the honest "never seen"
+    case.
+
+    Windows run over the calendar-bounded per-node hour grid; all
+    integers.
+    """
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("h")
+    hourly = logs.groupBy("node", hour).agg(
+        F.sum(F.col("is_error").cast("long")).alias("x")
+    )
+    bounds = hourly.groupBy("node").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "node", F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("h")
+    )
+    sparse = grid.join(hourly, ["node", "h"], "left")
+    w = (
+        Window.partitionBy("node")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "node",
+        F.col("h").cast("long").alias("hour_s"),
+        F.coalesce(F.last("x", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("errors_imputed"),
+        F.col("x").isNull().alias("is_imputed"),
+    )

@@ -635,6 +635,32 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # LOCF imputation: same grid, last_value IGNORE NULLS carry
+    o["impute_hourly_locf"] = with_logs(
+        """
+        , hourly AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x
+          FROM flagged GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+          FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                FROM hourly GROUP BY node) b
+        )
+        SELECT g.node, g.h AS hour_s,
+               CAST(coalesce(last_value(hr.x IGNORE NULLS) OVER (
+                      PARTITION BY g.node ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS BIGINT) AS errors_imputed,
+               hr.x IS NULL AS is_imputed
+        FROM grid g LEFT JOIN hourly hr
+          ON hr.node = g.node AND hr.h = g.h
+        """
+    )
+
     # coverage gaps: zero-filled grid + gaps-and-islands streaks
     o["node_coverage_gaps"] = with_logs(
         """

@@ -490,6 +490,8 @@ def queries() -> dict[str, QueryFn]:
         ),
         # missing-data audit (silent hours + longest streak)
         "node_coverage_gaps": _on_logs(analysis.node_coverage_gaps),
+        # LOCF gap imputation over the dense hour grid
+        "impute_hourly_locf": _on_logs(analysis.impute_hourly_locf),
         # Page's CUSUM regime-shift detector (closed-form windows)
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints

@@ -77,7 +77,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "error_independence_chi2", "part_copurchase_rules",
     "dedup_graph_triangles", "node_coverage_gaps",
     "embedding_drift_batches", "shard_balance_report",
-    "augment_token_dropout",
+    "augment_token_dropout", "impute_hourly_locf",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
