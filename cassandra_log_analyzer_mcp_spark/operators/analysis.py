@@ -1300,3 +1300,64 @@ def impute_hourly_locf(logs: DataFrame) -> DataFrame:
         .alias("errors_imputed"),
         F.col("x").isNull().alias("is_imputed"),
     )
+
+
+#: SLO burn protocol: error budget = 1/4 of lines (synthetic corpus
+#: runs error-rich); burn = error_fraction / budget = 4e/t. The
+#: multi-window rule fires when the SHORT window burns ≥ 2× budget
+#: AND the containing LONG window burns ≥ 1.2× — integer-exact via
+#: cross-multiplication (2e ≥ t and 10e ≥ 3t).
+SLO_SHORT_S = 900
+SLO_LONG_S = 7200
+
+
+def slo_burn_alerts(logs: DataFrame) -> DataFrame:
+    """MULTI-WINDOW BURN-RATE alerting (the Google SRE workbook
+    rule): a 15-minute spike alone pages nobody (noise), a slow 2-hour
+    drift alone pages nobody (too late to matter per-window) — the
+    page fires when the SHORT window is burning fast AND its
+    containing LONG window confirms the trend. Both thresholds
+    evaluate as integer cross-multiplications (burn ≥ 2 ⇔ 2e ≥ t;
+    burn ≥ 1.2 ⇔ 10e ≥ 3t), so the alert set is hash-exact; the
+    reported burn rates are single divisions rounded 4dp.
+
+    Shape: two tumbling rollups (map-combinable) joined on the
+    containing-window key — window-cardinality data after the scans.
+    """
+    short_w = (
+        F.floor(F.col("ts").cast("long") / SLO_SHORT_S) * SLO_SHORT_S
+    ).alias("win_s")
+    long_of = (F.floor(F.col("win_s") / SLO_LONG_S) * SLO_LONG_S).alias(
+        "win_l"
+    )
+    shorts = logs.groupBy("node", short_w).agg(
+        F.sum(F.col("is_error").cast("long")).alias("e_s"),
+        F.count("*").alias("t_s"),
+    )
+    longs = (
+        logs.groupBy(
+            "node",
+            (
+                F.floor(F.col("ts").cast("long") / SLO_LONG_S) * SLO_LONG_S
+            ).alias("win_l"),
+        )
+        .agg(
+            F.sum(F.col("is_error").cast("long")).alias("e_l"),
+            F.count("*").alias("t_l"),
+        )
+    )
+    j = shorts.select("node", "win_s", "e_s", "t_s", long_of).join(
+        longs, ["node", "win_l"]
+    )
+    fired = j.filter(
+        (2 * F.col("e_s") >= F.col("t_s"))
+        & (10 * F.col("e_l") >= 3 * F.col("t_l"))
+    )
+    return fired.select(
+        "node",
+        F.col("win_s").cast("long"),
+        F.col("e_s").cast("long"),
+        F.col("t_s").cast("long"),
+        F.round(4 * F.col("e_s") / F.col("t_s"), 4).alias("burn_short"),
+        F.round(4 * F.col("e_l") / F.col("t_l"), 4).alias("burn_long"),
+    )

@@ -635,6 +635,33 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # multi-window burn: same integer cross-multiplied rule
+    o["slo_burn_alerts"] = with_logs(
+        """
+        SELECT s.node, s.win_s, s.e_s, s.t_s,
+               round(4 * s.e_s / s.t_s, 4) AS burn_short,
+               round(4 * l.e_l / l.t_l, 4) AS burn_long
+        FROM (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS win_s,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                      AS BIGINT) AS e_s,
+                 CAST(count(*) AS BIGINT) AS t_s
+          FROM flagged GROUP BY 1, 2
+        ) s
+        JOIN (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200 AS win_l,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                      AS BIGINT) AS e_l,
+                 CAST(count(*) AS BIGINT) AS t_l
+          FROM flagged GROUP BY 1, 2
+        ) l ON l.node = s.node
+           AND l.win_l = (s.win_s // 7200) * 7200
+        WHERE 2 * s.e_s >= s.t_s AND 10 * l.e_l >= 3 * l.t_l
+        """
+    )
+
     # LOCF imputation: same grid, last_value IGNORE NULLS carry
     o["impute_hourly_locf"] = with_logs(
         """

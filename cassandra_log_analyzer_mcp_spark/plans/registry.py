@@ -492,6 +492,8 @@ def queries() -> dict[str, QueryFn]:
         "node_coverage_gaps": _on_logs(analysis.node_coverage_gaps),
         # LOCF gap imputation over the dense hour grid
         "impute_hourly_locf": _on_logs(analysis.impute_hourly_locf),
+        # SRE multi-window burn-rate paging rule (integer-exact)
+        "slo_burn_alerts": _on_logs(analysis.slo_burn_alerts),
         # Page's CUSUM regime-shift detector (closed-form windows)
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints

@@ -77,7 +77,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "error_independence_chi2", "part_copurchase_rules",
     "dedup_graph_triangles", "node_coverage_gaps",
     "embedding_drift_batches", "shard_balance_report",
-    "augment_token_dropout", "impute_hourly_locf",
+    "augment_token_dropout", "impute_hourly_locf", "slo_burn_alerts",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
