@@ -1230,3 +1230,63 @@ def embedding_drift_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sb",
         F.round(shift, 6).alias("mean_shift_q"),
     )
+
+
+#: contrastive_pairs: per query, K positives (kNN) + K seeded-hash
+#: negatives drawn from the non-neighbor remainder.
+CONTRASTIVE_SEED = "ctr-v1"
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE PAIR construction — the training-set builder for
+    embedding models (the step downstream of everything this engine
+    curates): per query vector, its K nearest neighbors become
+    positives (label 1) and K deterministic hash-sampled NON-neighbors
+    become negatives (label 0) — the uniform-negative baseline;
+    hard-negative mining would swap the sampler for an ANN shortlist,
+    nothing else changes.
+
+    Negatives are drawn by ranking the non-neighbor remainder on
+    md5(seed‖q‖doc) — replayable across engines and epochs (the same
+    seeded-draw contract as augment_token_dropout). At corpus scale
+    the per-query rank runs behind a hash-prefix threshold so only
+    ~K·fudge candidates ever rank; at gate scale the direct window is
+    exact and the contract identical.
+    """
+    pos = knn_cosine_brute(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("doc_id")
+    )
+    corpus = _embeddings_normed(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    qs = corpus.filter(F.col("doc_id") < KNN_N_QUERIES).select(
+        F.col("doc_id").alias("q_id")
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(pos, ["q_id", "doc_id"], "left_anti")
+        .select(
+            "q_id",
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(CONTRASTIVE_SEED),
+                    F.col("q_id").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("draw"),
+        )
+    )
+    wn = Window.partitionBy("q_id").orderBy("draw", "doc_id")
+    negs = (
+        cand.withColumn("nrn", F.row_number().over(wn))
+        .filter(F.col("nrn") <= KNN_TOP_K)
+        .select("q_id", "doc_id")
+    )
+    return pos.select(
+        "q_id", "doc_id", F.lit(1).cast("int").alias("label")
+    ).unionByName(
+        negs.select("q_id", "doc_id", F.lit(0).cast("int").alias("label"))
+    )

@@ -1687,6 +1687,51 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {KNN_TOP_K}
     """
 
+    from ..operators.similarity import CONTRASTIVE_SEED
+
+    # contrastive pairs: positives re-derived via the knn oracle
+    # shape, negatives by the identical seeded-hash rank
+    o["contrastive_pairs"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dpairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                 round(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 3) AS sim
+          FROM emb e, emb q
+          WHERE q.vec_id < {KNN_N_QUERIES} AND e.vec_id != q.vec_id
+        ),
+        pos AS (
+          SELECT q_id, doc_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, doc_id) AS rn
+            FROM dpairs
+          ) t WHERE rn <= {KNN_TOP_K}
+        ),
+        cand AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                 md5('{CONTRASTIVE_SEED}:' || q.vec_id || ':'
+                     || e.vec_id) AS draw
+          FROM emb e, emb q
+          WHERE q.vec_id < {KNN_N_QUERIES} AND e.vec_id != q.vec_id
+            AND NOT EXISTS (SELECT 1 FROM pos p
+                            WHERE p.q_id = q.vec_id
+                              AND p.doc_id = e.vec_id)
+        ),
+        negs AS (
+          SELECT q_id, doc_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY draw, doc_id) AS nrn
+            FROM cand
+          ) t WHERE nrn <= {KNN_TOP_K}
+        )
+        SELECT q_id, doc_id, CAST(1 AS INT) AS label FROM pos
+        UNION ALL
+        SELECT q_id, doc_id, CAST(0 AS INT) AS label FROM negs
+    """
+
     from ..operators.similarity import QUANT_SCALE as _QS
 
     # embedding drift: same quantization + parity split + single

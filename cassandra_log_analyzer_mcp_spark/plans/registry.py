@@ -325,6 +325,8 @@ def queries() -> dict[str, QueryFn]:
         "hybrid_rrf_search": similarity.hybrid_rrf_search,
         # per-dimension embedding drift between ingestion batches
         "embedding_drift_batches": similarity.embedding_drift_batches,
+        # contrastive positive/negative pair construction
+        "contrastive_pairs": similarity.contrastive_pairs,
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
