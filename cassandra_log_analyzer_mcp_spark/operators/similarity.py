@@ -1290,3 +1290,36 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         negs.select("q_id", "doc_id", F.lit(0).cast("int").alias("label"))
     )
+
+
+def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD CALIBRATION report for the semantic-dedup family:
+    the distribution of bucket-candidate cosine similarities, banded
+    at 0.1 — the evidence a pipeline owner reads BEFORE choosing
+    EMBED_DEDUP_MIN_SIM (a threshold placed without this histogram is
+    a guess; a bimodal histogram places it in the valley). Reuses the
+    LSH bucket candidate generator (bounded pairs, never all-pairs);
+    the band floor runs on the 3dp-rounded sim both engines already
+    share, so banding is exact.
+    """
+    emb = _embeddings_normed(spark, sf_dir)
+    corpus = emb.select(
+        "vec_id", "v", "nv", _bucket_col("v").alias("bucket")
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("ea"),
+        F.col("nv").alias("na"), "bucket",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("eb"),
+        F.col("nv").alias("nb"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select(_pair_sim("ea", "eb", "na", "nb").alias("sim"))
+    )
+    band = (F.floor(F.col("sim") * 10) / 10).alias("sim_band")
+    return pairs.groupBy(band).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

@@ -1813,6 +1813,24 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE sim >= {EMBED_DEDUP_MIN_SIM}
     """
 
+    # calibration histogram over the same bucketed candidates
+    o["embedding_sim_histogram"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        corpus AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM emb),
+        pairs AS (
+          SELECT round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 3) AS sim
+          FROM corpus a JOIN corpus b USING (bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT floor(sim * 10) / 10 AS sim_band,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    """
+
     o["doc_embedding_join"] = """
         SELECT d.doc_id, d.lang, d.n_chars, e.label,
                round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),

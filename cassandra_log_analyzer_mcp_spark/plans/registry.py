@@ -327,6 +327,8 @@ def queries() -> dict[str, QueryFn]:
         "embedding_drift_batches": similarity.embedding_drift_batches,
         # contrastive positive/negative pair construction
         "contrastive_pairs": similarity.contrastive_pairs,
+        # semantic-dedup threshold calibration histogram
+        "embedding_sim_histogram": similarity.embedding_sim_histogram,
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,

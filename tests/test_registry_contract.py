@@ -78,7 +78,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "dedup_graph_triangles", "node_coverage_gaps",
     "embedding_drift_batches", "shard_balance_report",
     "augment_token_dropout", "impute_hourly_locf", "slo_burn_alerts",
-    "contrastive_pairs",
+    "contrastive_pairs", "embedding_sim_histogram",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
