@@ -161,6 +161,10 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # DLQ routing must reproduce the same census as the batch
+    # tolerant parse — shared oracle IS the proof
+    o["streaming_dlq_counts"] = o["log_parse_corrupt_tolerant"]
+
     # multiline: the oracle derives each entry's stack DIRECTLY from
     # the templates (which events carry frames, and their exact text),
     # never re-simulating the segmentation — so any window/grouping

@@ -565,6 +565,8 @@ def queries() -> dict[str, QueryFn]:
         "streaming_cusum_alerts": batch_bridge.streaming_cusum_alerts,
         # stream-static broadcast enrichment before the windowed agg
         "streaming_rack_counts": batch_bridge.streaming_rack_counts,
+        # dead-letter routing: parsed flow + DLQ sink, census graded
+        "streaming_dlq_counts": batch_bridge.streaming_dlq_counts,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,

@@ -37,6 +37,7 @@ EAGER = {
     "streaming_dedup_watermarked",  # availableNow run; memory sink
     "streaming_cusum_alerts",  # availableNow run; driver-state fold
     "streaming_rack_counts",  # availableNow run; memory sink
+    "streaming_dlq_counts",  # availableNow run; parquet fork sinks
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
