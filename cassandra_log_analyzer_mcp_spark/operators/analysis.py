@@ -1361,3 +1361,98 @@ def slo_burn_alerts(logs: DataFrame) -> DataFrame:
         F.round(4 * F.col("e_s") / F.col("t_s"), 4).alias("burn_short"),
         F.round(4 * F.col("e_l") / F.col("t_l"), 4).alias("burn_long"),
     )
+
+
+def trend_moments(logs: DataFrame) -> DataFrame:
+    """The four mergeable per-node moments OLS trend fitting needs —
+    (min hour index, max hour index, error count, sum of hour
+    indices) — in ONE map-side-combinable aggregation over the raw
+    scan. Zero-error hours never materialize: their contribution to
+    the regression (they add to n, Σt, Σt² but not Σy, Σty) has an
+    arithmetic-series closed form recovered in trend_from_moments,
+    so there is no grid explode and no per-node window anywhere.
+
+    The batch operator and the streaming cross-batch fold
+    (streaming_trend_state) both consume exactly this shape — min,
+    max, and the two sums are each associative/commutative, so the
+    stream can fold per-batch partials and land on the identical
+    moments.
+    """
+    t = F.floor(F.col("ts").cast("long") / 3600).cast("long")
+    return (
+        logs.filter(F.col("is_error"))
+        .select("node", t.alias("t"))
+        .groupBy("node")
+        .agg(
+            F.min("t").alias("t0"),
+            F.max("t").alias("t1"),
+            F.count("*").alias("sy"),
+            F.sum("t").alias("sty"),
+        )
+    )
+
+
+def trend_from_moments(m: DataFrame) -> DataFrame:
+    """Closed-form exact-integer OLS completion over the zero-filled
+    hourly grid [t0, t1]: n = t1-t0+1 slots, Σt = (t0+t1)·n/2,
+    Σt² = f(t1)−f(t0−1) with Faulhaber f(m) = m(m+1)(2m+1)/6 —
+    both divisions exact (each cubic product is divisible by 6, the
+    pairwise product by 2). slope = (nΣty − ΣtΣy) / (nΣt² − (Σt)²)
+    is emitted as its integer numerator/denominator pair — no float
+    ever exists, so the cross-engine hash needs no rounding protocol.
+
+    Overflow discipline: t is an epoch-hour index (~4.9e5 in 2026),
+    so the cubic Faulhaber terms stay under 2^63 until year ~2159,
+    but n·Σt² and (Σt)² cross int64 once a node's span reaches a few
+    thousand hours — the final products therefore run in
+    DECIMAL(38,0) (the oracle mirrors with HUGEINT), and only the
+    shift-invariant small results cast back to BIGINT. Shift
+    invariance (slope_num/den are unchanged by t → t−c) is what
+    makes absolute epoch-hour moments mergeable across batches
+    without agreeing on a per-node origin first.
+    """
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t0, t1 = F.col("t0"), F.col("t1")
+    # integer `div`, never `/`: the cubic Faulhaber difference
+    # (~2.4e17 for 2026 epoch-hours) exceeds double's 2^53 exact
+    # range, so float division would corrupt low bits before the
+    # cast; both dividends are exact multiples so div is lossless
+    base = m.selectExpr(
+        "node",
+        "sy",
+        "sty",
+        "t1 - t0 + 1 AS n",
+        "((t0 + t1) * (t1 - t0 + 1)) div 2 AS st",
+        "(t1 * (t1 + 1) * (2*t1 + 1)"
+        " - (t0 - 1) * t0 * (2*t0 - 1)) div 6 AS stt",
+    )
+    num = d(F.col("n")) * d(F.col("sty")) - d(F.col("st")) * d(F.col("sy"))
+    den = d(F.col("n")) * d(F.col("stt")) - d(F.col("st")) * d(F.col("st"))
+    return base.select(
+        "node",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sy").cast("long").alias("total_errors"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(num > 0, F.lit("degrading"))
+        .when(num < 0, F.lit("improving"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
+def error_trend_ols(logs: DataFrame) -> DataFrame:
+    """Per-node error TREND — exact-rational least-squares slope of
+    the zero-filled hourly error series, the "is this node getting
+    worse" verdict that point-in-time alerts (windowed_alerts) and
+    regime shifts (error_cusum_changepoints) don't answer: CUSUM
+    finds WHEN the level changed; the OLS slope measures the
+    sustained direction and ranks nodes by degradation rate.
+
+    Scale shape: one map-side-combinable aggregation over the raw
+    scan (four integers per node leave the executors), then O(nodes)
+    closed-form arithmetic — no grid materialization, no window, no
+    second shuffle. See trend_moments / trend_from_moments for the
+    zero-fill closed form and the DECIMAL(38) overflow discipline.
+    """
+    return trend_from_moments(trend_moments(logs))

@@ -861,6 +861,48 @@ def analysis_oracles() -> dict[str, str]:
     # form's exact alarm set — shared oracle IS the proof
     o["streaming_cusum_alerts"] = o["error_cusum_changepoints"]
 
+    # exact-rational OLS trend: the oracle recomputes the zero-filled
+    # grid's Σt/Σt² from the SAME Faulhaber closed forms (each cubic
+    # product divisible by 6, the pairwise product by 2 — `//` is
+    # floor-exact on positives); HUGEINT mirrors Spark's DECIMAL(38)
+    # for the n·Σt² and (Σt)² products that cross int64 on long
+    # node histories; slope_num/den are shift-invariant and small.
+    o["error_trend_ols"] = with_logs(
+        """
+        SELECT node,
+               CAST(n AS BIGINT) AS n_hours,
+               CAST(sy AS BIGINT) AS total_errors,
+               CAST(n*sty - st*sy AS BIGINT) AS slope_num,
+               CAST(n*stt - st*st AS BIGINT) AS slope_den,
+               CASE WHEN n*sty - st*sy > 0 THEN 'degrading'
+                    WHEN n*sty - st*sy < 0 THEN 'improving'
+                    ELSE 'flat' END AS trend
+        FROM (
+          SELECT node, n, sy, sty,
+                 ((t0 + t1) * n) // 2 AS st,
+                 (t1*(t1+1)*(2*t1+1)
+                  - (t0-1)*t0*(2*t0-1)) // 6 AS stt
+          FROM (
+            SELECT node,
+                   CAST(min(t) AS HUGEINT) AS t0,
+                   CAST(max(t) AS HUGEINT) AS t1,
+                   CAST(max(t) - min(t) + 1 AS HUGEINT) AS n,
+                   CAST(count(*) AS HUGEINT) AS sy,
+                   CAST(sum(t) AS HUGEINT) AS sty
+            FROM (
+              SELECT node, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t
+              FROM flagged WHERE is_error
+            ) e GROUP BY node
+          ) raw
+        ) m
+        """
+    )
+
+    # the streaming fold carries ONLY (t0, t1, Σy, Σty) per node
+    # across micro-batches — shared oracle proves the 4-integer
+    # state reconstructs the batch regression exactly
+    o["streaming_trend_state"] = o["error_trend_ols"]
+
     # medians of integer counts are integers or exact .5 midpoints, so
     # round(…,1) is lossless and the >2× comparison is identical IEEE
     # arithmetic on both engines.

@@ -502,6 +502,8 @@ def queries() -> dict[str, QueryFn]:
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints
         ),
+        # exact-rational OLS degradation trend (mergeable moments)
+        "error_trend_ols": _on_logs(analysis.error_trend_ols),
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),
@@ -567,6 +569,8 @@ def queries() -> dict[str, QueryFn]:
         "streaming_rack_counts": batch_bridge.streaming_rack_counts,
         # dead-letter routing: parsed flow + DLQ sink, census graded
         "streaming_dlq_counts": batch_bridge.streaming_dlq_counts,
+        # 4-integer mergeable-moments fold (shares the OLS oracle)
+        "streaming_trend_state": batch_bridge.streaming_trend_state,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,

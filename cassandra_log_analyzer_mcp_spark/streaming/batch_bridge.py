@@ -1182,3 +1182,84 @@ def streaming_dlq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_parsed", F.lit(0)).cast("long").alias("n_parsed"),
         F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
     )
+
+
+def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS degradation trend AS A STREAM — the mergeable-moments
+    pattern: each micro-batch reduces its error lines to four
+    integers per node (min/max hour index, count, Σ hour index) with
+    a DISTRIBUTED map-side-combinable aggregation, and the driver
+    folds partials with min/min, max/max, +, + — state is O(nodes)·4
+    integers FOREVER, stream length never grows it. Because
+    slope_num/den are shift-invariant (trend_from_moments), absolute
+    epoch-hour moments merge across batches without the per-node
+    origin being known up front — the property that makes this fold
+    possible at all.
+
+    The raw error feed replays as two TIME-SPLIT files
+    (``maxFilesPerTrigger=1`` → two real micro-batches), so the
+    final regression provably mixes both halves: min-hour comes from
+    batch 1, max-hour from batch 2. Shares error_trend_ols' oracle —
+    the fold must land the batch closed form's EXACT integer
+    numerator/denominator per node.
+    """
+    import time as _time
+
+    from ..operators.analysis import trend_from_moments
+    from ..sources.tables import logs_flagged
+
+    lines = (
+        logs_flagged(spark, sf_dir)
+        .filter(F.col("is_error"))
+        .select(
+            "node",
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("t"),
+        )
+    )
+    split = lines.approxQuantile("t", [0.5], 0.0)[0]
+    feed = tempfile.mkdtemp(prefix="trend_feed_") + "/errors"
+    early = os.path.join(feed, "0_early")
+    late = os.path.join(feed, "1_late")
+    lines.filter(F.col("t") < split).repartition(1).write.parquet(early)
+    lines.filter(F.col("t") >= split).repartition(1).write.parquet(late)
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            p = os.path.join(root, f)
+            os.utime(p, (now + offset, now + offset))
+
+    # node -> [t0, t1, sy, sty]
+    state: dict[str, list[int]] = {}
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        partial = batch.groupBy("node").agg(
+            F.min("t").alias("t0"),
+            F.max("t").alias("t1"),
+            F.count("*").alias("sy"),
+            F.sum("t").alias("sty"),
+        )
+        for r in partial.collect():  # O(nodes) rows — the whole point
+            s = state.setdefault(r.node, [r.t0, r.t1, 0, 0])
+            s[0] = min(s[0], r.t0)
+            s[1] = max(s[1], r.t1)
+            s[2] += r.sy
+            s[3] += r.sty
+
+    stream = spark.readStream.schema("node string, t long").option(
+        "maxFilesPerTrigger", "1"
+    ).option("recursiveFileLookup", "true").parquet(feed)
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_trend_state did not finish its availableNow run"
+        )
+    moments = spark.createDataFrame(
+        [(n, s[0], s[1], s[2], s[3]) for n, s in sorted(state.items())],
+        schema="node string, t0 long, t1 long, sy long, sty long",
+    )
+    return trend_from_moments(moments)

@@ -106,3 +106,55 @@ def test_dp_geometric_sampler_is_calibrated():
     p0 = sum(1 for m in mags if m == 0) / n
     assert 0.93 < mean < 1.07
     assert 0.48 < p0 < 0.52
+
+
+def test_trend_closed_form_matches_numpy_and_survives_int64_overflow(spark):
+    """trend_from_moments' Faulhaber completion vs a brute-force
+    zero-filled polyfit on random sparse series — and a 3-year-span
+    node whose n·Σt² and (Σt)² intermediates exceed int64, proving
+    the DECIMAL(38) path keeps the integers exact."""
+    from fractions import Fraction
+
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        trend_from_moments,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    expect = {}
+    cases = {"short": 120, "long": 26_280}  # hours; long ≈ 3 years
+    for name, span in cases.items():
+        t0 = 490_000 + rng.randrange(1000)
+        obs = sorted(
+            rng.sample(range(t0, t0 + span), k=min(60, span // 2))
+        )
+        obs = [t0, *obs, t0 + span - 1]  # pin the exact bounds
+        xs = [rng.randrange(1, 50) for _ in obs]
+        rows.append((
+            name, obs[0], obs[-1], sum(xs),
+            sum(t * x for t, x in zip(obs, xs)),
+        ))
+        # brute force on the zero-filled grid, exact rationals
+        grid = {t: 0 for t in range(obs[0], obs[-1] + 1)}
+        for t, x in zip(obs, xs):
+            grid[t] += x
+        n = len(grid)
+        st, sy = sum(grid), sum(grid.values())
+        sty = sum(t * x for t, x in grid.items())
+        stt = sum(t * t for t in grid)
+        expect[name] = (n * sty - st * sy, n * stt - st * st)
+        if name == "long":
+            assert n * stt > 2**63  # the overflow regime is real
+    moments = spark.createDataFrame(
+        rows, "node string, t0 long, t1 long, sy long, sty long"
+    )
+    got = {r.node: r for r in trend_from_moments(moments).collect()}
+    for name, (num, den) in expect.items():
+        assert (got[name].slope_num, got[name].slope_den) == (num, den)
+        assert got[name].trend == (
+            "degrading" if num > 0 else "improving" if num < 0 else "flat"
+        )
+        # and the rational slope matches an independent formulation
+        assert Fraction(num, den) == Fraction(
+            got[name].slope_num, got[name].slope_den
+        )

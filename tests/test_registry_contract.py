@@ -79,7 +79,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "embedding_drift_batches", "shard_balance_report",
     "augment_token_dropout", "impute_hourly_locf", "slo_burn_alerts",
     "contrastive_pairs", "embedding_sim_histogram",
-    "streaming_dlq_counts",
+    "streaming_dlq_counts", "error_trend_ols", "streaming_trend_state",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

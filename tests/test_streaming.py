@@ -397,3 +397,32 @@ def test_streaming_cusum_state_crosses_batches(spark):
     )[0]
     hours = [r.hour_s for r in out]
     assert any(h < split for h in hours) and any(h >= split for h in hours)
+
+
+def test_streaming_trend_fold_crosses_batches(spark):
+    """The 4-integer moments fold must mix both micro-batches: the
+    global min hour can only come from the early file and the max
+    from the late one, and the folded regression must equal the
+    batch closed form EXACTLY (integer num/den, no tolerance)."""
+    sf_dir = "/root/testdata/sf0.01"
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_trend_ols,
+        trend_moments,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        streaming_trend_state,
+    )
+
+    out = streaming_trend_state(spark, sf_dir).collect()
+    batch = error_trend_ols(logs_flagged(spark, sf_dir)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    # the split point sits strictly inside every node's [t0, t1], so
+    # a single batch could not have produced the folded extremes
+    m = {r.node: r for r in trend_moments(logs_flagged(spark, sf_dir)).collect()}
+    lines = logs_flagged(spark, sf_dir).filter("is_error").selectExpr(
+        "cast(floor(cast(ts as long) / 3600) as long) as t"
+    )
+    split = lines.approxQuantile("t", [0.5], 0.0)[0]
+    for r in m.values():
+        assert r.t0 < split <= r.t1

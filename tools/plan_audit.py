@@ -38,6 +38,7 @@ EAGER = {
     "streaming_cusum_alerts",  # availableNow run; driver-state fold
     "streaming_rack_counts",  # availableNow run; memory sink
     "streaming_dlq_counts",  # availableNow run; parquet fork sinks
+    "streaming_trend_state",  # availableNow run; driver moments fold
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
