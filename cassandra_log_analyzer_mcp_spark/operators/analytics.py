@@ -2129,3 +2129,60 @@ def part_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift"),
     )
+
+
+def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style (potential part promotion, ref roadmap's
+    analytics substrate): suppliers in one nation whose shipments of
+    widget-parts CONCENTRATE in the target year — per (part,
+    supplier), 1997 volume exceeding half the pair's all-time volume.
+    The classic nested-aggregate → threshold → semi-join-chain shape
+    (Q20's availqty > ½·Σqty, re-anchored on observed shipments since
+    this data model has no partsupp table).
+
+    Plan shape at 100 TB: the name-filtered part list and the
+    single-nation supplier dim both BROADCAST, so lineitem is pruned
+    before its only shuffle — the (part, supplier) groupBy at pair
+    cardinality; the year split is a conditional sum inside that same
+    aggregate (one pass, no self-join, where the naive Q20 plan scans
+    lineitem twice). Quantities are integral, so cast-to-long sums
+    make 2·q_window > q_total an exact integer comparison — no float
+    protocol.
+    """
+    wid = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").endswith("widget"))
+        .select("p_partkey")
+    )
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    qty = F.col("l_quantity").cast("long")
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", qty.alias("q"), in97.alias("w"))
+        .join(F.broadcast(wid), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("w"), F.col("q")).otherwise(0)).alias("qw"),
+            F.sum("q").alias("qt"),
+        )
+        .filter(2 * F.col("qw") > F.col("qt"))
+    )
+    return (
+        pairs.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("qw").cast("long").alias("qty_1997"),
+        )
+        .select("s_name", F.col("n_parts").cast("long").alias("n_parts"), "qty_1997")
+    )

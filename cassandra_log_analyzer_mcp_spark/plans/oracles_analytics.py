@@ -233,6 +233,34 @@ def analytics_oracles() -> dict[str, str]:
     # independent derivation via the classic EXISTS/NOT-EXISTS shape
     # (DuckDB decorrelates it itself) — the Spark side's single-rollup
     # reformulation must produce identical blame counts
+    # Q20 shape graded against the CORRELATED formulation (IN
+    # subqueries + HAVING over the nested aggregate) — structurally
+    # independent from the Spark broadcast-join plan; integral
+    # quantities cast to BIGINT make the 2x threshold exact.
+    o["excess_inventory_suppliers"] = """
+        SELECT s.s_name,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(q.qw) AS BIGINT) AS qty_1997
+        FROM (
+          SELECT l_suppkey, l_partkey,
+                 sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                           AND l_shipdate <  TIMESTAMP '1998-01-01'
+                     THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qw
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%widget')
+          GROUP BY 1, 2
+          HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                               AND l_shipdate <  TIMESTAMP '1998-01-01'
+                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                 > sum(CAST(l_quantity AS BIGINT))
+        ) q
+        JOIN supplier s ON s.s_suppkey = q.l_suppkey
+        WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_name = 'NATION_3')
+        GROUP BY s.s_name
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

@@ -411,6 +411,8 @@ def queries() -> dict[str, QueryFn]:
         "nation_volume": analytics.nation_volume,
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "late_sole_suppliers": analytics.late_sole_suppliers,
+        # Q20 shape: nested per-pair aggregate -> threshold -> semi-join
+        "excess_inventory_suppliers": analytics.excess_inventory_suppliers,
         "market_share": analytics.market_share,
         "disjunctive_revenue": analytics.disjunctive_revenue,
         "min_cost_supplier": analytics.min_cost_supplier,

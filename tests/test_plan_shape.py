@@ -517,3 +517,13 @@ def test_phrase_probe_prunes_postings_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert "pfx" in seg
+
+
+def test_excess_inventory_scans_lineitem_once_all_broadcast(spark, sf_dir):
+    """Q20 shape: the year split is a conditional sum inside ONE
+    (part, supplier) aggregate — no lineitem self-join — and both
+    dims broadcast, so the pair groupBy is the only real shuffle."""
+    plan = _plan(analytics.excess_inventory_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
