@@ -307,3 +307,128 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_audio_payload(docs).mapInPandas(
         _audio_energy_batches, _AUDIO_SCHEMA
     )
+
+
+#: perceptual-hash dedup constants: 8×8 grayscale thumbnail (the
+#: classic aHash grid), doc_id//PHASH_GROUP docs share a base image
+#: with PHASH_PERTURB pixels replaced per doc (planted near-dups the
+#: oracle can re-derive); 4 bands × 16 bits is pigeonhole-lossless
+#: for Hamming ≤ 3.
+PHASH_PIXELS = 64
+PHASH_GROUP = 5
+PHASH_PERTURB = (7, 23, 42)
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 3
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic 64-byte 8×8 grayscale thumbnail as a
+    binary column: docs in the same PHASH_GROUP share an md5-derived
+    base image, and each doc's PHASH_PERTURB pixels are replaced with
+    doc-specific bytes — the "same photo, small edit" population a
+    perceptual hash exists to catch. Pure hex-string surgery on JVM
+    expressions (codegen'd), so the SQL oracle can rebuild every
+    pixel with the same md5 arithmetic."""
+    g = (F.col("doc_id") / PHASH_GROUP).cast("long").cast("string")
+    base = F.concat(
+        *[F.md5(F.concat(g, F.lit(f":i{c}"))) for c in range(4)]
+    )
+    dmd = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":px")))
+    segs = []
+    prev = 0
+    for j, p in enumerate(PHASH_PERTURB):
+        if 2 * p > prev:
+            segs.append(F.substring(base, prev + 1, 2 * p - prev))
+        segs.append(F.substring(dmd, 2 * j + 1, 2))
+        prev = 2 * p + 2
+    segs.append(F.substring(base, prev + 1, 2 * PHASH_PIXELS - prev))
+    return docs.select("doc_id", F.unhex(F.concat(*segs)).alias("img"))
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized aHash over the whole Arrow batch: one frombuffer,
+    reshape (docs, 64), integer mean threshold (64·v > Σv — no
+    float), packbits big-endian so grid pixel 0 lands in hash bit 63,
+    viewed as signed int64 (two's complement, mirrored in SQL)."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        px = (
+            np.frombuffer(b"".join(pdf["img"]), dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(n, PHASH_PIXELS)
+        )
+        bits = (px * PHASH_PIXELS) > px.sum(axis=1, keepdims=True)
+        ph = np.packbits(bits, axis=1).view(">i8").ravel().astype(np.int64)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(), "phash": ph}
+        )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE IMAGES by perceptual hash — the multimodal ×
+    dedup cross: binary thumbnails → Arrow ``mapInPandas`` aHash
+    kernel (real bit-level signal math, value-graded because the
+    oracle rebuilds every pixel from the md5 hex arithmetic) → the
+    SAME banded LSH discipline as dedup_simhash, now over a 64-bit
+    image hash: 4×16-bit bands bucket the corpus, candidates join
+    per band (O(collisions), never O(n²)), and true Hamming ≤ 3
+    confirms — pigeonhole makes the banding LOSSLESS at this
+    threshold, so recall is exactly "all pairs within 3 bits".
+
+    Recall note (property of aHash, not of the plan): a replaced
+    pixel flips its hash bit only when it crosses the image mean, so
+    planted neighbors land at Hamming 0–3(+jitter) and distinct
+    images at ~32 — pairs the threshold drops are dropped identically
+    by both engines. At 100 TB the band width is the knob: collision
+    load per 2^16 bucket grows linearly with corpus size, so widen
+    bands (or add a second-level band on the bucket) as n grows —
+    same playbook as dedup_simhash.
+
+    Scale shape: kernel is map-only executor-side Arrow; the only
+    shuffles are the band-key join and the final DISTINCT at
+    candidate cardinality.
+    """
+    docs = documents(spark, sf_dir).select("doc_id")
+    hashed = with_image_payload(docs).mapInPandas(
+        _phash_batches, "doc_id long, phash long"
+    )
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned("phash", b * PHASH_BAND_BITS)
+                        .bitwiseAND(mask)
+                        + (b << PHASH_BAND_BITS)
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("phash").alias("pa"), "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("phash").alias("pb"), "band"
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+        .select("da", "db", F.col("hamming").cast("int").alias("hamming"))
+    )

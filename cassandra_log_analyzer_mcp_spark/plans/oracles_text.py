@@ -510,6 +510,85 @@ def text_oracles() -> dict[str, str]:
     # hex arithmetic (4 hex digits → big-endian int16, two's
     # complement), no binary types needed SQL-side; one md5 block per
     # window so win_id == chunk index
+    # aHash rebuilt pixel-by-pixel from the same md5 hex arithmetic:
+    # group base image + fixed perturbed pixels, integer mean
+    # threshold (64·v > Σv), bit i of the hash = grid pixel (63−i),
+    # HUGEINT packing signed back to int64 two's complement to match
+    # numpy's .view('>i8'); bands recomputed from the UNSIGNED h so
+    # the shift semantics match shiftrightunsigned.
+    from ..operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_GROUP,
+        PHASH_MAX_HAMMING,
+        PHASH_PERTURB,
+        PHASH_PIXELS,
+    )
+
+    hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+    p_list = ", ".join(str(p) for p in PHASH_PERTURB)
+    p_off = " ".join(
+        f"WHEN {p} THEN {2 * j + 1}" for j, p in enumerate(PHASH_PERTURB)
+    )
+    ph_mask = (1 << PHASH_BAND_BITS) - 1
+    ph_bands = ", ".join(
+        f"((h >> {b * PHASH_BAND_BITS}) & {ph_mask})"
+        f" + {b * (1 << PHASH_BAND_BITS)}"
+        for b in range(PHASH_BANDS)
+    )
+    o["multimodal_phash_dedup"] = f"""
+        WITH px AS (
+          SELECT doc_id, unnest(range(0, {PHASH_PIXELS})) AS i
+          FROM documents
+        ),
+        hx2 AS (
+          SELECT doc_id, i,
+                 CASE WHEN i IN ({p_list}) THEN
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':px'),
+                          CASE i {p_off} END, 2)
+                 ELSE
+                   substr(md5(CAST(doc_id // {PHASH_GROUP} AS VARCHAR)
+                              || ':i' || CAST(i // 16 AS VARCHAR)),
+                          CAST((i % 16) * 2 + 1 AS INT), 2)
+                 END AS hx
+          FROM px
+        ),
+        vals AS (
+          SELECT doc_id, i,
+                 ({hexd.format(i=1)}) * 16 + ({hexd.format(i=2)}) AS v
+          FROM hx2
+        ),
+        bits AS (
+          SELECT doc_id, i,
+                 CASE WHEN v * {PHASH_PIXELS}
+                           > sum(v) OVER (PARTITION BY doc_id)
+                      THEN 1 ELSE 0 END AS b
+          FROM vals
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 sum(CASE WHEN b = 1
+                     THEN CAST(1 AS HUGEINT) << (63 - i)
+                     ELSE CAST(0 AS HUGEINT) END) AS h
+          FROM bits GROUP BY doc_id
+        ),
+        signed AS (
+          SELECT doc_id, h,
+                 CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                      THEN h - CAST('18446744073709551616' AS HUGEINT)
+                      ELSE h END AS BIGINT) AS ph
+          FROM hashed
+        ),
+        buckets AS (
+          SELECT doc_id, ph, unnest([{ph_bands}]) AS band FROM signed
+        )
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM buckets a JOIN buckets b USING (band)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
+    """
+
     from ..operators.multimodal import AUDIO_CHUNKS, AUDIO_WIN
 
     hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"

@@ -345,6 +345,8 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_frames_check": multimodal.multimodal_frames_check,
         # decode-free PCM signal kernel, value-graded end to end
         "multimodal_audio_energy": multimodal.multimodal_audio_energy,
+        # perceptual-hash near-dup images (aHash kernel + banded LSH)
+        "multimodal_phash_dedup": multimodal.multimodal_phash_dedup,
         # new parity variants (reference tool-surface semantics)
         "get_errors_global": _on_logs(analysis.get_errors_global),
         "error_timeline_raw": _on_logs(analysis.error_timeline_raw),

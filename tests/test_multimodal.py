@@ -98,3 +98,39 @@ def test_audio_energy_matches_hashlib_reference(spark, sf_dir):
         .collect()
     )
     assert [(r.win_id, r.energy, r.peak) for r in out] == expect
+
+
+def test_phash_kernel_matches_reference_and_is_robust():
+    """The numpy aHash equals a per-pixel pure-Python reference, a
+    byte-identical image hashes identically, and flipping ONE pixel
+    moves the hash by at most a few bits (the perceptual-hash
+    robustness property the dedup relies on)."""
+    import numpy as np
+    import pandas as pd
+
+    from cassandra_log_analyzer_mcp_spark.operators.multimodal import (
+        PHASH_PIXELS,
+        _phash_batches,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, PHASH_PIXELS, dtype=np.uint8).tobytes()
+    edited = bytearray(img)
+    edited[5] = (edited[5] + 200) % 256
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "img": [img, img, bytes(edited)]}
+    )
+    out = pd.concat(list(_phash_batches(iter([pdf]))))
+    h = dict(zip(out["doc_id"], out["phash"]))
+    # pure-python reference
+    px = list(img)
+    total = sum(px)
+    ref = 0
+    for i, v in enumerate(px):
+        if v * PHASH_PIXELS > total:
+            ref |= 1 << (63 - i)
+    if ref >= 1 << 63:
+        ref -= 1 << 64
+    assert h[1] == ref
+    assert h[1] == h[2]
+    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= 4

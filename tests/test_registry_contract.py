@@ -80,7 +80,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "augment_token_dropout", "impute_hourly_locf", "slo_burn_alerts",
     "contrastive_pairs", "embedding_sim_histogram",
     "streaming_dlq_counts", "error_trend_ols", "streaming_trend_state",
-    "excess_inventory_suppliers",
+    "excess_inventory_suppliers", "multimodal_phash_dedup",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
