@@ -1361,3 +1361,78 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dropped"),
         F.md5(F.coalesce(F.col("aug_text"), F.lit(""))).alias("aug_hash"),
     )
+
+
+#: count-min sketch geometry: CMS_D independent md5-keyed hash rows ×
+#: CMS_W counters. W is the accuracy knob (ε ≈ e/W): production uses
+#: 2^20-wide rows; the gate pins W=16 so the ~31-token test vocab
+#: MUST collide and the over-estimate arithmetic is genuinely
+#: exercised rather than vacuously zero.
+CMS_D = 4
+CMS_W = 16
+
+
+def _cms_cell(token: F.Column, row: int) -> F.Column:
+    """Row-r counter index: first 8 md5 hex digits → int, mod W —
+    the same arithmetic the oracle states in SQL."""
+    h = F.md5(F.concat(token, F.lit(f":c{row}")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W)
+
+
+def token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH token frequencies, evaluated exactly: the
+    sketch is built as a real distributed structure (explode tokens ×
+    CMS_D hash rows → groupBy (row, cell) — map-side combine means
+    only D·W=64 counter rows ever shuffle, and two sketches merge by
+    adding counters, so partitions/days/streams compose for free at
+    100 TB where the exact vocab table is the thing you can't
+    afford). Each token's estimate is the MIN over its D counters;
+    the report joins the exact count back in (the evaluation harness,
+    not part of a production sketch) and grades estimate, truth, and
+    inflation per token — hash-exact because the oracle SIMULATES the
+    identical sketch in SQL (same md5 row keys, same mod-W cells,
+    same min), so a single misrouted increment on either engine
+    breaks the gate.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select(F.explode(tokens_col()).alias("token"))
+    rows = tok.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_cell(F.col("token"), r).alias("cell")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "rc.r", "rc.cell")
+    sketch = rows.groupBy("r", "cell").agg(F.count("*").alias("c"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n_true"))
+    probes = vocab.select(
+        "token",
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_cell(F.col("token"), r).alias("cell")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "n_true", "rc.r", "rc.cell")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("token", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.select(
+        "token",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_est").cast("long").alias("n_est"),
+        (F.col("n_est") - F.col("n_true")).cast("long").alias("inflation"),
+    )

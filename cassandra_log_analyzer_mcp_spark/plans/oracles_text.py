@@ -525,6 +525,38 @@ def text_oracles() -> dict[str, str]:
         PHASH_PIXELS,
     )
 
+    # count-min sketch SIMULATED in SQL: identical md5 row keys,
+    # mod-W cells, and min-over-rows estimate — the oracle rebuilds
+    # the exact counter table, so grading covers the sketch's
+    # collision arithmetic, not just the true counts.
+    from ..operators.textops import CMS_D, CMS_W
+
+    cms_cell = (
+        "CAST('0x' || substr(md5(token || ':c' || CAST(r AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) % {CMS_W}"
+    )
+    o["token_counts_cms"] = f"""
+        WITH tok AS (
+          SELECT unnest({TOKS}) AS token FROM documents
+        ),
+        rr AS (SELECT unnest(range(0, {CMS_D})) AS r),
+        cells AS (
+          SELECT r, {cms_cell} AS cell, count(*) AS c
+          FROM tok CROSS JOIN rr GROUP BY 1, 2
+        ),
+        cnt AS (SELECT token, count(*) AS n_true FROM tok GROUP BY token),
+        probes AS (
+          SELECT token, n_true, r, {cms_cell} AS cell
+          FROM cnt CROSS JOIN rr
+        )
+        SELECT token,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(min(c) AS BIGINT) AS n_est,
+               CAST(min(c) - n_true AS BIGINT) AS inflation
+        FROM probes JOIN cells USING (r, cell)
+        GROUP BY token, n_true
+    """
+
     hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
     p_list = ", ".join(str(p) for p in PHASH_PERTURB)
     p_off = " ".join(

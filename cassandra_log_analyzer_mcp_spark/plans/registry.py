@@ -260,6 +260,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_fingerprint": textops.doc_fingerprint,
         "vocab_top_tokens": textops.vocab_top_tokens,
         "vocab_top_tokens_mergeable": textops.vocab_top_tokens_mergeable,
+        # count-min sketch, collision arithmetic graded exactly
+        "token_counts_cms": textops.token_counts_cms,
         "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_repetition": textops.doc_repetition,

@@ -1117,3 +1117,58 @@ def test_skyline_matches_brute_force_with_ties(spark):
         )
     }
     assert got == brute == {1, 2, 3, 6, 7}
+
+
+def test_cms_never_underestimates_and_merges(spark, sf_dir):
+    """CMS invariants outside the gate: the estimate is ≥ truth for
+    every token (min over rows of a superset count), the tiny gate
+    width genuinely collides, and the sketch MERGES — counters built
+    from two disjoint halves of the corpus sum to the whole-corpus
+    sketch (the property that makes it compose across partitions,
+    days, and streams)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        CMS_D,
+        CMS_W,
+        _cms_cell,
+        token_counts_cms,
+    )
+    from cassandra_log_analyzer_mcp_spark.functions.texts import tokens_col
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    out = token_counts_cms(spark, sf_dir).collect()
+    assert out and all(r.n_est >= r.n_true for r in out)
+    assert any(r.inflation > 0 for r in out)  # W=16 must collide
+
+    def sketch(df):
+        tok = df.select(F.explode(tokens_col()).alias("token"))
+        cells = tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_cell(F.col("token"), r).alias("cell"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("rc")
+        ).select("rc.r", "rc.cell")
+        return {
+            (r.r, r.cell): r.c
+            for r in cells.groupBy("r", "cell").agg(
+                F.count("*").alias("c")
+            ).collect()
+        }
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    whole = sketch(docs)
+    lo = sketch(docs.filter("doc_id % 2 = 0"))
+    hi = sketch(docs.filter("doc_id % 2 = 1"))
+    merged = dict(lo)
+    for k, v in hi.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+    assert len(whole) <= CMS_D * CMS_W
