@@ -1456,3 +1456,82 @@ def error_trend_ols(logs: DataFrame) -> DataFrame:
     zero-fill closed form and the DECIMAL(38) overflow discipline.
     """
     return trend_from_moments(trend_moments(logs))
+
+
+#: lead-lag scan horizon (hours): how far ahead node_b's errors are
+#: searched for echoes of node_a's.
+LEADLAG_MAX_H = 3
+
+
+def node_lead_lag(logs: DataFrame) -> DataFrame:
+    """DIRECTIONAL failure propagation — which node's errors LEAD
+    another's: for every ordered pair (a, b) and lag ℓ ∈ 0..3 h, the
+    integer cross-correlation Σ_t e_a(t)·e_b(t+ℓ) over hourly error
+    counts, reporting the lag that maximizes it. Pearson
+    (node_failure_correlation) answers "do they fail together"; the
+    argmax lag answers "who fails FIRST" — the root-cause-direction
+    signal (a > 0 best lag from a to b reads "a's spikes echo in b
+    ℓ hours later").
+
+    Scale shape: zero hours contribute nothing to a dot product, so
+    unlike Pearson there is NO grid densification — the sparse
+    hourly rollup self-joins on (h + ℓ) directly, everything past
+    the first rollup is rollup-cardinality, and the scaffold
+    (nodes² × lags) keeps provably-silent pairs as explicit zero
+    rows. All-integer scores → no float protocol; ties break toward
+    the smallest lag so the verdict is deterministic.
+    """
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("h")
+    counts = (
+        logs.filter(F.col("is_error"))
+        .groupBy("node", hour)
+        .agg(F.count("*").alias("e"))
+    )
+    lags = F.array(*[F.lit(i) for i in range(LEADLAG_MAX_H + 1)])
+    a = counts.select(
+        F.col("node").alias("node_a"),
+        "h",
+        F.col("e").alias("ea"),
+        F.explode(lags).alias("lag"),
+    )
+    b = counts.select(
+        F.col("node").alias("node_b"),
+        F.col("h").alias("hb"),
+        F.col("e").alias("eb"),
+    )
+    scores = (
+        a.join(
+            b,
+            (F.col("hb") == F.col("h") + F.col("lag") * 3600)
+            & (F.col("node_a") != F.col("node_b")),
+        )
+        .groupBy("node_a", "node_b", "lag")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("s"))
+    )
+    nodes = counts.select("node").distinct()
+    scaffold = (
+        nodes.select(F.col("node").alias("node_a"))
+        .crossJoin(nodes.select(F.col("node").alias("node_b")))
+        .filter(F.col("node_a") != F.col("node_b"))
+        .select(
+            "node_a", "node_b", F.explode(lags).alias("lag")
+        )
+    )
+    full = scaffold.join(
+        scores, ["node_a", "node_b", "lag"], "left"
+    ).fillna(0, subset=["s"])
+    w = Window.partitionBy("node_a", "node_b")
+    ranked = full.withColumn(
+        "rk",
+        F.row_number().over(w.orderBy(F.desc("s"), F.asc("lag"))),
+    ).withColumn(
+        "s0",
+        F.max(F.when(F.col("lag") == 0, F.col("s"))).over(w),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "node_a",
+        "node_b",
+        F.col("lag").cast("int").alias("best_lag_h"),
+        F.col("s").cast("long").alias("best_score"),
+        F.col("s0").cast("long").alias("score_lag0"),
+    )

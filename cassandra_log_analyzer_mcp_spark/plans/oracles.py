@@ -903,6 +903,58 @@ def analysis_oracles() -> dict[str, str]:
     # state reconstructs the batch regression exactly
     o["streaming_trend_state"] = o["error_trend_ols"]
 
+    # directional lead-lag: sparse dot products (no grid — zeros
+    # contribute nothing), scaffold keeps silent pairs as zero rows,
+    # argmax lag with smallest-lag tie-break; all-integer scores
+    o["node_lead_lag"] = with_logs(
+        """
+        , counts AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS e
+          FROM flagged WHERE is_error GROUP BY 1, 2
+        ),
+        lags AS (SELECT unnest(range(0, 4)) AS lag),
+        scores AS (
+          SELECT a.node AS node_a, b.node AS node_b, l.lag,
+                 sum(a.e * b.e) AS s
+          FROM counts a
+          CROSS JOIN lags l
+          JOIN counts b
+            ON b.h = a.h + l.lag * 3600 AND b.node != a.node
+          GROUP BY 1, 2, 3
+        ),
+        scaffold AS (
+          SELECT na.node AS node_a, nb.node AS node_b, l.lag
+          FROM (SELECT DISTINCT node FROM counts) na
+          CROSS JOIN (SELECT DISTINCT node FROM counts) nb
+          CROSS JOIN lags l
+          WHERE na.node != nb.node
+        ),
+        filled AS (
+          SELECT sc.node_a, sc.node_b, sc.lag,
+                 coalesce(s.s, 0) AS s
+          FROM scaffold sc
+          LEFT JOIN scores s
+            ON s.node_a = sc.node_a AND s.node_b = sc.node_b
+               AND s.lag = sc.lag
+        ),
+        ranked AS (
+          SELECT node_a, node_b, lag, s,
+                 row_number() OVER (PARTITION BY node_a, node_b
+                                    ORDER BY s DESC, lag ASC) AS rk,
+                 max(CASE WHEN lag = 0 THEN s END)
+                   OVER (PARTITION BY node_a, node_b) AS s0
+          FROM filled
+        )
+        SELECT node_a, node_b,
+               CAST(lag AS INT) AS best_lag_h,
+               CAST(s AS BIGINT) AS best_score,
+               CAST(s0 AS BIGINT) AS score_lag0
+        FROM ranked WHERE rk = 1
+        """
+    )
+
     # medians of integer counts are integers or exact .5 midpoints, so
     # round(…,1) is lossless and the >2× comparison is identical IEEE
     # arithmetic on both engines.

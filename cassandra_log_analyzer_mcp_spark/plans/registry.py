@@ -510,6 +510,8 @@ def queries() -> dict[str, QueryFn]:
         ),
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
+        # directional lead-lag cross-correlation (who fails first)
+        "node_lead_lag": _on_logs(analysis.node_lead_lag),
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),

@@ -158,3 +158,56 @@ def test_trend_closed_form_matches_numpy_and_survives_int64_overflow(spark):
         assert Fraction(num, den) == Fraction(
             got[name].slope_num, got[name].slope_den
         )
+
+
+def test_lead_lag_matches_brute_force(spark):
+    """node_lead_lag on a hand-built log frame vs a pure-Python
+    cross-correlation: planted propagation (nodeA's spikes echo in
+    nodeB exactly 2 h later) must surface as best_lag_h=2, and every
+    (pair, lag) score must equal the brute-force dot product."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        LEADLAG_MAX_H,
+        node_lead_lag,
+    )
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    series = {
+        "nodeA": {0: 5, 3: 7, 8: 4},
+        "nodeB": {2: 6, 5: 8, 10: 3},   # = A shifted by 2h (±noise)
+        "nodeC": {1: 2},
+    }
+    rows = []
+    i = 0
+    for node, hs in series.items():
+        for h, n in hs.items():
+            for _ in range(n):
+                rows.append((i, node, base + h * 3600 + 7, True))
+                i += 1
+    logs = spark.createDataFrame(
+        rows, "line_id long, node string, epoch long, is_error boolean"
+    ).select(
+        "line_id", "node",
+        F.col("epoch").cast("timestamp").alias("ts"), "is_error",
+    )
+    out = {(r.node_a, r.node_b): r for r in node_lead_lag(logs).collect()}
+
+    def score(a, b, lag):
+        return sum(
+            v * series[b].get(h + lag, 0) for h, v in series[a].items()
+        )
+
+    for a in series:
+        for b in series:
+            if a == b:
+                continue
+            best = max(
+                range(LEADLAG_MAX_H + 1),
+                key=lambda l: (score(a, b, l), -l),
+            )
+            r = out[(a, b)]
+            assert (r.best_lag_h, r.best_score, r.score_lag0) == (
+                best, score(a, b, best), score(a, b, 0)
+            )
+    assert out[("nodeA", "nodeB")].best_lag_h == 2
