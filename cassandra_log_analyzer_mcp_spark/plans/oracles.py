@@ -425,6 +425,10 @@ def analysis_oracles() -> dict[str, str]:
     # never sees the feed (a self-consistent-but-wrong feed fails)
     o["silver_cdc_apply"] = o["silver_restatement"]
 
+    # vacuum grades the v1 read AFTER v0's files are deleted — the
+    # logical content must be indifferent to the physical expiry
+    o["silver_vacuum"] = o["silver_restatement"]
+
     # key-level merge: final content stated directly — the corrected
     # rows (earliest day, MERGE_NODE, was-is_error) are WARN level
     # after the merge, so they count as warnings always and as errors

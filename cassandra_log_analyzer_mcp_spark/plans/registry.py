@@ -36,6 +36,7 @@ from ..sources.silver import (
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
+    silver_vacuum as _silver_vacuum,
 )
 from ..sources.tables import logs_flagged
 from ..streaming import batch_bridge
@@ -370,6 +371,8 @@ def queries() -> dict[str, QueryFn]:
         "orc_export_roundtrip": _orc_export_roundtrip,
         # manifest-based snapshot versioning (file-level MVCC)
         "silver_time_travel": _silver_time_travel,
+        # expire-snapshots: v1 content indifferent to v0's deletion
+        "silver_vacuum": _silver_vacuum,
         # cross-drop schema evolution via mergeSchema read
         "schema_evolution_read": _schema_evolution_read,
         # runtime (dynamic) partition pruning from a broadcast dim

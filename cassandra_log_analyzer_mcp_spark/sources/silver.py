@@ -876,3 +876,61 @@ def silver_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def vacuum(path: str, retain_versions: tuple[int, ...]) -> dict[str, int]:
+    """VACUUM / expire-snapshots on the manifest-MVCC table: delete
+    every data file referenced by NO retained version's manifest,
+    then drop the expired manifests — exactly Delta's VACUUM +
+    Iceberg's expire_snapshots contract (time travel back past the
+    retention horizon is traded for reclaimed storage; files still
+    referenced by ANY live version are untouchable by construction,
+    because the keep-set is the union of retained manifests).
+
+    Pure os-level bookkeeping over the manifests — no Spark job: at
+    100 TB the listing is the manifests themselves (never a recursive
+    storage walk), and deletes go straight to the object store.
+    Returns {kept, deleted} file counts for the report/tests.
+    """
+    import json
+    import os
+
+    mdir = os.path.join(path, "_manifests")
+    keep: set[str] = set()
+    for v in retain_versions:
+        keep.update(_manifest_read(path, v))
+    deleted = 0
+    for f in _manifest_files(None, path):
+        if f not in keep:
+            os.remove(f)
+            deleted += 1
+    for name in os.listdir(mdir):
+        v = int(name[1:].split(".")[0])
+        if v not in retain_versions:
+            os.remove(os.path.join(mdir, name))
+    return {"kept": len(keep), "deleted": deleted}
+
+
+def silver_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format lifecycle's LAST verb, graded: build the
+    two-commit table (v0 full build, v1 restatement), EXPIRE v0 —
+    vacuum deletes the files only v0 references and drops its
+    manifest — then grade the v1 read AFTER the deletes (shares
+    silver_restatement's oracle: v1's logical content must be
+    byte-for-byte indifferent to v0's physical removal). Tests pin
+    the physical side: v0-only files really leave the disk, shared
+    files survive, and the v0 manifest is gone while v1's remains.
+
+    Builds its own copy of the versioned table — the shared
+    versioned_silver artifact stays immutable for time travel / CDC,
+    which still need v0 readable.
+    """
+    path = _default_path(sf_dir) + "_vacuum"
+    import os
+
+    if not os.path.exists(os.path.join(path, "_manifests", "v1.json")):
+        _build_versioned_silver(spark, sf_dir, path)
+        vacuum(path, retain_versions=(1,))
+    v1 = _manifest_read(path, 1)
+    base = spark.read.option("basePath", path).parquet(*v1)
+    return node_errors_rollup(base)

@@ -81,7 +81,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "contrastive_pairs", "embedding_sim_histogram",
     "streaming_dlq_counts", "error_trend_ols", "streaming_trend_state",
     "excess_inventory_suppliers", "multimodal_phash_dedup",
-    "token_counts_cms", "node_lead_lag",
+    "token_counts_cms", "node_lead_lag", "silver_vacuum",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

@@ -362,3 +362,38 @@ def test_erasure_is_file_local_and_complete(spark, sf_dir):
     # and the erased table holds zero subject rows
     rw = spark.read.parquet(path + "_rw")
     assert rw.filter(F.col("user_id") == ERASE_USER).count() == 0
+
+
+def test_vacuum_deletes_only_expired_files(spark, sf_dir, tmp_path):
+    """Physical contract of expire-snapshots: v0-only files leave the
+    disk, files shared with v1 and v1's new files survive untouched,
+    the v0 manifest is gone, and the v1 read still works."""
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        _build_versioned_silver,
+        _manifest_files,
+        _manifest_read,
+        node_errors_rollup,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vac")
+    _build_versioned_silver(spark, sf_dir, path)
+    v0 = set(_manifest_read(path, 0))
+    v1 = set(_manifest_read(path, 1))
+    doomed = v0 - v1
+    assert doomed and v0 & v1  # both shared and expirable files exist
+
+    stats = vacuum(path, retain_versions=(1,))
+    assert stats["deleted"] == len(doomed)
+    import os
+
+    assert not any(os.path.exists(f) for f in doomed)
+    assert all(os.path.exists(f) for f in v1)
+    assert not os.path.exists(os.path.join(path, "_manifests", "v0.json"))
+    assert os.path.exists(os.path.join(path, "_manifests", "v1.json"))
+    # on-disk census now equals exactly v1's manifest
+    assert set(_manifest_files(spark, path)) == v1
+    after = node_errors_rollup(
+        spark.read.option("basePath", path).parquet(*sorted(v1))
+    )
+    assert after.count() > 0
