@@ -2186,3 +2186,82 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", F.col("n_parts").cast("long").alias("n_parts"), "qty_1997")
     )
+
+
+#: KMV sketch size (k smallest hash values kept per group) and hash
+#: resolution (12 md5 hex digits → uniform 48-bit integers). The
+#: estimator is (k−1)·2^48 / h_(k) — Bar-Yossef et al. 2002 — chosen
+#: over HLL here because it needs NO logarithm in either the raw or
+#: the small-range regime (ln is banned from gated outputs: libm
+#: rounding differs across engines), so both branches grade as exact
+#: integer arithmetic.
+KMV_K = 64
+KMV_SHARDS = 8
+KMV_SPACE = 1 << 48
+
+
+def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via an EXACTLY-GRADED sketch —
+    the value-graded twin of distinct_users_sketch (whose HLL++
+    construction legitimately differs from DuckDB's, forcing a
+    rows-only check): KMV keeps the k smallest 48-bit md5 hashes of
+    the distinct user set; with fewer than k users the sketch IS the
+    exact count, otherwise n̂ = (k−1)·2^48 div h_(k). Both regimes
+    are integer-exact, and the test data exercises BOTH (15 users at
+    sf0.001 → exact branch; 150+ at sf0.01/0.1 → estimator branch).
+
+    Mergeability (what makes it a 100 TB sketch): union two k-sets,
+    keep the k smallest — bounded state per group forever. Plan
+    shape: the k-th minimum is found with the same TWO-STAGE top-k
+    discipline as get_errors — stage 1 ranks within (type, user-hash
+    shard) so no partition sees more than ~n/SHARDS rows, stage 2
+    ranks the surviving SHARDS·k candidates — never a single global
+    per-type window over the whole distinct set.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = d.select(
+        "event_type", "user_id", h.alias("h"),
+        F.pmod(F.col("user_id"), F.lit(KMV_SHARDS)).alias("shard"),
+    )
+    w1 = Window.partitionBy("event_type", "shard").orderBy("h", "user_id")
+    cand = hashed.withColumn("rk", F.row_number().over(w1)).filter(
+        F.col("rk") <= KMV_K
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kept = cand.withColumn("rk2", F.row_number().over(w2)).filter(
+        F.col("rk2") <= KMV_K
+    )
+    sketch = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    truth = d.groupBy("event_type").agg(
+        F.count("*").alias("n_true")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept")
+    ).otherwise(
+        F.expr(f"CAST(({KMV_K} - 1) * {KMV_SPACE} AS BIGINT) div kth_hash")
+    )
+    return (
+        sketch.join(truth, "event_type")
+        .select(
+            "event_type",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            est.cast("long").alias("est_users"),
+        )
+    )

@@ -261,6 +261,39 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY s.s_name
     """
 
+    # KMV simulated identically: same md5 48-bit hashes, same k-th
+    # minimum, same integer estimator — single-window formulation
+    # (the Spark side's two-stage top-k must collapse to it)
+    from ..operators.analytics import KMV_K, KMV_SPACE
+
+    o["distinct_users_kmv"] = f"""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        hashed AS (
+          SELECT event_type, user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                      || ':kmv'), 1, 12) AS BIGINT) AS h
+          FROM d
+        ),
+        ranked AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, user_id) AS rk
+          FROM hashed
+        ),
+        sk AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(max(h) AS BIGINT) AS kth_hash
+          FROM ranked WHERE rk <= {KMV_K} GROUP BY 1
+        ),
+        t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+              FROM d GROUP BY 1)
+        SELECT event_type, n_true, n_kept, kth_hash,
+               CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                    ELSE (({KMV_K} - 1) * {KMV_SPACE}) // kth_hash
+                    END AS BIGINT) AS est_users
+        FROM sk JOIN t USING (event_type)
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

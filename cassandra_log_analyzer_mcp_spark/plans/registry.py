@@ -439,6 +439,8 @@ def queries() -> dict[str, QueryFn]:
         # rows-only tail of block 1 (weakest driver evidence)
         # HLL sketches legitimately differ across engines
         "distinct_users_sketch": analytics.distinct_users_sketch,
+        # KMV distinct-count sketch, both regimes integer-graded
+        "distinct_users_kmv": analytics.distinct_users_kmv,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

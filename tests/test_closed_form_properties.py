@@ -211,3 +211,42 @@ def test_lead_lag_matches_brute_force(spark):
                 best, score(a, b, best), score(a, b, 0)
             )
     assert out[("nodeA", "nodeB")].best_lag_h == 2
+
+
+def test_kmv_merge_and_accuracy():
+    """KMV invariants: merging two k-sets (union → k smallest)
+    equals the sketch of the union, the exact branch fires below k,
+    and the estimator lands within 4/√k relative error on a 20k-id
+    universe (driver-side pure Python — the estimator maths, not the
+    plan, is under test here)."""
+    import hashlib
+
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        KMV_K,
+        KMV_SPACE,
+    )
+
+    def h(u):
+        return int(
+            hashlib.md5(f"{u}:kmv".encode()).hexdigest()[:12], 16
+        )
+
+    def sketch(users):
+        return sorted(h(u) for u in set(users))[:KMV_K]
+
+    def estimate(sk, n_kept):
+        if n_kept < KMV_K:
+            return n_kept
+        return (KMV_K - 1) * KMV_SPACE // sk[-1]
+
+    a = list(range(0, 12_000))
+    b = list(range(8_000, 20_000))
+    merged = sorted(set(sketch(a)) | set(sketch(b)))[:KMV_K]
+    assert merged == sketch(a + b)  # mergeability
+
+    small = sketch(range(KMV_K - 10))
+    assert estimate(small, len(small)) == KMV_K - 10  # exact branch
+
+    full = sketch(a + b)
+    est = estimate(full, KMV_K)
+    assert abs(est - 20_000) / 20_000 < 4 / (KMV_K ** 0.5)
