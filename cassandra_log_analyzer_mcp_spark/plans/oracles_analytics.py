@@ -294,6 +294,10 @@ def analytics_oracles() -> dict[str, str]:
         FROM sk JOIN t USING (event_type)
     """
 
+    # the streaming k-set fold must land the batch sketch's exact
+    # integers — shared oracle proves batch-boundary independence
+    o["streaming_kmv_state"] = o["distinct_users_kmv"]
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

@@ -584,6 +584,8 @@ def queries() -> dict[str, QueryFn]:
         "streaming_dlq_counts": batch_bridge.streaming_dlq_counts,
         # 4-integer mergeable-moments fold (shares the OLS oracle)
         "streaming_trend_state": batch_bridge.streaming_trend_state,
+        # k-set union fold across batches (shares the KMV oracle)
+        "streaming_kmv_state": batch_bridge.streaming_kmv_state,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,

@@ -18,6 +18,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.parsing import synth_raw_lines
 from ..sources.tables import table
@@ -1263,3 +1264,103 @@ def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="node string, t0 long, t1 long, sy long, sty long",
     )
     return trend_from_moments(moments)
+
+
+def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous distinct-count sketching — KMV's streaming fold:
+    each micro-batch reduces DISTRIBUTEDLY to its per-type k smallest
+    user hashes (the two-stage top-k from the batch op), and the
+    driver merges k-sets by union → k smallest — state is O(types·k)
+    integers forever, the mergeability the property test proves is
+    what the fold exercises across real micro-batch boundaries. The
+    feed replays as two USER-SPLIT files (user_id parity), so neither
+    batch alone contains the global k-set: the final k-th minimum
+    provably mixes both. Shares distinct_users_kmv's oracle — the
+    fold must land the batch sketch's exact integers (n_kept,
+    kth_hash, estimate) per event type.
+    """
+    import time as _time
+
+    from ..operators.analytics import KMV_K, KMV_SPACE
+    from ..sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    feed = tempfile.mkdtemp(prefix="kmv_feed_") + "/events"
+    early = os.path.join(feed, "0_even")
+    late = os.path.join(feed, "1_odd")
+    ev.filter(F.pmod("user_id", F.lit(2)) == 0).repartition(1).write.parquet(
+        early
+    )
+    ev.filter(F.pmod("user_id", F.lit(2)) == 1).repartition(1).write.parquet(
+        late
+    )
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (now + offset, now + offset))
+
+    # event_type -> sorted list of (h, user_id), ≤ K entries
+    state: dict[str, list[tuple[int, int]]] = {}
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        hashed = batch.distinct().select("event_type", "user_id", h.alias("h"))
+        w = Window.partitionBy(
+            "event_type", F.pmod("user_id", F.lit(8))
+        ).orderBy("h", "user_id")
+        cand = (
+            hashed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KMV_K)
+            .collect()
+        )  # ≤ types·shards·K rows — bounded by design
+        for r in cand:
+            s = state.setdefault(r.event_type, [])
+            s.append((r.h, r.user_id))
+        for t in state:
+            state[t] = sorted(set(state[t]))[:KMV_K]
+
+    stream = spark.readStream.schema("event_type string, user_id long").option(
+        "maxFilesPerTrigger", "1"
+    ).option("recursiveFileLookup", "true").parquet(feed)
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_kmv_state did not finish its availableNow run"
+        )
+    # n_true is the report's evaluation harness, not sketch state —
+    # computed distributively from the landed feed, never driver sets
+    truth = {
+        r.event_type: r.n
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(feed)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = []
+    for t in sorted(state):
+        ks = state[t]
+        n_kept = len(ks)
+        kth = ks[-1][0]
+        est = n_kept if n_kept < KMV_K else (KMV_K - 1) * KMV_SPACE // kth
+        rows.append((t, truth[t], n_kept, kth, est))
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, n_true long, n_kept long,"
+        " kth_hash long, est_users long",
+    )

@@ -82,7 +82,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "streaming_dlq_counts", "error_trend_ols", "streaming_trend_state",
     "excess_inventory_suppliers", "multimodal_phash_dedup",
     "token_counts_cms", "node_lead_lag", "silver_vacuum",
-    "distinct_users_kmv",
+    "distinct_users_kmv", "streaming_kmv_state",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

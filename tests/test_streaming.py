@@ -426,3 +426,36 @@ def test_streaming_trend_fold_crosses_batches(spark):
     split = lines.approxQuantile("t", [0.5], 0.0)[0]
     for r in m.values():
         assert r.t0 < split <= r.t1
+
+
+def test_streaming_kmv_fold_crosses_batches(spark):
+    """The k-set union fold must mix both micro-batches: the feed
+    splits by user parity, so the final k smallest hashes provably
+    draw from BOTH files, and the folded sketch equals the batch
+    sketch exactly."""
+    import hashlib
+
+    sf_dir = "/root/testdata/sf0.01"
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        distinct_users_kmv,
+    )
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        streaming_kmv_state,
+    )
+
+    out = streaming_kmv_state(spark, sf_dir).collect()
+    batch = distinct_users_kmv(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    # reconstruct the winning k-set for one type and check both
+    # parities appear among the k smallest (so batch 2 contributed)
+    users = {
+        r.user_id
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().collect()
+    }
+    ks = sorted(
+        (int(hashlib.md5(f"{u}:kmv".encode()).hexdigest()[:12], 16), u)
+        for u in users
+    )[:64]
+    parities = {u % 2 for _, u in ks}
+    assert parities == {0, 1}

@@ -39,6 +39,7 @@ EAGER = {
     "streaming_rack_counts",  # availableNow run; memory sink
     "streaming_dlq_counts",  # availableNow run; parquet fork sinks
     "streaming_trend_state",  # availableNow run; driver moments fold
+    "streaming_kmv_state",  # availableNow run; driver k-set fold
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
