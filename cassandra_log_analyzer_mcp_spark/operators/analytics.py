@@ -2265,3 +2265,85 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.cast("long").alias("est_users"),
         )
     )
+
+
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users-to-date per day — the classic "COUNT(DISTINCT) OVER" gap
+    in SQL engines (distinct aggregates aren't valid window
+    functions), closed the scalable way: distinct is a PROPERTY OF
+    THE USER (their first-seen day), so groupBy(user).min(day) makes
+    every user exactly one +1 on one day, and the cumulative sum of
+    the tiny per-day new-user rollup IS the running distinct count.
+
+    Scale shape: one user-keyed shuffle (the min), then all windows
+    run over the day-cardinality rollup — the naive per-day distinct
+    union re-scans history per day (O(days·events)); this is one
+    pass. Integer-exact throughout.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_seen.groupBy("day").agg(
+        F.count("*").alias("new_users")
+    )
+    daily_active = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily_active.join(daily_new, "day", "left")
+        .fillna(0, subset=["new_users"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias("users_to_date"),
+        )
+    )
+
+
+#: above_avg_orders threshold: orders beating their customer's mean
+#: by this integer factor numerator/denominator (3/2 = 1.5×) — kept
+#: rational so the comparison is exact integer cross-multiplication.
+ABOVE_AVG_NUM = 3
+ABOVE_AVG_DEN = 2
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders beating 1.5× their own customer's average — the classic
+    CORRELATED SCALAR SUBQUERY (WHERE price > (SELECT avg … same
+    customer)), decorrelated into one grouped aggregate + a join
+    back: the per-customer (sum, count) rollup is customer-sized, the
+    comparison 2·n·price > 3·sum is exact integer cross-multiplication
+    on cent-scaled prices (no float division anywhere — avg never
+    materializes), and the join shuffles on the same key the rollup
+    just used, so AQE coalesces the exchange. Oracle keeps the
+    correlated formulation, proving the decorrelation.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    joined = orders.join(per_cust, "o_custkey")
+    return (
+        joined.filter(
+            ABOVE_AVG_DEN * F.col("n") * F.col("cents")
+            > ABOVE_AVG_NUM * F.col("s")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "o_custkey",
+            F.col("n_above").cast("long").alias("n_above"),
+            F.col("max_cents").cast("long").alias("max_cents"),
+        )
+    )

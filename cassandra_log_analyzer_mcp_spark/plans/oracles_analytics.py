@@ -298,6 +298,49 @@ def analytics_oracles() -> dict[str, str]:
     # integers — shared oracle proves batch-boundary independence
     o["streaming_kmv_state"] = o["distinct_users_kmv"]
 
+    # users-to-date: the oracle states the naive per-day distinct
+    # union directly (correlated count over the full history per
+    # day) — structurally independent from the first-seen rollup
+    o["cumulative_distinct_users"] = """
+        WITH ev AS (
+          SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ev)
+        SELECT CAST(d.day AS VARCHAR) AS day,
+               (SELECT CAST(count(DISTINCT e.user_id) AS BIGINT)
+                FROM ev e WHERE e.day = d.day) AS active_users,
+               (SELECT CAST(count(DISTINCT e.user_id) AS BIGINT)
+                FROM ev e WHERE e.day <= d.day)
+               - coalesce((SELECT CAST(count(DISTINCT e.user_id) AS BIGINT)
+                           FROM ev e WHERE e.day < d.day), 0) AS new_users,
+               (SELECT CAST(count(DISTINCT e.user_id) AS BIGINT)
+                FROM ev e WHERE e.day <= d.day) AS users_to_date
+        FROM days d
+    """
+
+    # correlated formulation kept verbatim — the decorrelated
+    # rollup+join plan must reproduce it; integer cents avoid the
+    # float average entirely on the Spark side
+    from ..operators.analytics import ABOVE_AVG_DEN, ABOVE_AVG_NUM
+
+    o["above_avg_orders"] = f"""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_above,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM o o1
+        WHERE {ABOVE_AVG_DEN} * (SELECT count(*) FROM o o2
+                                 WHERE o2.o_custkey = o1.o_custkey)
+                             * o1.cents
+            > {ABOVE_AVG_NUM} * (SELECT sum(cents) FROM o o3
+                                 WHERE o3.o_custkey = o1.o_custkey)
+        GROUP BY o_custkey
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

@@ -441,6 +441,10 @@ def queries() -> dict[str, QueryFn]:
         "distinct_users_sketch": analytics.distinct_users_sketch,
         # KMV distinct-count sketch, both regimes integer-graded
         "distinct_users_kmv": analytics.distinct_users_kmv,
+        # window-countDistinct workaround: first-seen rollup + cumsum
+        "cumulative_distinct_users": analytics.cumulative_distinct_users,
+        # correlated scalar subquery, decorrelated (integer cents)
+        "above_avg_orders": analytics.above_avg_orders,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

@@ -83,6 +83,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "excess_inventory_suppliers", "multimodal_phash_dedup",
     "token_counts_cms", "node_lead_lag", "silver_vacuum",
     "distinct_users_kmv", "streaming_kmv_state",
+    "cumulative_distinct_users", "above_avg_orders",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
