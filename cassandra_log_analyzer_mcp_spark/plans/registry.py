@@ -60,6 +60,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: §2C-remainder rotation list as fit. Everything outside the window
 #: is covered by CHECK_LOCAL_r04.json, the full-surface replica.
 R4_DRIVER_WINDOW = [
+    # (a00) session-3 flagship additions (zero evidence anywhere);
+    # four (a)/(b) members were evicted to fit them — see below
+    "error_trend_ols",
+    "multimodal_phash_dedup",
+    "token_counts_cms",
+    "distinct_users_kmv",
     # (a0) newest round-4 additions (zero evidence history anywhere)
     "silver_dpp_join",
     "streaming_dedup_watermarked",
@@ -89,11 +95,13 @@ R4_DRIVER_WINDOW = [
     "doc_gini_diversity",
     "streaming_topk_tokens",
     "bigram_lift_collocations",
-    "orc_export_roundtrip",
+    # (orc_export_roundtrip and silver_time_travel evicted for the
+    # session-3 additions: both share silver_node_errors' oracle,
+    # which stays in-window via silver_incremental_rollup; both keep
+    # their physical-side unit tests and the replica gate)
     "user_value_deciles",
     "table_profile",
     "constraint_checks",
-    "silver_time_travel",
     "schema_evolution_read",
     "ann_lsh_multiprobe",
     "dedup_graph_stats",
@@ -117,8 +125,13 @@ R4_DRIVER_WINDOW = [
     # shares in-window silver_merge_upsert's oracle and keeps its
     # batch-boundary unit tests; replica-green every round)
     "doc_surprisal",
-    "ann_ivf_append",
-    "streaming_asof_join",
+    # (ann_ivf_append evicted: in-window ann_ivf_delete runs the FULL
+    # build→persist→append→delete lifecycle, so append's driver
+    # evidence arrives through it; streaming_asof_join evicted: its
+    # oracle is r1-graded asof_purchase_before_error's, the
+    # cross-batch-state pattern keeps in-window driver evidence via
+    # streaming_cusum_alerts, and its boundary-crossing unit test +
+    # replica stay)
     # (jsonl_shard_export evicted for node_health_score: its graded
     # contract — sink write → read-back → shared rollup fidelity — is
     # exercised in-window by orc_export_roundtrip; replica-green)

@@ -50,9 +50,14 @@ NEW_IN_R4 = {
     "quality_classifier", "domain_mixture", "semantic_dedup",
     "zorder_layout", "silver_incremental_rollup", "doc_gini_diversity",
     "streaming_topk_tokens", "bigram_lift_collocations",
-    "orc_export_roundtrip", "user_value_deciles", "table_profile",
-    "constraint_checks", "silver_time_travel", "schema_evolution_read",
+    "user_value_deciles", "table_profile",
+    "constraint_checks", "schema_evolution_read",
     "ann_lsh_multiprobe", "dedup_graph_stats",
+    # session-3 flagship additions (promoted into the window; four
+    # shared-oracle members rotated out to make room — see
+    # NEW_IN_R4_REPLICA_ONLY / NEW_IN_R3_REPLICA_ONLY)
+    "error_trend_ols", "multimodal_phash_dedup", "token_counts_cms",
+    "distinct_users_kmv",
     # late round-4 additions
     "silver_dpp_join", "streaming_dedup_watermarked",
     "silver_changes_between", "silver_delete_rewrite",
@@ -69,6 +74,10 @@ NEW_IN_R4 = {
 #: further eviction of unique-oracle r3 rows would trade like for
 #: like).
 NEW_IN_R4_REPLICA_ONLY = {
+    # rotated out for the session-3 flagships: both share
+    # silver_node_errors' oracle (graded in-window via
+    # silver_incremental_rollup) and keep physical-side unit tests
+    "orc_export_roundtrip", "silver_time_travel",
     "log_parse_corrupt_tolerant",
     "pricing_summary_sql", "node_summary_unpivot",
     "hybrid_rrf_search", "scd_owner_join", "user_trailing_spend",
@@ -79,10 +88,10 @@ NEW_IN_R4_REPLICA_ONLY = {
     "embedding_drift_batches", "shard_balance_report",
     "augment_token_dropout", "impute_hourly_locf", "slo_burn_alerts",
     "contrastive_pairs", "embedding_sim_histogram",
-    "streaming_dlq_counts", "error_trend_ols", "streaming_trend_state",
-    "excess_inventory_suppliers", "multimodal_phash_dedup",
-    "token_counts_cms", "node_lead_lag", "silver_vacuum",
-    "distinct_users_kmv", "streaming_kmv_state",
+    "streaming_dlq_counts", "streaming_trend_state",
+    "excess_inventory_suppliers",
+    "node_lead_lag", "silver_vacuum",
+    "streaming_kmv_state",
     "cumulative_distinct_users", "above_avg_orders",
 }
 
@@ -97,6 +106,13 @@ NEW_IN_R3 = {
 #: queries: each shares its oracle/aggregation body with another
 #: graded query and keeps targeted unit tests + the replica gate.
 NEW_IN_R3_REPLICA_ONLY = {
+    # rotated out for the session-3 flagships: ann_ivf_append's
+    # lifecycle is exercised in-window by ann_ivf_delete
+    # (build→persist→append→delete); streaming_asof_join's oracle is
+    # r1-graded asof_purchase_before_error's, cross-batch state keeps
+    # in-window evidence via streaming_cusum_alerts, and its
+    # boundary-crossing unit test stays
+    "ann_ivf_append", "streaming_asof_join",
     "jsonl_shard_export", "streaming_merge_upsert",
     "discount_band_revenue", "node_summary_silver",
     "silver_restatement", "silver_compaction",
