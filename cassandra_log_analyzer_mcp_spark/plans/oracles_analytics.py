@@ -341,6 +341,28 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY o_custkey
     """
 
+    # watermark drop semantics restated from first principles: the
+    # feed construction guarantees wm after batch 1 = max_ts − delay
+    # (file 1 holds the max), and a replayed row survives iff its
+    # hour-window hasn't expired (window_end > wm); fresh-file rows
+    # satisfy that bound trivially, so one rule covers both files
+    from ..streaming.batch_bridge import LATE_DELAY_S
+
+    o["streaming_late_data_drop"] = f"""
+        WITH ev AS (
+          SELECT date_trunc('second', ts) AS ts, event_type FROM events
+        ),
+        m AS (SELECT CAST(max(epoch(ts)) AS BIGINT) AS hi FROM ev)
+        SELECT CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600
+                 AS win_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev e, m
+        WHERE CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600 + 3600
+              > hi - {LATE_DELAY_S}
+        GROUP BY 1, 2
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

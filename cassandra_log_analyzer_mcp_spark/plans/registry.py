@@ -603,6 +603,8 @@ def queries() -> dict[str, QueryFn]:
         "streaming_trend_state": batch_bridge.streaming_trend_state,
         # k-set union fold across batches (shares the KMV oracle)
         "streaming_kmv_state": batch_bridge.streaming_kmv_state,
+        # watermark drop semantics graded at window granularity
+        "streaming_late_data_drop": batch_bridge.streaming_late_data_drop,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,
         "streaming_error_sessions": batch_bridge.streaming_error_sessions,
         "streaming_silver_counts": batch_bridge.streaming_silver_counts,

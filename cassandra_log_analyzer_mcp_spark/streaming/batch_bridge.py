@@ -1364,3 +1364,90 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_true long, n_kept long,"
         " kth_hash long, est_users long",
     )
+
+
+#: late-data watermark delay (seconds) for streaming_late_data_drop
+LATE_DELAY_S = 7200
+
+
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK DROP SEMANTICS, graded — the behavior every other
+    bridge op sidesteps. A single availableNow run can't exercise it:
+    all its batches are PLANNED with the same late-events watermark
+    (measured here: a two-file replay advances the displayed watermark
+    but drops nothing). The production shape that DOES exercise it is
+    a RESTART: run 1 processes the freshest hour and checkpoints its
+    watermark (max − 2 h); the late file then lands and run 2 —
+    same checkpoint — must judge every replayed row against the
+    PERSISTED watermark: a row survives iff its hour-window hasn't
+    expired (window_end > watermark, boundary pinned empirically:
+    ts < wm but window_end > wm is KEPT; window_end < wm drops).
+
+    So the graded artifact is also a checkpoint-restart proof: run
+    2's kept rows MERGE into run-1 window state recovered from the
+    checkpoint, the parquet sink accumulates across runs through the
+    commit log, and the far-future sentinel in the late file flushes
+    append-mode windows in run 2's closing batch (filtered after the
+    sink). Event times truncate to whole seconds so max − delay is
+    exact integer arithmetic the oracle restates.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("second", F.col("ts")).alias("ts"), "event_type"
+    )
+    hi = ev.agg(F.max("ts").cast("long").alias("m")).collect()[0].m
+    fresh_cut = F.lit(hi - 3600).cast("timestamp")
+    root = tempfile.mkdtemp(prefix="late_drop_")
+    feed = os.path.join(root, "feed")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    os.makedirs(feed)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .parquet(feed)
+            .withWatermark("ts", f"{LATE_DELAY_S} seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_late_data_drop run did not finish"
+            )
+
+    ev.filter(F.col("ts") >= fresh_cut).repartition(1).write.mode(
+        "append"
+    ).parquet(feed)
+    run_once()
+    sentinel = spark.createDataFrame(
+        [("sentinel",)], "event_type string"
+    ).select(
+        (F.lit(hi) + 400 * 86400).cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    (
+        ev.filter(F.col("ts") < fresh_cut)
+        .unionByName(sentinel)
+        .repartition(1)
+        .write.mode("append")
+        .parquet(feed)
+    )
+    run_once()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "sentinel")
+        .select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -91,7 +91,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "streaming_dlq_counts", "streaming_trend_state",
     "excess_inventory_suppliers",
     "node_lead_lag", "silver_vacuum",
-    "streaming_kmv_state",
+    "streaming_kmv_state", "streaming_late_data_drop",
     "cumulative_distinct_users", "above_avg_orders",
 }
 

@@ -459,3 +459,65 @@ def test_streaming_kmv_fold_crosses_batches(spark):
     )[:64]
     parities = {u % 2 for _, u in ks}
     assert parities == {0, 1}
+
+
+def test_watermark_drop_boundary_semantics(spark, tmp_path):
+    """Pins the empirical keep/drop rule streaming_late_data_drop's
+    oracle states: after a restart carries watermark wm from a prior
+    run, a replayed row is KEPT iff its window hasn't expired —
+    ts < wm with window_end > wm survives; window_end < wm drops
+    (and the drop is visible in numRowsDroppedByWatermark)."""
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(feed)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(feed)
+            .withWatermark("ts", "7200 seconds")
+            .groupBy(F.window("ts", "1 hour"), "k")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return q.recentProgress
+
+    def land(rows):
+        spark.createDataFrame(rows, "t long, k string").select(
+            F.col("t").cast("timestamp").alias("ts"), "k"
+        ).repartition(1).write.mode("append").parquet(feed)
+
+    land([(100000, "a")])          # run 1: wm becomes 92800
+    run_once()
+    # 92000: ts < wm, window [90000, 93600) end > wm  -> KEPT
+    # 89900: window [86400, 90000) end 90000 < wm     -> DROPPED
+    land([(92000, "a"), (89900, "a"), (500000, "sent")])
+    progress = run_once()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in progress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1
+    got = {
+        (r.ws, r.k): r.n
+        for r in spark.read.parquet(out)
+        .select(F.col("window.start").cast("long").alias("ws"), "k", "n")
+        .collect()
+    }
+    assert got[(90000, "a")] == 1          # boundary row survived
+    assert (86400, "a") not in got         # expired window dropped
+    assert got[(100000 // 3600 * 3600, "a")] == 1
