@@ -2347,3 +2347,38 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_cents").cast("long").alias("max_cents"),
         )
     )
+
+
+PATH_TOP_K = 20
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral PATHS: the most common 3-step event sequences
+    across users — sequential-pattern mining one order above
+    event_transitions' Markov pairs (pairs discover edges; trigrams
+    surface the actual journeys, e.g. view→click→purchase vs
+    view→click→error).
+
+    Same scale discipline as the pair op: ONE user-keyed shuffle for
+    the two lag windows (µs-ordered with event_id tie-break so
+    sub-µs noise can't reorder), then a tiny trigram-keyed rollup;
+    the global top-K is TakeOrderedAndProject (per-partition heads,
+    never a full sort) with deterministic (count desc, path) ties.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    cnt = tri.groupBy("e1", "e2", "e3").agg(F.count("*").alias("n"))
+    top = cnt.orderBy(F.desc("n"), "e1", "e2", "e3").limit(PATH_TOP_K)
+    w2 = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return top.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w2).cast("int").alias("rk"),
+    )

@@ -363,6 +363,33 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+    # trigram paths: same µs ordering contract as event_transitions;
+    # top-K re-ranked with identical (count desc, path) tie-break
+    from ..operators.analytics import PATH_TOP_K
+
+    o["event_path_trigrams"] = f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 2) OVER w AS e1,
+                 lag(event_type, 1) OVER w AS e2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+        ),
+        cnt AS (
+          SELECT e1, e2, event_type AS e3,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, n,
+               CAST(rk AS INT) AS rk
+        FROM (
+          SELECT e1, e2, e3, n,
+                 row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+          FROM cnt
+        ) t WHERE rk <= {PATH_TOP_K}
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

@@ -458,6 +458,8 @@ def queries() -> dict[str, QueryFn]:
         "cumulative_distinct_users": analytics.cumulative_distinct_users,
         # correlated scalar subquery, decorrelated (integer cents)
         "above_avg_orders": analytics.above_avg_orders,
+        # 3-step behavioral path mining (trigram journeys, top-K)
+        "event_path_trigrams": analytics.event_path_trigrams,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,
