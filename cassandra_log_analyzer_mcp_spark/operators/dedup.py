@@ -978,3 +978,80 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def _signatures(arrs: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sigK): the MinHash signature as columns — the
+    same map-side array folds _band_buckets packs into band keys,
+    exposed for component-level evaluation."""
+    def _sig_hash(k: int):
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 16
+        )
+
+    return arrs.filter(F.size("arr") > 0).select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("arr", _sig_hash(k))).alias(f"sig{k}")
+            for k in range(MINHASH_K)
+        ],
+    )
+
+
+def minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration — the sketch-eval report for the
+    Jaccard family (CMS and KMV have theirs): for every LSH candidate
+    pair, the matching-component count (the sketch's Jaccard estimate
+    is n_match/K — Broder 1997: P[sig_k(A)=sig_k(B)] = J(A,B)) next
+    to the exact intersection/union sizes. All four columns are
+    integers, so the component-equality arithmetic — the thing LSH
+    recall actually rides on — grades hash-exactly; the thresholds
+    this calibrates are dedup_minhash_lsh's verify cut and the band
+    count.
+
+    Scale shape: signatures are map-side array folds (no shuffle),
+    candidates come from the shared band index at collision
+    cardinality, and the verify join moves O(candidates + docs) rows
+    (array intersect map-side) — identical discipline to the dedup
+    pass it evaluates.
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    sigs = _signatures(arrs)
+    buckets = _band_buckets(arrs)
+    cand = (
+        buckets.select(F.col("doc_id").alias("da"), "band")
+        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"sig{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"sig{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    n_match = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        for k in range(MINHASH_K)
+    )
+    a = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .join(a, "da")
+        .join(b, "db")
+        .select(
+            "da",
+            "db",
+            n_match.cast("int").alias("n_match"),
+            inter.cast("long").alias("inter_size"),
+            (
+                F.size("arr_a") + F.size("arr_b") - inter
+            ).cast("long").alias("union_size"),
+        )
+    )

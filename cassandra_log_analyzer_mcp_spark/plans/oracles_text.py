@@ -845,6 +845,33 @@ def text_oracles() -> dict[str, str]:
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
     """
 
+    # estimator calibration: component equality recomputed per pair
+    # from the same signature CTE; all-integer columns
+    o["minhash_estimate_eval"] = f"""
+        WITH {minhash_base},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+        ),
+        arrs AS (SELECT doc_id, list(s) AS arr FROM sh GROUP BY doc_id),
+        m AS (
+          SELECT c.da, c.db,
+                 (CASE WHEN a.sig0 = b.sig0 THEN 1 ELSE 0 END + CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END + CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END + CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END + CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END + CASE WHEN a.sig5 = b.sig5 THEN 1 ELSE 0 END + CASE WHEN a.sig6 = b.sig6 THEN 1 ELSE 0 END + CASE WHEN a.sig7 = b.sig7 THEN 1 ELSE 0 END) AS n_match
+          FROM cand c
+          JOIN sigs a ON a.doc_id = c.da
+          JOIN sigs b ON b.doc_id = c.db
+        )
+        SELECT m.da, m.db, CAST(n_match AS INT) AS n_match,
+               CAST(len(list_intersect(a.arr, b.arr)) AS BIGINT)
+                 AS inter_size,
+               CAST(len(a.arr) + len(b.arr)
+                    - len(list_intersect(a.arr, b.arr)) AS BIGINT)
+                 AS union_size
+        FROM m
+        JOIN arrs a ON a.doc_id = m.da
+        JOIN arrs b ON b.doc_id = m.db
+    """
+
     from ..operators.dedup import CONTAINMENT_MIN
 
     # containment shares the band-index candidate CTE with the

@@ -327,6 +327,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_editdist": dedup.dedup_editdist,
         "source_overlap": dedup.source_overlap,
         "dedup_simhash": dedup.dedup_simhash,
+        # MinHash estimator calibration (component-exact sketch eval)
+        "minhash_estimate_eval": dedup.minhash_estimate_eval,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

@@ -93,7 +93,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "node_lead_lag", "silver_vacuum",
     "streaming_kmv_state", "streaming_late_data_drop",
     "cumulative_distinct_users", "above_avg_orders",
-    "event_path_trigrams",
+    "event_path_trigrams", "minhash_estimate_eval",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
