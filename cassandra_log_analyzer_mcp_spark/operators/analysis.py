@@ -1499,9 +1499,13 @@ def node_lead_lag(logs: DataFrame) -> DataFrame:
         F.col("h").alias("hb"),
         F.col("e").alias("eb"),
     )
+    # broadcast the probe side: post-rollup both sides are
+    # rollup-cardinality (nodes × hours), so the shifted self-join
+    # should be a broadcast hash join on the (h + ℓ) equality — a
+    # sort-merge here would add two sorts and an exchange for nothing
     scores = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("hb") == F.col("h") + F.col("lag") * 3600)
             & (F.col("node_a") != F.col("node_b")),
         )
@@ -1518,7 +1522,7 @@ def node_lead_lag(logs: DataFrame) -> DataFrame:
         )
     )
     full = scaffold.join(
-        scores, ["node_a", "node_b", "lag"], "left"
+        F.broadcast(scores), ["node_a", "node_b", "lag"], "left"
     ).fillna(0, subset=["s"])
     w = Window.partitionBy("node_a", "node_b")
     ranked = full.withColumn(
