@@ -2382,3 +2382,61 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.row_number().over(w2).cast("int").alias("rk"),
     )
+
+
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE table for user-level ML (churn/LTV models): one
+    row per user with recency / frequency / monetary / diversity
+    features — the feature-engineering pass a training pipeline runs
+    before export (jsonl_shard_export is the sink; train_test_split
+    the splitter).
+
+    ONE user-keyed aggregation computes every feature (conditional
+    sums — no per-feature scans, no joins except the 1-row corpus
+    max broadcast); money features are exact integer cents, the
+    favorite event type is a deterministic mode via the (count desc,
+    type) struct-max trick — max of (n, type) pairs inside the same
+    aggregate, no second shuffle, no window.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hi = ev.agg(F.max("day").alias("hi"))
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        ).alias("purchase_cents_t"),
+        F.countDistinct("day").alias("days_t"),
+        F.max("day").alias("last_t"),
+    )
+    # struct-max mode: (count, type) pairs compare lexicographically,
+    # ties resolve to the LEXICALLY LARGEST type deterministically
+    feats = per_type.groupBy("user_id").agg(
+        F.sum("n_t").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("n_t"))
+            .otherwise(0)
+        ).alias("n_purchases"),
+        F.sum("purchase_cents_t").alias("purchase_cents"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max("last_t").alias("last_day"),
+        F.max(
+            F.struct(F.col("n_t").alias("n"), F.col("event_type").alias("t"))
+        ).alias("fav"),
+    )
+    return feats.crossJoin(F.broadcast(hi)).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        F.col("purchase_cents").cast("long").alias("purchase_cents"),
+        F.col("n_types").cast("int").alias("n_types"),
+        F.datediff(F.col("hi"), F.col("last_day"))
+        .cast("int")
+        .alias("recency_days"),
+        F.col("fav.t").alias("favorite_type"),
+    )

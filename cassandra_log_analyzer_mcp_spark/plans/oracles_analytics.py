@@ -390,6 +390,38 @@ def analytics_oracles() -> dict[str, str]:
         ) t WHERE rk <= {PATH_TOP_K}
     """
 
+    # feature matrix: mode via zero-padded "count:type" string max —
+    # lexicographically identical to Spark's (n, type) struct max
+    o["user_feature_matrix"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        hi AS (SELECT max(day) AS hi FROM ev),
+        pt AS (
+          SELECT user_id, event_type,
+                 CAST(count(*) AS BIGINT) AS n_t,
+                 sum(CASE WHEN event_type = 'purchase' THEN cents
+                     ELSE 0 END) AS pc,
+                 max(day) AS last_t
+          FROM ev GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(sum(n_t) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN n_t
+                        ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(sum(pc) AS BIGINT) AS purchase_cents,
+               CAST(count(*) AS INT) AS n_types,
+               CAST(date_diff('day', max(last_t),
+                              (SELECT hi FROM hi)) AS INT)
+                 AS recency_days,
+               split_part(max(lpad(CAST(n_t AS VARCHAR), 12, '0')
+                              || ':' || event_type), ':', 2)
+                 AS favorite_type
+        FROM pt GROUP BY user_id
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

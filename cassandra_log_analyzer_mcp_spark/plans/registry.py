@@ -462,6 +462,8 @@ def queries() -> dict[str, QueryFn]:
         "above_avg_orders": analytics.above_avg_orders,
         # 3-step behavioral path mining (trigram journeys, top-K)
         "event_path_trigrams": analytics.event_path_trigrams,
+        # user-level ML feature-store table (RFM + diversity + mode)
+        "user_feature_matrix": analytics.user_feature_matrix,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,
