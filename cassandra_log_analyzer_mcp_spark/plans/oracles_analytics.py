@@ -639,6 +639,10 @@ def analytics_oracles() -> dict[str, str]:
         ) t GROUP BY event_type
     """
 
+    # the VARIANT extraction must equal the JSON-path scan exactly
+    o["props_variant_stats"] = o["props_json_stats"]
+
+
     o["asof_purchase_before_error"] = """
         SELECT event_id, user_id, err_epoch, last_purchase_epoch,
                err_epoch - last_purchase_epoch AS gap_s

@@ -464,6 +464,8 @@ def queries() -> dict[str, QueryFn]:
         "event_path_trigrams": analytics.event_path_trigrams,
         # user-level ML feature-store table (RFM + diversity + mode)
         "user_feature_matrix": analytics.user_feature_matrix,
+        # Spark 4 VARIANT twin of the JSON-path scan (shared oracle)
+        "props_variant_stats": analytics.props_variant_stats,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

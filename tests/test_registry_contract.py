@@ -94,7 +94,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "streaming_kmv_state", "streaming_late_data_drop",
     "cumulative_distinct_users", "above_avg_orders",
     "event_path_trigrams", "minhash_estimate_eval",
-    "user_feature_matrix",
+    "user_feature_matrix", "props_variant_stats",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
