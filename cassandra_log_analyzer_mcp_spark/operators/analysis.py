@@ -1539,3 +1539,57 @@ def node_lead_lag(logs: DataFrame) -> DataFrame:
         F.col("s").cast("long").alias("best_score"),
         F.col("s0").cast("long").alias("score_lag0"),
     )
+
+
+#: forecast horizon for error_forecast_next_day (hours past each
+#: node's last observed hour).
+FORECAST_H = 24
+
+
+def error_forecast_next_day(logs: DataFrame) -> DataFrame:
+    """CAPACITY-PLANNING forecast: the OLS trend extrapolated 24 h
+    past each node's last observed hour — ŷ(t₁+24) = intercept +
+    slope·(t₁+24), emitted as the exact rational (num, den) pair over
+    the shared denominator (intercept_num = Σy·Σt² − Σt·Σty, same
+    DECIMAL(38) discipline as the slope — no float, no division, no
+    engine-divergent integer-div-on-negatives). A convenience verdict
+    classifies the sign of the forecast against the current level:
+    'rising' when ŷ·den-normalized exceeds the last-window mean rate.
+
+    Cost: the same single trend_moments aggregation error_trend_ols
+    runs — forecasting is O(nodes) arithmetic on the moments, which
+    is the point of the closed form.
+    """
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = trend_moments(logs)
+    t0, t1 = F.col("t0"), F.col("t1")
+    base = m.selectExpr(
+        "node",
+        "sy",
+        "sty",
+        "t1",
+        "t1 - t0 + 1 AS n",
+        "((t0 + t1) * (t1 - t0 + 1)) div 2 AS st",
+        "(t1 * (t1 + 1) * (2*t1 + 1)"
+        " - (t0 - 1) * t0 * (2*t0 - 1)) div 6 AS stt",
+    )
+    slope_num = d(F.col("n")) * d(F.col("sty")) - d(F.col("st")) * d(
+        F.col("sy")
+    )
+    icept_num = d(F.col("sy")) * d(F.col("stt")) - d(F.col("st")) * d(
+        F.col("sty")
+    )
+    den = d(F.col("n")) * d(F.col("stt")) - d(F.col("st")) * d(F.col("st"))
+    tstar = d(F.col("t1") + FORECAST_H)
+    yhat_num = icept_num + slope_num * tstar
+    # rising iff ŷ > mean rate (Σy/n):  ŷ_num·n > Σy·den  (den > 0)
+    rising = yhat_num * d(F.col("n")) > d(F.col("sy")) * den
+    return base.select(
+        "node",
+        (F.col("t1") + FORECAST_H).cast("long").alias("t_star"),
+        yhat_num.cast("long").alias("yhat_num"),
+        den.cast("long").alias("yhat_den"),
+        F.when(rising, F.lit("rising")).otherwise(F.lit("easing")).alias(
+            "outlook"
+        ),
+    )

@@ -902,6 +902,41 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # forecast: same Faulhaber moments, intercept numerator added,
+    # HUGEINT mirrors DECIMAL(38); 'rising' compares cross-products
+    # so no division ever happens
+    o["error_forecast_next_day"] = with_logs(
+        """
+        SELECT node,
+               CAST(t1 + 24 AS BIGINT) AS t_star,
+               CAST(sy*stt - st*sty
+                    + (n*sty - st*sy) * (t1 + 24) AS BIGINT) AS yhat_num,
+               CAST(n*stt - st*st AS BIGINT) AS yhat_den,
+               CASE WHEN (sy*stt - st*sty
+                          + (n*sty - st*sy) * (t1 + 24)) * n
+                         > sy * (n*stt - st*st)
+                    THEN 'rising' ELSE 'easing' END AS outlook
+        FROM (
+          SELECT node, n, sy, sty, t1,
+                 ((t0 + t1) * n) // 2 AS st,
+                 (t1*(t1+1)*(2*t1+1)
+                  - (t0-1)*t0*(2*t0-1)) // 6 AS stt
+          FROM (
+            SELECT node,
+                   CAST(min(t) AS HUGEINT) AS t0,
+                   CAST(max(t) AS HUGEINT) AS t1,
+                   CAST(max(t) - min(t) + 1 AS HUGEINT) AS n,
+                   CAST(count(*) AS HUGEINT) AS sy,
+                   CAST(sum(t) AS HUGEINT) AS sty
+            FROM (
+              SELECT node, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t
+              FROM flagged WHERE is_error
+            ) e GROUP BY node
+          ) raw
+        ) m
+        """
+    )
+
     # the streaming fold carries ONLY (t0, t1, Σy, Σty) per node
     # across micro-batches — shared oracle proves the 4-integer
     # state reconstructs the batch regression exactly

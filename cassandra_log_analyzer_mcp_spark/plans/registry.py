@@ -542,6 +542,8 @@ def queries() -> dict[str, QueryFn]:
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)
         "node_lead_lag": _on_logs(analysis.node_lead_lag),
+        # OLS forecast 24h out (exact rational, shared moments)
+        "error_forecast_next_day": _on_logs(analysis.error_forecast_next_day),
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),

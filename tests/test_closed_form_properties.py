@@ -250,3 +250,39 @@ def test_kmv_merge_and_accuracy():
     full = sketch(a + b)
     est = estimate(full, KMV_K)
     assert abs(est - 20_000) / 20_000 < 4 / (KMV_K ** 0.5)
+
+
+def test_forecast_equals_fraction_arithmetic(spark):
+    """The forecast's (num, den) pair must equal intercept + slope ·
+    (t1+24) computed with exact Fractions from the raw moments, and
+    the 'rising' verdict must match the cross-product rule."""
+    from fractions import Fraction
+
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        FORECAST_H,
+        error_forecast_next_day,
+        trend_moments,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    sf_dir = "/root/testdata/sf0.01"
+    logs = logs_flagged(spark, sf_dir)
+    moments = {r.node: r for r in trend_moments(logs).collect()}
+    out = {r.node: r for r in error_forecast_next_day(logs).collect()}
+    for node, m in moments.items():
+        n = m.t1 - m.t0 + 1
+        st = (m.t0 + m.t1) * n // 2
+        stt = (
+            m.t1 * (m.t1 + 1) * (2 * m.t1 + 1)
+            - (m.t0 - 1) * m.t0 * (2 * m.t0 - 1)
+        ) // 6
+        den = n * stt - st * st
+        slope = Fraction(n * m.sty - st * m.sy, den)
+        icept = Fraction(m.sy * stt - st * m.sty, den)
+        yhat = icept + slope * (m.t1 + FORECAST_H)
+        r = out[node]
+        assert Fraction(r.yhat_num, r.yhat_den) == yhat
+        assert r.t_star == m.t1 + FORECAST_H
+        assert r.outlook == (
+            "rising" if yhat > Fraction(m.sy, n) else "easing"
+        )

@@ -95,6 +95,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "cumulative_distinct_users", "above_avg_orders",
     "event_path_trigrams", "minhash_estimate_eval",
     "user_feature_matrix", "props_variant_stats",
+    "error_forecast_next_day",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
