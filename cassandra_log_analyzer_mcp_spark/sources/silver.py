@@ -934,3 +934,43 @@ def silver_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = _manifest_read(path, 1)
     base = spark.read.option("basePath", path).parquet(*v1)
     return node_errors_rollup(base)
+
+
+def write_silver_observed(
+    spark: SparkSession, sf_dir: str, path: str
+) -> dict:
+    """write_silver with IN-FLIGHT QA counters via DataFrame.observe:
+    row / error / null-timestamp tallies are accumulated BY THE WRITE
+    JOB itself (Spark's Observation API — an aggregate riding the
+    existing scan, zero extra pass), where constraint_checks runs a
+    separate validation query. At 100 TB that second scan is real
+    money; the observe pattern is how a production silver writer
+    publishes freshness/volume metrics to its table monitor for free.
+
+    Returns the observed metrics dict; tests pin them against the
+    written table (counts must match a read-back exactly — a row the
+    writer counted but didn't land, or vice versa, fails).
+    """
+    from pyspark.sql import Observation
+
+    from ..functions.parsing import with_issue_flags
+    from .tables import logs
+
+    obs = Observation("silver_qa")
+    flagged = (
+        with_issue_flags(logs(spark, sf_dir))
+        .withColumn("log_date", F.to_date("ts"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(F.col("is_error").cast("long")).alias("errors_written"),
+            F.sum(F.col("ts").isNull().cast("long")).alias("null_ts"),
+        )
+    )
+    (
+        flagged.repartition("log_date", "node")
+        .write.mode("overwrite")
+        .partitionBy("log_date", "node")
+        .parquet(path)
+    )
+    return obs.get

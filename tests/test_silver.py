@@ -397,3 +397,25 @@ def test_vacuum_deletes_only_expired_files(spark, sf_dir, tmp_path):
         spark.read.option("basePath", path).parquet(*sorted(v1))
     )
     assert after.count() > 0
+
+
+def test_observe_metrics_match_written_table(spark, sf_dir, tmp_path):
+    """DataFrame.observe rides the write job: the in-flight counters
+    must equal an exact read-back census — no phantom or lost rows,
+    and the error tally matches the classifier's flags on disk."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        write_silver_observed,
+    )
+
+    path = str(tmp_path / "obs_silver")
+    metrics = write_silver_observed(spark, sf_dir, path)
+    back = spark.read.parquet(path)
+    census = back.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_error").cast("long")).alias("errors"),
+    ).collect()[0]
+    assert metrics["rows_written"] == census.rows > 0
+    assert metrics["errors_written"] == census.errors > 0
+    assert metrics["null_ts"] == 0
