@@ -2466,3 +2466,30 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship LATENCY distribution per order priority — the
+    fulfillment-SLA report, and deliberately the canonical BIG
+    fact-fact join (orders ⋈ lineitem on orderkey, both sides pruned
+    to key + date columns before the shuffle; AQE coalesces and
+    handles skew). Latency is an exact integer day count, so the
+    percentiles of integers interpolate to exact .0/.25/.5/.75
+    grid points — round(…, 2) is lossless and quantile_cont agrees
+    bit-for-bit (the anomaly-hours protocol, applied to a latency
+    SLA).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.expr("percentile(days, 0.5)"), 2).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.95)"), 2).alias("p95_days"),
+        F.max("days").cast("int").alias("max_days"),
+    )

@@ -422,6 +422,22 @@ def analytics_oracles() -> dict[str, str]:
         FROM pt GROUP BY user_id
     """
 
+    # integer-day percentiles: quantile_cont over integers lands on
+    # exact quarter grid points, round(.,2) lossless on both engines
+    o["ship_latency_percentiles"] = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(quantile_cont(days, 0.5), 2) AS p50_days,
+               round(quantile_cont(days, 0.95), 2) AS p95_days,
+               CAST(max(days) AS INT) AS max_days
+        FROM (
+          SELECT o.o_orderpriority,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS days
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ) t GROUP BY o_orderpriority
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

@@ -466,6 +466,8 @@ def queries() -> dict[str, QueryFn]:
         "user_feature_matrix": analytics.user_feature_matrix,
         # Spark 4 VARIANT twin of the JSON-path scan (shared oracle)
         "props_variant_stats": analytics.props_variant_stats,
+        # fulfillment SLA over the canonical big fact-fact join
+        "ship_latency_percentiles": analytics.ship_latency_percentiles,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

@@ -95,7 +95,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "cumulative_distinct_users", "above_avg_orders",
     "event_path_trigrams", "minhash_estimate_eval",
     "user_feature_matrix", "props_variant_stats",
-    "error_forecast_next_day",
+    "error_forecast_next_day", "ship_latency_percentiles",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
