@@ -1323,3 +1323,72 @@ def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(band).agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+#: MMR diversified retrieval: candidate pool size, selections, and
+#: λ=1/2 (which makes the objective rel − max-sim — pure integers).
+MMR_POOL = 12
+MMR_K = 4
+
+
+def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-k retrieval — Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998), the re-ranking pass between ANN
+    recall and what a RAG/training-mix consumer actually wants
+    (relevant AND non-redundant): greedily pick argmax
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). λ=1/2 makes the
+    objective rel − max-sim, so with int8-quantized dot products
+    (knn_quantized_int8's codes) every score is an exact int64 and
+    the greedy argmax chain is deterministic with (score, vec_id)
+    tie-breaks — the oracle UNROLLS all four selection rounds in SQL
+    and must land the identical chain.
+
+    Scale shape: the distributed stage is the corpus-wide relevance
+    scan + TakeOrderedAndProject top-POOL prefilter (never a global
+    sort); the greedy loop then runs on POOL vectors driver-side —
+    O(K·POOL) integer ops, exactly where production rerankers live
+    (the pool, not the corpus, is what MMR ever touches).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * QUANT_SCALE)).alias("q"),
+    )
+    q0 = quant.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq")
+    )
+    rel = (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id", "q", dot_long(F.col("q"), F.col("qq")).alias("rel")
+        )
+    )
+    cand = rel.orderBy(F.desc("rel"), "vec_id").limit(MMR_POOL).collect()
+    vecs = {r.vec_id: [int(x) for x in r.q] for r in cand}
+    rels = {r.vec_id: int(r.rel) for r in cand}
+
+    def dot(a: int, b: int) -> int:
+        return sum(x * y for x, y in zip(vecs[a], vecs[b]))
+
+    selected: list[tuple[int, int, int, int, int]] = []
+    chosen: list[int] = []
+    for rk in range(1, MMR_K + 1):
+        best = None
+        for v in sorted(vecs):
+            if v in chosen:
+                continue
+            pen = max((dot(v, s) for s in chosen), default=0)
+            score = rels[v] - pen
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rels[v], pen, score)
+        _, v, r, pen, score = best
+        chosen.append(v)
+        selected.append((rk, v, r, pen, score))
+    return spark.createDataFrame(
+        selected,
+        schema="rk int, vec_id long, rel long, penalty long, mmr long",
+    )

@@ -1870,6 +1870,76 @@ def similarity_oracles() -> dict[str, str]:
         SELECT q_id, doc_id, CAST(0 AS INT) AS label FROM negs
     """
 
+    # MMR unrolled: all four greedy selection rounds restated as
+    # chained single-row CTEs with the same (score desc, vec_id)
+    # argmax — a divergent pick at ANY round breaks every later row
+    from ..operators.similarity import MMR_POOL
+    from ..operators.similarity import QUANT_SCALE as _QS
+
+    mmr_quant = f"""
+        quant AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {_QS}) AS BIGINT))
+                   AS q
+          FROM embeddings
+        ),
+        q0 AS (SELECT q FROM quant WHERE vec_id = 0),
+        rel AS (
+          SELECT e.vec_id, e.q,
+                 CAST(list_dot_product(e.q, q0.q) AS BIGINT) AS rel
+          FROM quant e, q0 WHERE e.vec_id != 0
+        ),
+        pool AS (
+          SELECT vec_id, q, rel FROM (
+            SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+            FROM rel
+          ) t WHERE rn <= {MMR_POOL}
+        ),
+        simf AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS s
+          FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+        )"""
+    o["mmr_diversified_search"] = f"""
+        WITH {mmr_quant},
+        p1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS pen
+               FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+        p2 AS (
+          SELECT p.vec_id, p.rel, s.s AS pen
+          FROM pool p JOIN p1 ON p.vec_id != p1.vec_id
+          JOIN simf s ON s.va = p.vec_id AND s.vb = p1.vec_id
+          ORDER BY p.rel - s.s DESC, p.vec_id LIMIT 1
+        ),
+        p3 AS (
+          SELECT p.vec_id, p.rel, max(s.s) AS pen
+          FROM pool p JOIN simf s ON s.va = p.vec_id
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM p1
+                                 UNION SELECT vec_id FROM p2)
+            AND s.vb IN (SELECT vec_id FROM p1
+                         UNION SELECT vec_id FROM p2)
+          GROUP BY p.vec_id, p.rel
+          ORDER BY p.rel - max(s.s) DESC, p.vec_id LIMIT 1
+        ),
+        p4 AS (
+          SELECT p.vec_id, p.rel, max(s.s) AS pen
+          FROM pool p JOIN simf s ON s.va = p.vec_id
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM p1
+                                 UNION SELECT vec_id FROM p2
+                                 UNION SELECT vec_id FROM p3)
+            AND s.vb IN (SELECT vec_id FROM p1
+                         UNION SELECT vec_id FROM p2
+                         UNION SELECT vec_id FROM p3)
+          GROUP BY p.vec_id, p.rel
+          ORDER BY p.rel - max(s.s) DESC, p.vec_id LIMIT 1
+        )
+        SELECT CAST(1 AS INT) AS rk, vec_id, rel, pen AS penalty,
+               rel - pen AS mmr FROM p1
+        UNION ALL SELECT 2, vec_id, rel, pen, rel - pen FROM p2
+        UNION ALL SELECT 3, vec_id, rel, pen, rel - pen FROM p3
+        UNION ALL SELECT 4, vec_id, rel, pen, rel - pen FROM p4
+    """
+
     from ..operators.similarity import QUANT_SCALE as _QS
 
     # embedding drift: same quantization + parity split + single

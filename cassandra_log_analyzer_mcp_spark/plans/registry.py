@@ -329,6 +329,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_simhash": dedup.dedup_simhash,
         # MinHash estimator calibration (component-exact sketch eval)
         "minhash_estimate_eval": dedup.minhash_estimate_eval,
+        # MMR diversified re-ranking (greedy chain, unrolled oracle)
+        "mmr_diversified_search": similarity.mmr_diversified_search,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

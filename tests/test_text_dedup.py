@@ -1172,3 +1172,25 @@ def test_cms_never_underestimates_and_merges(spark, sf_dir):
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
     assert len(whole) <= CMS_D * CMS_W
+
+
+def test_mmr_greedy_invariants(spark, sf_dir):
+    """Greedy-MMR structural invariants: selections are distinct, the
+    first pick carries zero diversity penalty, marginal scores are
+    non-increasing round over round (shrinking pool + growing
+    penalties), and at least one later pick pays a real penalty —
+    diversification actually engaged, not vacuous."""
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        mmr_diversified_search,
+    )
+
+    rows = sorted(
+        mmr_diversified_search(spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    assert [r.rk for r in rows] == [1, 2, 3, 4]
+    assert len({r.vec_id for r in rows}) == 4
+    assert rows[0].penalty == 0
+    assert all(r.mmr == r.rel - r.penalty for r in rows)
+    assert all(a.mmr >= b.mmr for a, b in zip(rows, rows[1:]))
+    assert any(r.penalty > 0 for r in rows[1:])
