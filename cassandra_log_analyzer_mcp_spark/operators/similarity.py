@@ -1392,3 +1392,46 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected,
         schema="rk int, vec_id long, rel long, penalty long, mmr long",
     )
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL harness — the retrieval family's sketch-eval report
+    (CMS, KMV, and MinHash have theirs): per query, how many of the
+    exact brute-force neighbors each approximate index actually
+    returned (LSH multi-bucket, IVF probe-limited, PQ code-compressed
+    — the three recall/efficiency trade-offs this module ships).
+    Hit counts are set-intersection integers over deterministic
+    result sets, so the eval grades hash-exactly; the oracle
+    recomposes each method's FULL independent SQL formulation as a
+    nested subquery and recounts the intersections — grading the
+    evaluator AND re-grading every pipeline in one query.
+
+    Scale: each leg is the method's own distributed plan; the
+    intersection join is result-set-cardinality (queries × k).
+    """
+    brute = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id")
+    qs = brute.select("q_id").distinct()
+    legs = []
+    for method, fn in (
+        ("ivf", ann_ivf_cosine),
+        ("lsh", ann_lsh_cosine),
+        ("pq", ann_pq_cosine),
+    ):
+        res = fn(spark, sf_dir).select("q_id", "vec_id")
+        hits = (
+            res.join(brute, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        legs.append(
+            qs.join(hits, "q_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "q_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -2573,4 +2573,25 @@ def similarity_oracles() -> dict[str, str]:
         FROM aq a LEFT JOIN near n ON n.va = a.vec_id
     """
 
+    # recall harness: each method's full independent formulation
+    # re-nested as a subquery, intersections recounted — one query
+    # re-grades the brute, IVF, LSH, and PQ pipelines AND the
+    # evaluator arithmetic
+    legs = []
+    for method, key in (("ivf", "ann_ivf_cosine"),
+                        ("lsh", "ann_lsh_cosine"),
+                        ("pq", "ann_pq_cosine")):
+        legs.append(f"""
+        SELECT '{method}' AS method, qs.q_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+        FROM (SELECT DISTINCT q_id FROM ({o["knn_cosine_brute"]}) b0) qs
+        LEFT JOIN (
+          SELECT m.q_id, count(*) AS n_hits
+          FROM ({o[key]}) m
+          JOIN ({o["knn_cosine_brute"]}) b
+            ON b.q_id = m.q_id AND b.vec_id = m.vec_id
+          GROUP BY m.q_id
+        ) h ON h.q_id = qs.q_id""")
+    o["ann_recall_eval"] = " UNION ALL ".join(legs)
+
     return o

@@ -331,6 +331,8 @@ def queries() -> dict[str, QueryFn]:
         "minhash_estimate_eval": dedup.minhash_estimate_eval,
         # MMR diversified re-ranking (greedy chain, unrolled oracle)
         "mmr_diversified_search": similarity.mmr_diversified_search,
+        # retrieval recall harness (IVF/LSH/PQ vs brute, set-exact)
+        "ann_recall_eval": similarity.ann_recall_eval,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

@@ -96,7 +96,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "event_path_trigrams", "minhash_estimate_eval",
     "user_feature_matrix", "props_variant_stats",
     "error_forecast_next_day", "ship_latency_percentiles",
-    "mmr_diversified_search",
+    "mmr_diversified_search", "ann_recall_eval",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
