@@ -621,6 +621,61 @@ def text_oracles() -> dict[str, str]:
           AND bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
     """
 
+    # scene cuts rebuilt byte-by-byte: per-shot base + per-frame
+    # perturbed bytes from the same md5 hex arithmetic, inter-frame
+    # L1 deltas re-derived in SQL (delta labeled with the LATER
+    # frame, matching the kernel's diff+argmax+1 convention)
+    from ..operators.multimodal import (
+        SC_BYTES,
+        SC_FRAMES,
+        SC_PERTURB,
+        SC_SHOT,
+        SC_THRESH,
+    )
+
+    sc_hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+    sc_p_list = ", ".join(str(p) for p in SC_PERTURB)
+    sc_p_off = " ".join(
+        f"WHEN {p} THEN {2 * j + 1}" for j, p in enumerate(SC_PERTURB)
+    )
+    o["multimodal_scene_cuts"] = f"""
+        WITH fb AS (
+          SELECT doc_id, f, i,
+                 CASE WHEN i IN ({sc_p_list}) THEN
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':f'
+                              || CAST(f AS VARCHAR)),
+                          CASE i {sc_p_off} END, 2)
+                 ELSE
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':s'
+                              || CAST(f // {SC_SHOT} AS VARCHAR)),
+                          CAST(i * 2 + 1 AS INT), 2)
+                 END AS hx
+          FROM documents,
+               (SELECT unnest(range(0, {SC_FRAMES})) AS f) tf,
+               (SELECT unnest(range(0, {SC_BYTES})) AS i) ti
+        ),
+        vals AS (
+          SELECT doc_id, f, i,
+                 ({sc_hexd.format(i=1)}) * 16 + ({sc_hexd.format(i=2)})
+                   AS v
+          FROM fb
+        ),
+        deltas AS (
+          SELECT a.doc_id, a.f, sum(abs(a.v - b.v)) AS d
+          FROM vals a
+          JOIN vals b ON b.doc_id = a.doc_id AND b.i = a.i
+                     AND b.f = a.f - 1
+          WHERE a.f >= 1 GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN d > {SC_THRESH} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cuts,
+               CAST(coalesce(min(CASE WHEN d > {SC_THRESH} THEN f END),
+                             -1) AS BIGINT) AS first_cut_frame,
+               CAST(max(d) AS BIGINT) AS max_delta
+        FROM deltas GROUP BY doc_id
+    """
+
     from ..operators.multimodal import AUDIO_CHUNKS, AUDIO_WIN
 
     hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"

@@ -369,6 +369,8 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_audio_energy": multimodal.multimodal_audio_energy,
         # perceptual-hash near-dup images (aHash kernel + banded LSH)
         "multimodal_phash_dedup": multimodal.multimodal_phash_dedup,
+        # video modality value-graded: inter-frame scene-cut kernel
+        "multimodal_scene_cuts": multimodal.multimodal_scene_cuts,
         # new parity variants (reference tool-surface semantics)
         "get_errors_global": _on_logs(analysis.get_errors_global),
         "error_timeline_raw": _on_logs(analysis.error_timeline_raw),

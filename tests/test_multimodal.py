@@ -134,3 +134,41 @@ def test_phash_kernel_matches_reference_and_is_robust():
     assert h[1] == ref
     assert h[1] == h[2]
     assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") <= 4
+
+
+def test_scene_cut_kernel_matches_reference():
+    """The numpy differencing kernel vs a pure-Python reference on
+    handcrafted payloads: a constant video has no cuts (first_cut
+    −1), alternating black/white frames cut at every boundary, and
+    delta labeling uses the LATER frame's index."""
+    import numpy as np
+    import pandas as pd
+
+    from cassandra_log_analyzer_mcp_spark.operators.multimodal import (
+        SC_BYTES,
+        SC_FRAMES,
+        SC_THRESH,
+        _scene_cut_batches,
+    )
+
+    flat = bytes([7] * (SC_FRAMES * SC_BYTES))
+    strobe = b"".join(
+        bytes([0 if f % 2 == 0 else 255] * SC_BYTES)
+        for f in range(SC_FRAMES)
+    )
+    one_jump = bytes([0] * (SC_BYTES * 3)) + bytes(
+        [200] * (SC_BYTES * (SC_FRAMES - 3))
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "video": [flat, strobe, one_jump]}
+    )
+    out = pd.concat(list(_scene_cut_batches(iter([pdf])))).set_index(
+        "doc_id"
+    )
+    assert out.loc[1].n_cuts == 0 and out.loc[1].first_cut_frame == -1
+    assert out.loc[2].n_cuts == SC_FRAMES - 1  # every boundary cuts
+    assert out.loc[2].first_cut_frame == 1
+    assert out.loc[2].max_delta == 255 * SC_BYTES
+    assert out.loc[3].n_cuts == 1 and out.loc[3].first_cut_frame == 3
+    assert out.loc[3].max_delta == 200 * SC_BYTES
+    assert 255 * SC_BYTES > SC_THRESH  # the strobe regime is real
