@@ -1593,3 +1593,41 @@ def error_forecast_next_day(logs: DataFrame) -> DataFrame:
             "outlook"
         ),
     )
+
+
+#: Wilson interval z for 95% (the fixed constant keeps the IEEE
+#: expression graph identical on both engines).
+WILSON_Z = 1.96
+
+
+def error_rate_wilson_ci(logs: DataFrame) -> DataFrame:
+    """Per-node error-rate estimate with a WILSON 95% confidence
+    interval — the SRE answer to "is node3 really worse or is it
+    noise": the Wilson score interval behaves at small counts and
+    near 0/1 where the naive normal interval fails (Wilson 1927,
+    Brown-Cai-DasGupta 2001 recommend it). One map-side-combinable
+    rollup; the interval arithmetic is +,×,÷,√ only — every one
+    correctly rounded under IEEE 754, and both engines evaluate the
+    IDENTICAL expression graph, so round(…,6) hashes bit-equal with
+    no tolerance protocol (same discipline as Pearson's r).
+    """
+    agg = logs.groupBy("node").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_error").cast("long")).alias("e"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("e") / n
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    center = p + z2 / (2 * n)
+    margin = F.lit(WILSON_Z) * F.sqrt(
+        p * (1 - p) / n + z2 / (4 * n * n)
+    )
+    denom = 1 + z2 / n
+    return agg.select(
+        "node",
+        F.col("n").cast("long").alias("n"),
+        F.col("e").cast("long").alias("n_errors"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    )

@@ -2493,3 +2493,36 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days, 0.95)"), 2).alias("p95_days"),
         F.max("days").cast("int").alias("max_days"),
     )
+
+
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part REPEAT-PURCHASE report — the retail loyalty metric:
+    of the customers who ever bought a part, how many came back for
+    it in a second, distinct order. Two stacked rollups on the same
+    key chain (lineitem⋈orders once, then (part, customer, order)
+    → (part, customer) → part), each map-side combinable; the rate
+    is emitted per-mille as an exact integer (1000·repeat div
+    buyers — positive operands, so div is engine-portable).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    per_part = bought.groupBy("l_partkey").agg(
+        F.count("*").alias("n_buyers"),
+        F.sum((F.col("n_orders") >= 2).cast("long")).alias("n_repeat"),
+    )
+    return (
+        per_part.filter(F.col("n_buyers") >= 5)
+        .select(
+            "l_partkey",
+            F.col("n_buyers").cast("long").alias("n_buyers"),
+            F.col("n_repeat").cast("long").alias("n_repeat"),
+            F.expr("CAST(1000 * n_repeat div n_buyers AS BIGINT)").alias(
+                "repeat_permille"
+            ),
+        )
+    )

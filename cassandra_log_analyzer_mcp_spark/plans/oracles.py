@@ -902,6 +902,32 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # Wilson CI: identical IEEE expression graph (+,x,/,sqrt all
+    # correctly rounded) -> round(.,6) hashes bit-equal, the Pearson
+    # discipline; z is the same literal constant on both sides
+    o["error_rate_wilson_ci"] = with_logs(
+        """
+        SELECT node,
+               CAST(n AS BIGINT) AS n,
+               CAST(e AS BIGINT) AS n_errors,
+               round(p, 6) AS rate,
+               round((p + (1.96*1.96) / (2*nd) - 1.96 * sqrt(
+                        p * (1 - p) / nd + (1.96*1.96) / (4*nd*nd)))
+                     / (1 + (1.96*1.96) / nd), 6) AS wilson_lo,
+               round((p + (1.96*1.96) / (2*nd) + 1.96 * sqrt(
+                        p * (1 - p) / nd + (1.96*1.96) / (4*nd*nd)))
+                     / (1 + (1.96*1.96) / nd), 6) AS wilson_hi
+        FROM (
+          SELECT node, count(*) AS n,
+                 CAST(count(*) AS DOUBLE) AS nd,
+                 sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS e,
+                 sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS p
+          FROM flagged GROUP BY node
+        ) t
+        """
+    )
+
     # forecast: same Faulhaber moments, intercept numerator added,
     # HUGEINT mirrors DECIMAL(38); 'rising' compares cross-products
     # so no division ever happens

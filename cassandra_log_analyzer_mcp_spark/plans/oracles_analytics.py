@@ -438,6 +438,26 @@ def analytics_oracles() -> dict[str, str]:
         ) t GROUP BY o_orderpriority
     """
 
+    # repeat purchase: stacked distinct rollups restated directly;
+    # per-mille uses positive-operand integer division
+    o["repeat_purchase_rate"] = """
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_buyers,
+               CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat,
+               CAST(1000 * sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0
+                               END) // count(*) AS BIGINT)
+                 AS repeat_permille
+        FROM (
+          SELECT l.l_partkey, o.o_custkey,
+                 count(DISTINCT l.l_orderkey) AS n_orders
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2
+        ) b
+        GROUP BY l_partkey
+        HAVING count(*) >= 5
+    """
+
     o["late_sole_suppliers"] = """
         SELECT s_name, numwait, CAST(rank AS INT) AS rank FROM (
           SELECT s.s_name, b.numwait,

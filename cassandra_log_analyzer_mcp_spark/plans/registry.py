@@ -474,6 +474,8 @@ def queries() -> dict[str, QueryFn]:
         "props_variant_stats": analytics.props_variant_stats,
         # fulfillment SLA over the canonical big fact-fact join
         "ship_latency_percentiles": analytics.ship_latency_percentiles,
+        # per-part repeat-purchase loyalty (stacked distinct rollups)
+        "repeat_purchase_rate": analytics.repeat_purchase_rate,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,
@@ -552,6 +554,8 @@ def queries() -> dict[str, QueryFn]:
         "node_lead_lag": _on_logs(analysis.node_lead_lag),
         # OLS forecast 24h out (exact rational, shared moments)
         "error_forecast_next_day": _on_logs(analysis.error_forecast_next_day),
+        # Wilson 95% CI on per-node error rate (IEEE-identical graph)
+        "error_rate_wilson_ci": _on_logs(analysis.error_rate_wilson_ci),
         "error_bursts": _on_logs(analysis.error_bursts),
         "error_sessions": _on_logs(analysis.error_sessions),
         "error_anomaly_hours": _on_logs(analysis.error_anomaly_hours),

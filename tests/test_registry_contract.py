@@ -97,7 +97,8 @@ NEW_IN_R4_REPLICA_ONLY = {
     "user_feature_matrix", "props_variant_stats",
     "error_forecast_next_day", "ship_latency_percentiles",
     "mmr_diversified_search", "ann_recall_eval",
-    "multimodal_scene_cuts",
+    "multimodal_scene_cuts", "error_rate_wilson_ci",
+    "repeat_purchase_rate",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
