@@ -1435,3 +1435,69 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+#: sign-quantization packs EMBED_DIM bits into 32-bit halves (two
+#: BIGINT words for dim 64) — never bit 63 of a signed word, so the
+#: shifted sums stay positive and engine-portable.
+HAMMING_WORD_BITS = 32
+
+
+def knn_hamming_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit/dim) embedding search — the 32×-compression
+    regime of large-scale retrieval (Faiss binary indexes, SPANN's
+    sign codes): bit i of word ``i div 32`` is set iff ``v[i] >= 0``,
+    and distance is Hamming — ``bit_count(w XOR q)`` summed over the
+    packed words, pure integer arithmetic with no float protocol.
+
+    Packing is posexplode + shifted CASE sums (whole-stage codegen;
+    a higher-order array fold would run interpreted — the module's
+    standing rule), one map-side-combinable groupBy per corpus scan.
+    At 100 TB the packed table is 16 bytes/vector — it is the ONLY
+    thing the query scan reads (256-byte floats never move), and the
+    per-query top-k is the same broadcast-queries shape as
+    ``knn_cosine_brute``. Queries: ``vec_id < KNN_N_QUERIES``;
+    ties break (hamming, vec_id) — fully deterministic.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    half = HAMMING_WORD_BITS
+    bits = emb.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    one_shifted = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {half} AS INT))"
+    )
+    packed = bits.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("pos") < half) & (F.col("x") >= 0), one_shifted
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("w0"),
+        F.sum(
+            F.when(
+                (F.col("pos") >= half) & (F.col("x") >= 0), one_shifted
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("w1"),
+    )
+    queries = packed.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    pairs = (
+        packed.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                "CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS INT)"
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_TOP_K)
+        .select("q_id", "vec_id", "hamming", F.col("rn").cast("int").alias("rn"))
+    )

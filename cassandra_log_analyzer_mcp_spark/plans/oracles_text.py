@@ -2649,4 +2649,40 @@ def similarity_oracles() -> dict[str, str]:
         ) h ON h.q_id = qs.q_id""")
     o["ann_recall_eval"] = " UNION ALL ".join(legs)
 
+    # binary sign-quantized kNN: the identical pack-then-popcount
+    # arithmetic restated over 1-based list indexing; both engines
+    # shift into the LOW half of each word, so no sign-bit hazard
+    from ..operators.similarity import HAMMING_WORD_BITS
+
+    hb = HAMMING_WORD_BITS
+    o["knn_hamming_sign"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        packed AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(range(0, {hb}),
+                   j -> CASE WHEN v[j + 1] >= 0
+                        THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+                   AS w0,
+                 CAST(list_sum(list_transform(range({hb}, {2 * hb}),
+                   j -> CASE WHEN v[j + 1] >= 0
+                        THEN (1::BIGINT << (j - {hb})) ELSE 0 END))
+                   AS BIGINT) AS w1
+          FROM emb
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 CAST(bit_count(xor(e.w0, q.w0))
+                      + bit_count(xor(e.w1, q.w1)) AS INT) AS hamming
+          FROM packed e, packed q
+          WHERE q.vec_id < {KNN_N_QUERIES} AND e.vec_id != q.vec_id
+        )
+        SELECT q_id, vec_id, hamming, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY hamming, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {KNN_TOP_K}
+    """
+
     return o

@@ -98,7 +98,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "error_forecast_next_day", "ship_latency_percentiles",
     "mmr_diversified_search", "ann_recall_eval",
     "multimodal_scene_cuts", "error_rate_wilson_ci",
-    "repeat_purchase_rate",
+    "repeat_purchase_rate", "knn_hamming_sign",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

@@ -1194,3 +1194,25 @@ def test_mmr_greedy_invariants(spark, sf_dir):
     assert all(r.mmr == r.rel - r.penalty for r in rows)
     assert all(a.mmr >= b.mmr for a, b in zip(rows, rows[1:]))
     assert any(r.penalty > 0 for r in rows[1:])
+
+
+def test_hamming_sign_knn_structure_and_recall(spark, sf_dir):
+    """1-bit sign codes: 10 rows per query, distances inside [0, 64],
+    and top-10 overlap with exact cosine far above the random
+    baseline (10/2000 = 0.005; measured 0.32 on this data — 1-bit
+    codes on weakly-clustered synthetic vectors lose a lot, which is
+    why production binary search reranks; bound at 0.15)."""
+    rows = similarity.knn_hamming_sign(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, set()).add(r.vec_id)
+        assert 0 <= r.hamming <= 64
+        assert 1 <= r.rn <= similarity.KNN_TOP_K
+    assert all(len(v) == similarity.KNN_TOP_K for v in per_q.values())
+    assert len(per_q) == similarity.KNN_N_QUERIES
+    brute = {}
+    for r in similarity.knn_cosine_brute(spark, sf_dir).collect():
+        brute.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(brute[q] & per_q[q]) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.15
