@@ -1436,3 +1436,53 @@ def token_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_est").cast("long").alias("n_est"),
         (F.col("n_est") - F.col("n_true")).cast("long").alias("inflation"),
     )
+
+
+#: ingest-order batch size for the novelty-decay curve — the doc_id
+#: axis stands in for arrival order (how synthetic corpora and real
+#: crawl snapshots are both numbered).
+NOVELTY_BUCKET_DOCS = 100
+
+
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY-DECAY curve of the corpus in ingest order — the
+    data-acquisition question behind dedup budgets ("is the next
+    crawl snapshot still adding anything?", Lee et al. 2022's
+    memorization setup): per NOVELTY_BUCKET_DOCS batch of doc_ids,
+    the share of its distinct REPEAT_K-gram shingles whose FIRST
+    corpus occurrence lies in that same document.
+
+    Reuses the cached ``_pos_grams`` substrate (one tokenize+shingle
+    per session shared with repeated_ngrams / span coverage); then
+    a distinct, a gram-keyed min rollup (map-side combinable), and a
+    gram-keyed join back — the join reuses the rollup's hash
+    partitioning, so it costs one shuffle of the distinct gram set,
+    not two. At 100 TB grams would shuffle as 16-byte digests and
+    the final report is one tiny batch-keyed rollup. All counts are
+    integers; the per-mille rate is positive-operand ``div``.
+    """
+    g = _pos_grams(spark, sf_dir).select("doc_id", "gram").distinct()
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.col("first_doc") == F.col("doc_id")
+    return (
+        g.join(first, "gram")
+        .groupBy(
+            F.expr(f"doc_id div {NOVELTY_BUCKET_DOCS}")
+            .cast("long")
+            .alias("batch")
+        )
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(novel.cast("long")).alias("n_novel"),
+        )
+        .select(
+            "batch",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST(1000 * n_novel div n_grams AS BIGINT)").alias(
+                "novel_permille"
+            ),
+        )
+    )

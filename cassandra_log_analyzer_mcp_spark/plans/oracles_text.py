@@ -1800,6 +1800,33 @@ def text_oracles() -> dict[str, str]:
         WHERE rk <= {COLLOC_TOP_K}
     """
 
+    # novelty decay: the same distinct-gram / first-occurrence rollup
+    # restated over 1-based list slicing; per-mille is positive //
+    from ..operators.textops import NOVELTY_BUCKET_DOCS
+
+    o["ngram_novelty_decay"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(t) - {REPEAT_K - 1}, 0) + 1),
+                   i -> array_to_string(t[i:i + {REPEAT_K - 1}], ' ')))
+                   AS gram
+          FROM toks
+        ),
+        f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        SELECT CAST(doc_id // {NOVELTY_BUCKET_DOCS} AS BIGINT) AS batch,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(1000 * sum(CASE WHEN first_doc = doc_id THEN 1
+                               ELSE 0 END) // count(*) AS BIGINT)
+                 AS novel_permille
+        FROM g JOIN f USING (gram)
+        GROUP BY 1
+    """
+
     return o
 
 

@@ -281,6 +281,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_repetition": textops.doc_repetition,
         "doc_surprisal": textops.doc_surprisal,
         "repeated_ngrams": textops.repeated_ngrams,
+        "ngram_novelty_decay": textops.ngram_novelty_decay,
         "repeated_span_coverage": textops.repeated_span_coverage,
         "repeated_spans_merged": textops.repeated_spans_merged,
         "chunk_dedup": textops.chunk_dedup,
