@@ -1631,3 +1631,71 @@ def error_rate_wilson_ci(logs: DataFrame) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_lo"),
         F.round((center + margin) / denom, 6).alias("wilson_hi"),
     )
+
+
+#: integer EWMA with alpha = 1/4: ewma' = (1000·x + 3·ewma) div 4 —
+#: scaled by EWMA_SCALE so the fold never leaves exact integers.
+EWMA_SCALE = 1000
+#: spike rule: x > 1.5× the smoothed baseline (2·1000·x > 3·ewma)
+#: and at least EWMA_MIN_X raw errors (suppresses tiny-count noise).
+EWMA_MIN_X = 5
+
+
+def error_ewma_smoothed(logs: DataFrame) -> DataFrame:
+    """Per-node EWMA-smoothed hourly error baseline + spike count —
+    the classic operational smoother (alpha = 1/4). Unlike CUSUM
+    (error_cusum_changepoints) the exponential recursion has NO
+    window-function closed form without libm (weights (3/4)^k), so
+    this is the ORDERED-FOLD pattern done scale-safely: the raw scan
+    first rolls up to the tiny zero-filled (node, hour) series
+    (cusum_series — shared with CUSUM so the two detectors read the
+    same input), and only that rollup is collected per node and
+    folded with F.aggregate. The interpreted higher-order fold runs
+    over hundreds of rollup rows per node, never raw lines — the
+    same rollup-then-fold discipline as kmeans' K-row driver state.
+
+    All state is exact integers (EWMA_SCALE-scaled, truncating div
+    4), so the fold is bit-identical to the oracle's recursive CTE:
+    spike counted when the CURRENT hour exceeds 1.5× the baseline
+    BEFORE update. Output: final baseline + spike census per node.
+    """
+    series = cusum_series(logs)
+    seq = series.groupBy("node").agg(
+        F.sort_array(F.collect_list(F.struct("h", "x"))).alias("seq"),
+        F.count("*").cast("long").alias("n_hours"),
+        F.max("x").cast("long").alias("max_errors"),
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("ewma"),
+        F.lit(0).cast("long").alias("n_spikes"),
+    )
+
+    def step(acc, e):
+        scaled = e["x"] * EWMA_SCALE
+        nxt = (
+            F.when(acc["ewma"] < 0, scaled)
+            .otherwise(((scaled + 3 * acc["ewma"]) / 4))
+            .cast("long")
+        )
+        spike = (
+            F.when(
+                (acc["ewma"] >= 0)
+                & (2 * scaled > 3 * acc["ewma"])
+                & (e["x"] >= EWMA_MIN_X),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        )
+        return F.struct(
+            nxt.alias("ewma"), (acc["n_spikes"] + spike).alias("n_spikes")
+        )
+
+    folded = F.aggregate(F.col("seq"), init, step)
+    return seq.select(
+        "node",
+        "n_hours",
+        "max_errors",
+        folded["ewma"].alias("ewma_final"),
+        folded["n_spikes"].alias("n_spikes"),
+    )

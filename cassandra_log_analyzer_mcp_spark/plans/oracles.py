@@ -846,6 +846,62 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # integer EWMA restated as a genuine recursive CTE stepping the
+    # per-node hour rank — bit-identical to the Spark fold because
+    # every step is exact integer arithmetic (scaled by 1000,
+    # truncating floor-div 4, positive operands throughout)
+    from ..operators.analysis import EWMA_MIN_X, EWMA_SCALE
+
+    o["error_ewma_smoothed"] = f"""
+        WITH RECURSIVE {LOG_CTE},
+        hourly AS (
+          SELECT node, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM flagged WHERE is_error GROUP BY 1, 2
+        ),
+        series AS (
+          SELECT s.node, s.h, CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+          FROM (
+            SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+            FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                  FROM hourly GROUP BY node) b
+          ) s
+          LEFT JOIN hourly hr ON hr.node = s.node AND hr.h = s.h
+        ),
+        seq AS (
+          SELECT node, h, x,
+                 row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+          FROM series
+        ),
+        rec AS (
+          SELECT node, rn, CAST(x * {EWMA_SCALE} AS BIGINT) AS ewma,
+                 CAST(0 AS BIGINT) AS n_spikes
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.node, s.rn,
+                 CAST((s.x * {EWMA_SCALE} + 3 * r.ewma) // 4 AS BIGINT),
+                 CAST(r.n_spikes
+                      + CASE WHEN 2 * s.x * {EWMA_SCALE} > 3 * r.ewma
+                                  AND s.x >= {EWMA_MIN_X}
+                             THEN 1 ELSE 0 END AS BIGINT)
+          FROM rec r JOIN seq s ON s.node = r.node AND s.rn = r.rn + 1
+        ),
+        fin AS (
+          SELECT node, ewma, n_spikes,
+                 row_number() OVER (PARTITION BY node ORDER BY rn DESC)
+                   AS rk
+          FROM rec
+        )
+        SELECT t.node,
+               CAST(t.n_hours AS BIGINT) AS n_hours,
+               CAST(t.max_errors AS BIGINT) AS max_errors,
+               f.ewma AS ewma_final,
+               f.n_spikes
+        FROM (SELECT node, count(*) AS n_hours, max(x) AS max_errors
+              FROM series GROUP BY node) t
+        JOIN fin f ON f.node = t.node AND f.rk = 1
+    """
+
     # stream-static enrichment: rack recomputed from node parity,
     # windowed counts stated directly
     o["streaming_rack_counts"] = with_logs(

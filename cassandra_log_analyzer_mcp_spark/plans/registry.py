@@ -550,6 +550,9 @@ def queries() -> dict[str, QueryFn]:
         "error_cusum_changepoints": _on_logs(
             analysis.error_cusum_changepoints
         ),
+        # integer-EWMA smoothed baseline + spike census (ordered fold
+        # over the shared zero-filled hourly rollup)
+        "error_ewma_smoothed": _on_logs(analysis.error_ewma_smoothed),
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)

@@ -545,3 +545,39 @@ def test_coverage_gaps_finds_engineered_silence(spark):
         r.silent_hours,
         r.longest_gap_hours,
     ) == (10, 5, 5, 4)
+
+
+def test_error_ewma_matches_python_refold(spark, sf_dir):
+    """The F.aggregate integer fold is re-run in plain Python over the
+    same zero-filled series — state transitions must agree exactly
+    (the property the recursive-CTE oracle also grades)."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        EWMA_MIN_X,
+        EWMA_SCALE,
+        cusum_series,
+        error_ewma_smoothed,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    logs = logs_flagged(spark, sf_dir)
+    series = {}
+    for r in cusum_series(logs).collect():
+        series.setdefault(r.node, []).append((r.h, r.x))
+    expect = {}
+    for node, hx in series.items():
+        ewma, n_spikes = -1, 0
+        xs = [x for _, x in sorted(hx)]
+        for x in xs:
+            scaled = x * EWMA_SCALE
+            if ewma < 0:
+                ewma = scaled
+            else:
+                if 2 * scaled > 3 * ewma and x >= EWMA_MIN_X:
+                    n_spikes += 1
+                ewma = (scaled + 3 * ewma) // 4
+        expect[node] = (len(xs), max(xs), ewma, n_spikes)
+    got = {
+        r.node: (r.n_hours, r.max_errors, r.ewma_final, r.n_spikes)
+        for r in error_ewma_smoothed(logs).collect()
+    }
+    assert got == expect

@@ -99,7 +99,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "mmr_diversified_search", "ann_recall_eval",
     "multimodal_scene_cuts", "error_rate_wilson_ci",
     "repeat_purchase_rate", "knn_hamming_sign",
-    "ngram_novelty_decay",
+    "ngram_novelty_decay", "error_ewma_smoothed",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
