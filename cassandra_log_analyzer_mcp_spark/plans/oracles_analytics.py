@@ -859,6 +859,23 @@ def analytics_oracles() -> dict[str, str]:
         WHERE p.event_type = 'purchase'
     """
 
+    # full outer: both sides' unmatched rows must surface — the
+    # streaming sentinel machinery now proves outer emission for the
+    # error store too
+    o["streaming_purchase_error_full_join"] = """
+        SELECT coalesce(p.user_id, e.user_id) AS user_id,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(e.ts) AS error_us,
+               round(p.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts
+         AND e.ts <= p.ts + INTERVAL 4 HOUR
+    """
+
     # two-level exact median (same quantile_cont parity as
     # event_value_percentiles); both medians rounded before reuse so
     # dev and the 3*MAD threshold are identical IEEE ops in both

@@ -649,6 +649,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_purchase_error_join,
         "streaming_purchase_error_left_join":
             batch_bridge.streaming_purchase_error_left_join,
+        "streaming_purchase_error_full_join":
+            batch_bridge.streaming_purchase_error_full_join,
     }
     # project the round's driver window to the front (see
     # R4_DRIVER_WINDOW); everything else keeps its relative order

@@ -603,6 +603,87 @@ def streaming_purchase_error_left_join(
     return spark.table(sink).filter(F.col("purchase_id") >= 0)
 
 
+def streaming_purchase_error_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM FULL OUTER join — the last member of the
+    inner/left/full family: every purchase (with NULL error columns
+    when clean) AND every orphaned error (NULL purchase columns) in
+    one topology. Both state stores now hold outer candidates, and
+    BOTH sides' rows flush only when the global watermark clears
+    their join horizon — the sentinel pair (one per side) is what
+    proves time moved on for each store, making the finite replay
+    equal the batch FULL JOIN exactly so the oracle can hash-check
+    outer emission on both sides, not just one.
+
+    Same load-bearing subtlety as the left join: the sentinel filter
+    runs on the MATERIALIZED sink table (a pre-sink filter would push
+    below the EventTimeWatermark operator and un-advance the
+    watermark). Sentinels are identified by their reserved negative
+    event_ids; a full-outer row is real iff each present side has a
+    non-negative id.
+    """
+    land = _landed_events_outer(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "5 hours")
+    )
+    errors = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("user_id").alias("e_user"),
+        )
+        .withWatermark("e_ts", "5 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 4 HOURS")),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "e_user").alias("user_id"),
+        "purchase_id",
+        "error_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("e_ts").alias("error_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    sink = f"stream_ss_fjoin_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(joined, sink, output_mode="append")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_purchase_error_full_join did not finish its"
+                " availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).filter(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("error_id").isNull() | (F.col("error_id") >= 0))
+    )
+
+
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The key-level silver MERGE driven from a STREAM — the CDC
     pattern at 100 TB: corrections arrive continuously, and each

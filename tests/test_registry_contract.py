@@ -100,7 +100,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "multimodal_scene_cuts", "error_rate_wilson_ci",
     "repeat_purchase_rate", "knn_hamming_sign",
     "ngram_novelty_decay", "error_ewma_smoothed",
-    "mixture_token_budget",
+    "mixture_token_budget", "streaming_purchase_error_full_join",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

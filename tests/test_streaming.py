@@ -521,3 +521,39 @@ def test_watermark_drop_boundary_semantics(spark, tmp_path):
     assert got[(90000, "a")] == 1          # boundary row survived
     assert (86400, "a") not in got         # expired window dropped
     assert got[(100000 // 3600 * 3600, "a")] == 1
+
+
+def test_streaming_full_join_emits_both_outer_sides(spark, sf_dir):
+    """FULL outer: purchase-only rows (clean purchases), error-only
+    rows (orphaned errors), and matched rows must all surface, no
+    sentinel leaks, and the purchase side reproduces the LEFT join's
+    census exactly (full ⊇ left)."""
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    got = batch_bridge.streaming_purchase_error_full_join(
+        spark, sf_dir
+    ).collect()
+    p_only = [r for r in got if r.error_id is None]
+    e_only = [r for r in got if r.purchase_id is None]
+    matched = [
+        r for r in got
+        if r.purchase_id is not None and r.error_id is not None
+    ]
+    assert p_only and e_only and matched
+    for r in got:
+        assert r.user_id >= 0
+        assert r.purchase_id is None or r.purchase_id >= 0
+        assert r.error_id is None or r.error_id >= 0
+        # a present purchase side always carries its timestamp/value
+        assert (r.purchase_id is None) == (r.purchase_us is None)
+        assert (r.error_id is None) == (r.error_us is None)
+    ev = table(spark, sf_dir, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    # every purchase appears (matched or purchase-only); every error
+    # appears (matched at least once or error-only)
+    assert len({r.purchase_id for r in matched} | {
+        r.purchase_id for r in p_only}) == n_purch
+    assert len({r.error_id for r in matched} | {
+        r.error_id for r in e_only}) == n_err
