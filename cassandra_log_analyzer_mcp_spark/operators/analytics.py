@@ -2526,3 +2526,62 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def purchase_gap_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVAL ANALYSIS of repeat-purchase behavior — the
+    Kaplan-Meier risk table over inter-purchase gaps, with
+    right-censoring done correctly: each purchase is a subject whose
+    event is the same user's NEXT purchase; a user's final purchase
+    is CENSORED at the data horizon (the next purchase may lie
+    beyond the extract), not counted as a gap — the mistake naive
+    "average days between orders" rollups make. The KM survivor
+    product itself is deliberately NOT emitted: it is a float
+    product with engine-dependent rounding order, while this risk
+    table is the exact-integer sufficient statistic it derives from
+    (S(t) = Π (1 − d/n) over these very rows).
+
+    Scale shape: one per-user window over that user's purchases
+    (lead — bounded by a user's own history, the user_sessions
+    discipline), a 1-row horizon broadcast, a tiny day-offset
+    rollup, and ONE window over that rollup (≤ corpus span in days)
+    turning counts into at-risk tail sums. Hazard is
+    positive-operand integer div, per-mille.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("nxt", F.lead("day").over(w))
+    )
+    end = ev.agg(F.max("day").alias("end_day"))
+    lifetimes = p.crossJoin(F.broadcast(end)).select(
+        F.col("nxt").isNotNull().cast("long").alias("observed"),
+        F.when(F.col("nxt").isNotNull(), F.col("nxt") - F.col("day"))
+        .otherwise(F.col("end_day") - F.col("day"))
+        .alias("day_offset"),
+    )
+    per_t = lifetimes.groupBy("day_offset").agg(
+        F.count("*").cast("long").alias("n_ending"),
+        F.sum("observed").cast("long").alias("n_repurchases"),
+    )
+    wt = Window.orderBy(F.col("day_offset").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_t.withColumn("at_risk", F.sum("n_ending").over(wt))
+        .select(
+            "day_offset",
+            F.col("at_risk").cast("long").alias("at_risk"),
+            "n_repurchases",
+            F.expr(
+                "CAST(1000 * n_repurchases div at_risk AS BIGINT)"
+            ).alias("hazard_permille"),
+        )
+    )

@@ -876,6 +876,47 @@ def analytics_oracles() -> dict[str, str]:
          AND e.ts <= p.ts + INTERVAL 4 HOUR
     """
 
+    # KM risk table over inter-purchase gaps: per-user lead, horizon
+    # censoring, day-offset rollup + descending tail sum restated
+    # directly; hazard is positive //
+    o["purchase_gap_hazard"] = """
+        WITH ev AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events
+        ),
+        p AS (
+          SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+          FROM ev WHERE event_type = 'purchase'
+        ),
+        horizon AS (SELECT max(day) AS end_day FROM ev),
+        lt AS (
+          SELECT CASE WHEN p.nxt IS NOT NULL THEN 1 ELSE 0 END
+                   AS observed,
+                 CASE WHEN p.nxt IS NOT NULL THEN p.nxt - p.day
+                      ELSE h.end_day - p.day END AS day_offset
+          FROM p, horizon h
+        ),
+        per_t AS (
+          SELECT day_offset,
+                 CAST(count(*) AS BIGINT) AS n_ending,
+                 CAST(sum(observed) AS BIGINT) AS n_repurchases
+          FROM lt GROUP BY day_offset
+        )
+        SELECT day_offset,
+               CAST(sum(n_ending) OVER (ORDER BY day_offset DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS at_risk,
+               n_repurchases,
+               CAST(1000 * n_repurchases
+                    // sum(n_ending) OVER (ORDER BY day_offset DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS hazard_permille
+        FROM per_t
+    """
+
     # two-level exact median (same quantile_cont parity as
     # event_value_percentiles); both medians rounded before reuse so
     # dev and the 3*MAD threshold are identical IEEE ops in both

@@ -479,6 +479,7 @@ def queries() -> dict[str, QueryFn]:
         "ship_latency_percentiles": analytics.ship_latency_percentiles,
         # per-part repeat-purchase loyalty (stacked distinct rollups)
         "repeat_purchase_rate": analytics.repeat_purchase_rate,
+        "purchase_gap_hazard": analytics.purchase_gap_hazard,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

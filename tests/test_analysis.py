@@ -581,3 +581,30 @@ def test_error_ewma_matches_python_refold(spark, sf_dir):
         for r in error_ewma_smoothed(logs).collect()
     }
     assert got == expect
+
+
+def test_purchase_gap_hazard_km_invariants(spark, sf_dir):
+    """KM risk-table identities: at_risk(0) = total subjects
+    (purchases), at_risk strictly decreases in day_offset (tail
+    sums), and censored subjects = users with >=1 purchase (each
+    user's final purchase is exactly the one censored row)."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        purchase_gap_hazard,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    rows = sorted(
+        purchase_gap_hazard(spark, sf_dir).collect(),
+        key=lambda r: r.day_offset,
+    )
+    p = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n_purch = p.count()
+    n_buyers = p.select("user_id").distinct().count()
+    assert rows[0].day_offset >= 0
+    at = [r.at_risk for r in rows]
+    assert all(a > b for a, b in zip(at, at[1:]))
+    assert at[0] == n_purch  # at_risk at the smallest offset = subjects
+    n_events = sum(r.n_repurchases for r in rows)
+    assert n_purch - n_events == n_buyers
