@@ -2585,3 +2585,65 @@ def purchase_gap_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hazard_permille"),
         )
     )
+
+
+#: a touch older than this no longer gets credit — purchases beyond
+#: it attribute to 'direct'.
+ATTRIB_WINDOW_S = 7200
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH revenue attribution — the marketing-analytics
+    staple: each purchase credits its revenue to the user's most
+    recent preceding non-purchase event ("channel"), or to 'direct'
+    when the latest touch is older than ATTRIB_WINDOW_S. Same
+    distributed as-of discipline as asof_purchase_before_error:
+    never the quadratic inequality join — tag and UNION the streams,
+    ONE per-user ordered window carries the last touch's (epoch,
+    type) forward with ignore-nulls last(), then the channel rollup
+    is a tiny map-side-combinable aggregate. Revenue is exact
+    integer cents (the module's money convention); share is
+    positive-operand div per-mille.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("epoch"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tagged = ev.withColumn("is_touch", F.col("event_type") != "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_col = lambda c: F.last(  # noqa: E731
+        F.when(F.col("is_touch"), F.col(c)), ignorenulls=True
+    ).over(w)
+    carried = tagged.withColumn(
+        "touch_epoch", touch_col("epoch")
+    ).withColumn("touch_type", touch_col("event_type"))
+    purchases = carried.filter(~F.col("is_touch")).select(
+        F.when(
+            F.col("touch_epoch").isNotNull()
+            & (F.col("epoch") - F.col("touch_epoch") <= ATTRIB_WINDOW_S),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "cents",
+    )
+    per = purchases.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    tot = per.agg(F.sum("revenue_cents").alias("total_cents"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_purchases",
+        "revenue_cents",
+        F.expr(
+            "CAST(1000 * revenue_cents div total_cents AS BIGINT)"
+        ).alias("revenue_share_pm"),
+    )

@@ -701,6 +701,48 @@ def analytics_oracles() -> dict[str, str]:
     # window formulation — shared oracle IS the proof
     o["streaming_asof_join"] = o["asof_purchase_before_error"]
 
+    # last-touch attribution: same carry-forward shape, two IGNORE
+    # NULLS carries (epoch + type always from the same touch row),
+    # channel rollup over exact cents
+    from ..operators.analytics import ATTRIB_WINDOW_S
+
+    o["last_touch_attribution"] = f"""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 event_type != 'purchase' AS is_touch
+          FROM events
+        ),
+        carried AS (
+          SELECT *,
+                 last_value(CASE WHEN is_touch THEN epoch END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS touch_epoch,
+                 last_value(CASE WHEN is_touch THEN event_type END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS touch_type
+          FROM ev
+        ),
+        per AS (
+          SELECT CASE WHEN touch_epoch IS NOT NULL
+                       AND epoch - touch_epoch <= {ATTRIB_WINDOW_S}
+                      THEN touch_type ELSE 'direct' END AS channel,
+                 CAST(count(*) AS BIGINT) AS n_purchases,
+                 CAST(sum(cents) AS BIGINT) AS revenue_cents
+          FROM carried WHERE NOT is_touch
+          GROUP BY 1
+        )
+        SELECT channel, n_purchases, revenue_cents,
+               CAST(1000 * revenue_cents
+                    // (SELECT sum(revenue_cents) FROM per) AS BIGINT)
+                 AS revenue_share_pm
+        FROM per
+    """
+
     o["late_shipment_priority"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         FROM orders o

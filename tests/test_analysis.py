@@ -608,3 +608,46 @@ def test_purchase_gap_hazard_km_invariants(spark, sf_dir):
     assert at[0] == n_purch  # at_risk at the smallest offset = subjects
     n_events = sum(r.n_repurchases for r in rows)
     assert n_purch - n_events == n_buyers
+
+
+def test_last_touch_attribution_crafted(spark):
+    """view→purchase inside the window credits 'view'; a stale touch
+    (older than the window) and a no-touch purchase both credit
+    'direct'; a later touch overrides an earlier one."""
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    def ev(eid, uid, typ, minute, value=10.0):
+        return Row(
+            event_id=eid, user_id=uid, event_type=typ,
+            ts=ts(minute), value=value, props="{}",
+        )
+
+    events = spark.createDataFrame([
+        # u1: view @0, click @1, purchase @2 -> last touch is click
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1),
+        ev(3, 1, "purchase", 2, 40.0),
+        # u2: purchase with no touch at all -> direct
+        ev(4, 2, "purchase", 0, 10.0),
+        # u3: view @0, purchase 3 h later -> stale -> direct
+        ev(5, 3, "view", 0), ev(6, 3, "purchase", 59, 10.0),
+    ])
+    # 3h staleness needs minutes beyond ts()'s hour: shift u3's
+    # purchase epoch directly instead
+    events = events.withColumn(
+        "ts",
+        F.when(F.col("event_id") == 6, F.col("ts") + F.expr(
+            "INTERVAL 150 MINUTES")).otherwise(F.col("ts")),
+    )
+    orig = an.table
+    try:
+        an.table = lambda s, d, n: events
+        rows = {r.channel: r for r in
+                an.last_touch_attribution(spark, "x").collect()}
+    finally:
+        an.table = orig
+    assert rows["click"].n_purchases == 1
+    assert rows["click"].revenue_cents == 4000
+    assert rows["direct"].n_purchases == 2
+    assert rows["direct"].revenue_cents == 2000
+    assert set(rows) == {"click", "direct"}
+    assert rows["click"].revenue_share_pm == 666
