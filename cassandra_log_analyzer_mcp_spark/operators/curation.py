@@ -741,3 +741,56 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 * sum(n_tok) div budget_tokens AS BIGINT)"
         ).alias("fill_permille"),
     )
+
+
+PRIORITY_SALT = "priority:"
+PRIORITY_SAMPLE_K = 100
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED BOTTOM-K sampling (priority / sequential-Poisson
+    sampling, Ohlsson 1998; Duffield et al.'s priority sampling) —
+    THE distributed weighted-sample primitive: each doc draws a
+    deterministic pseudo-uniform u (salted md5 prefix) and competes
+    with priority u/weight; the K smallest priorities win. Inclusion
+    probability grows with weight (here w = n_tokens + 1, a
+    token-proportional corpus draw), heavier docs win ~proportionally
+    — and the bottom-K set is MERGEABLE: each partition keeps its
+    own bottom-K, TakeOrdered merges them on the driver, no global
+    sort, no RNG coordination, repeatable across cluster sizes. The
+    ln-free priority (plain u/w, not the A-ES exp-key) keeps both
+    engines' doubles bit-identical under the repo's libm ban.
+
+    The rank column is attached AFTER the top-K cut, so its window
+    sorts K rows, not the corpus.
+    """
+    from ..functions.texts import tokens_col
+
+    d = documents(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(PRIORITY_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    pri = d.withColumn(
+        "priority", F.col("u") / (F.col("n_tokens") + F.lit(1))
+    )
+    top = pri.orderBy("priority", "doc_id").limit(PRIORITY_SAMPLE_K)
+    w = Window.orderBy("priority", "doc_id")
+    return top.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    ).select("doc_id", "source", "n_tokens", "priority", "rn")

@@ -1707,6 +1707,30 @@ def text_oracles() -> dict[str, str]:
 
     # Mirrors operators/curation.domain_mixture: exact integer counts,
     # single division at the end in both engines.
+    # priority sampling: identical u/w double division (both engines
+    # divide BIGINT by BIGINT into IEEE doubles), rank over the full
+    # order — grading that TakeOrdered's partition-merged bottom-K
+    # equals the naive global sort
+    from ..operators.curation import PRIORITY_SALT, PRIORITY_SAMPLE_K
+
+    o["priority_sample"] = f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                 CAST(('0x' || substr(md5('{PRIORITY_SALT}'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+          FROM documents
+        )
+        SELECT doc_id, source, n_tokens, priority, CAST(rn AS INT) AS rn
+        FROM (
+          SELECT doc_id, source, n_tokens,
+                 u / (n_tokens + 1) AS priority,
+                 row_number() OVER (ORDER BY u / (n_tokens + 1), doc_id)
+                   AS rn
+          FROM d
+        ) t WHERE rn <= {PRIORITY_SAMPLE_K}
+    """
+
     # greedy token-budget fill stated as the NAIVE per-source window
     # (one cumsum over the full hash order) — grading that the Spark
     # side's two-stage block decomposition changes nothing

@@ -309,6 +309,7 @@ def queries() -> dict[str, QueryFn]:
         "source_quality": curation.source_quality,
         "domain_mixture": curation.domain_mixture,
         "mixture_token_budget": curation.mixture_token_budget,
+        "priority_sample": curation.priority_sample,
         "train_test_split": curation.train_test_split,
         "sequence_packing": curation.sequence_packing,
         # §2D — deduplication

@@ -102,6 +102,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "ngram_novelty_decay", "error_ewma_smoothed",
     "mixture_token_budget", "streaming_purchase_error_full_join",
     "purchase_gap_hazard", "last_touch_attribution",
+    "priority_sample",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

@@ -1266,3 +1266,30 @@ def test_mixture_budget_fill_or_exhaust(spark, sf_dir):
             assert r.tokens_sel == totals[r.source]
             exhausted += 1
     assert filled > 0
+
+
+def test_priority_sample_weight_bias_and_shape(spark, sf_dir):
+    """Weighted bottom-K: K rows, ranks contiguous, and the sample's
+    mean token weight exceeds the corpus mean (heavier docs win more
+    often — the inclusion-probability property the sampler exists
+    for)."""
+    from cassandra_log_analyzer_mcp_spark.operators.curation import (
+        PRIORITY_SAMPLE_K,
+        priority_sample,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = sorted(priority_sample(spark, sf_dir).collect(),
+                  key=lambda r: r.rn)
+    assert len(rows) == PRIORITY_SAMPLE_K
+    assert [r.rn for r in rows] == list(range(1, PRIORITY_SAMPLE_K + 1))
+    pris = [r.priority for r in rows]
+    assert pris == sorted(pris)
+    corpus_mean = (
+        documents(spark, sf_dir)
+        .select(F.size(tokens_col()).alias("n"))
+        .agg(F.avg("n"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean

@@ -33,6 +33,7 @@ EAGER = {
     "streaming_silver_counts",
     "streaming_purchase_error_join",
     "streaming_purchase_error_left_join",
+    "streaming_purchase_error_full_join",
     "streaming_topk_tokens",  # availableNow run; driver-state result
     "streaming_dedup_watermarked",  # availableNow run; memory sink
     "streaming_cusum_alerts",  # availableNow run; driver-state fold
