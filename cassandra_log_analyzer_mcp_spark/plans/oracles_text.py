@@ -1731,6 +1731,10 @@ def text_oracles() -> dict[str, str]:
         ) t WHERE rn <= {PRIORITY_SAMPLE_K}
     """
 
+    # the cross-batch bottom-K fold must land the batch sampler's
+    # exact rows and ranks — shared oracle IS the mergeability proof
+    o["streaming_priority_sample"] = o["priority_sample"]
+
     # greedy token-budget fill stated as the NAIVE per-source window
     # (one cumsum over the full hash order) — grading that the Spark
     # side's two-stage block decomposition changes nothing

@@ -1447,6 +1447,108 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS weighted sampling — priority sampling's streaming
+    fold: each micro-batch reduces DISTRIBUTEDLY to its per-shard
+    bottom-K (priority, doc) candidates, and the driver merges
+    bottom-K sets by union → K smallest — state is O(K) rows forever,
+    the mergeability that makes bottom-K THE distributed/streaming
+    weighted sampler (a new batch can only improve the sample, never
+    invalidate it). The feed replays as two DOC-PARITY files, so
+    neither batch alone contains the global bottom-K: the final
+    sample provably mixes both. The stream carries the featurized
+    (doc_id, source, n_tokens, u) rows — feature extraction is a map
+    stage either way; what's under test is the cross-batch fold.
+    Shares priority_sample's oracle: the fold must land the batch
+    sampler's exact rows and ranks.
+    """
+    import time as _time
+
+    from ..operators.curation import PRIORITY_SALT, PRIORITY_SAMPLE_K
+    from ..functions.texts import tokens_col
+    from ..sources.tables import documents
+
+    d = documents(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(PRIORITY_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    feed = tempfile.mkdtemp(prefix="prio_feed_") + "/docs"
+    early = os.path.join(feed, "0_even")
+    late = os.path.join(feed, "1_odd")
+    d.filter(F.pmod("doc_id", F.lit(2)) == 0).repartition(1).write.parquet(
+        early
+    )
+    d.filter(F.pmod("doc_id", F.lit(2)) == 1).repartition(1).write.parquet(
+        late
+    )
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (now + offset, now + offset))
+
+    # bottom-K state: sorted (priority, doc_id, source, n_tokens)
+    state: list[tuple[float, int, str, int]] = []
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        pri = batch.withColumn(
+            "priority", F.col("u") / (F.col("n_tokens") + F.lit(1))
+        )
+        w = Window.partitionBy(F.pmod("doc_id", F.lit(8))).orderBy(
+            "priority", "doc_id"
+        )
+        cand = (
+            pri.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= PRIORITY_SAMPLE_K)
+            .collect()
+        )  # ≤ shards·K rows — bounded by design
+        state.extend(
+            (r.priority, r.doc_id, r.source, r.n_tokens) for r in cand
+        )
+        state.sort()
+        del state[PRIORITY_SAMPLE_K:]
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, n_tokens long, u long"
+    ).option("maxFilesPerTrigger", "1").option(
+        "recursiveFileLookup", "true"
+    ).parquet(feed)
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_priority_sample did not finish its availableNow run"
+        )
+    rows = [
+        (doc_id, source, n_tokens, priority, i + 1)
+        for i, (priority, doc_id, source, n_tokens) in enumerate(state)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="doc_id long, source string, n_tokens long,"
+        " priority double, rn int",
+    )
+
+
 #: late-data watermark delay (seconds) for streaming_late_data_drop
 LATE_DELAY_S = 7200
 

@@ -67,6 +67,12 @@ NEW_IN_R4 = {
     "revenue_grouping_sets", "pricing_summary_decimal",
     "doc_quality_skyline", "phrase_search_positional",
     "node_health_score", "streaming_cusum_alerts",
+    # session-4 flagship additions (promoted into the window; six
+    # shared-machinery members rotated out — see the replica-only
+    # sets and registry.py comments)
+    "knn_hamming_sign", "ngram_novelty_decay", "error_ewma_smoothed",
+    "mixture_token_budget", "purchase_gap_hazard",
+    "streaming_purchase_error_full_join",
 }
 
 #: round-4 additions past the 50-slot cap — replica-covered, each
@@ -98,18 +104,20 @@ NEW_IN_R4_REPLICA_ONLY = {
     "error_forecast_next_day", "ship_latency_percentiles",
     "mmr_diversified_search", "ann_recall_eval",
     "multimodal_scene_cuts", "error_rate_wilson_ci",
-    "repeat_purchase_rate", "knn_hamming_sign",
-    "ngram_novelty_decay", "error_ewma_smoothed",
-    "mixture_token_budget", "streaming_purchase_error_full_join",
-    "purchase_gap_hazard", "last_touch_attribution",
-    "priority_sample",
+    "repeat_purchase_rate",
+    # session-4 additions kept replica-only because their graded
+    # machinery is driver-covered elsewhere: last_touch_attribution
+    # shares the r1-graded asof carry-forward, priority_sample the
+    # r2-graded salted-hash sampling
+    "last_touch_attribution", "priority_sample",
+    # its streaming twin shares priority_sample's oracle — a window
+    # slot would duplicate coverage the replica already provides
+    "streaming_priority_sample",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
 NEW_IN_R3 = {
-    "repeated_spans_merged", "dedup_canonical",
-    "sequence_packing", "chunk_dedup", "ann_ivf_pq_cosine",
-    "decontaminate_bloom", "bpe_train_merges",
+    "chunk_dedup", "ann_ivf_pq_cosine", "bpe_train_merges",
 }
 
 #: round-3 additions evicted from the window for the late round-4
@@ -128,6 +136,10 @@ NEW_IN_R3_REPLICA_ONLY = {
     "silver_restatement", "silver_compaction",
     "streaming_kafka_issue_counts", "vocab_top_tokens_mergeable",
     "multimodal_frames_check", "bpe_encode",
+    # rotated out for the session-4 flagships (shared-machinery rule;
+    # rationale inline in registry.R4_DRIVER_WINDOW)
+    "corpus_shuffle", "repeated_spans_merged", "dedup_canonical",
+    "sequence_packing", "decontaminate_bloom",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
@@ -136,11 +148,14 @@ NEW_IN_R3_REPLICA_ONLY = {
 #: oracles are the r1/r2-driver-graded ones and the local replica
 #: re-verifies them every round.
 CHANGED_IN_R3_WINDOWED = {
-    "error_bursts", "streaming_purchase_error_left_join",
+    "error_bursts",
 }
 CHANGED_IN_R3_REPLICA_ONLY = {
     "error_recovery", "burst_context", "streaming_error_bursts",
     "repeated_span_coverage",
+    # rotated out for its in-window strict superset
+    # streaming_purchase_error_full_join
+    "streaming_purchase_error_left_join",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;

@@ -557,3 +557,29 @@ def test_streaming_full_join_emits_both_outer_sides(spark, sf_dir):
         r.purchase_id for r in p_only}) == n_purch
     assert len({r.error_id for r in matched} | {
         r.error_id for r in e_only}) == n_err
+
+
+def test_streaming_priority_sample_mixes_batches(spark, sf_dir):
+    """The doc-parity replay means neither micro-batch alone holds
+    the global bottom-K: the final sample must mix even and odd
+    doc_ids, hold exactly K ranked rows, and equal the batch sampler
+    row-for-row (the shared-oracle property, re-checked here
+    directly)."""
+    from cassandra_log_analyzer_mcp_spark.operators.curation import (
+        PRIORITY_SAMPLE_K,
+        priority_sample,
+    )
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    got = sorted(
+        batch_bridge.streaming_priority_sample(spark, sf_dir).collect(),
+        key=lambda r: r.rn,
+    )
+    assert len(got) == PRIORITY_SAMPLE_K
+    parities = {r.doc_id % 2 for r in got}
+    assert parities == {0, 1}
+    want = sorted(priority_sample(spark, sf_dir).collect(),
+                  key=lambda r: r.rn)
+    assert [(r.doc_id, r.rn) for r in got] == [
+        (r.doc_id, r.rn) for r in want
+    ]
