@@ -2647,3 +2647,45 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 * revenue_cents div total_cents AS BIGINT)"
         ).alias("revenue_share_pm"),
     )
+
+
+def weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED quantiles — the quantity-weighted price
+    quartiles per return flag ("at what price does half the VOLUME
+    ship?"), a different statistic from the row-weighted percentiles
+    the t-digest/GK family grades (a 100-unit line influences the
+    answer 100× a 1-unit line). Definition: the smallest price whose
+    cumulative weight reaches k/4 of the total (weighted lower
+    quantile) — all-integer thresholds (4·cum ≥ k·total), no
+    interpolation, no float protocol.
+
+    Scale shape: the scan rolls up to (returnflag, cents) FIRST — the
+    window's input cardinality is bounded by the PRICE DOMAIN, not
+    the row count (the property that makes exact weighted quantiles
+    feasible at 100 TB where a sort of raw rows is not); then one
+    per-mode cumsum window over that bounded rollup, a broadcast
+    total join, and a conditional-min fold back to one row per mode.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    roll = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    wnd = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = roll.withColumn("cw", F.sum("w").over(wnd))
+    tot = roll.groupBy("l_returnflag").agg(F.sum("w").alias("total_w"))
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    qk = lambda k: F.min(  # noqa: E731
+        F.when(4 * F.col("cw") >= k * F.col("total_w"), F.col("cents"))
+    ).cast("long")
+    return j.groupBy("l_returnflag").agg(
+        F.first("total_w").cast("long").alias("total_weight"),
+        qk(1).alias("q1_cents"),
+        qk(2).alias("median_cents"),
+        qk(3).alias("q3_cents"),
+    )

@@ -959,6 +959,37 @@ def analytics_oracles() -> dict[str, str]:
         FROM per_t
     """
 
+    # weighted quartiles: identical rollup → cumsum → integer
+    # threshold chain; first() on the joined total is just the total
+    o["weighted_price_quartiles"] = """
+        WITH roll AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw
+          FROM roll
+        ),
+        tot AS (
+          SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_w
+          FROM roll GROUP BY 1
+        )
+        SELECT c.l_returnflag,
+               CAST(t.total_w AS BIGINT) AS total_weight,
+               CAST(min(CASE WHEN 4 * c.cw >= 1 * t.total_w
+                             THEN c.cents END) AS BIGINT) AS q1_cents,
+               CAST(min(CASE WHEN 4 * c.cw >= 2 * t.total_w
+                             THEN c.cents END) AS BIGINT) AS median_cents,
+               CAST(min(CASE WHEN 4 * c.cw >= 3 * t.total_w
+                             THEN c.cents END) AS BIGINT) AS q3_cents
+        FROM cum c JOIN tot t USING (l_returnflag)
+        GROUP BY c.l_returnflag, t.total_w
+    """
+
     # two-level exact median (same quantile_cont parity as
     # event_value_percentiles); both medians rounded before reuse so
     # dev and the 3*MAD threshold are identical IEEE ops in both

@@ -510,6 +510,7 @@ def queries() -> dict[str, QueryFn]:
         "repeat_purchase_rate": analytics.repeat_purchase_rate,
         "purchase_gap_hazard": analytics.purchase_gap_hazard,
         "last_touch_attribution": analytics.last_touch_attribution,
+        "weighted_price_quartiles": analytics.weighted_price_quartiles,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

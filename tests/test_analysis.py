@@ -651,3 +651,47 @@ def test_last_touch_attribution_crafted(spark):
     assert rows["direct"].revenue_cents == 2000
     assert set(rows) == {"click", "direct"}
     assert rows["click"].revenue_share_pm == 666
+
+
+def test_weighted_quartiles_match_numpy_refold(spark, sf_dir):
+    """The cumsum-threshold quantile is re-derived in plain Python
+    from the raw (cents, weight) pairs — weighted lower-quantile
+    semantics must agree exactly, and quartiles must be ordered."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        weighted_price_quartiles,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .collect()
+    )
+    acc = {}
+    for r in li:
+        acc.setdefault(r.l_returnflag, []).append((r.c, r.w))
+    expect = {}
+    for flag, cw in acc.items():
+        cw.sort()
+        total = sum(w for _, w in cw)
+        qs = []
+        for k in (1, 2, 3):
+            cum = 0
+            for c, w in cw:
+                cum += w
+                if 4 * cum >= k * total:
+                    qs.append(c)
+                    break
+        expect[flag] = (total, *qs)
+    got = {
+        r.l_returnflag: (r.total_weight, r.q1_cents, r.median_cents,
+                         r.q3_cents)
+        for r in weighted_price_quartiles(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for total, q1, q2, q3 in got.values():
+        assert q1 <= q2 <= q3

@@ -112,7 +112,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "last_touch_attribution", "priority_sample",
     # its streaming twin shares priority_sample's oracle — a window
     # slot would duplicate coverage the replica already provides
-    "streaming_priority_sample",
+    "streaming_priority_sample", "weighted_price_quartiles",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
