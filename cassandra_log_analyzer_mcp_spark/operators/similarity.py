@@ -1501,3 +1501,59 @@ def knn_hamming_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_TOP_K)
         .select("q_id", "vec_id", "hamming", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL clustering-quality evaluation against the ground-truth
+    labels — purity and RAND INDEX, the two standard external
+    metrics, computed entirely from the (cluster, label) CONTINGENCY
+    TABLE so every intermediate is an exact integer: pair counts are
+    n·(n−1) div 2, agreements come from the inclusion-exclusion
+    identity agree = C(n,2) + 2·TP − Σ_i C(n_i·,2) − Σ_j C(n_·j,2),
+    and both metrics are emitted per-mille via positive-operand div
+    (no float protocol anywhere — unusual for an ML eval, and the
+    reason it can be hash-graded cross-engine).
+
+    Scale shape: one vec-keyed join + ONE (cluster, label) rollup —
+    the contingency table (k · labels rows) is the only thing that
+    leaves the scan; everything after is arithmetic over a tiny
+    frame (cluster_summary's discipline, extended to the global
+    verdict a curation gate actually thresholds on).
+    """
+    a = kmeans_assignments(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ct = (
+        a.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").cast("long").alias("n_ij"))
+    )
+    pairs = lambda c: F.expr(f"sum({c} * ({c} - 1) div 2)")  # noqa: E731
+    rows = ct.groupBy("cluster").agg(
+        F.sum("n_ij").alias("n_i"), F.max("n_ij").alias("max_ij")
+    )
+    cols = ct.groupBy("label").agg(F.sum("n_ij").alias("n_j"))
+    tp = ct.agg(
+        pairs("n_ij").alias("tp"), F.sum("n_ij").alias("n")
+    )
+    r = rows.agg(
+        pairs("n_i").alias("row_pairs"),
+        F.sum("max_ij").alias("purity_hits"),
+        F.count("*").alias("k_clusters"),
+    )
+    c = cols.agg(pairs("n_j").alias("col_pairs"), F.count("*").alias("n_labels"))
+    return (
+        tp.crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k_clusters").cast("long").alias("k_clusters"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+            F.expr("CAST(1000 * purity_hits div n AS BIGINT)").alias(
+                "purity_permille"
+            ),
+            F.expr(
+                "CAST(1000 * (n * (n - 1) div 2 + 2 * tp - row_pairs"
+                " - col_pairs) div (n * (n - 1) div 2) AS BIGINT)"
+            ).alias("rand_permille"),
+        )
+    )

@@ -2518,6 +2518,49 @@ def similarity_oracles() -> dict[str, str]:
         FROM per p JOIN dom d USING (cluster)
     """
 
+    # global purity + Rand index from the same contingency table:
+    # pair counts via n·(n−1)//2, agreements via inclusion-exclusion
+    o["cluster_purity_eval"] = f"""
+        WITH {km_ctes},
+        ct AS (
+          SELECT a.cluster, e.label,
+                 CAST(count(*) AS BIGINT) AS n_ij
+          FROM asg a JOIN embeddings e USING (vec_id)
+          GROUP BY a.cluster, e.label
+        ),
+        rows_ AS (
+          SELECT cluster, CAST(sum(n_ij) AS BIGINT) AS n_i,
+                 CAST(max(n_ij) AS BIGINT) AS max_ij
+          FROM ct GROUP BY cluster
+        ),
+        cols_ AS (
+          SELECT label, CAST(sum(n_ij) AS BIGINT) AS n_j
+          FROM ct GROUP BY label
+        ),
+        s AS (
+          SELECT (SELECT CAST(sum(n_ij) AS BIGINT) FROM ct) AS n,
+                 (SELECT CAST(sum(n_ij * (n_ij - 1) // 2) AS BIGINT)
+                  FROM ct) AS tp,
+                 (SELECT CAST(sum(n_i * (n_i - 1) // 2) AS BIGINT)
+                  FROM rows_) AS row_pairs,
+                 (SELECT CAST(sum(max_ij) AS BIGINT) FROM rows_)
+                   AS purity_hits,
+                 (SELECT CAST(count(*) AS BIGINT) FROM rows_)
+                   AS k_clusters,
+                 (SELECT CAST(sum(n_j * (n_j - 1) // 2) AS BIGINT)
+                  FROM cols_) AS col_pairs,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cols_)
+                   AS n_labels
+        )
+        SELECT n, k_clusters, n_labels,
+               CAST(1000 * purity_hits // n AS BIGINT)
+                 AS purity_permille,
+               CAST(1000 * (n * (n - 1) // 2 + 2 * tp - row_pairs
+                    - col_pairs) // (n * (n - 1) // 2) AS BIGINT)
+                 AS rand_permille
+        FROM s
+    """
+
     from ..operators.similarity import OUTLIER_TOP_K
 
     # final-assignment centroid state recomputed with the same

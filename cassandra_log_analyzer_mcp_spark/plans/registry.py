@@ -389,6 +389,7 @@ def queries() -> dict[str, QueryFn]:
         "semantic_dedup": similarity.semantic_dedup,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "cluster_summary": similarity.cluster_summary,
+        "cluster_purity_eval": similarity.cluster_purity_eval,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "embedding_outliers": similarity.embedding_outliers,
         "embedding_pca_project": similarity.embedding_pca_project,

@@ -1293,3 +1293,41 @@ def test_priority_sample_weight_bias_and_shape(spark, sf_dir):
     )
     sample_mean = sum(r.n_tokens for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_cluster_purity_eval_matches_python_recount(spark, sf_dir):
+    """Purity and Rand index re-derived in plain Python from the
+    contingency table — the inclusion-exclusion pair arithmetic must
+    agree exactly."""
+    from collections import Counter
+
+    asg = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_assignments(spark, sf_dir).collect()
+    }
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    ct = Counter((asg[v], labels[v]) for v in asg)
+    n = sum(ct.values())
+    rows = Counter()
+    cols = Counter()
+    maxes = {}
+    for (cl, lb), c in ct.items():
+        rows[cl] += c
+        cols[lb] += c
+        maxes[cl] = max(maxes.get(cl, 0), c)
+    pair = lambda x: x * (x - 1) // 2  # noqa: E731
+    tp = sum(pair(c) for c in ct.values())
+    agree = pair(n) + 2 * tp - sum(pair(c) for c in rows.values()) - sum(
+        pair(c) for c in cols.values()
+    )
+    got = similarity.cluster_purity_eval(spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert got.k_clusters == len(rows)
+    assert got.n_labels == len(cols)
+    assert got.purity_permille == 1000 * sum(maxes.values()) // n
+    assert got.rand_permille == 1000 * agree // pair(n)
