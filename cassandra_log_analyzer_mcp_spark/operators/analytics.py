@@ -2689,3 +2689,116 @@ def weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qk(2).alias("median_cents"),
         qk(3).alias("q3_cents"),
     )
+
+
+#: purchase-value bands defining the two genuinely partially
+#: overlapping user sets (every-user-does-everything sets would make
+#: the algebra trivial): A = a purchase ≥ HI ("whales"), B = a
+#: purchase in [LO, HI) — a user can be in either, both, or neither.
+KMV_SET_LO = 200.0
+KMV_SET_HI = 250.0
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH SET ALGEBRA — the theta-sketch trick over KMV k-sets:
+    whale buyers (A: a purchase ≥ 250), mid-high buyers (B: a
+    purchase in [200, 250) — genuinely partially overlapping), their UNION
+    estimated by merging k-sets (union of k-sets → k smallest — the
+    closure property that makes KMV a distributed sketch), and their
+    INTERSECTION estimated from the union k-set's observed overlap
+    ratio (n̂_∩ = n_both · n̂_∪ div k_used — the theta-sketch
+    estimator). Exact truths ride along for calibration. Everything
+    stays integer (48-bit hash space, div estimators), so the whole
+    set-algebra pipeline is hash-graded — the property HLL set ops
+    (ln-based) cannot offer under the repo's float protocol.
+
+    Plan shape: ONE distinct-membership rollup (user → has_p/has_e
+    flags) feeds all three k-sets; each k-th minimum uses the same
+    two-stage (shard → global) top-k discipline as
+    distinct_users_kmv, so no partition ever sees a full distinct
+    set. The final row is a crossJoin of 1-row aggregates.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") >= KMV_SET_LO)
+    )
+    memb = ev.groupBy("user_id").agg(
+        F.max((F.col("value") >= KMV_SET_HI).cast("long")).alias("has_p"),
+        F.max((F.col("value") < KMV_SET_HI).cast("long")).alias("has_e"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = memb.select(
+        "user_id",
+        "has_p",
+        "has_e",
+        h.alias("h"),
+        F.pmod(F.col("user_id"), F.lit(KMV_SHARDS)).alias("shard"),
+    )
+
+    def kset(df: DataFrame) -> DataFrame:
+        w1 = Window.partitionBy("shard").orderBy("h", "user_id")
+        cand = df.withColumn("rk", F.row_number().over(w1)).filter(
+            F.col("rk") <= KMV_K
+        )
+        w2 = Window.orderBy("h", "user_id")
+        return cand.withColumn("rk2", F.row_number().over(w2)).filter(
+            F.col("rk2") <= KMV_K
+        )
+
+    def est(n_kept: str, kth: str) -> F.Column:
+        return (
+            F.when(F.col(n_kept) < KMV_K, F.col(n_kept))
+            .otherwise(
+                F.expr(f"CAST(({KMV_K} - 1) * {KMV_SPACE} div {kth} AS BIGINT)")
+            )
+            .cast("long")
+        )
+
+    ka = kset(hashed.filter(F.col("has_p") == 1)).agg(
+        F.count("*").alias("ka_n"), F.max("h").alias("ka_h")
+    )
+    kb = kset(hashed.filter(F.col("has_e") == 1)).agg(
+        F.count("*").alias("kb_n"), F.max("h").alias("kb_h")
+    )
+    ku = kset(hashed).agg(
+        F.count("*").alias("ku_n"),
+        F.max("h").alias("ku_h"),
+        F.sum(
+            ((F.col("has_p") == 1) & (F.col("has_e") == 1)).cast("long")
+        ).alias("n_both"),
+    )
+    truth = memb.agg(
+        F.sum("has_p").cast("long").alias("true_a"),
+        F.sum("has_e").cast("long").alias("true_b"),
+        F.count("*").cast("long").alias("true_union"),
+        F.sum(
+            ((F.col("has_p") == 1) & (F.col("has_e") == 1)).cast("long")
+        ).alias("true_inter"),
+    )
+    j = (
+        truth.crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(ku))
+    )
+    return j.select(
+        "true_a",
+        "true_b",
+        "true_union",
+        "true_inter",
+        est("ka_n", "ka_h").alias("est_a"),
+        est("kb_n", "kb_h").alias("est_b"),
+        est("ku_n", "ku_h").alias("est_union"),
+        F.expr(
+            f"CAST(n_both * (CASE WHEN ku_n < {KMV_K} THEN ku_n"
+            f" ELSE ({KMV_K} - 1) * {KMV_SPACE} div ku_h END)"
+            " div ku_n AS BIGINT)"
+        ).alias("est_inter"),
+    )

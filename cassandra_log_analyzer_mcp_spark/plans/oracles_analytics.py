@@ -298,6 +298,81 @@ def analytics_oracles() -> dict[str, str]:
     # integers — shared oracle proves batch-boundary independence
     o["streaming_kmv_state"] = o["distinct_users_kmv"]
 
+    # theta-sketch set algebra over the same KMV hash: three k-sets
+    # (A, B, union) + the union k-set's overlap ratio; all-integer
+    # estimators so the algebra itself hash-grades
+    from ..operators.analytics import (
+        KMV_K as _KK,
+        KMV_SET_HI as _HI,
+        KMV_SET_LO as _LO,
+        KMV_SPACE as _KS,
+    )
+
+    o["kmv_set_ops"] = f"""
+        WITH memb AS (
+          SELECT user_id,
+                 CAST(max(CASE WHEN value >= {_HI} THEN 1
+                          ELSE 0 END) AS BIGINT) AS has_p,
+                 CAST(max(CASE WHEN value < {_HI} THEN 1
+                          ELSE 0 END) AS BIGINT) AS has_e
+          FROM events
+          WHERE event_type = 'purchase' AND value >= {_LO}
+          GROUP BY user_id
+        ),
+        hashed AS (
+          SELECT user_id, has_p, has_e,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                      || ':kmv'), 1, 12)) AS BIGINT) AS h
+          FROM memb
+        ),
+        ka AS (
+          SELECT CAST(count(*) AS BIGINT) AS ka_n,
+                 CAST(max(h) AS BIGINT) AS ka_h
+          FROM (SELECT h, row_number() OVER (ORDER BY h, user_id) AS rk
+                FROM hashed WHERE has_p = 1) t
+          WHERE rk <= {_KK}
+        ),
+        kb AS (
+          SELECT CAST(count(*) AS BIGINT) AS kb_n,
+                 CAST(max(h) AS BIGINT) AS kb_h
+          FROM (SELECT h, row_number() OVER (ORDER BY h, user_id) AS rk
+                FROM hashed WHERE has_e = 1) t
+          WHERE rk <= {_KK}
+        ),
+        ku AS (
+          SELECT CAST(count(*) AS BIGINT) AS ku_n,
+                 CAST(max(h) AS BIGINT) AS ku_h,
+                 CAST(sum(CASE WHEN has_p = 1 AND has_e = 1 THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_both
+          FROM (SELECT h, has_p, has_e,
+                       row_number() OVER (ORDER BY h, user_id) AS rk
+                FROM hashed) t
+          WHERE rk <= {_KK}
+        ),
+        truth AS (
+          SELECT CAST(sum(has_p) AS BIGINT) AS true_a,
+                 CAST(sum(has_e) AS BIGINT) AS true_b,
+                 CAST(count(*) AS BIGINT) AS true_union,
+                 CAST(sum(CASE WHEN has_p = 1 AND has_e = 1 THEN 1
+                          ELSE 0 END) AS BIGINT) AS true_inter
+          FROM memb
+        )
+        SELECT true_a, true_b, true_union, true_inter,
+               CAST(CASE WHEN ka_n < {_KK} THEN ka_n
+                    ELSE ({_KK} - 1) * {_KS} // ka_h END AS BIGINT)
+                 AS est_a,
+               CAST(CASE WHEN kb_n < {_KK} THEN kb_n
+                    ELSE ({_KK} - 1) * {_KS} // kb_h END AS BIGINT)
+                 AS est_b,
+               CAST(CASE WHEN ku_n < {_KK} THEN ku_n
+                    ELSE ({_KK} - 1) * {_KS} // ku_h END AS BIGINT)
+                 AS est_union,
+               CAST(n_both * (CASE WHEN ku_n < {_KK} THEN ku_n
+                    ELSE ({_KK} - 1) * {_KS} // ku_h END)
+                    // ku_n AS BIGINT) AS est_inter
+        FROM truth, ka, kb, ku
+    """
+
     # users-to-date: the oracle states the naive per-day distinct
     # union directly (correlated count over the full history per
     # day) — structurally independent from the first-seen rollup

@@ -512,6 +512,7 @@ def queries() -> dict[str, QueryFn]:
         "purchase_gap_hazard": analytics.purchase_gap_hazard,
         "last_touch_attribution": analytics.last_touch_attribution,
         "weighted_price_quartiles": analytics.weighted_price_quartiles,
+        "kmv_set_ops": analytics.kmv_set_ops,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

@@ -695,3 +695,24 @@ def test_weighted_quartiles_match_numpy_refold(spark, sf_dir):
     assert got == expect
     for total, q1, q2, q3 in got.values():
         assert q1 <= q2 <= q3
+
+
+def test_kmv_set_ops_identities_and_regimes(spark, sf_dir):
+    """Inclusion-exclusion holds on the truths; any set smaller than
+    K sits in the sketch's EXACT regime (its estimate IS the truth);
+    estimator outputs are nonnegative and intersection never exceeds
+    the union estimate."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        KMV_K,
+        kmv_set_ops,
+    )
+
+    r = kmv_set_ops(spark, sf_dir).collect()[0]
+    assert r.true_union == r.true_a + r.true_b - r.true_inter
+    for t, e in ((r.true_a, r.est_a), (r.true_b, r.est_b),
+                 (r.true_union, r.est_union)):
+        if t < KMV_K:
+            assert e == t  # exact regime
+        else:
+            assert 0 < e
+    assert 0 <= r.est_inter <= r.est_union
