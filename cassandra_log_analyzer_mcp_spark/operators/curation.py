@@ -794,3 +794,101 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rn", F.row_number().over(w).cast("int")
     ).select("doc_id", "source", "n_tokens", "priority", "rn")
+
+
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE MANIFEST — the one-table answer to "what survived
+    each stage of the curation pipeline and how many tokens ship":
+    raw → quality/length gate → exact-dedup keepers → decontaminated
+    (eval members AND eval-overlapping docs dropped) → sampled
+    (per-language rates). Every stage rule is the SAME rule its
+    standalone graded operator applies (quality_score's gates,
+    dedup_exact's keepers, decontaminate's gram overlap,
+    corpus_sample's hash thresholds) — the manifest grades that the
+    stages COMPOSE, the integration property no single-operator
+    oracle checks.
+
+    One doc-level flag frame (per-doc booleans from one scan + two
+    digest-sized joins), five conditional aggregates, stacked to the
+    long (stage, n_docs, n_tokens) form a release ledger records.
+    Eval-set docs drop at the decontamination stage by definition
+    (they ARE the held-out set).
+    """
+    from ..functions.texts import tokens_col
+
+    qc = quality_cols()
+    docs = documents(spark, sf_dir).select("doc_id", "lang", "text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        qc["n_tokens"].cast("long").alias("n_tokens"),
+        (
+            (qc["quality"] >= QUALITY_MIN)
+            & qc["n_tokens"].between(TOKENS_MIN, TOKENS_MAX)
+        )
+        .cast("long")
+        .alias("g"),
+    )
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(1).alias("kp")
+    )
+    contam = (
+        decontaminate(spark, sf_dir)
+        .select("doc_id", F.lit(1).alias("ct"))
+        .distinct()
+    )
+    thr = F.lit(SAMPLE_DEFAULT_RATE)
+    for lg, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lg, F.lit(rate)).otherwise(thr)
+    f = (
+        feats.join(keepers, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "n_tokens",
+            "g",
+            F.coalesce("kp", F.lit(0)).alias("kp"),
+            (
+                (F.col("doc_id") % EVAL_MOD != 0)
+                & F.col("ct").isNull()
+            )
+            .cast("long")
+            .alias("cl"),
+            (_hash4(SAMPLE_SALT) < thr).cast("long").alias("sm"),
+        )
+    )
+    agg = f.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.sum("g").alias("d1"),
+        F.sum(F.col("g") * F.col("n_tokens")).alias("t1"),
+        F.sum(F.col("g") * F.col("kp")).alias("d2"),
+        F.sum(F.col("g") * F.col("kp") * F.col("n_tokens")).alias("t2"),
+        F.sum(F.col("g") * F.col("kp") * F.col("cl")).alias("d3"),
+        F.sum(
+            F.col("g") * F.col("kp") * F.col("cl") * F.col("n_tokens")
+        ).alias("t3"),
+        F.sum(F.col("g") * F.col("kp") * F.col("cl") * F.col("sm")).alias(
+            "d4"
+        ),
+        F.sum(
+            F.col("g")
+            * F.col("kp")
+            * F.col("cl")
+            * F.col("sm")
+            * F.col("n_tokens")
+        ).alias("t4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " '0_raw', d0, t0,"
+            " '1_gated', d1, t1,"
+            " '2_deduped', d2, t2,"
+            " '3_decontaminated', d3, t3,"
+            " '4_sampled', d4, t4)"
+        ).alias("stage", "n_docs", "n_tokens")
+    ).select(
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

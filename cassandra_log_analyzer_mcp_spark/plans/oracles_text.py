@@ -1707,6 +1707,51 @@ def text_oracles() -> dict[str, str]:
 
     # Mirrors operators/curation.domain_mixture: exact integer counts,
     # single division at the end in both engines.
+    # the release manifest composes four independently-graded stage
+    # rules verbatim — the oracle nests their SQL, so a drift in ANY
+    # stage's composed behavior hash-mismatches here even if each
+    # standalone query stays green
+    _mrate = "CASE " + " ".join(
+        f"WHEN d.lang = '{lg}' THEN '{rt}'"
+        for lg, rt in SAMPLE_RATES.items()
+    ) + f" ELSE '{SAMPLE_DEFAULT_RATE}' END"
+    o["corpus_release_manifest"] = f"""
+        WITH q AS ({o['quality_score']}),
+        k AS ({o['dedup_exact']}),
+        contam AS (SELECT DISTINCT doc_id FROM ({o['decontaminate']}) dd),
+        f AS (
+          SELECT d.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+                 CASE WHEN q.quality >= {QUALITY_MIN}
+                       AND q.n_tokens BETWEEN {TOKENS_MIN}
+                           AND {TOKENS_MAX}
+                      THEN 1 ELSE 0 END AS g,
+                 CASE WHEN k.keeper_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS kp,
+                 CASE WHEN d.doc_id % {EVAL_MOD} <> 0
+                       AND c.doc_id IS NULL THEN 1 ELSE 0 END AS cl,
+                 CASE WHEN substr(md5('{SAMPLE_SALT}' || d.doc_id), 1, 4)
+                      < {_mrate} THEN 1 ELSE 0 END AS sm
+          FROM documents d
+          JOIN q USING (doc_id)
+          LEFT JOIN k ON k.keeper_id = d.doc_id
+          LEFT JOIN contam c ON c.doc_id = d.doc_id
+        )
+        SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM f
+        UNION ALL
+        SELECT '1_gated', CAST(sum(g) AS BIGINT),
+               CAST(sum(g * n_tokens) AS BIGINT) FROM f
+        UNION ALL
+        SELECT '2_deduped', CAST(sum(g * kp) AS BIGINT),
+               CAST(sum(g * kp * n_tokens) AS BIGINT) FROM f
+        UNION ALL
+        SELECT '3_decontaminated', CAST(sum(g * kp * cl) AS BIGINT),
+               CAST(sum(g * kp * cl * n_tokens) AS BIGINT) FROM f
+        UNION ALL
+        SELECT '4_sampled', CAST(sum(g * kp * cl * sm) AS BIGINT),
+               CAST(sum(g * kp * cl * sm * n_tokens) AS BIGINT) FROM f
+    """
+
     # priority sampling: identical u/w double division (both engines
     # divide BIGINT by BIGINT into IEEE doubles), rank over the full
     # order — grading that TakeOrdered's partition-merged bottom-K

@@ -338,6 +338,7 @@ def queries() -> dict[str, QueryFn]:
         "domain_mixture": curation.domain_mixture,
         "mixture_token_budget": curation.mixture_token_budget,
         "priority_sample": curation.priority_sample,
+        "corpus_release_manifest": curation.corpus_release_manifest,
         "train_test_split": curation.train_test_split,
         "sequence_packing": curation.sequence_packing,
         # §2D — deduplication

@@ -113,7 +113,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     # its streaming twin shares priority_sample's oracle — a window
     # slot would duplicate coverage the replica already provides
     "streaming_priority_sample", "weighted_price_quartiles",
-    "cluster_purity_eval", "kmv_set_ops",
+    "cluster_purity_eval", "kmv_set_ops", "corpus_release_manifest",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

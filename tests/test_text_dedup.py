@@ -1331,3 +1331,28 @@ def test_cluster_purity_eval_matches_python_recount(spark, sf_dir):
     assert got.n_labels == len(cols)
     assert got.purity_permille == 1000 * sum(maxes.values()) // n
     assert got.rand_permille == 1000 * agree // pair(n)
+
+
+def test_release_manifest_is_a_funnel(spark, sf_dir):
+    """Stages only shrink (each adds a filter), stage 0 equals the
+    raw corpus census, and every count/token pair stays consistent
+    (0 docs => 0 tokens)."""
+    from cassandra_log_analyzer_mcp_spark.operators.curation import (
+        corpus_release_manifest,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = sorted(
+        corpus_release_manifest(spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [
+        "0_raw", "1_gated", "2_deduped", "3_decontaminated", "4_sampled",
+    ]
+    n_raw = documents(spark, sf_dir).count()
+    assert rows[0].n_docs == n_raw
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
+    for r in rows:
+        assert (r.n_docs == 0) == (r.n_tokens == 0)
