@@ -1055,3 +1055,53 @@ def minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("union_size"),
         )
     )
+
+
+def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL of the MinHash-LSH detector against the EXHAUSTIVE
+    truth — every pair whose exact shingle Jaccard clears the same
+    threshold, candidates drawn from the full inverted-index join
+    (any shared shingle) rather than LSH bands. This is THE standard
+    banding-loss eval: every predicted pair is necessarily in the
+    truth (equal band signature ⇒ a shared shingle, and both sides
+    verify with the same exact Jaccard), so precision grades the
+    verify step at exactly 1000 while recall measures what banding
+    MISSED — the pairs that never became candidates. At 100 TB the
+    exhaustive side runs on a sample; here the corpus IS the sample
+    (the inverted-index join is shingle-collision-bounded, and the
+    verify joins per-doc arrays, not exploded rows).
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir)
+    cand_all = (
+        sh.select(F.col("doc_id").alias("da"), "s")
+        .join(sh.select(F.col("doc_id").alias("db"), "s"), "s")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    truth = (
+        _verified_pairs(arrs, cand_all)
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+        .select("da", "db", F.lit(1).alias("t"))
+    )
+    pred = dedup_minhash_lsh(spark, sf_dir).select(
+        "da", "db", F.lit(1).alias("p")
+    )
+    j = pred.join(truth, ["da", "db"], "full").select(
+        F.coalesce("p", F.lit(0)).alias("p"),
+        F.coalesce("t", F.lit(0)).alias("t"),
+    )
+    return j.agg(
+        F.sum("p").cast("long").alias("n_pred"),
+        F.sum("t").cast("long").alias("n_truth"),
+        F.sum(F.col("p") * F.col("t")).cast("long").alias("tp"),
+        F.expr(
+            "CAST(CASE WHEN sum(p) = 0 THEN 0"
+            " ELSE 1000 * sum(p * t) div sum(p) END AS BIGINT)"
+        ).alias("precision_permille"),
+        F.expr(
+            "CAST(CASE WHEN sum(t) = 0 THEN 0"
+            " ELSE 1000 * sum(p * t) div sum(t) END AS BIGINT)"
+        ).alias("recall_permille"),
+    )

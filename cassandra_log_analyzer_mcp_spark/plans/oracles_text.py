@@ -900,6 +900,39 @@ def text_oracles() -> dict[str, str]:
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
     """
 
+    # banding-loss calibration: truth re-derived from the EXHAUSTIVE
+    # inverted-index candidate join + the same exact-Jaccard verify,
+    # the minhash oracle nested verbatim as the prediction side
+    o["minhash_dedup_pr_eval"] = f"""
+        WITH {_shingle_cte(SHINGLE_K).lstrip()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        ),
+        {_VERIFY.lstrip()},
+        truth AS (
+          SELECT da, db, 1 AS t FROM verified
+          WHERE jaccard >= {MINHASH_VERIFY_MIN}
+        ),
+        pred AS (
+          SELECT da, db, 1 AS p FROM ({o["dedup_minhash_lsh"]}) mh
+        ),
+        j AS (
+          SELECT coalesce(p, 0) AS p, coalesce(t, 0) AS t
+          FROM pred FULL JOIN truth USING (da, db)
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_pred,
+               CAST(sum(t) AS BIGINT) AS n_truth,
+               CAST(sum(p * t) AS BIGINT) AS tp,
+               CAST(CASE WHEN sum(p) = 0 THEN 0
+                    ELSE 1000 * sum(p * t) // sum(p) END AS BIGINT)
+                 AS precision_permille,
+               CAST(CASE WHEN sum(t) = 0 THEN 0
+                    ELSE 1000 * sum(p * t) // sum(t) END AS BIGINT)
+                 AS recall_permille
+        FROM j
+    """
+
     # estimator calibration: component equality recomputed per pair
     # from the same signature CTE; all-integer columns
     o["minhash_estimate_eval"] = f"""

@@ -360,6 +360,7 @@ def queries() -> dict[str, QueryFn]:
         "source_overlap": dedup.source_overlap,
         "dedup_simhash": dedup.dedup_simhash,
         # MinHash estimator calibration (component-exact sketch eval)
+        "minhash_dedup_pr_eval": dedup.minhash_dedup_pr_eval,
         "minhash_estimate_eval": dedup.minhash_estimate_eval,
         # MMR diversified re-ranking (greedy chain, unrolled oracle)
         "mmr_diversified_search": similarity.mmr_diversified_search,

@@ -1356,3 +1356,15 @@ def test_release_manifest_is_a_funnel(spark, sf_dir):
         assert b.n_tokens <= a.n_tokens
     for r in rows:
         assert (r.n_docs == 0) == (r.n_tokens == 0)
+
+
+def test_minhash_pr_eval_containment_invariant(spark, sf_dir):
+    """Band candidates verify with the same exact Jaccard as the
+    exhaustive truth, so predictions are CONTAINED in the truth:
+    tp == n_pred, precision pinned at 1000, recall in (0, 1000]."""
+    r = dedup.minhash_dedup_pr_eval(spark, sf_dir).collect()[0]
+    assert r.tp == r.n_pred
+    assert r.n_pred <= r.n_truth
+    if r.n_pred:
+        assert r.precision_permille == 1000
+    assert 0 < r.recall_permille <= 1000
