@@ -1456,6 +1456,25 @@ def analytics_oracles() -> dict[str, str]:
 
     # Mirrors sources/silver.schema_evolution_read: the same modular
     # drop split recomputed from the source table.
+    # partition-layout evolution: the seam-spanning rollup restated
+    # straight from the source table (same exact-integer midpoint)
+    o["partition_evolution_read"] = """
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+          FROM events
+        ),
+        b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM ev, b
+        WHERE d BETWEEN mid - 3 AND mid + 3
+        GROUP BY event_type
+    """
+
     o["schema_evolution_read"] = """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_rows,

@@ -29,6 +29,7 @@ from ..sources.silver import (
     orc_export_roundtrip as _orc_export_roundtrip,
     silver_time_travel as _silver_time_travel,
     schema_evolution_read as _schema_evolution_read,
+    partition_evolution_read as _partition_evolution_read,
     silver_dpp_join as _silver_dpp_join,
     silver_changes_between as _silver_changes_between,
     silver_delete_rewrite as _silver_delete_rewrite,
@@ -431,6 +432,7 @@ def queries() -> dict[str, QueryFn]:
         "silver_vacuum": _silver_vacuum,
         # cross-drop schema evolution via mergeSchema read
         "schema_evolution_read": _schema_evolution_read,
+        "partition_evolution_read": _partition_evolution_read,
         # runtime (dynamic) partition pruning from a broadcast dim
         "silver_dpp_join": _silver_dpp_join,
         # manifest-delta change data feed between snapshots

@@ -114,7 +114,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     # slot would duplicate coverage the replica already provides
     "streaming_priority_sample", "weighted_price_quartiles",
     "cluster_purity_eval", "kmv_set_ops", "corpus_release_manifest",
-    "minhash_dedup_pr_eval",
+    "minhash_dedup_pr_eval", "partition_evolution_read",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending

@@ -419,3 +419,21 @@ def test_observe_metrics_match_written_table(spark, sf_dir, tmp_path):
     assert metrics["rows_written"] == census.rows > 0
     assert metrics["errors_written"] == census.errors > 0
     assert metrics["null_ts"] == 0
+
+
+def test_partition_evolution_both_scans_prune(spark, sf_dir):
+    """Both generations' scans must prune on d — the whole point of
+    surviving a partition-layout evolution without a rewrite — and
+    the rollup covers rows from BOTH layouts (the seam window spans
+    the midpoint by construction)."""
+    df = silver.partition_evolution_read(spark, sf_dir)
+    plan = plan_string(df)
+    sections = plan.split("PartitionFilters: [")[1:]
+    assert len(sections) >= 2  # one pruned scan per generation
+    for s in sections:
+        assert "d#" in s.split("]")[0] or "d " in s.split("]")[0]
+    rows = df.collect()
+    assert rows and all(r.n_rows > 0 for r in rows)
+    # seam coverage: the window is 7 days wide; if both generations
+    # contribute, distinct day counts reach past either side alone
+    assert max(r.n_days for r in rows) >= 5
