@@ -1557,3 +1557,51 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rand_permille"),
         )
     )
+
+
+#: matryoshka-style truncation: retrieval over only the first
+#: TRUNC_DIMS of EMBED_DIM (the adaptive-dimension serving trick —
+#: MRL embeddings put the information head-first).
+TRUNC_DIMS = 16
+
+
+def knn_truncated_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION retrieval eval (the Matryoshka/MRL
+    question: how much recall survives serving with the first 16 of
+    64 dims — a 4× memory-bandwidth cut): exact cosine top-k is run
+    over the TRUNCATED vectors and scored against the full-dimension
+    top-k, per query. Same broadcast-queries brute shape as
+    knn_cosine_brute (both sides are the method's own plan); the
+    intersection join is result-set-cardinality. These synthetic
+    embeddings are NOT head-packed, so measured recall is the
+    uninformed-truncation BASELINE an MRL-trained model must beat —
+    the harness is the deliverable, the number is honest context.
+    """
+    full = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(as_double(F.col("embedding")), 1, TRUNC_DIMS).alias("v"),
+    )
+    emb = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
+    )
+    trunc = _ranked(pairs, KNN_TOP_K).select("q_id", "vec_id")
+    hits = (
+        trunc.join(full, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = full.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.lit(KNN_TOP_K).cast("long").alias("k"),
+    )

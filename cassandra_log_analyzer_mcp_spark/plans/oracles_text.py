@@ -2859,6 +2859,44 @@ def similarity_oracles() -> dict[str, str]:
         ) h ON h.q_id = qs.q_id""")
     o["ann_recall_eval"] = " UNION ALL ".join(legs)
 
+    # truncated-dimension recall: both legs re-derived (the truncated
+    # brute inline on v[1:TRUNC], the full brute nested verbatim)
+    from ..operators.similarity import TRUNC_DIMS
+
+    o["knn_truncated_dims_eval"] = f"""
+        WITH emb AS (
+          SELECT vec_id,
+                 (CAST(embedding AS DOUBLE[]))[1:{TRUNC_DIMS}] AS v
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 round(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 3) AS sim
+          FROM emb e, emb q
+          WHERE q.vec_id < {KNN_N_QUERIES} AND e.vec_id != q.vec_id
+        ),
+        trunc AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, vec_id) AS rn
+            FROM pairs
+          ) t WHERE rn <= {KNN_TOP_K}
+        )
+        SELECT qs.q_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST({KNN_TOP_K} AS BIGINT) AS k
+        FROM (SELECT DISTINCT q_id FROM ({o["knn_cosine_brute"]}) b0) qs
+        LEFT JOIN (
+          SELECT t.q_id, count(*) AS n_hits
+          FROM trunc t
+          JOIN ({o["knn_cosine_brute"]}) b
+            ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+          GROUP BY t.q_id
+        ) h ON h.q_id = qs.q_id
+    """
+
     # binary sign-quantized kNN: the identical pack-then-popcount
     # arithmetic restated over 1-based list indexing; both engines
     # shift into the LOW half of each word, so no sign-bit hazard

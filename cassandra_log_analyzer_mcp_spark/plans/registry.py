@@ -371,6 +371,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
         "knn_hamming_sign": similarity.knn_hamming_sign,
+        "knn_truncated_dims_eval": similarity.knn_truncated_dims_eval,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,

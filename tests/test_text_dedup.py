@@ -1368,3 +1368,14 @@ def test_minhash_pr_eval_containment_invariant(spark, sf_dir):
     if r.n_pred:
         assert r.precision_permille == 1000
     assert 0 < r.recall_permille <= 1000
+
+
+def test_truncated_dims_eval_shape(spark, sf_dir):
+    """One row per query; hits bounded by k; truncated retrieval on
+    these non-head-packed synthetic vectors lands strictly between
+    random (~0) and perfect (the honest baseline the harness
+    reports)."""
+    rows = similarity.knn_truncated_dims_eval(spark, sf_dir).collect()
+    assert len(rows) == similarity.KNN_N_QUERIES
+    assert all(0 <= r.n_hits <= r.k == similarity.KNN_TOP_K for r in rows)
+    assert 0 < sum(r.n_hits for r in rows) < sum(r.k for r in rows)
