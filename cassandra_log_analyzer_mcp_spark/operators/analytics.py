@@ -2802,3 +2802,74 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ku_n AS BIGINT)"
         ).alias("est_inter"),
     )
+
+
+#: conversion windows: a click only converts within 1 h of the first
+#: view; a purchase within 4 h of that qualifying click.
+FUNNEL_CLICK_W_US = 3_600 * 1_000_000
+FUNNEL_PURCH_W_US = 4 * 3_600 * 1_000_000
+
+
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED conversion funnel — event_funnel with the
+    semantics marketing actually bills on: a click counts only
+    within 1 h of the first view, a purchase only within 4 h of that
+    qualifying click (unbounded funnels systematically overcount
+    conversion). Same single-Exchange plan as event_funnel — the
+    stage timestamps are chained conditional mins over ONE user_id
+    window partitioning, the deadline predicates ride inside the
+    CASEs — plus per-stage conversion per-milles from the tiny final
+    rollup. Microsecond integers end to end.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    s = s.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") >= F.col("t_view"))
+                & (F.col("us") <= F.col("t_view") + FUNNEL_CLICK_W_US),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t_purch",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("t_click"))
+                & (F.col("us") <= F.col("t_click") + FUNNEL_PURCH_W_US),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    users = s.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull().cast("long")).alias("v"),
+        F.max(F.col("t_click").isNotNull().cast("long")).alias("c"),
+        F.max(F.col("t_purch").isNotNull().cast("long")).alias("p"),
+    )
+    agg = users.agg(
+        F.sum("v").alias("nv"), F.sum("c").alias("nc"), F.sum("p").alias("np")
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " '1_view', nv, CAST(NULL AS BIGINT),"
+            " '2_click_1h', nc, CASE WHEN nv = 0 THEN 0"
+            "   ELSE CAST(1000 * nc div nv AS BIGINT) END,"
+            " '3_purchase_4h', np, CASE WHEN nc = 0 THEN 0"
+            "   ELSE CAST(1000 * np div nc AS BIGINT) END)"
+        ).alias("stage", "n_users", "conv_permille")
+    ).select(
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("conv_permille").cast("long").alias("conv_permille"),
+    )

@@ -727,6 +727,61 @@ def analytics_oracles() -> dict[str, str]:
         {branch}
     """
 
+    # deadline-funnel: the chained conditional mins restated as three
+    # nested window levels (each stage's CASE sees the previous
+    # stage's min), same integer microsecond arithmetic
+    from ..operators.analytics import (
+        FUNNEL_CLICK_W_US as _FCW,
+        FUNNEL_PURCH_W_US as _FPW,
+    )
+
+    o["funnel_time_bounded"] = f"""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+        s1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                    OVER (PARTITION BY user_id) AS t_view
+          FROM ev
+        ),
+        s2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click'
+                             AND us >= t_view
+                             AND us <= t_view + {_FCW} THEN us END)
+                    OVER (PARTITION BY user_id) AS t_click
+          FROM s1
+        ),
+        s3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase'
+                             AND us >= t_click
+                             AND us <= t_click + {_FPW} THEN us END)
+                    OVER (PARTITION BY user_id) AS t_purch
+          FROM s2
+        ),
+        pu AS (
+          SELECT user_id,
+                 max(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS v,
+                 max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS c,
+                 max(CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END) AS p
+          FROM s3 GROUP BY user_id
+        ),
+        a AS (
+          SELECT CAST(sum(v) AS BIGINT) AS nv,
+                 CAST(sum(c) AS BIGINT) AS nc,
+                 CAST(sum(p) AS BIGINT) AS np
+          FROM pu
+        )
+        SELECT '1_view' AS stage, nv AS n_users,
+               CAST(NULL AS BIGINT) AS conv_permille FROM a
+        UNION ALL
+        SELECT '2_click_1h', nc,
+               CASE WHEN nv = 0 THEN 0
+                    ELSE CAST(1000 * nc // nv AS BIGINT) END FROM a
+        UNION ALL
+        SELECT '3_purchase_4h', np,
+               CASE WHEN nc = 0 THEN 0
+                    ELSE CAST(1000 * np // nc AS BIGINT) END FROM a
+    """
+
     o["event_value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,

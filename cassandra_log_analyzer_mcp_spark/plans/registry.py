@@ -518,6 +518,7 @@ def queries() -> dict[str, QueryFn]:
         "last_touch_attribution": analytics.last_touch_attribution,
         "weighted_price_quartiles": analytics.weighted_price_quartiles,
         "kmv_set_ops": analytics.kmv_set_ops,
+        "funnel_time_bounded": analytics.funnel_time_bounded,
         # GK-sketch percentiles are engine-specific; error-bound-tested
         "event_value_percentiles_approx":
             analytics.event_value_percentiles_approx,

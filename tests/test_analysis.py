@@ -716,3 +716,23 @@ def test_kmv_set_ops_identities_and_regimes(spark, sf_dir):
         else:
             assert 0 < e
     assert 0 <= r.est_inter <= r.est_union
+
+
+def test_funnel_time_bounded_tighter_than_unbounded(spark, sf_dir):
+    """Deadlines only REMOVE conversions: each bounded stage count is
+    <= the unbounded funnel's corresponding stage, and the funnel is
+    monotone within itself."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        event_funnel,
+        funnel_time_bounded,
+    )
+
+    bounded = {r.stage: r.n_users for r in
+               funnel_time_bounded(spark, sf_dir).collect()}
+    unbounded = {r.stage: r.n_users for r in
+                 event_funnel(spark, sf_dir).collect()}
+    assert bounded["1_view"] == unbounded["view"]
+    assert bounded["2_click_1h"] <= unbounded["click"]
+    assert bounded["3_purchase_4h"] <= unbounded["purchase"]
+    assert (bounded["1_view"] >= bounded["2_click_1h"]
+            >= bounded["3_purchase_4h"] >= 0)

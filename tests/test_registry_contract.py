@@ -115,7 +115,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "streaming_priority_sample", "weighted_price_quartiles",
     "cluster_purity_eval", "kmv_set_ops", "corpus_release_manifest",
     "minhash_dedup_pr_eval", "partition_evolution_read",
-    "knn_truncated_dims_eval",
+    "knn_truncated_dims_eval", "funnel_time_bounded",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
