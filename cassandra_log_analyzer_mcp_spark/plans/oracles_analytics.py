@@ -782,6 +782,10 @@ def analytics_oracles() -> dict[str, str]:
                     ELSE CAST(1000 * np // nc AS BIGINT) END FROM a
     """
 
+    # the per-user state machine must land the batch windows' exact
+    # stage counts — shared oracle IS the cross-batch-fold proof
+    o["streaming_funnel_state"] = o["funnel_time_bounded"]
+
     o["event_value_percentiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,

@@ -673,6 +673,7 @@ def queries() -> dict[str, QueryFn]:
         "streaming_kmv_state": batch_bridge.streaming_kmv_state,
         "streaming_priority_sample":
             batch_bridge.streaming_priority_sample,
+        "streaming_funnel_state": batch_bridge.streaming_funnel_state,
         # watermark drop semantics graded at window granularity
         "streaming_late_data_drop": batch_bridge.streaming_late_data_drop,
         "streaming_windowed_alerts": batch_bridge.streaming_windowed_alerts,

@@ -1549,6 +1549,154 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL FUNNEL — the deadline funnel (funnel_time_bounded) as
+    a per-user STATE MACHINE folded across micro-batches with
+    ``applyInPandasWithState``: state is three microsecond stamps
+    (first view, first qualifying click, first qualifying purchase),
+    O(1) per user forever. The feed replays time-split (first-half /
+    second-half days), so a user's journey genuinely CROSSES the
+    batch boundary — view in batch 1, conversion in batch 2 — which
+    is exactly what the fold must carry. Stage flags only ever
+    advance, so the update-mode emissions max-collapse per user on
+    the materialized sink regardless of how many times a group
+    emitted. Shares funnel_time_bounded's oracle: the state machine
+    must land the batch windows' exact stage counts and per-milles.
+    """
+    import time as _time
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.analytics import (
+        FUNNEL_CLICK_W_US,
+        FUNNEL_PURCH_W_US,
+    )
+    from ..sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    mid = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
+    ).collect()[0].m
+    feed = tempfile.mkdtemp(prefix="funnel_feed_") + "/events"
+    early = os.path.join(feed, "0_first")
+    late = os.path.join(feed, "1_second")
+    ev.filter(F.col("us") < mid).repartition(1).write.parquet(early)
+    ev.filter(F.col("us") >= mid).repartition(1).write.parquet(late)
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (now + offset, now + offset))
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("v", LongType()),
+            StructField("c", LongType()),
+            StructField("p", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_view", LongType()),
+            StructField("t_click", LongType()),
+            StructField("t_purch", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        tv, tc, tp = state.get if state.exists else (None, None, None)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    (int(x) for x in pdf["us"]),
+                    (int(x) for x in pdf["event_id"]),
+                    pdf["event_type"],
+                )
+            )
+        for us, _eid, et in sorted(rows):
+            if et == "view" and tv is None:
+                tv = us
+            elif (
+                et == "click"
+                and tc is None
+                and tv is not None
+                and tv <= us <= tv + FUNNEL_CLICK_W_US
+            ):
+                tc = us
+            elif (
+                et == "purchase"
+                and tp is None
+                and tc is not None
+                and tc <= us <= tc + FUNNEL_PURCH_W_US
+            ):
+                tp = us
+        state.update((tv, tc, tp))
+        yield pd.DataFrame(
+            [
+                (
+                    user_id,
+                    int(tv is not None),
+                    int(tc is not None),
+                    int(tp is not None),
+                )
+            ],
+            columns=["user_id", "v", "c", "p"],
+        )
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, us long"
+    ).option("maxFilesPerTrigger", "1").option(
+        "recursiveFileLookup", "true"
+    ).parquet(feed)
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    q = log_stream.run_to_memory_sink(updated, sink, output_mode="update")
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_funnel_state did not finish its availableNow run"
+        )
+    flags = spark.table(sink).groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    agg = flags.agg(
+        F.sum("v").alias("nv"), F.sum("c").alias("nc"), F.sum("p").alias("np")
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " '1_view', nv, CAST(NULL AS BIGINT),"
+            " '2_click_1h', nc, CASE WHEN nv = 0 THEN 0"
+            "   ELSE CAST(1000 * nc div nv AS BIGINT) END,"
+            " '3_purchase_4h', np, CASE WHEN nc = 0 THEN 0"
+            "   ELSE CAST(1000 * np div nc AS BIGINT) END)"
+        ).alias("stage", "n_users", "conv_permille")
+    ).select(
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("conv_permille").cast("long").alias("conv_permille"),
+    )
+
+
 #: late-data watermark delay (seconds) for streaming_late_data_drop
 LATE_DELAY_S = 7200
 

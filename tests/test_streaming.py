@@ -583,3 +583,51 @@ def test_streaming_priority_sample_mixes_batches(spark, sf_dir):
     assert [(r.doc_id, r.rn) for r in got] == [
         (r.doc_id, r.rn) for r in want
     ]
+
+
+def test_streaming_funnel_state_crosses_batch_boundary(spark, sf_dir):
+    """The stateful funnel equals the batch deadline funnel, and the
+    time-split replay genuinely forces cross-batch journeys: at
+    least one converting user views in the first half and completes
+    the purchase in the second."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        FUNNEL_CLICK_W_US,
+        FUNNEL_PURCH_W_US,
+        funnel_time_bounded,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    got = {r.stage: (r.n_users, r.conv_permille) for r in
+           batch_bridge.streaming_funnel_state(spark, sf_dir).collect()}
+    want = {r.stage: (r.n_users, r.conv_permille) for r in
+            funnel_time_bounded(spark, sf_dir).collect()}
+    assert got == want
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"),
+        "event_id",
+    ).collect()
+    lo = min(r.us for r in ev)
+    hi = max(r.us for r in ev)
+    mid = (lo + hi) // 2
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.us, r.event_id, r.event_type))
+    crossers = 0
+    for rows in by_user.values():
+        tv = tc = tp = None
+        for us, _eid, et in sorted(rows):
+            if et == "view" and tv is None:
+                tv = us
+            elif (et == "click" and tc is None and tv is not None
+                  and tv <= us <= tv + FUNNEL_CLICK_W_US):
+                tc = us
+            elif (et == "purchase" and tp is None and tc is not None
+                  and tc <= us <= tc + FUNNEL_PURCH_W_US):
+                tp = us
+        if tv is not None and tv < mid and any(
+            us >= mid for us, _e, _t in rows
+        ):
+            crossers += 1  # view-state set in batch 1, user seen in 2
+    assert crossers > 0

@@ -42,6 +42,7 @@ EAGER = {
     "streaming_trend_state",  # availableNow run; driver moments fold
     "streaming_kmv_state",  # availableNow run; driver k-set fold
     "streaming_priority_sample",  # availableNow run; bottom-K fold
+    "streaming_funnel_state",  # availableNow run; per-user state fold
     "streaming_late_data_drop",  # availableNow run; memory sink
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
