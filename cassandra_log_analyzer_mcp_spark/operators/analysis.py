@@ -1699,3 +1699,62 @@ def error_ewma_smoothed(logs: DataFrame) -> DataFrame:
         folded["ewma"].alias("ewma_final"),
         folded["n_spikes"].alias("n_spikes"),
     )
+
+
+#: decayed-count halving period: one doubling of age halves the
+#: weight (right-shift per day — exact integer decay, no floats).
+TREND_TOP_K = 10
+
+
+def template_trending_decayed(logs: DataFrame) -> DataFrame:
+    """TRENDING templates — time-decayed heavy hitters: each
+    template's score is Σ_days count_d >> (last_day − d), i.e.
+    yesterday counts half of today, a week ago 1/128 — the ranking
+    that surfaces what is spiking NOW over what has always been
+    noisy (a plain count ranks chronic chatter first). The
+    right-shift decay keeps every score an exact integer — the
+    float-free twin of exponential decayed counters (and mergeable:
+    partial day-rollups decay-then-add associatively).
+
+    One (level, template, day) map-side-combined rollup, decay
+    arithmetic against the broadcast horizon, TakeOrdered top-K —
+    the same shape as log_templates with a day axis. Ties break by
+    (level, template) for determinism; chronic templates still
+    appear through their recent days, but scored only by them.
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    ).alias("template")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d")
+    daily = (
+        logs.select("level", tmpl, day)
+        .groupBy("level", "template", "d")
+        .agg(F.count("*").alias("n"))
+    )
+    horizon = daily.agg(F.max("d").alias("last_d"))
+    scored = daily.crossJoin(F.broadcast(horizon)).groupBy(
+        "level", "template"
+    ).agg(
+        F.sum(
+            F.expr("shiftright(n, CAST(least(last_d - d, 62) AS INT))")
+        )
+        .cast("long")
+        .alias("decayed_score"),
+        F.sum("n").cast("long").alias("raw_count"),
+        F.max("d").alias("last_seen_d"),
+    )
+    w = Window.orderBy(
+        F.col("decayed_score").desc(), F.col("level"), F.col("template")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TREND_TOP_K)
+        .select(
+            "level",
+            "template",
+            "decayed_score",
+            "raw_count",
+            F.col("last_seen_d").cast("long").alias("last_seen_d"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

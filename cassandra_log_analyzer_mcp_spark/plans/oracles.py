@@ -1235,6 +1235,40 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # decayed heavy hitters: the identical shift-decay restated; >>
+    # on BIGINT is exact in both engines, shift clamped at 62
+    from ..operators.analysis import TREND_TOP_K
+
+    o["template_trending_decayed"] = with_logs(
+        f"""
+        SELECT level, template, decayed_score, raw_count, last_seen_d,
+               CAST(rk AS INT) AS rk
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY decayed_score DESC,
+                    level, template) AS rk
+          FROM (
+            SELECT level, template,
+                   CAST(sum(n >> CAST(least(last_d - d, 62) AS INT))
+                     AS BIGINT) AS decayed_score,
+                   CAST(sum(n) AS BIGINT) AS raw_count,
+                   CAST(max(d) AS BIGINT) AS last_seen_d
+            FROM (
+              SELECT level,
+                     regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                                    '{TEMPLATE_NUM_TOKEN}', 'g')
+                       AS template,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM logs GROUP BY 1, 2, 3
+            ) daily,
+            (SELECT max(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+               AS last_d FROM logs) h
+            GROUP BY level, template
+          ) s
+        ) r WHERE rk <= {TREND_TOP_K}
+        """
+    )
+
     from ..operators.analysis import TEMPLATES_PER_NODE_K
 
     o["top_templates_per_node"] = with_logs(

@@ -619,6 +619,8 @@ def queries() -> dict[str, QueryFn]:
         "node_metrics_correlation": node_metrics_correlation,
         "dropped_messages": _on_logs(analysis.dropped_messages),
         "log_templates": _on_logs(analysis.log_templates),
+        "template_trending_decayed":
+            _on_logs(analysis.template_trending_decayed),
         "top_templates_per_node": _on_logs(analysis.top_templates_per_node),
         "windowed_alerts": _on_logs(analysis.windowed_alerts),
         "alert_dedup": _on_logs(analysis.alert_dedup),

@@ -736,3 +736,23 @@ def test_funnel_time_bounded_tighter_than_unbounded(spark, sf_dir):
     assert bounded["3_purchase_4h"] <= unbounded["purchase"]
     assert (bounded["1_view"] >= bounded["2_click_1h"]
             >= bounded["3_purchase_4h"] >= 0)
+
+
+def test_trending_decay_prefers_recent_spike(spark):
+    """10 occurrences today must outrank 100 occurrences 10 days ago
+    (decayed to 100 >> 10 = 0): the recency property plain counts
+    invert."""
+    import datetime as dt
+
+    old = dt.datetime(2025, 1, 1, 12, 0, 0)
+    new = old + dt.timedelta(days=10)
+    rows = (
+        [("n0", "ERROR", "chronic noise", old, i) for i in range(100)]
+        + [("n0", "ERROR", "fresh spike", new, 1000 + i) for i in range(10)]
+    )
+    got = {r.template: r for r in
+           analysis.template_trending_decayed(_logs_df(spark, rows)).collect()}
+    assert got["fresh spike"].decayed_score == 10
+    assert got["chronic noise"].decayed_score == 0
+    assert got["fresh spike"].rk < got["chronic noise"].rk
+    assert got["chronic noise"].raw_count == 100

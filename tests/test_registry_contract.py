@@ -116,7 +116,7 @@ NEW_IN_R4_REPLICA_ONLY = {
     "cluster_purity_eval", "kmv_set_ops", "corpus_release_manifest",
     "minhash_dedup_pr_eval", "partition_evolution_read",
     "knn_truncated_dims_eval", "funnel_time_bounded",
-    "streaming_funnel_state",
+    "streaming_funnel_state", "template_trending_decayed",
 }
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
