@@ -657,6 +657,81 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_chunks_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style duplicate-span REMOVAL: every aligned
+    CHUNK_TOKENS-token chunk that exactly repeats an earlier chunk
+    anywhere in the corpus (keep-first by (doc_id, idx)) is dropped,
+    and each document's text is REWRITTEN from its surviving chunks —
+    the corpus-rewrite step of Raffel et al.'s C4 three-sentence-span
+    dedup and CCNet's paragraph dedup, at chunk granularity.
+
+    Scale shape: only (doc_id, idx, digest) triples ever shuffle —
+    never chunk text. Survivorship is one row_number window keyed by
+    the digest (bounded partitions: occurrences of one chunk content);
+    the rewrite slices the ORIGINAL token array by the surviving
+    indices doc-side (flatten(transform(...)) — codegen, no second
+    text shuffle). Fully-duplicate docs come out with empty text, the
+    honest C4 behavior (a length filter downstream drops them).
+    """
+    k = CHUNK_TOKENS
+    toks = tokens_col()
+    n_chunks = F.ceil(F.size(toks) / k).cast("long")
+    docs = documents(spark, sf_dir).select(
+        "doc_id", "text", n_chunks.alias("n_chunks")
+    )
+    exploded = docs.filter(F.col("n_chunks") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "idx"
+        ),
+        tokens_col().alias("t"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "t", F.col("idx").cast("int") * k + 1, k
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    kept = (
+        exploded.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy("doc_id", "idx")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("kept_idxs"))
+    )
+    rebuilt = docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.size("kept_idxs"), F.lit(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        "kept_idxs",
+                        lambda i: F.slice(
+                            tokens_col(), i.cast("int") * k + 1, k
+                        ),
+                    )
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+    return rebuilt
+
+
 #: PII patterns (RE2- and Java-regex compatible; no lookarounds).
 PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

@@ -406,6 +406,46 @@ def text_oracles() -> dict[str, str]:
         LEFT JOIN dup d USING (doc_id)
     """
 
+    # keep-first survivorship is one row_number per digest ordered by
+    # (doc_id, idx); the rewrite joins surviving chunk TEXT back via
+    # array slicing of the original tokens — chunks glue with single
+    # spaces exactly like the Spark flatten+array_join rebuild
+    o["dedup_chunks_rewrite"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        c AS (
+          SELECT doc_id, i AS idx,
+                 md5(array_to_string(
+                       t[i * {_CK} + 1 : i * {_CK} + {_CK}], ' ')) AS h
+          FROM (SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / {_CK}.0)
+                                            AS INT))) AS i
+                FROM toks WHERE len(t) > 0)
+        ),
+        kept AS (
+          SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, idx) AS rn
+            FROM c) WHERE rn = 1
+        ),
+        rebuilt AS (
+          SELECT k.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(
+                   array_to_string(
+                     t[k.idx * {_CK} + 1 : k.idx * {_CK} + {_CK}],
+                     ' '),
+                   ' ' ORDER BY k.idx) AS clean_text
+          FROM kept k JOIN toks USING (doc_id)
+          GROUP BY k.doc_id
+        )
+        SELECT b.doc_id,
+               CAST(ceil(len(b.t) / {_CK}.0) AS BIGINT) AS n_chunks,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM toks b LEFT JOIN rebuilt r USING (doc_id)
+    """
+
     # merged maximal spans: same gram/dup/hits CTEs as coverage (pos
     # shifted to 0-based to align with posexplode), then the identical
     # gaps-and-islands windows — running-max-end decides merges,

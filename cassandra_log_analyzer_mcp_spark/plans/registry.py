@@ -314,6 +314,7 @@ def queries() -> dict[str, QueryFn]:
         "repeated_span_coverage": textops.repeated_span_coverage,
         "repeated_spans_merged": textops.repeated_spans_merged,
         "chunk_dedup": textops.chunk_dedup,
+        "dedup_chunks_rewrite": textops.dedup_chunks_rewrite,
         "bpe_train_merges": textops.bpe_train_merges,
         "bpe_encode": textops.bpe_encode,
         "bm25_search": textops.bm25_search,

@@ -1379,3 +1379,28 @@ def test_truncated_dims_eval_shape(spark, sf_dir):
     assert len(rows) == similarity.KNN_N_QUERIES
     assert all(0 <= r.n_hits <= r.k == similarity.KNN_TOP_K for r in rows)
     assert 0 < sum(r.n_hits for r in rows) < sum(r.k for r in rows)
+
+
+def test_dedup_chunks_rewrite_keep_first(spark, sf_dir, monkeypatch):
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    monkeypatch.setattr(t, "CHUNK_TOKENS", 2)
+    monkeypatch.setattr(t, "documents", lambda s, d: s.createDataFrame(
+        [
+            # chunks [a b][c d][a b]: idx2 repeats idx0 -> dropped
+            Row(doc_id=0, text="a b c d a b"),
+            # [c d] repeats doc0 idx1 -> dropped; partial tail [x] kept
+            Row(doc_id=1, text="c d x"),
+            # fully duplicate doc rewrites to empty text
+            Row(doc_id=2, text="a b c d"),
+            Row(doc_id=3, text=""),
+        ]
+    ))
+    rows = {
+        r.doc_id: r for r in t.dedup_chunks_rewrite(spark, sf_dir).collect()
+    }
+    assert rows[0].clean_text == "a b c d" and rows[0].n_kept == 2
+    assert rows[0].n_chunks == 3
+    assert rows[1].clean_text == "x" and rows[1].n_kept == 1
+    assert rows[2].clean_text == "" and rows[2].n_kept == 0
+    assert rows[3].n_chunks == 0 and rows[3].clean_text == ""
