@@ -1561,3 +1561,62 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: AMS F2 sketch width (number of independent ±1 sign counters).
+AMS_R = 32
+
+
+def token_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) second-frequency-moment sketch over
+    the token stream: R independent counters S_r = Σ_t cnt(t)·sign_r(t)
+    with 4-wise-ish ±1 signs from md5(token:r); each S_r² is an
+    unbiased estimator of F2 = Σ cnt² — the self-join size of the
+    token stream, THE statistic a query planner wants for sizing a
+    token-keyed self-join before running it.
+
+    Output: one row per counter (r, s_r, est_r = s_r²) with the exact
+    F2 alongside, so the gate checks the sketch's entire state AND its
+    estimates exactly — integer arithmetic end to end (md5 signs are
+    engine-identical; no float enters). Scale shape: one token-keyed
+    shuffle for counts (map-side partial agg), then an R×|vocab|
+    explode into a 32-group agg — the sketch state is 32 integers, and
+    S_r is a LINEAR function of counts, so per-partition (or per-batch)
+    sketches merge by plain addition. At 100 TB switch the two sums to
+    DECIMAL(38,0); at these SFs int64 has >8 digits of headroom.
+    """
+    docs = documents(spark, sf_dir)
+    cnt = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sign = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", "token", F.col("r").cast("string"))
+            ),
+            1,
+            1,
+        ).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    per_r = (
+        cnt.select(
+            "token",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r"),
+        )
+        .select(F.col("r").cast("long").alias("r"), (F.col("cnt") * sign).alias("term"))
+        .groupBy("r")
+        .agg(F.sum("term").alias("s_r"))
+    )
+    f2 = cnt.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact")
+    )
+    return per_r.crossJoin(F.broadcast(f2)).select(
+        "r",
+        "s_r",
+        (F.col("s_r") * F.col("s_r")).alias("est_r"),
+        "f2_exact",
+    )

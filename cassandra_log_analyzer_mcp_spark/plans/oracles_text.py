@@ -2007,6 +2007,37 @@ def text_oracles() -> dict[str, str]:
         GROUP BY 1
     """
 
+    # AMS F2: the sign hash is the parity of md5(token:r)'s first hex
+    # digit — identical md5 on both engines, so every counter S_r and
+    # every estimate S_r² must match bit for bit. Sums cast to BIGINT
+    # (DuckDB sum() returns HUGEINT, which floats through pandas).
+    from ..operators.textops import AMS_R as _AMSR
+
+    o["token_f2_ams"] = f"""
+        WITH tok AS (
+          SELECT unnest({TOKS}) AS token FROM documents
+        ),
+        cnt AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY token
+        ),
+        f2 AS (
+          SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM cnt
+        ),
+        per_r AS (
+          SELECT CAST(r AS BIGINT) AS r,
+                 CAST(sum(cnt * CASE WHEN substr(
+                        md5(token || ':' || CAST(r AS VARCHAR)), 1, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                      THEN 1 ELSE -1 END) AS BIGINT) AS s_r
+          FROM cnt CROSS JOIN
+               (SELECT unnest(range(0, {_AMSR})) AS r)
+          GROUP BY 1
+        )
+        SELECT r, s_r, s_r * s_r AS est_r, f2_exact
+        FROM per_r CROSS JOIN f2
+    """
+
     return o
 
 

@@ -1404,3 +1404,29 @@ def test_dedup_chunks_rewrite_keep_first(spark, sf_dir, monkeypatch):
     assert rows[1].clean_text == "x" and rows[1].n_kept == 1
     assert rows[2].clean_text == "" and rows[2].n_kept == 0
     assert rows[3].n_chunks == 0 and rows[3].clean_text == ""
+
+
+def test_ams_sketch_accuracy_and_linearity(spark, sf_dir, monkeypatch):
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    rows = t.token_f2_ams(spark, sf_dir).collect()
+    assert len(rows) == t.AMS_R
+    f2 = rows[0].f2_exact
+    mean_est = sum(r.est_r for r in rows) / len(rows)
+    # E[S_r^2] = F2, Var <= 2*F2^2/R: the deterministic md5 signs land
+    # the mean comfortably inside a factor-3 band
+    assert 0.3 * f2 <= mean_est <= 3.0 * f2
+
+    # linearity: the sketch of a union is the SUM of the sketches —
+    # the property that makes per-partition / per-batch merging exact
+    full = [
+        Row(doc_id=0, text="a b c a"),
+        Row(doc_id=1, text="b b d"),
+        Row(doc_id=2, text="c a e e e"),
+    ]
+    def s_of(docs):
+        monkeypatch.setattr(t, "documents", lambda s, d: s.createDataFrame(docs))
+        return {r.r: r.s_r for r in t.token_f2_ams(spark, sf_dir).collect()}
+
+    s_full, s_a, s_b = s_of(full), s_of(full[:1]), s_of(full[1:])
+    assert all(s_full[r] == s_a[r] + s_b[r] for r in s_full)
