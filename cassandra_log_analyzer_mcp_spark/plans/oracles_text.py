@@ -2037,6 +2037,9 @@ def text_oracles() -> dict[str, str]:
         SELECT r, s_r, s_r * s_r AS est_r, f2_exact
         FROM per_r CROSS JOIN f2
     """
+    # the streaming AMS fold must land the batch sketch's exact
+    # counters — same oracle, crossed micro-batch boundaries
+    o["streaming_f2_ams"] = o["token_f2_ams"]
 
     return o
 

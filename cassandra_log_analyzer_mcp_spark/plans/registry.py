@@ -675,6 +675,7 @@ def queries() -> dict[str, QueryFn]:
         "streaming_trend_state": batch_bridge.streaming_trend_state,
         # k-set union fold across batches (shares the KMV oracle)
         "streaming_kmv_state": batch_bridge.streaming_kmv_state,
+        "streaming_f2_ams": batch_bridge.streaming_f2_ams,
         "streaming_priority_sample":
             batch_bridge.streaming_priority_sample,
         "streaming_funnel_state": batch_bridge.streaming_funnel_state,

@@ -1782,3 +1782,102 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous second-moment sketching — AMS's streaming fold: each
+    micro-batch reduces DISTRIBUTEDLY to its 32 signed counters
+    (token-keyed partial agg → R-way sign sum, exactly the batch op's
+    plan on the batch's slice), and the driver merges by PLAIN
+    ADDITION — S_r is linear in token counts, so cross-batch merge is
+    `state[r] += s_r` with zero approximation. State is 32 integers
+    forever. The feed replays as two DOC-PARITY files, so neither
+    batch alone sees the full vocabulary: every final counter provably
+    mixes both. Shares token_f2_ams's oracle — the fold must land the
+    batch sketch's exact integers (every S_r, every S_r², and the
+    exact F2 recomputed distributively from the landed feed).
+    """
+    import time as _time
+
+    from ..functions.texts import tokens_col
+    from ..operators.textops import AMS_R
+    from ..sources.tables import documents
+
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    feed = tempfile.mkdtemp(prefix="ams_feed_") + "/docs"
+    early = os.path.join(feed, "0_even")
+    late = os.path.join(feed, "1_odd")
+    d.filter(F.pmod("doc_id", F.lit(2)) == 0).repartition(1).write.parquet(
+        early
+    )
+    d.filter(F.pmod("doc_id", F.lit(2)) == 1).repartition(1).write.parquet(
+        late
+    )
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (now + offset, now + offset))
+
+    state = [0] * AMS_R
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        sign = F.when(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", "token", F.col("r").cast("string"))
+                ),
+                1,
+                1,
+            ).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        per_r = (
+            batch.select(F.explode(tokens_col()).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "token",
+                "cnt",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(AMS_R - 1))
+                ).alias("r"),
+            )
+            .groupBy("r")
+            .agg(F.sum(F.col("cnt") * sign).alias("s_r"))
+            .collect()
+        )  # exactly AMS_R rows — the sketch, nothing else
+        for row in per_r:
+            state[row.r] += row.s_r
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_f2_ams did not finish its availableNow run"
+        )
+    # exact F2 is the report's evaluation column, recomputed
+    # distributively from the landed feed — never a driver-side count
+    f2 = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(feed)
+        .select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+        .collect()[0]
+        .f2
+    )
+    rows = [(r, s, s * s, f2) for r, s in enumerate(state)]
+    return spark.createDataFrame(
+        rows, schema="r long, s_r long, est_r long, f2_exact long"
+    )

@@ -631,3 +631,26 @@ def test_streaming_funnel_state_crosses_batch_boundary(spark, sf_dir):
         ):
             crossers += 1  # view-state set in batch 1, user seen in 2
     assert crossers > 0
+
+
+def test_streaming_f2_ams_equals_batch_sketch(spark, sf_dir):
+    """The cross-batch AMS fold lands the batch sketch exactly, and
+    the doc-parity split guarantees neither micro-batch alone could
+    have produced it (both parities carry tokens)."""
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        token_f2_ams,
+    )
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        streaming_f2_ams,
+    )
+
+    batch = {r.r: r for r in token_f2_ams(spark, sf_dir).collect()}
+    fold = {r.r: r for r in streaming_f2_ams(spark, sf_dir).collect()}
+    assert set(batch) == set(fold)
+    for r in batch:
+        assert batch[r].s_r == fold[r].s_r
+        assert batch[r].f2_exact == fold[r].f2_exact
+    # both parities contribute: each half's token stream is non-empty
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for p in (0, 1):
+        assert docs.filter(f"doc_id % 2 = {p}").count() > 0
