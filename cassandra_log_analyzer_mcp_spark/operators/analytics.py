@@ -2873,3 +2873,96 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         F.col("conv_permille").cast("long").alias("conv_permille"),
     )
+
+
+#: Zone-map simulation: file count per layout, probe predicates as
+#: closed epoch-day ranges (inside the data's 1995–2001 span).
+ZONE_N_FILES = 32
+ZONE_PROBES = (
+    ("day", "1997-06-15", "1997-06-15"),
+    ("month", "1996-03-01", "1996-03-31"),
+    ("quarter", "1998-01-01", "1998-03-31"),
+    ("year", "2000-01-01", "2000-12-31"),
+)
+
+
+def _epoch_day(iso: str) -> int:
+    import datetime as _dt
+
+    return (_dt.date.fromisoformat(iso) - _dt.date(1970, 1, 1)).days
+
+
+def zone_map_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness census — the zone-map arithmetic a
+    parquet/Iceberg/Delta reader runs against footer min/max stats,
+    made explicit: assign orders rows to ZONE_N_FILES simulated files
+    under two layouts (``clustered``: fixed-width o_orderdate ranges —
+    what a date-sorted or date-partitioned write produces; ``hashed``:
+    o_orderkey mod N — an unclustered write), compute each file's
+    (min, max) orderdate zone, then for four date probes count the
+    files a stats-pruning scan would SKIP (zone entirely outside the
+    probe) and the rows it must still scan.
+
+    This is the 100 TB story in one result set: the same predicate
+    over the same rows scans a few clustered files but EVERY hashed
+    file — why sort order / partitioning, not just predicates,
+    decides scan cost. All arithmetic is integer epoch-days; the
+    zone-map reduction is two ≤N_FILES-group aggregates and the probe
+    join is a broadcast against an 8-row literal table.
+    """
+    n = ZONE_N_FILES
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("eday"),
+    )
+    bounds = base.agg(F.min("eday").alias("lo"), F.max("eday").alias("hi"))
+    assigned = base.crossJoin(F.broadcast(bounds)).selectExpr(
+        "eday",
+        f"CAST((eday - lo) * {n} div (hi - lo + 1) AS BIGINT)"
+        " AS clustered",
+        f"CAST(o_orderkey % {n} AS BIGINT) AS hashed",
+    )
+    unpivoted = assigned.selectExpr(
+        "eday",
+        "stack(2, 'clustered', clustered, 'hashed', hashed)"
+        " AS (layout, file_id)",
+    )
+    zones = unpivoted.groupBy("layout", "file_id").agg(
+        F.min("eday").alias("f_min"),
+        F.max("eday").alias("f_max"),
+        F.count("*").alias("n_rows"),
+    )
+    probes = spark.createDataFrame(
+        [(p, _epoch_day(lo), _epoch_day(hi)) for p, lo, hi in ZONE_PROBES],
+        schema="probe string, p_lo long, p_hi long",
+    )
+    skipped = (F.col("f_max") < F.col("p_lo")) | (
+        F.col("f_min") > F.col("p_hi")
+    )
+    per = (
+        zones.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.count("*").alias("files_total"),
+            F.sum(skipped.cast("long")).alias("files_skipped"),
+            F.sum(
+                F.when(~skipped, F.col("n_rows")).otherwise(0)
+            ).alias("rows_scanned"),
+        )
+    )
+    matched = (
+        base.crossJoin(F.broadcast(probes))
+        .filter(F.col("eday").between(F.col("p_lo"), F.col("p_hi")))
+        .groupBy("probe")
+        .agg(F.count("*").alias("rows_matched"))
+    )
+    return per.join(matched, "probe", "left").select(
+        "layout",
+        "probe",
+        "files_total",
+        "files_skipped",
+        "rows_scanned",
+        F.coalesce("rows_matched", F.lit(0)).alias("rows_matched"),
+    )

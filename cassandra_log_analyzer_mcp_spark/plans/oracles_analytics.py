@@ -1560,4 +1560,52 @@ def analytics_oracles() -> dict[str, str]:
           AND value >= {ZORDER_V_LO} AND value < {ZORDER_V_HI}
         GROUP BY event_type
     """
+    # zone-map skipping census: epoch-day integers everywhere; probe
+    # bounds are the SAME precomputed constants the Spark side embeds
+    o["zone_map_skip_stats"] = """
+        WITH base AS (
+          SELECT o_orderkey,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS eday
+          FROM orders
+        ),
+        b AS (SELECT min(eday) AS lo, max(eday) AS hi FROM base),
+        assigned AS (
+          SELECT eday,
+                 CAST((eday - lo) * 32 // (hi - lo + 1) AS BIGINT)
+                   AS clustered,
+                 CAST(o_orderkey % 32 AS BIGINT) AS hashed
+          FROM base, b
+        ),
+        u AS (
+          SELECT eday, 'clustered' AS layout, clustered AS file_id
+          FROM assigned
+          UNION ALL
+          SELECT eday, 'hashed', hashed FROM assigned
+        ),
+        zones AS (
+          SELECT layout, file_id, min(eday) AS f_min, max(eday) AS f_max,
+                 count(*) AS n_rows
+          FROM u GROUP BY 1, 2
+        ),
+        probes(probe, p_lo, p_hi) AS (VALUES ('day', 10027, 10027), ('month', 9556, 9586), ('quarter', 10227, 10316), ('year', 10957, 11322)),
+        per AS (
+          SELECT layout, probe,
+                 CAST(count(*) AS BIGINT) AS files_total,
+                 CAST(sum(CASE WHEN f_max < p_lo OR f_min > p_hi
+                          THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+                 CAST(sum(CASE WHEN f_max < p_lo OR f_min > p_hi
+                          THEN 0 ELSE n_rows END) AS BIGINT)
+                   AS rows_scanned
+          FROM zones CROSS JOIN probes GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT probe, CAST(count(*) AS BIGINT) AS rows_matched
+          FROM base JOIN probes ON eday BETWEEN p_lo AND p_hi
+          GROUP BY 1
+        )
+        SELECT layout, probe, files_total, files_skipped, rows_scanned,
+               COALESCE(rows_matched, 0) AS rows_matched
+        FROM per LEFT JOIN m USING (probe)
+    """
     return o

@@ -437,3 +437,26 @@ def test_partition_evolution_both_scans_prune(spark, sf_dir):
     # seam coverage: the window is 7 days wide; if both generations
     # contribute, distinct day counts reach past either side alone
     assert max(r.n_days for r in rows) >= 5
+
+
+def test_zone_map_skipping_favors_clustered_layout(spark, sf_dir):
+    """Clustered (date-range) files prune for every date probe; hashed
+    files never prune — and pruning never skips a matching row."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        zone_map_skip_stats,
+    )
+
+    rows = zone_map_skip_stats(spark, sf_dir).collect()
+    by = {(r.layout, r.probe): r for r in rows}
+    assert len(by) == 8
+    for (layout, probe), r in by.items():
+        assert r.rows_scanned >= r.rows_matched  # pruning is sound
+        assert r.files_skipped <= r.files_total
+        if layout == "hashed":
+            # every hashed file spans ~the whole date range: no skips
+            assert r.files_skipped == 0
+    for probe in ("day", "month", "quarter", "year"):
+        c, h = by[("clustered", probe)], by[("hashed", probe)]
+        assert c.rows_matched == h.rows_matched  # layout-independent
+        assert c.files_skipped > 0
+        assert c.rows_scanned <= h.rows_scanned
