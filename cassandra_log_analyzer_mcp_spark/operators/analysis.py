@@ -1758,3 +1758,55 @@ def template_trending_decayed(logs: DataFrame) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def error_seasonal_mad(logs: DataFrame) -> DataFrame:
+    """Seasonality-aware robust anomaly hours: each node's hourly
+    error count is judged against the median and MAD of ITS OWN
+    hour-of-day slot (all Mondays-at-03:00 style seasonality, here
+    the 24 UTC hours) — the Hampel / modified-z-score detector that a
+    global or per-node median (error_anomaly_hours) can't express: a
+    nightly-compaction node is noisy at 02:00 every day, and only the
+    seasonal baseline keeps that from flooding the report.
+
+    Flag rule: |x − med| > 3·MAD AND |x − med| ≥ 3 (the absolute
+    floor disarms the MAD=0 degenerate slot). Median/MAD are computed
+    over the zero-filled series (cusum_series — shared with CUSUM/
+    EWMA/OLS so every detector reads the same input): quiet hours
+    count as 0s, which is what makes the median robust. Both
+    percentiles land on dyadic rationals (.5/.25 steps) — exactly
+    representable doubles, bit-identical across engines (the proven
+    percentile↔quantile_cont pairing). Scale shape: the raw scan
+    rolls up once; baselines are per-(node, hour-of-day) aggregates
+    over the tiny rollup, broadcast back.
+    """
+    series = cusum_series(logs).select(
+        "node",
+        "h",
+        "x",
+        F.expr("(h div 3600) % 24").cast("long").alias("hod"),
+    )
+    med = series.groupBy("node", "hod").agg(
+        F.expr("percentile(x, 0.5)").alias("med_errors")
+    )
+    dev = series.join(F.broadcast(med), ["node", "hod"]).withColumn(
+        "dev", F.abs(F.col("x") - F.col("med_errors"))
+    )
+    mad = dev.groupBy("node", "hod").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad_errors")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["node", "hod"])
+        .filter(
+            (F.col("dev") > 3 * F.col("mad_errors"))
+            & (F.col("dev") >= F.lit(3.0))
+        )
+        .select(
+            "node",
+            "hod",
+            F.col("h").alias("hour_s"),
+            F.col("x").alias("n_errors"),
+            "med_errors",
+            "mad_errors",
+        )
+    )

@@ -1096,6 +1096,49 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # seasonal MAD: zero-filled hourly series (cusum's CTE, sans k),
+    # per-(node, hour-of-day) median and MAD as window aggregates —
+    # dyadic-rational percentiles, the proven cross-engine pairing
+    o["error_seasonal_mad"] = with_logs(
+        """
+        SELECT node, hod, h AS hour_s, x AS n_errors,
+               med AS med_errors, mad AS mad_errors
+        FROM (
+          SELECT node, hod, h, x, med,
+                 quantile_cont(abs(x - med), 0.5)
+                   OVER (PARTITION BY node, hod) AS mad
+          FROM (
+            SELECT node, h, x, (h // 3600) % 24 AS hod,
+                   quantile_cont(x, 0.5) OVER (
+                     PARTITION BY node, (h // 3600) % 24) AS med
+            FROM (
+              SELECT s.node, s.h, CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+              FROM (
+                SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+                FROM (
+                  SELECT node, min(h) AS h0, max(h) AS h1
+                  FROM (
+                    SELECT node,
+                           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                             AS h
+                    FROM flagged WHERE is_error GROUP BY 1, 2
+                  ) hh GROUP BY node
+                ) b
+              ) s
+              LEFT JOIN (
+                SELECT node,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                         AS h,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM flagged WHERE is_error GROUP BY 1, 2
+              ) hr ON hr.node = s.node AND hr.h = s.h
+            ) series
+          ) m1
+        ) m2
+        WHERE abs(x - med) > 3 * mad AND abs(x - med) >= 3
+        """
+    )
+
     # native session_window twin: Spark MERGES touching windows, so a
     # session closes only when the next event is STRICTLY > gap away
     # (verified by test_error_sessions_keeps_exact_gap_event); rule

@@ -756,3 +756,36 @@ def test_trending_decay_prefers_recent_spike(spark):
     assert got["chronic noise"].decayed_score == 0
     assert got["fresh spike"].rk < got["chronic noise"].rk
     assert got["chronic noise"].raw_count == 100
+
+
+def test_seasonal_mad_ignores_recurring_noise_flags_one_spike(spark):
+    """A slot that is noisy EVERY day (hod=2: 10 errors/day) has
+    dev=0 against its own seasonal median and never flags; a one-day
+    spike in an otherwise-quiet slot (hod=5, day 2: 9 errors) is the
+    only flagged hour. A global per-node median would flag all four
+    noisy-hod hours — the seasonal baseline is what suppresses them."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_seasonal_mad,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000 - (1_600_000_000 % 86400)
+    rows = [(base, "n0", True)]  # day0 hod0 anchor (count 1)
+    rows += [(base + 3 * 86400 + 23 * 3600, "n0", True)]  # day3 hod23
+    for d in range(4):  # recurring 02:00 noise, identical every day
+        rows += [
+            (base + d * 86400 + 2 * 3600 + i, "n0", True)
+            for i in range(10)
+        ]
+    rows += [  # the genuine spike: day2 at 05:00
+        (base + 2 * 86400 + 5 * 3600 + i, "n0", True) for i in range(9)
+    ]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error")
+    out = error_seasonal_mad(logs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.node, r.hod, r.n_errors) == ("n0", 5, 9)
+    assert r.hour_s == base + 2 * 86400 + 5 * 3600
+    assert r.med_errors == 0.0 and r.mad_errors == 0.0
