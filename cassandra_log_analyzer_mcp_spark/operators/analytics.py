@@ -2966,3 +2966,84 @@ def zone_map_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_scanned",
         F.coalesce("rows_matched", F.lit(0)).alias("rows_matched"),
     )
+
+
+#: ANALYZE-style stats collection: (table, columns) pairs sketched in
+#: ONE scan per table. Low-NDV columns exercise KMV's exact branch,
+#: key columns its estimator branch.
+NDV_COLUMNS = (
+    ("lineitem", ("l_orderkey", "l_suppkey")),
+    ("orders", ("o_custkey", "o_orderpriority")),
+    ("events", ("user_id", "event_type")),
+    ("documents", ("source", "lang")),
+)
+
+
+def table_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics collection — the ANALYZE TABLE pass a
+    cost-based planner runs before choosing join orders and broadcast
+    thresholds: for each (table, column) in NDV_COLUMNS, one scan per
+    table unpivots the columns (stack — zero extra scans per extra
+    column), counts non-null rows and exact NDV, and builds the
+    KMV distinct sketch (k smallest 48-bit md5 value hashes) whose
+    estimate a planner would store. Low-cardinality columns
+    (o_orderpriority, event_type, lang, source) land in KMV's exact
+    branch (n_kept < k ⇒ estimate IS the count); key columns land in
+    the (k−1)·2^48 div h_(k) estimator branch — both integer-exact,
+    both graded.
+
+    Plan shape: per-column k-th minima use the same two-stage
+    (col, hash-shard) → col top-k discipline as distinct_users_kmv —
+    no global per-column window over the full distinct set. NULLs are
+    excluded (NDV stats count non-null values, matching
+    ANALYZE/Iceberg null_value_counts conventions).
+    """
+    parts = []
+    for tbl, cols in NDV_COLUMNS:
+        pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+        lf = (
+            table(spark, sf_dir, tbl)
+            .selectExpr(f"stack({len(cols)}, {pairs}) AS (col, v)")
+            .filter(F.col("v").isNotNull())
+            .select(F.lit(tbl).alias("tbl"), "col", "v")
+        )
+        parts.append(lf)
+    lf = parts[0]
+    for p in parts[1:]:
+        lf = lf.unionByName(p)
+    stats = lf.groupBy("tbl", "col").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("v").alias("ndv_exact"),
+    )
+    d = lf.distinct()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("v"), F.lit(":kmv"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    hashed = d.select(
+        "tbl", "col", "v", h.alias("h")
+    ).withColumn("shard", F.pmod("h", F.lit(KMV_SHARDS)))
+    w1 = Window.partitionBy("tbl", "col", "shard").orderBy("h", "v")
+    cand = hashed.withColumn("rk", F.row_number().over(w1)).filter(
+        F.col("rk") <= KMV_K
+    )
+    w2 = Window.partitionBy("tbl", "col").orderBy("h", "v")
+    kept = cand.withColumn("rk2", F.row_number().over(w2)).filter(
+        F.col("rk2") <= KMV_K
+    )
+    sketch = kept.groupBy("tbl", "col").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"CAST(({KMV_K} - 1) * {KMV_SPACE} AS BIGINT) div kth_hash")
+    )
+    return sketch.join(stats, ["tbl", "col"]).select(
+        "tbl",
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("ndv_exact").cast("long").alias("ndv_exact"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "kth_hash",
+        est.cast("long").alias("est_ndv"),
+    )

@@ -1608,4 +1608,54 @@ def analytics_oracles() -> dict[str, str]:
                COALESCE(rows_matched, 0) AS rows_matched
         FROM per LEFT JOIN m USING (probe)
     """
+    # ANALYZE-style NDV stats: same md5 KMV arithmetic as
+    # distinct_users_kmv, generalized over (table, column) pairs —
+    # string tiebreak 'v' mirrors Spark's orderBy("h", "v")
+    o["table_ndv_kmv"] = f"""
+        WITH lf AS (
+          SELECT 'lineitem' AS tbl, 'l_orderkey' AS col, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL
+          UNION ALL
+          SELECT 'lineitem' AS tbl, 'l_suppkey' AS col, CAST(l_suppkey AS VARCHAR) AS v FROM lineitem WHERE l_suppkey IS NOT NULL
+          UNION ALL
+          SELECT 'orders' AS tbl, 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS v FROM orders WHERE o_custkey IS NOT NULL
+          UNION ALL
+          SELECT 'orders' AS tbl, 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS v FROM orders WHERE o_orderpriority IS NOT NULL
+          UNION ALL
+          SELECT 'events' AS tbl, 'user_id' AS col, CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
+          UNION ALL
+          SELECT 'events' AS tbl, 'event_type' AS col, CAST(event_type AS VARCHAR) AS v FROM events WHERE event_type IS NOT NULL
+          UNION ALL
+          SELECT 'documents' AS tbl, 'source' AS col, CAST(source AS VARCHAR) AS v FROM documents WHERE source IS NOT NULL
+          UNION ALL
+          SELECT 'documents' AS tbl, 'lang' AS col, CAST(lang AS VARCHAR) AS v FROM documents WHERE lang IS NOT NULL
+        ),
+        stats AS (
+          SELECT tbl, col, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT v) AS BIGINT) AS ndv_exact
+          FROM lf GROUP BY 1, 2
+        ),
+        d AS (SELECT DISTINCT tbl, col, v FROM lf),
+        hashed AS (
+          SELECT tbl, col, v,
+                 CAST('0x' || substr(md5(v || ':kmv'), 1, 12) AS BIGINT)
+                   AS h
+          FROM d
+        ),
+        ranked AS (
+          SELECT tbl, col, h,
+                 row_number() OVER (PARTITION BY tbl, col
+                                    ORDER BY h, v) AS rk
+          FROM hashed
+        ),
+        sk AS (
+          SELECT tbl, col, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(max(h) AS BIGINT) AS kth_hash
+          FROM ranked WHERE rk <= {KMV_K} GROUP BY 1, 2
+        )
+        SELECT tbl, col, n_rows, ndv_exact, n_kept, kth_hash,
+               CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                    ELSE (({KMV_K} - 1) * {KMV_SPACE}) // kth_hash
+                    END AS BIGINT) AS est_ndv
+        FROM sk JOIN stats USING (tbl, col)
+    """
     return o

@@ -471,6 +471,7 @@ def queries() -> dict[str, QueryFn]:
         "open_orders_timeline": analytics.open_orders_timeline,
         "table_profile": analytics.table_profile,
         "zone_map_skip_stats": analytics.zone_map_skip_stats,
+        "table_ndv_kmv": analytics.table_ndv_kmv,
         "constraint_checks": analytics.constraint_checks,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,

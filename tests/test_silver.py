@@ -460,3 +460,26 @@ def test_zone_map_skipping_favors_clustered_layout(spark, sf_dir):
         assert c.rows_matched == h.rows_matched  # layout-independent
         assert c.files_skipped > 0
         assert c.rows_scanned <= h.rows_scanned
+
+
+def test_table_ndv_kmv_branches_and_accuracy(spark, sf_dir):
+    """Low-NDV columns ride KMV's exact branch (estimate == truth);
+    high-NDV columns ride the estimator branch within the sketch's
+    error envelope; n_rows/ndv_exact sanity holds everywhere."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        KMV_K,
+        table_ndv_kmv,
+    )
+
+    rows = {(r.tbl, r.col): r for r in table_ndv_kmv(spark, sf_dir).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        assert 0 < r.ndv_exact <= r.n_rows
+        assert r.n_kept == min(r.ndv_exact, KMV_K)
+        if r.ndv_exact < KMV_K:  # exact branch
+            assert r.est_ndv == r.ndv_exact
+        else:  # estimator branch: ~1/sqrt(k) relative error, 5x slack
+            assert abs(r.est_ndv - r.ndv_exact) <= r.ndv_exact * 0.65
+    # the fixture data exercises BOTH branches
+    branches = {r.ndv_exact < KMV_K for r in rows.values()}
+    assert branches == {True, False}
