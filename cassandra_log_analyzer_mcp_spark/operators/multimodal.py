@@ -532,3 +532,51 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scene_cut_batches,
         "doc_id long, n_cuts long, first_cut_frame long, max_delta long",
     )
+
+
+def _hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized intensity histogram over the whole Arrow batch: one
+    frombuffer, reshape (docs, 64), bin = pixel >> 6 (four 64-wide
+    intensity bands), per-row one-hot sums — no Python loop over
+    docs, no float anywhere."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        px = (
+            np.frombuffer(b"".join(pdf["img"]), dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(n, PHASH_PIXELS)
+        )
+        bins = px >> 6
+        out = {"doc_id": pdf["doc_id"].to_numpy()}
+        for k in range(4):
+            out[f"b{k}"] = (bins == k).sum(axis=1)
+        out["px_sum"] = px.sum(axis=1)
+        out["px_min"] = px.min(axis=1)
+        out["px_max"] = px.max(axis=1)
+        yield pd.DataFrame(out)
+
+
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image exposure/QA statistics — the feature-extraction stage a
+    multimodal training pipeline runs to drop blank, clipped, or
+    dead-pixel images before captioning: per-image 4-bin intensity
+    histogram (64-wide bands), pixel sum, min, max over the same
+    deterministic 8×8 thumbnails as multimodal_phash_dedup
+    (with_image_payload — every pixel md5-derived, so the SQL oracle
+    rebuilds the exact bytes and the Arrow kernel itself is
+    value-graded, the multimodal_decode_check discipline).
+
+    Scale shape: map-only mapInPandas — payload bytes never leave the
+    executor, output is 7 integers per image; at 100 TB this is the
+    scan-speed featurizer shape (decode CPU dominates, zero shuffle).
+    """
+    docs = documents(spark, sf_dir).select("doc_id")
+    return with_image_payload(docs).mapInPandas(
+        _hist_batches,
+        "doc_id long, b0 long, b1 long, b2 long, b3 long,"
+        " px_sum long, px_min long, px_max long",
+    )

@@ -661,6 +661,46 @@ def text_oracles() -> dict[str, str]:
           AND bit_count(xor(a.ph, b.ph)) <= {PHASH_MAX_HAMMING}
     """
 
+    # image histogram: identical px/hx2/vals pixel reconstruction as
+    # the phash oracle, then a per-doc GROUP BY over v>>6 bins — the
+    # Arrow kernel's exact integers
+    o["multimodal_image_histogram"] = f"""
+        WITH px AS (
+          SELECT doc_id, unnest(range(0, {PHASH_PIXELS})) AS i
+          FROM documents
+        ),
+        hx2 AS (
+          SELECT doc_id, i,
+                 CASE WHEN i IN ({p_list}) THEN
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':px'),
+                          CASE i {p_off} END, 2)
+                 ELSE
+                   substr(md5(CAST(doc_id // {PHASH_GROUP} AS VARCHAR)
+                              || ':i' || CAST(i // 16 AS VARCHAR)),
+                          CAST((i % 16) * 2 + 1 AS INT), 2)
+                 END AS hx
+          FROM px
+        ),
+        vals AS (
+          SELECT doc_id, i,
+                 ({hexd.format(i=1)}) * 16 + ({hexd.format(i=2)}) AS v
+          FROM hx2
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b0,
+               CAST(sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b3,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               CAST(min(v) AS BIGINT) AS px_min,
+               CAST(max(v) AS BIGINT) AS px_max
+        FROM vals GROUP BY doc_id
+    """
+
     # scene cuts rebuilt byte-by-byte: per-shot base + per-frame
     # perturbed bytes from the same md5 hex arithmetic, inter-frame
     # L1 deltas re-derived in SQL (delta labeled with the LATER

@@ -408,6 +408,8 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_audio_energy": multimodal.multimodal_audio_energy,
         # perceptual-hash near-dup images (aHash kernel + banded LSH)
         "multimodal_phash_dedup": multimodal.multimodal_phash_dedup,
+        "multimodal_image_histogram":
+            multimodal.multimodal_image_histogram,
         # video modality value-graded: inter-frame scene-cut kernel
         "multimodal_scene_cuts": multimodal.multimodal_scene_cuts,
         # new parity variants (reference tool-surface semantics)

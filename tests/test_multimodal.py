@@ -172,3 +172,35 @@ def test_scene_cut_kernel_matches_reference():
     assert out.loc[3].n_cuts == 1 and out.loc[3].first_cut_frame == 3
     assert out.loc[3].max_delta == 200 * SC_BYTES
     assert 255 * SC_BYTES > SC_THRESH  # the strobe regime is real
+
+
+def test_image_histogram_matches_python_recount(spark, sf_dir):
+    """The Arrow kernel's bins/sum/min/max equal a per-doc Python
+    recount of the actual payload bytes, and bins partition the 64
+    pixels."""
+    from cassandra_log_analyzer_mcp_spark.operators.multimodal import (
+        multimodal_image_histogram,
+        with_image_payload,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).limit(20)
+    truth = {
+        r.doc_id: bytes(r.img)
+        for r in with_image_payload(docs).collect()
+    }
+    out = {
+        r.doc_id: r
+        for r in multimodal_image_histogram(spark, sf_dir).collect()
+        if r.doc_id in truth
+    }
+    assert len(out) == len(truth)
+    for did, img in truth.items():
+        r = out[did]
+        assert r.b0 + r.b1 + r.b2 + r.b3 == 64
+        assert (r.b0, r.b1, r.b2, r.b3) == tuple(
+            sum(1 for v in img if v >> 6 == k) for k in range(4)
+        )
+        assert r.px_sum == sum(img)
+        assert r.px_min == min(img) and r.px_max == max(img)
