@@ -1810,3 +1810,65 @@ def error_seasonal_mad(logs: DataFrame) -> DataFrame:
             "mad_errors",
         )
     )
+
+
+def error_trend_theilsen(logs: DataFrame) -> DataFrame:
+    """ROBUST degradation trend per node — Theil–Sen's median of all
+    pairwise slopes over the zero-filled DAILY error series, the
+    estimator that shrugs off the outlier days that drag OLS
+    (error_trend_ols) around: up to ~29% of days can be corrupted
+    before the slope moves.
+
+    Exactness protocol: each pairwise slope is the rational dy/dt
+    (integer count delta over integer day delta); the median is the
+    LOWER median SELECTED (never averaged), ordered by the IEEE
+    double dy/dt — a single correctly-rounded division, identical on
+    both engines — with full integer tie-breaks (dy, dt, d_i, d_j),
+    so the chosen pair is deterministic and the output integers
+    hash-grade.
+
+    Scale shape: the deliberate quadratic is over the per-node DAILY
+    rollup (the raw scan reduces via the shared hourly series first)
+    — days² pairs per node, thousands of rows at a century of logs,
+    never raw lines. The rank window partitions by node over those
+    bounded pair sets.
+    """
+    daily = (
+        cusum_series(logs)
+        .groupBy("node", F.expr("h div 86400").alias("d"))
+        .agg(F.sum("x").alias("x"))
+    )
+    a = daily.select("node", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = daily.select("node", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    pairs = (
+        a.join(b, "node")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "node",
+            (F.col("xj") - F.col("xi")).alias("dy"),
+            (F.col("dj") - F.col("di")).alias("dt"),
+            "di",
+            "dj",
+        )
+    )
+    slope = F.col("dy").cast("double") / F.col("dt").cast("double")
+    w = Window.partitionBy("node").orderBy(
+        slope.asc(), F.col("dy").asc(), F.col("dt").asc(),
+        F.col("di").asc(), F.col("dj").asc(),
+    )
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count("*").over(Window.partitionBy("node"))
+    )
+    days = daily.groupBy("node").agg(F.count("*").alias("n_days"))
+    return (
+        ranked.filter(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
+        .join(days, "node")
+        .select(
+            "node",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("dy").cast("long").alias("med_dy"),
+            F.col("dt").cast("long").alias("med_dt"),
+            slope.alias("slope_per_day"),
+        )
+    )

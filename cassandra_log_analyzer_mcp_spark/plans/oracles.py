@@ -1096,6 +1096,52 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # Theil–Sen: zero-filled hourly grid rolled to days, all pairs per
+    # node, LOWER median selected under (double slope, integer
+    # tie-break) ordering — same selection rule as the Spark window
+    o["error_trend_theilsen"] = with_logs(
+        """
+        , hourly AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM flagged WHERE is_error GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+          FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                FROM hourly GROUP BY node) b
+        ),
+        d AS (
+          SELECT g.node, g.h // 86400 AS d,
+                 CAST(sum(coalesce(hr.x, 0)) AS BIGINT) AS x
+          FROM grid g
+          LEFT JOIN hourly hr ON hr.node = g.node AND hr.h = g.h
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.node, b.x - a.x AS dy, b.d - a.d AS dt,
+                 a.d AS di, b.d AS dj
+          FROM d a JOIN d b ON a.node = b.node AND a.d < b.d
+        ),
+        ranked AS (
+          SELECT node, dy, dt,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY CAST(dy AS DOUBLE) / dt, dy, dt, di, dj)
+                   AS rk,
+                 count(*) OVER (PARTITION BY node) AS n_pairs
+          FROM pairs
+        ),
+        nd AS (SELECT node, CAST(count(*) AS BIGINT) AS n_days
+               FROM d GROUP BY node)
+        SELECT node, n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+               dy AS med_dy, dt AS med_dt,
+               CAST(dy AS DOUBLE) / dt AS slope_per_day
+        FROM ranked JOIN nd USING (node)
+        WHERE rk = (n_pairs + 1) // 2
+        """
+    )
+
     # seasonal MAD: zero-filled hourly series (cusum's CTE, sans k),
     # per-(node, hour-of-day) median and MAD as window aggregates —
     # dyadic-rational percentiles, the proven cross-engine pairing

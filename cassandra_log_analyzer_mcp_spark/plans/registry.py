@@ -601,6 +601,7 @@ def queries() -> dict[str, QueryFn]:
         # over the shared zero-filled hourly rollup)
         "error_ewma_smoothed": _on_logs(analysis.error_ewma_smoothed),
         "error_seasonal_mad": _on_logs(analysis.error_seasonal_mad),
+        "error_trend_theilsen": _on_logs(analysis.error_trend_theilsen),
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)

@@ -789,3 +789,34 @@ def test_seasonal_mad_ignores_recurring_noise_flags_one_spike(spark):
     assert (r.node, r.hod, r.n_errors) == ("n0", 5, 9)
     assert r.hour_s == base + 2 * 86400 + 5 * 3600
     assert r.med_errors == 0.0 and r.mad_errors == 0.0
+
+
+def test_theilsen_robust_to_outlier_day_unlike_ols(spark):
+    """A linear 1-error/day ramp with one 500-error outlier day:
+    Theil-Sen's median slope stays ~1/day (the Python-recomputed
+    median of pairwise slopes), demonstrating the robustness OLS
+    lacks."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_trend_theilsen,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000 - (1_600_000_000 % 86400)
+    counts = {d: d + 1 for d in range(9)}
+    counts[4] = 500  # the corrupted day
+    rows = []
+    for d, n in counts.items():
+        rows += [(base + d * 86400 + i, "n0", True) for i in range(n)]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error")
+    r = error_trend_theilsen(logs).collect()[0]
+    assert r.n_days == 9 and r.n_pairs == 36
+    # python recount: lower median of all 36 pairwise slopes
+    days = sorted(counts)
+    slopes = sorted(
+        (counts[j] - counts[i]) / (j - i)
+        for i in days for j in days if i < j
+    )
+    assert r.slope_per_day == slopes[(36 + 1) // 2 - 1]
+    assert abs(r.slope_per_day) <= 2.0  # outlier did not drag it
