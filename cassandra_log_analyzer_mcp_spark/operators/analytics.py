@@ -3047,3 +3047,79 @@ def table_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_hash",
         est.cast("long").alias("est_ndv"),
     )
+
+
+#: CBO join-size evaluation: (name, left table, left key, right
+#: table, right key) equi-joins to size-estimate and then run.
+JOIN_CARD_CASES = (
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+)
+
+
+def join_cardinality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer join sizing, evaluated against ground
+    truth: for each FK equi-join, the textbook containment estimate
+    |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) (Selinger 1979's System R
+    formula — what table_ndv_kmv's stats exist to feed) next to the
+    ACTUAL join cardinality, with the signed error in permille. The
+    pair (stats collection, estimator eval) is the full CBO loop: a
+    planner that sizes orders⋈lineitem at ~4× lineitem would pick the
+    wrong side to broadcast; this query measures exactly that risk.
+
+    All integers: row counts, exact NDVs, integer-div estimate, and
+    1000·est div actual. Scale shape: per-join stats are single-pass
+    aggregates; the truth joins are the engine's ordinary shuffled
+    fact-fact / broadcast-dim joins — nothing bespoke.
+    """
+    out = []
+    for name, lt, lk, rt, rk in JOIN_CARD_CASES:
+        left = table(spark, sf_dir, lt).select(F.col(lk).alias("k")).filter(
+            F.col("k").isNotNull()
+        )
+        right = table(spark, sf_dir, rt).select(F.col(rk).alias("k")).filter(
+            F.col("k").isNotNull()
+        )
+        ls = left.agg(
+            F.count("*").alias("n_left"),
+            F.countDistinct("k").alias("ndv_left"),
+        )
+        rs = right.agg(
+            F.count("*").alias("n_right"),
+            F.countDistinct("k").alias("ndv_right"),
+        )
+        actual = left.join(right, "k").agg(
+            F.count("*").alias("actual_rows")
+        )
+        row = (
+            ls.crossJoin(rs)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                F.col("ndv_left").cast("long").alias("ndv_left"),
+                F.col("ndv_right").cast("long").alias("ndv_right"),
+                F.expr(
+                    "CAST(n_left * n_right div"
+                    " greatest(ndv_left, ndv_right) AS BIGINT)"
+                ).alias("est_rows"),
+                F.col("actual_rows").cast("long").alias("actual_rows"),
+            )
+            .withColumn(
+                # signed error as one correctly-rounded IEEE division
+                # (integer div would diverge cross-engine on negative
+                # numerators: Spark truncates, DuckDB floors)
+                "err_permille",
+                F.expr(
+                    "CAST(1000 * (est_rows - actual_rows) AS DOUBLE)"
+                    " / actual_rows"
+                ),
+            )
+        )
+        out.append(row)
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    return res

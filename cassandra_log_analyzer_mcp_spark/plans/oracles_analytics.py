@@ -1658,4 +1658,69 @@ def analytics_oracles() -> dict[str, str]:
                     END AS BIGINT) AS est_ndv
         FROM sk JOIN stats USING (tbl, col)
     """
+    # System R containment estimate vs ground truth; integer div both
+    # sides (operands non-negative, so // == div here)
+    o["join_cardinality_eval"] = """
+        SELECT 'orders_lineitem' AS join_name, n_left, n_right, ndv_left,
+               ndv_right,
+               CAST(n_left * n_right //
+                    greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+               actual_rows,
+               CAST(1000 * (CAST(n_left * n_right //
+                      greatest(ndv_left, ndv_right) AS BIGINT)
+                      - actual_rows) AS DOUBLE) / actual_rows
+                 AS err_permille
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                     CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_left
+              FROM orders WHERE o_orderkey IS NOT NULL) a
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_right
+              FROM lineitem WHERE l_orderkey IS NOT NULL) b
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey) c
+        UNION ALL
+
+        SELECT 'customer_orders' AS join_name, n_left, n_right, ndv_left,
+               ndv_right,
+               CAST(n_left * n_right //
+                    greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+               actual_rows,
+               CAST(1000 * (CAST(n_left * n_right //
+                      greatest(ndv_left, ndv_right) AS BIGINT)
+                      - actual_rows) AS DOUBLE) / actual_rows
+                 AS err_permille
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                     CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_left
+              FROM customer WHERE c_custkey IS NOT NULL) a
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_right
+              FROM orders WHERE o_custkey IS NOT NULL) b
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+              FROM customer JOIN orders ON c_custkey = o_custkey) c
+        UNION ALL
+
+        SELECT 'part_lineitem' AS join_name, n_left, n_right, ndv_left,
+               ndv_right,
+               CAST(n_left * n_right //
+                    greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+               actual_rows,
+               CAST(1000 * (CAST(n_left * n_right //
+                      greatest(ndv_left, ndv_right) AS BIGINT)
+                      - actual_rows) AS DOUBLE) / actual_rows
+                 AS err_permille
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                     CAST(count(DISTINCT p_partkey) AS BIGINT) AS ndv_left
+              FROM part WHERE p_partkey IS NOT NULL) a
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_right
+              FROM lineitem WHERE l_partkey IS NOT NULL) b
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+              FROM part JOIN lineitem ON p_partkey = l_partkey) c
+    """
     return o

@@ -483,3 +483,24 @@ def test_table_ndv_kmv_branches_and_accuracy(spark, sf_dir):
     # the fixture data exercises BOTH branches
     branches = {r.ndv_exact < KMV_K for r in rows.values()}
     assert branches == {True, False}
+
+
+def test_join_cardinality_estimator_is_tight_on_fk_joins(spark, sf_dir):
+    """On true FK joins the containment estimate should land within a
+    few percent of the actual cardinality (here: exact NDVs, so the
+    residual error is purely unmatched keys), and actual == the
+    recomputed join size."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        join_cardinality_eval,
+    )
+
+    rows = {r.join_name: r for r in join_cardinality_eval(spark, sf_dir).collect()}
+    assert len(rows) == 3
+    ol = rows["orders_lineitem"]
+    # orderkey is unique in orders => estimate is EXACT: n_l*n_r/n_l
+    assert ol.ndv_left == ol.n_left
+    assert ol.est_rows == ol.n_right == ol.actual_rows
+    assert ol.err_permille == 0.0
+    for r in rows.values():
+        assert r.actual_rows > 0
+        assert abs(r.err_permille) <= 100  # within 10% on FK joins
