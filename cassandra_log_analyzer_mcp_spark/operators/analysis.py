@@ -925,6 +925,15 @@ def cusum_series(logs: DataFrame) -> DataFrame:
     hourly = logs.filter(F.col("is_error")).groupBy("node", hour).agg(
         F.count("*").alias("x")
     )
+    return zero_fill_hourly(hourly)
+
+
+def zero_fill_hourly(hourly: DataFrame) -> DataFrame:
+    """Zero-fill an observed (node, h, x) hourly rollup across each
+    node's [min, max] hour grid and attach the ceil-mean reference k —
+    split out of cusum_series so the streaming folds (which
+    accumulate the rollup additively across batches) can re-enter the
+    SAME grid + detector path the batch operators use."""
     bounds = hourly.groupBy("node").agg(
         F.min("h").alias("h0"),
         F.max("h").alias("h1"),
@@ -1780,7 +1789,14 @@ def error_seasonal_mad(logs: DataFrame) -> DataFrame:
     rolls up once; baselines are per-(node, hour-of-day) aggregates
     over the tiny rollup, broadcast back.
     """
-    series = cusum_series(logs).select(
+    return seasonal_mad_from_series(cusum_series(logs))
+
+
+def seasonal_mad_from_series(filled: DataFrame) -> DataFrame:
+    """The seasonal-MAD detector over an already zero-filled
+    (node, h, x) series — shared by the batch operator and the
+    streaming rollup fold so their flag semantics cannot drift."""
+    series = filled.select(
         "node",
         "h",
         "x",

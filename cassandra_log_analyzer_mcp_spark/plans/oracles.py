@@ -1185,6 +1185,11 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # the additive-rollup fold must reproduce the batch detector's
+    # exact flag set — shared oracle across batch boundaries
+    o["streaming_seasonal_mad"] = o["error_seasonal_mad"]
+
+
     # native session_window twin: Spark MERGES touching windows, so a
     # session closes only when the next event is STRICTLY > gap away
     # (verified by test_error_sessions_keeps_exact_gap_event); rule

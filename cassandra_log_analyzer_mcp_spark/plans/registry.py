@@ -683,6 +683,7 @@ def queries() -> dict[str, QueryFn]:
         # k-set union fold across batches (shares the KMV oracle)
         "streaming_kmv_state": batch_bridge.streaming_kmv_state,
         "streaming_f2_ams": batch_bridge.streaming_f2_ams,
+        "streaming_seasonal_mad": batch_bridge.streaming_seasonal_mad,
         "streaming_priority_sample":
             batch_bridge.streaming_priority_sample,
         "streaming_funnel_state": batch_bridge.streaming_funnel_state,

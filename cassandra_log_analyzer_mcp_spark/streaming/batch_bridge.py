@@ -1881,3 +1881,96 @@ def streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="r long, s_r long, est_r long, f2_exact long"
     )
+
+
+def streaming_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal-MAD detector fed by a CROSS-BATCH ADDITIVE ROLLUP
+    fold: error lines replay as two LINE-PARITY files (md5 of
+    (node, line_id)), so EVERY (node, hour) cell's true count exists
+    only as the sum of both micro-batches' partial counts — the fold
+    `state[(node, h)] += n` is exactly the map-side-combine algebra a
+    shuffle uses, carried across batch boundaries. The folded rollup
+    then re-enters the SAME zero-fill grid and detector the batch
+    operator uses (zero_fill_hourly → seasonal_mad_from_series), and
+    shares error_seasonal_mad's oracle: the fold must reproduce the
+    batch detector's exact flag set, medians and MADs included.
+
+    State is rollup-cardinality (nodes × hours), the same bounded-
+    driver-state argument as the CUSUM/trend folds; each batch
+    reduces distributively to its partial rollup before the collect.
+    """
+    import time as _time
+
+    from ..operators.analysis import (
+        seasonal_mad_from_series,
+        zero_fill_hourly,
+    )
+    from ..sources.tables import logs_flagged
+
+    errs = (
+        logs_flagged(spark, sf_dir)
+        .filter(F.col("is_error"))
+        .select(
+            "node",
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+            .cast("long")
+            .alias("h"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", "node", F.col("line_id").cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    feed = tempfile.mkdtemp(prefix="smad_feed_") + "/errs"
+    even = os.path.join(feed, "0_even")
+    odd = os.path.join(feed, "1_odd")
+    errs.filter(F.pmod("p", F.lit(2)) == 0).select("node", "h").repartition(
+        1
+    ).write.parquet(even)
+    errs.filter(F.pmod("p", F.lit(2)) == 1).select("node", "h").repartition(
+        1
+    ).write.parquet(odd)
+    now = _time.time()
+    for root, offset in ((even, -120.0), (odd, -60.0)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (now + offset, now + offset))
+
+    state: dict[tuple[str, int], int] = {}
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        for r in batch.groupBy("node", "h").count().collect():
+            key = (r.node, r.h)
+            state[key] = state.get(key, 0) + r["count"]
+
+    stream = (
+        spark.readStream.schema("node string, h long")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_seasonal_mad did not finish its availableNow run"
+        )
+    hourly = spark.createDataFrame(
+        [(n, h, x) for (n, h), x in sorted(state.items())],
+        schema="node string, h long, x long",
+    )
+    return seasonal_mad_from_series(zero_fill_hourly(hourly))

@@ -654,3 +654,49 @@ def test_streaming_f2_ams_equals_batch_sketch(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for p in (0, 1):
         assert docs.filter(f"doc_id % 2 = {p}").count() > 0
+
+
+def test_streaming_seasonal_mad_fold_is_genuinely_additive(spark, sf_dir):
+    """The line-parity split puts partial counts for the SAME
+    (node, hour) cell in both micro-batches (verified below), and the
+    fold still reproduces the batch detector's exact flag rows."""
+    from pyspark.sql import functions as F
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_seasonal_mad,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        streaming_seasonal_mad,
+    )
+
+    logs = logs_flagged(spark, sf_dir)
+    batch = {
+        (r.node, r.hour_s): r for r in error_seasonal_mad(logs).collect()
+    }
+    fold = {
+        (r.node, r.hour_s): r
+        for r in streaming_seasonal_mad(spark, sf_dir).collect()
+    }
+    assert set(batch) == set(fold)
+    for k in batch:
+        assert batch[k].n_errors == fold[k].n_errors
+        assert batch[k].med_errors == fold[k].med_errors
+        assert batch[k].mad_errors == fold[k].mad_errors
+    # at least one (node, hour) cell is split across parities: its
+    # true count exists only as the cross-batch sum
+    p = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "node", F.col("line_id").cast("string"))),
+            1, 4,
+        ), 16, 10,
+    ).cast("long") % 2
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    split_cells = (
+        logs.filter("is_error")
+        .select("node", hour.alias("h"), p.alias("par"))
+        .groupBy("node", "h")
+        .agg(F.countDistinct("par").alias("np"))
+        .filter("np = 2")
+        .count()
+    )
+    assert split_cells > 0
