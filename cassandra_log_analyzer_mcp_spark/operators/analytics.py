@@ -3123,3 +3123,52 @@ def join_cardinality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out[1:]:
         res = res.unionByName(r)
     return res
+
+
+HIST_EQ_BUCKETS = 16
+
+
+def column_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram boundaries over l_extendedprice — the
+    third leg of the ANALYZE stats family (NDV: table_ndv_kmv;
+    estimator eval: join_cardinality_eval): B=16 bucket upper bounds,
+    where ub_i is the smallest price whose cumulative row count
+    reaches ⌊i·n/B⌋ — the Piatetsky-Shapiro/Connell equi-depth
+    construction a CBO stores to estimate range-predicate
+    selectivity. cum_rows (rows ≤ ub_i) is reported so the histogram
+    CONTENT grades, not just the boundary choice.
+
+    Scale shape: same discipline as weighted_price_quartiles — the
+    scan rolls up to the bounded PRICE-DOMAIN grid first, the cumsum
+    window runs over that rollup (domain-bounded, not row-bounded),
+    targets broadcast, and a min_by fold lands one row per bucket.
+    All integers: cents, floor-div ranks, exact cumulative counts.
+    """
+    b = HIST_EQ_BUCKETS
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    roll = li.groupBy("cents").agg(F.count("*").alias("cnt"))
+    wnd = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = roll.withColumn("cum", F.sum("cnt").over(wnd))
+    total = roll.agg(F.sum("cnt").alias("n"))
+    targets = (
+        spark.range(1, b + 1)
+        .withColumnRenamed("id", "bucket")
+        .crossJoin(F.broadcast(total))
+        .select("bucket", F.expr(f"(bucket * n) div {b}").alias("r"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("bucket")
+        .agg(
+            F.min("cents").alias("ub_cents"),
+            F.min_by("cum", "cents").cast("long").alias("cum_rows"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"),
+                "ub_cents", "cum_rows")
+    )

@@ -1723,4 +1723,26 @@ def analytics_oracles() -> dict[str, str]:
              (SELECT CAST(count(*) AS BIGINT) AS actual_rows
               FROM part JOIN lineitem ON p_partkey = l_partkey) c
     """
+    # equi-depth boundaries: cumsum over the distinct-cents rollup,
+    # smallest value reaching each floor-div rank target
+    o["column_histogram_equidepth"] = """
+        WITH roll AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1
+        ),
+        cum AS (
+          SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM roll
+        ),
+        n AS (SELECT sum(cnt) AS n FROM roll),
+        t AS (
+          SELECT bucket, (bucket * n) // 16 AS r
+          FROM (SELECT unnest(range(1, 17)) AS bucket) b, n
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(min(cents) AS BIGINT) AS ub_cents,
+               CAST(min_by(cum, cents) AS BIGINT) AS cum_rows
+        FROM cum JOIN t ON cum >= r
+        GROUP BY bucket
+    """
     return o

@@ -475,6 +475,8 @@ def queries() -> dict[str, QueryFn]:
         "zone_map_skip_stats": analytics.zone_map_skip_stats,
         "table_ndv_kmv": analytics.table_ndv_kmv,
         "join_cardinality_eval": analytics.join_cardinality_eval,
+        "column_histogram_equidepth":
+            analytics.column_histogram_equidepth,
         "constraint_checks": analytics.constraint_checks,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,

@@ -504,3 +504,31 @@ def test_join_cardinality_estimator_is_tight_on_fk_joins(spark, sf_dir):
     for r in rows.values():
         assert r.actual_rows > 0
         assert abs(r.err_permille) <= 100  # within 10% on FK joins
+
+
+def test_equidepth_histogram_invariants(spark, sf_dir):
+    """Boundaries are nondecreasing, depths are ~n/B (exact rank
+    targets modulo duplicate collapse), and the last bound covers
+    every row."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        HIST_EQ_BUCKETS,
+        column_histogram_equidepth,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        column_histogram_equidepth(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, HIST_EQ_BUCKETS + 1))
+    n = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .count()
+    )
+    assert rows[-1].cum_rows == n  # last boundary reaches the max
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.ub_cents >= prev.ub_cents
+        assert cur.cum_rows >= prev.cum_rows
+    for i, r in enumerate(rows, start=1):
+        assert r.cum_rows >= (i * n) // HIST_EQ_BUCKETS  # reaches target
