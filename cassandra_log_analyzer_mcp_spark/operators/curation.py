@@ -892,3 +892,85 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+#: Rebalance eval: cluster grows REBAL_N -> REBAL_N + 1 shards.
+REBAL_N = 8
+
+
+def shard_rebalance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the corpus MOVES when the shard count grows
+    N → N+1, under two placement schemes: naive ``mod`` (doc_id % N —
+    nearly EVERYTHING moves: only keys whose two residues coincide
+    stay) and ``hrw`` rendezvous hashing (Thaler & Ravishankar 1998:
+    place each doc on argmax_s md5(doc:s) — only docs whose argmax IS
+    the new shard move, ≈ 1/(N+1) of the corpus). This is the
+    consistent-placement arithmetic behind shard splits, cache rings,
+    and bucket-count evolution (partition_evolution_read's logical
+    cousin): at 100 TB the difference is re-shuffling ~11% of the
+    data versus ~89% of it.
+
+    Exactness: scores are 48-bit md5 integers with the shard id as a
+    ×16 tiebreak (unique argmax by construction), winners picked with
+    max_by + FILTER — every moved/stayed decision is integer-exact
+    on both engines. One scan, one doc-keyed aggregate, a 2-row
+    result.
+    """
+    n = REBAL_N
+    d = documents(spark, sf_dir).select("doc_id")
+    scored = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n))).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("s").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 16
+            + F.col("s")
+        ).alias("score"),
+    )
+    hrw = scored.groupBy("doc_id").agg(
+        F.expr(f"max_by(s, score) FILTER (WHERE s < {n})").alias("old_s"),
+        F.expr("max_by(s, score)").alias("new_s"),
+    )
+    hrw_row = hrw.agg(
+        F.lit("hrw").alias("scheme"),
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("old_s") != F.col("new_s")).cast("long")).alias(
+            "n_moved"
+        ),
+    )
+    mod_row = d.agg(
+        F.lit("mod").alias("scheme"),
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.pmod("doc_id", F.lit(n)) != F.pmod("doc_id", F.lit(n + 1)))
+            .cast("long")
+        ).alias("n_moved"),
+    )
+    return (
+        hrw_row.unionByName(mod_row)
+        .select(
+            "scheme",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_moved").cast("long").alias("n_moved"),
+            F.expr("CAST(1000 * n_moved div n_docs AS BIGINT)").alias(
+                "moved_permille"
+            ),
+        )
+    )

@@ -3047,4 +3047,40 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {KNN_TOP_K}
     """
 
+    # rendezvous-vs-mod rebalance census: same ×16-tiebroken 48-bit
+    # md5 scores, arg_max + FILTER winner per doc
+    o["shard_rebalance_eval"] = """
+        WITH scored AS (
+          SELECT doc_id, s,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(s AS VARCHAR)), 1, 12) AS BIGINT) * 16
+                   + s AS score
+          FROM documents,
+               (SELECT unnest(range(0, 9)) AS s) sh
+        ),
+        hrw AS (
+          SELECT doc_id,
+                 arg_max(s, score) FILTER (WHERE s < 8) AS old_s,
+                 arg_max(s, score) AS new_s
+          FROM scored GROUP BY doc_id
+        ),
+        rows_ AS (
+          SELECT 'hrw' AS scheme,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_moved
+          FROM hrw
+          UNION ALL
+          SELECT 'mod',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN doc_id % 8 <> doc_id % 9
+                          THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+        )
+        SELECT scheme, n_docs, n_moved,
+               CAST(1000 * n_moved // n_docs AS BIGINT)
+                 AS moved_permille
+        FROM rows_
+    """
+
     return o

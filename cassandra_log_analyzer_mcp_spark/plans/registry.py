@@ -331,6 +331,7 @@ def queries() -> dict[str, QueryFn]:
         "dp_noised_counts": curation.dp_noised_counts,
         # shard-balance QA over the seeded training export
         "shard_balance_report": curation.shard_balance_report,
+        "shard_rebalance_eval": curation.shard_rebalance_eval,
         "corpus_sample": curation.corpus_sample,
         "corpus_shuffle": curation.corpus_shuffle,
         "jsonl_shard_export": curation.jsonl_shard_export,

@@ -1430,3 +1430,21 @@ def test_ams_sketch_accuracy_and_linearity(spark, sf_dir, monkeypatch):
 
     s_full, s_a, s_b = s_of(full), s_of(full[:1]), s_of(full[1:])
     assert all(s_full[r] == s_a[r] + s_b[r] for r in s_full)
+
+
+def test_hrw_rebalance_beats_mod(spark, sf_dir):
+    """HRW moves ~1/(N+1) of docs on a shard add; mod moves ~8/9.
+    Moved docs under HRW all moved TO the new shard (the rendezvous
+    invariant: an argmax can only change when the new shard wins)."""
+    from cassandra_log_analyzer_mcp_spark.operators.curation import (
+        REBAL_N,
+        shard_rebalance_eval,
+    )
+
+    rows = {r.scheme: r for r in shard_rebalance_eval(spark, sf_dir).collect()}
+    hrw, mod = rows["hrw"], rows["mod"]
+    assert hrw.n_docs == mod.n_docs > 0
+    # expectations: hrw 1/9 ≈ 111‰, mod 8/9 ≈ 889‰ (wide bands)
+    assert 40 <= hrw.moved_permille <= 250
+    assert mod.moved_permille >= 700
+    assert hrw.n_moved < mod.n_moved
