@@ -1888,3 +1888,48 @@ def error_trend_theilsen(logs: DataFrame) -> DataFrame:
             slope.alias("slope_per_day"),
         )
     )
+
+
+#: Emergence window for "new error signature" alerting.
+NEW_TEMPLATE_WINDOW_S = 86400
+
+
+def new_template_alert(logs: DataFrame) -> DataFrame:
+    """Emerging-signature detection — the "we have never seen this
+    error before" alert an on-call actually wants: every ERROR/WARN
+    masked template's first-seen time, occurrence count, and node
+    spread, flagged ``is_new`` when the template FIRST appeared within
+    the trailing NEW_TEMPLATE_WINDOW_S of the corpus span (a brand-new
+    failure signature, as opposed to a volume change in a known one —
+    template_trending_decayed's complement).
+
+    One (level, template)-keyed map-side-combined agg over the masked
+    scan (log_templates' Drain-style masking), plus a broadcast 1-row
+    span-end join: at 100 TB this is scan-bound with a tiny shuffle —
+    the template space, not the line count.
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    ).alias("template")
+    base = logs.filter(F.col("level").isin("ERROR", "WARN")).select(
+        "node", "level", tmpl, F.col("ts").cast("long").alias("ep")
+    )
+    g = base.groupBy("level", "template").agg(
+        F.min("ep").alias("first_seen_s"),
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("node").alias("n_nodes"),
+    )
+    span = base.agg(F.max("ep").alias("span_end"))
+    return g.crossJoin(F.broadcast(span)).select(
+        "level",
+        "template",
+        "first_seen_s",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (
+            F.col("first_seen_s")
+            >= F.col("span_end") - NEW_TEMPLATE_WINDOW_S
+        )
+        .cast("long")
+        .alias("is_new"),
+    )

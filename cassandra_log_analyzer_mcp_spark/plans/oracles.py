@@ -1329,6 +1329,30 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # emerging signatures: same masking, (level, template) rollup +
+    # broadcast span end; epoch() of a TIMESTAMP is exact seconds here
+    from ..operators.analysis import NEW_TEMPLATE_WINDOW_S
+
+    o["new_template_alert"] = with_logs(
+        f"""
+        SELECT level,
+               regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                              '{TEMPLATE_NUM_TOKEN}', 'g') AS template,
+               CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+                 AS first_seen_s,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+               CAST(CASE WHEN min(CAST(floor(epoch(ts)) AS BIGINT))
+                       >= (SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
+                           FROM logs
+                           WHERE level IN ('ERROR', 'WARN'))
+                          - {NEW_TEMPLATE_WINDOW_S}
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM logs WHERE level IN ('ERROR', 'WARN')
+        GROUP BY 1, 2
+        """
+    )
+
     # decayed heavy hitters: the identical shift-decay restated; >>
     # on BIGINT is exact in both engines, shift clamped at 62
     from ..operators.analysis import TREND_TOP_K

@@ -820,3 +820,34 @@ def test_theilsen_robust_to_outlier_day_unlike_ols(spark):
     )
     assert r.slope_per_day == slopes[(36 + 1) // 2 - 1]
     assert abs(r.slope_per_day) <= 2.0  # outlier did not drag it
+
+
+def test_new_template_alert_flags_only_trailing_window(spark):
+    """Template A lives all span; template B first appears 2h before
+    span end -> only B is_new. Masking collapses numeric variants."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        new_template_alert,
+    )
+    from datetime import datetime, timezone
+
+    def t(day, hour):
+        return datetime(2025, 1, 1 + day, hour, 0, 0)
+
+    rows = [
+        ("n0", "ERROR", f"GC pause of {100 + i}ms", t(0, 3), i)
+        for i in range(3)
+    ]
+    rows += [("n1", "ERROR", "GC pause of 7ms", t(3, 1), 10)]
+    rows += [
+        ("n0", "WARN", "disk 91 percent full", t(3, 0), 11),
+        ("n1", "WARN", "disk 97 percent full", t(3, 2), 12),  # span end
+    ]
+    out = {
+        (r.level, r.template): r
+        for r in new_template_alert(_logs_df(spark, rows)).collect()
+    }
+    assert len(out) == 2  # numeric masking collapsed every variant
+    gc = out[("ERROR", "GC pause of <NUM>ms")]
+    disk = out[("WARN", "disk <NUM> percent full")]
+    assert gc.is_new == 0 and gc.n_occurrences == 4 and gc.n_nodes == 2
+    assert disk.is_new == 1 and disk.n_occurrences == 2 and disk.n_nodes == 2
