@@ -3172,3 +3172,101 @@ def column_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("long").alias("bucket"),
                 "ub_cents", "cum_rows")
     )
+
+
+#: Range-selectivity probes in cents over l_extendedprice
+#: (data domain ≈ 90k–10.5M cents).
+SEL_PROBES = (
+    ("low", 1, 150_000),
+    ("narrow", 1_000_000, 1_100_000),
+    ("mid", 2_000_000, 4_000_000),
+    ("tail", 9_000_000, 20_000_000),
+)
+
+
+def range_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the CBO stats loop (NDV → histogram → join size →
+    RANGE SELECTIVITY): estimate |σ_{lo≤price≤hi}| from the 16-bucket
+    equi-depth histogram with uniform-within-bucket interpolation —
+    the exact arithmetic Selinger-style planners run against stored
+    histograms — next to the true count, per probe.
+
+    Estimator (all integers): bucket i spans [lb_i, ub_i] with depth
+    d_i (cum diff); contribution = d_i · overlap_width div bucket_width,
+    degenerate single-value buckets (duplicate collapse) contribute
+    d_i iff their point lies in the probe. The signed error lands as
+    one IEEE division. Scale shape: the histogram build is the
+    domain-bounded rollup (column_histogram_equidepth, reused); the
+    eval is arithmetic over 16×|probes| rows plus one scan for truth.
+    """
+    hist = column_histogram_equidepth(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    mn = (
+        table(spark, sf_dir, "lineitem")
+        .agg(F.min(cents).alias("min_cents"))
+    )
+    wnd = Window.orderBy("bucket")
+    buckets = hist.crossJoin(F.broadcast(mn)).select(
+        "bucket",
+        F.coalesce(
+            F.lag("ub_cents").over(wnd) + 1,
+            F.col("min_cents"),
+        ).alias("lb"),
+        F.col("ub_cents").alias("ub"),
+        (
+            F.col("cum_rows")
+            - F.coalesce(F.lag("cum_rows").over(wnd), F.lit(0))
+        ).alias("depth"),
+    )
+    probes = spark.createDataFrame(
+        list(SEL_PROBES), schema="probe string, lo long, hi long"
+    )
+    ov_lo = F.greatest("lo", "lb")
+    ov_hi = F.least("hi", "ub")
+    contrib = F.when(
+        F.col("lb") > F.col("ub"),  # degenerate: point mass at ub
+        F.when(
+            F.col("ub").between(F.col("lo"), F.col("hi")),
+            F.col("depth"),
+        ).otherwise(0),
+    ).otherwise(
+        F.when(
+            ov_hi >= ov_lo,
+            F.expr(
+                "depth * (least(hi, ub) - greatest(lo, lb) + 1)"
+                " div (ub - lb + 1)"
+            ),
+        ).otherwise(0)
+    )
+    est = (
+        buckets.crossJoin(F.broadcast(probes))
+        .select("probe", contrib.alias("c"))
+        .groupBy("probe")
+        .agg(F.sum("c").alias("est_rows"))
+    )
+    actual = (
+        table(spark, sf_dir, "lineitem")
+        .select(cents.alias("cents"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+        .groupBy("probe")
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return (
+        probes.join(est, "probe", "left")
+        .join(actual, "probe", "left")
+        .select(
+            "probe",
+            "lo",
+            "hi",
+            F.coalesce("est_rows", F.lit(0)).cast("long").alias("est_rows"),
+            F.coalesce("actual_rows", F.lit(0))
+            .cast("long")
+            .alias("actual_rows"),
+            F.expr(
+                "CAST(1000 * (coalesce(est_rows, 0)"
+                " - coalesce(actual_rows, 0)) AS DOUBLE)"
+                " / greatest(coalesce(actual_rows, 0), 1)"
+            ).alias("err_permille"),
+        )
+    )

@@ -1745,4 +1745,68 @@ def analytics_oracles() -> dict[str, str]:
         FROM cum JOIN t ON cum >= r
         GROUP BY bucket
     """
+    # range selectivity from the stored equi-depth histogram: same
+    # bucket derivation (lag windows), same integer interpolation,
+    # same degenerate point-mass rule
+    o["range_selectivity_eval"] = """
+        WITH roll AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1
+        ),
+        cum AS (
+          SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM roll
+        ),
+        n AS (SELECT sum(cnt) AS n FROM roll),
+        t AS (
+          SELECT bucket, (bucket * n) // 16 AS r
+          FROM (SELECT unnest(range(1, 17)) AS bucket) b, n
+        ),
+        hist AS (
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 CAST(min(cents) AS BIGINT) AS ub,
+                 CAST(min_by(cum, cents) AS BIGINT) AS cum_rows
+          FROM cum JOIN t ON cum >= r
+          GROUP BY bucket
+        ),
+        mn AS (SELECT min(cents) AS min_cents FROM roll),
+        buckets AS (
+          SELECT bucket,
+                 coalesce(lag(ub) OVER (ORDER BY bucket) + 1,
+                          min_cents) AS lb,
+                 ub,
+                 cum_rows - coalesce(lag(cum_rows)
+                   OVER (ORDER BY bucket), 0) AS depth
+          FROM hist, mn
+        ),
+        probes(probe, lo, hi) AS (VALUES ('low', 1, 150000), ('narrow', 1000000, 1100000), ('mid', 2000000, 4000000), ('tail', 9000000, 20000000)),
+        est AS (
+          SELECT probe,
+                 CAST(sum(CASE
+                   WHEN lb > ub THEN
+                     CASE WHEN ub BETWEEN lo AND hi THEN depth ELSE 0 END
+                   WHEN least(hi, ub) >= greatest(lo, lb) THEN
+                     depth * (least(hi, ub) - greatest(lo, lb) + 1)
+                       // (ub - lb + 1)
+                   ELSE 0 END) AS BIGINT) AS est_rows
+          FROM buckets CROSS JOIN probes GROUP BY probe
+        ),
+        act AS (
+          SELECT probe, CAST(count(*) AS BIGINT) AS actual_rows
+          FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                  AS cents FROM lineitem) li
+          JOIN probes ON cents BETWEEN lo AND hi
+          GROUP BY probe
+        )
+        SELECT probe, lo, hi,
+               coalesce(est_rows, 0) AS est_rows,
+               coalesce(actual_rows, 0) AS actual_rows,
+               CAST(1000 * (coalesce(est_rows, 0)
+                    - coalesce(actual_rows, 0)) AS DOUBLE)
+                 / greatest(coalesce(actual_rows, 0), 1)
+                 AS err_permille
+        FROM probes
+        LEFT JOIN est USING (probe)
+        LEFT JOIN act USING (probe)
+    """
     return o

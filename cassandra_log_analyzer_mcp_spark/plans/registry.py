@@ -478,6 +478,7 @@ def queries() -> dict[str, QueryFn]:
         "join_cardinality_eval": analytics.join_cardinality_eval,
         "column_histogram_equidepth":
             analytics.column_histogram_equidepth,
+        "range_selectivity_eval": analytics.range_selectivity_eval,
         "constraint_checks": analytics.constraint_checks,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,

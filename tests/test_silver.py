@@ -532,3 +532,19 @@ def test_equidepth_histogram_invariants(spark, sf_dir):
         assert cur.cum_rows >= prev.cum_rows
     for i, r in enumerate(rows, start=1):
         assert r.cum_rows >= (i * n) // HIST_EQ_BUCKETS  # reaches target
+
+
+def test_range_selectivity_estimates_are_tight(spark, sf_dir):
+    """Histogram-driven range estimates land within 20% of truth on
+    in-domain probes and never go negative; the out-of-domain tail of
+    probe 'tail' contributes nothing beyond the max bucket."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        range_selectivity_eval,
+    )
+
+    rows = {r.probe: r for r in range_selectivity_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"low", "narrow", "mid", "tail"}
+    for r in rows.values():
+        assert r.est_rows >= 0 and r.actual_rows >= 0
+        if r.actual_rows >= 100:  # meaningful probes: within 20%
+            assert abs(r.err_permille) <= 200
