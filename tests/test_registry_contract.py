@@ -46,13 +46,13 @@ SECTION_2D_CORE = {
 
 #: queries NEW in round 4 (oracled) — must be driver-graded this round
 NEW_IN_R4 = {
-    "revenue_cube", "bloom_pruned_join", "interval_overlap_join",
+    "bloom_pruned_join", "interval_overlap_join",
     "quality_classifier", "domain_mixture", "semantic_dedup",
     "zorder_layout", "silver_incremental_rollup", "doc_gini_diversity",
     "streaming_topk_tokens", "bigram_lift_collocations",
-    "user_value_deciles", "table_profile",
-    "constraint_checks", "schema_evolution_read",
-    "ann_lsh_multiprobe", "dedup_graph_stats",
+    "user_value_deciles",
+    "schema_evolution_read",
+    "ann_lsh_multiprobe",
     # session-3 flagship additions (promoted into the window; four
     # shared-oracle members rotated out to make room — see
     # NEW_IN_R4_REPLICA_ONLY / NEW_IN_R3_REPLICA_ONLY)
@@ -73,6 +73,12 @@ NEW_IN_R4 = {
     "knn_hamming_sign", "ngram_novelty_decay", "error_ewma_smoothed",
     "mixture_token_budget", "purchase_gap_hazard",
     "streaming_purchase_error_full_join",
+    # session-5 flagship additions (zero evidence history); eight
+    # shared-machinery members rotated out — rationale inline in
+    # registry.R4_DRIVER_WINDOW
+    "dedup_chunks_rewrite", "token_f2_ams", "zone_map_skip_stats",
+    "table_ndv_kmv", "error_seasonal_mad", "error_trend_theilsen",
+    "range_selectivity_eval", "shard_rebalance_eval",
 }
 
 #: round-4 additions past the 50-slot cap — replica-covered, each
@@ -121,7 +127,7 @@ NEW_IN_R4_REPLICA_ONLY = {
 
 #: queries NEW in round 3 (oracled) — driver evidence still pending
 NEW_IN_R3 = {
-    "chunk_dedup", "ann_ivf_pq_cosine", "bpe_train_merges",
+    "ann_ivf_pq_cosine", "bpe_train_merges",
 }
 
 #: round-3 additions evicted from the window for the late round-4
@@ -140,10 +146,28 @@ NEW_IN_R3_REPLICA_ONLY = {
     "silver_restatement", "silver_compaction",
     "streaming_kafka_issue_counts", "vocab_top_tokens_mergeable",
     "multimodal_frames_check", "bpe_encode",
+    # rotated out for the session-5 flagships: in-window
+    # dedup_chunks_rewrite drives the same chunk-digest machinery
+    # plus the rewrite
+    "chunk_dedup",
     # rotated out for the session-4 flagships (shared-machinery rule;
     # rationale inline in registry.R4_DRIVER_WINDOW)
     "corpus_shuffle", "repeated_spans_merged", "dedup_canonical",
     "sequence_packing", "decontaminate_bloom",
+    # rotated out for the session-5 flagships (shared-machinery rule;
+    # rationale inline in registry.R4_DRIVER_WINDOW)
+    "revenue_cube", "table_profile", "constraint_checks",
+    "dedup_graph_stats", "embedding_pca_project",
+    "silver_merge_upsert", "doc_surprisal",
+    # session-5 additions kept replica-only: the streaming twins
+    # share their in-window batch oracles, the image histogram shares
+    # the in-window phash payload + Arrow discipline, the template
+    # alert composes the r1-graded masking, and the two inner
+    # stats-family legs are composed by in-window
+    # range_selectivity_eval
+    "streaming_f2_ams", "streaming_seasonal_mad",
+    "multimodal_image_histogram", "new_template_alert",
+    "join_cardinality_eval", "column_histogram_equidepth",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
