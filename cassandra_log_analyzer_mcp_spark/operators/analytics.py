@@ -3270,3 +3270,74 @@ def range_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_permille"),
         )
     )
+
+
+def encoding_plan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding planning — the dictionary-vs-plain decision a
+    parquet writer makes per column, made explicit over the same
+    NDV_COLUMNS unpivot scan as table_ndv_kmv: bits/value =
+    ⌈log₂ ndv⌉ (via length(bin(ndv−1)) — integer, libm-free),
+    dict-encoded size = packed indices + the dictionary page
+    (Σ distinct value lengths), plain size = Σ value lengths; dict
+    wins when it is strictly smaller. Low-NDV columns (event_type,
+    lang, o_orderpriority) should dictionary-encode at a fraction of
+    plain; unique keys should not — the census states both, exactly.
+
+    Everything is integer byte arithmetic on CAST-to-string values
+    (a deliberate, engine-identical size model — real parquet adds
+    RLE and page framing on top; the DECISION boundary is what this
+    grades). One scan, one (tbl, col)-keyed agg plus a distinct-value
+    rollup.
+    """
+    parts = []
+    for tbl, cols in NDV_COLUMNS:
+        pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+        parts.append(
+            table(spark, sf_dir, tbl)
+            .selectExpr(f"stack({len(cols)}, {pairs}) AS (col, v)")
+            .filter(F.col("v").isNotNull())
+            .select(F.lit(tbl).alias("tbl"), "col", "v")
+        )
+    lf = parts[0]
+    for p in parts[1:]:
+        lf = lf.unionByName(p)
+    stats = lf.groupBy("tbl", "col").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("v")).alias("plain_bytes"),
+    )
+    dstats = (
+        lf.distinct()
+        .groupBy("tbl", "col")
+        .agg(
+            F.count("*").alias("ndv"),
+            F.sum(F.length("v")).alias("dict_page_bytes"),
+        )
+    )
+    j = stats.join(dstats, ["tbl", "col"]).select(
+        "tbl",
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("ndv").cast("long").alias("ndv"),
+        F.length(F.bin(F.col("ndv") - 1)).cast("long").alias(
+            "bits_per_value"
+        ),
+        F.col("plain_bytes").cast("long").alias("plain_bytes"),
+        "dict_page_bytes",
+    )
+    return j.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "ndv",
+        "bits_per_value",
+        "plain_bytes",
+        F.expr(
+            "CAST((n_rows * bits_per_value + 7) div 8"
+            " + dict_page_bytes AS BIGINT)"
+        ).alias("dict_bytes"),
+        F.expr(
+            "CAST(CASE WHEN (n_rows * bits_per_value + 7) div 8"
+            " + dict_page_bytes < plain_bytes THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("use_dict"),
+    )

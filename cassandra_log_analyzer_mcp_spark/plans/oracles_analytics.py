@@ -1809,4 +1809,44 @@ def analytics_oracles() -> dict[str, str]:
         LEFT JOIN est USING (probe)
         LEFT JOIN act USING (probe)
     """
+    # encoding decision: same unpivot scan; bits via length(bin(n-1))
+    # (identical binary rendering both engines), integer byte model
+    o["encoding_plan_census"] = """
+        WITH lf AS (
+          SELECT 'lineitem' AS tbl, 'l_orderkey' AS col, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL
+          UNION ALL
+          SELECT 'lineitem' AS tbl, 'l_suppkey' AS col, CAST(l_suppkey AS VARCHAR) AS v FROM lineitem WHERE l_suppkey IS NOT NULL
+          UNION ALL
+          SELECT 'orders' AS tbl, 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS v FROM orders WHERE o_custkey IS NOT NULL
+          UNION ALL
+          SELECT 'orders' AS tbl, 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS v FROM orders WHERE o_orderpriority IS NOT NULL
+          UNION ALL
+          SELECT 'events' AS tbl, 'user_id' AS col, CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
+          UNION ALL
+          SELECT 'events' AS tbl, 'event_type' AS col, CAST(event_type AS VARCHAR) AS v FROM events WHERE event_type IS NOT NULL
+          UNION ALL
+          SELECT 'documents' AS tbl, 'source' AS col, CAST(source AS VARCHAR) AS v FROM documents WHERE source IS NOT NULL
+          UNION ALL
+          SELECT 'documents' AS tbl, 'lang' AS col, CAST(lang AS VARCHAR) AS v FROM documents WHERE lang IS NOT NULL
+        ),
+        stats AS (
+          SELECT tbl, col, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(length(v)) AS BIGINT) AS plain_bytes
+          FROM lf GROUP BY 1, 2
+        ),
+        dstats AS (
+          SELECT tbl, col, CAST(count(*) AS BIGINT) AS ndv,
+                 CAST(sum(length(v)) AS BIGINT) AS dict_page_bytes
+          FROM (SELECT DISTINCT tbl, col, v FROM lf) d GROUP BY 1, 2
+        )
+        SELECT tbl, col, n_rows, ndv,
+               CAST(length(bin(ndv - 1)) AS BIGINT) AS bits_per_value,
+               plain_bytes,
+               CAST((n_rows * length(bin(ndv - 1)) + 7) // 8
+                    + dict_page_bytes AS BIGINT) AS dict_bytes,
+               CAST(CASE WHEN (n_rows * length(bin(ndv - 1)) + 7) // 8
+                         + dict_page_bytes < plain_bytes
+                    THEN 1 ELSE 0 END AS BIGINT) AS use_dict
+        FROM stats JOIN dstats USING (tbl, col)
+    """
     return o

@@ -513,6 +513,7 @@ def queries() -> dict[str, QueryFn]:
         "column_histogram_equidepth":
             analytics.column_histogram_equidepth,
         "range_selectivity_eval": analytics.range_selectivity_eval,
+        "encoding_plan_census": analytics.encoding_plan_census,
         "constraint_checks": analytics.constraint_checks,
         "value_outliers_robust": analytics.value_outliers_robust,
         "revenue_growth": analytics.revenue_growth,

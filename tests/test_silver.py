@@ -548,3 +548,24 @@ def test_range_selectivity_estimates_are_tight(spark, sf_dir):
         assert r.est_rows >= 0 and r.actual_rows >= 0
         if r.actual_rows >= 100:  # meaningful probes: within 20%
             assert abs(r.err_permille) <= 200
+
+
+def test_encoding_plan_prefers_dict_for_low_ndv(spark, sf_dir):
+    """Low-cardinality string columns dictionary-encode; bits/value
+    equals ceil(log2(ndv)) recomputed in Python; byte model adds up."""
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        encoding_plan_census,
+    )
+
+    rows = {(r.tbl, r.col): r for r in encoding_plan_census(spark, sf_dir).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        want_bits = max(1, (r.ndv - 1).bit_length())
+        assert r.bits_per_value == want_bits
+        # dict page (dict_bytes minus packed indices) holds ndv values
+        # of >= 1 byte each
+        assert r.dict_bytes - (r.n_rows * want_bits + 7) // 8 >= r.ndv
+        assert r.use_dict == (1 if r.dict_bytes < r.plain_bytes else 0)
+    assert rows[("events", "event_type")].use_dict == 1
+    assert rows[("orders", "o_orderpriority")].use_dict == 1
+    assert rows[("documents", "lang")].use_dict == 1
