@@ -1096,6 +1096,39 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # cogrouped as-of census: union + running max of warning ems
+    # (warnings sort before errors at equal ems, matching the
+    # kernel's side='right' searchsorted)
+    from ..operators.analysis import ASOF_WARN_GAP_MS
+
+    o["cogroup_error_warning_asof"] = with_logs(
+        f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS n_errors,
+               CAST(sum(CASE WHEN last_warn IS NOT NULL
+                        AND ems - last_warn <= {ASOF_WARN_GAP_MS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN last_warn IS NOT NULL
+                        AND ems - last_warn <= {ASOF_WARN_GAP_MS}
+                        THEN ems - last_warn ELSE 0 END) AS BIGINT)
+                 AS sum_gap_ms
+        FROM (
+          SELECT node, ems, kind,
+                 max(CASE WHEN kind = 0 THEN ems END) OVER (
+                   PARTITION BY node ORDER BY ems, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_warn
+          FROM (
+            SELECT node, epoch_ms(ts) AS ems, 1 AS kind
+            FROM flagged WHERE is_error
+            UNION ALL
+            SELECT node, epoch_ms(ts), 0
+            FROM flagged WHERE is_warning AND NOT is_error
+          ) u
+        ) c
+        WHERE kind = 1 GROUP BY node
+        """
+    )
+
     # Theil–Sen: zero-filled hourly grid rolled to days, all pairs per
     # node, LOWER median selected under (double slope, integer
     # tie-break) ordering — same selection rule as the Spark window

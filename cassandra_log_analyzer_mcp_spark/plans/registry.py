@@ -643,6 +643,8 @@ def queries() -> dict[str, QueryFn]:
         "error_seasonal_mad": _on_logs(analysis.error_seasonal_mad),
         "error_trend_theilsen": _on_logs(analysis.error_trend_theilsen),
         "new_template_alert": _on_logs(analysis.new_template_alert),
+        "cogroup_error_warning_asof":
+            _on_logs(analysis.cogroup_error_warning_asof),
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)

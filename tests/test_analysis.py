@@ -851,3 +851,36 @@ def test_new_template_alert_flags_only_trailing_window(spark):
     disk = out[("WARN", "disk <NUM> percent full")]
     assert gc.is_new == 0 and gc.n_occurrences == 4 and gc.n_nodes == 2
     assert disk.is_new == 1 and disk.n_occurrences == 2 and disk.n_nodes == 2
+
+
+def test_cogroup_asof_hand_computed(spark):
+    """Three errors: one 10s after a warning (matched), one with the
+    warning exactly AT its timestamp (gap 0, matched), one 10min
+    after (beyond horizon). A warning-free node yields zero matches."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        cogroup_error_warning_asof,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000
+    rows = [  # (epoch, node, level)
+        (base + 100, "n0", "WARN"),
+        (base + 110, "n0", "ERROR"),   # gap 10s -> matched
+        (base + 200, "n0", "WARN"),
+        (base + 200, "n0", "ERROR"),   # gap 0 (same ts) -> matched
+        (base + 200 + 600, "n0", "ERROR"),  # 600s > 300s horizon
+        (base + 50, "n1", "ERROR"),    # node without warnings
+    ]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, level string"
+    ).select(
+        F.col("epoch").cast("timestamp").alias("ts"),
+        "node",
+        (F.col("level") == "ERROR").alias("is_error"),
+        (F.col("level") == "WARN").alias("is_warning"),
+    )
+    out = {r.node: r for r in cogroup_error_warning_asof(logs).collect()}
+    assert out["n0"].n_errors == 3 and out["n0"].n_matched == 2
+    assert out["n0"].sum_gap_ms == 10_000
+    assert out["n1"].n_errors == 1 and out["n1"].n_matched == 0
+    assert out["n1"].sum_gap_ms == 0
