@@ -1997,3 +1997,56 @@ def cogroup_error_warning_asof(logs: DataFrame) -> DataFrame:
             "node string, n_errors long, n_matched long, sum_gap_ms long",
         )
     )
+
+
+HEAVY_CHANGE_TOP_K = 20
+
+
+def template_heavy_changers(logs: DataFrame) -> DataFrame:
+    """Heavy CHANGERS (Cormode & Muthukrishnan's "what's new" twin of
+    heavy hitters): split the corpus span at its midpoint and rank
+    masked templates by |count_second − count_first| — the triage
+    view that surfaces both the template that got LOUDER and the one
+    that went QUIET (a heartbeat that stops is as alarming as an
+    error that starts; template_trending_decayed only sees the
+    former). Top HEAVY_CHANGE_TOP_K with deterministic (delta, level,
+    template) tie-breaks.
+
+    One masked (level, template)-keyed agg with conditional sums, a
+    broadcast 1-row span join, and a rank window over the TEMPLATE
+    ROLLUP (bounded by the template space, not line count).
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    ).alias("template")
+    base = logs.select(
+        "level", tmpl, F.col("ts").cast("long").alias("ep")
+    )
+    span = base.agg(
+        F.min("ep").alias("mn"), F.max("ep").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    counted = (
+        base.crossJoin(F.broadcast(span))
+        .groupBy("level", "template")
+        .agg(
+            F.sum((F.col("ep") <= F.col("mid")).cast("long")).alias(
+                "n_first"
+            ),
+            F.sum((F.col("ep") > F.col("mid")).cast("long")).alias(
+                "n_second"
+            ),
+        )
+        .withColumn("delta", F.col("n_second") - F.col("n_first"))
+    )
+    w = Window.orderBy(
+        F.abs("delta").desc(), F.col("delta").asc(),
+        F.col("level").asc(), F.col("template").asc(),
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HEAVY_CHANGE_TOP_K)
+        .select(
+            "level", "template", "n_first", "n_second", "delta",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -1386,6 +1386,44 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # heavy changers: identical masking, midpoint conditional sums,
+    # same (abs desc, delta, level, template) rank order
+    from ..operators.analysis import HEAVY_CHANGE_TOP_K
+
+    o["template_heavy_changers"] = with_logs(
+        f"""
+        SELECT level, template, n_first, n_second, delta,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY abs(delta) DESC,
+                      delta, level, template) AS rk
+          FROM (
+            SELECT level,
+                   regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                                  '{TEMPLATE_NUM_TOKEN}', 'g')
+                     AS template,
+                   CAST(sum(CASE WHEN ep <= mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_first,
+                   CAST(sum(CASE WHEN ep > mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_second,
+                   CAST(sum(CASE WHEN ep > mid THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN ep <= mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS delta
+            FROM (
+              SELECT level, message,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM logs
+            ) l,
+            (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+                     + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2
+                     AS mid FROM logs) m
+            GROUP BY 1, 2
+          ) c
+        ) r
+        WHERE rk <= {HEAVY_CHANGE_TOP_K}
+        """
+    )
+
     # decayed heavy hitters: the identical shift-decay restated; >>
     # on BIGINT is exact in both engines, shift clamped at 62
     from ..operators.analysis import TREND_TOP_K

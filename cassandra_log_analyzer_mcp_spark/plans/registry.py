@@ -645,6 +645,8 @@ def queries() -> dict[str, QueryFn]:
         "new_template_alert": _on_logs(analysis.new_template_alert),
         "cogroup_error_warning_asof":
             _on_logs(analysis.cogroup_error_warning_asof),
+        "template_heavy_changers":
+            _on_logs(analysis.template_heavy_changers),
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)

@@ -884,3 +884,36 @@ def test_cogroup_asof_hand_computed(spark):
     assert out["n0"].sum_gap_ms == 10_000
     assert out["n1"].n_errors == 1 and out["n1"].n_matched == 0
     assert out["n1"].sum_gap_ms == 0
+
+
+def test_heavy_changers_sees_quieted_and_louder(spark):
+    """A template that stops at midpoint ranks as a negative delta; a
+    template that starts after midpoint as positive; a steady one
+    ranks last."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        template_heavy_changers,
+    )
+
+    base = datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(hours):
+        return datetime(2025, 1, 1 + hours // 24, hours % 24, 0, 0)
+
+    rows = []
+    lid = 0
+    for h in range(10):  # span 0..9h, mid at 4.5h
+        rows += [("n0", "INFO", "heartbeat ok", at(h), lid)]; lid += 1
+    for h in range(4):   # quiets: first half only, 3/hour
+        rows += [("n0", "WARN", "queue depth 9 high", at(h), lid + i)
+                 for i in range(3)]; lid += 3
+    for h in range(5, 10):  # louder: second half only, 4/hour
+        rows += [("n0", "ERROR", "disk 3 failing", at(h), lid + i)
+                 for i in range(4)]; lid += 4
+    out = template_heavy_changers(_logs_df(spark, rows)).collect()
+    by = {r.template: r for r in out}
+    assert by["disk <NUM> failing"].delta == 20
+    assert by["queue depth <NUM> high"].delta == -12
+    assert by["disk <NUM> failing"].rk == 1
+    assert by["queue depth <NUM> high"].rk == 2
+    hb = by["heartbeat ok"]
+    assert hb.n_first == 5 and hb.n_second == 5 and hb.delta == 0
