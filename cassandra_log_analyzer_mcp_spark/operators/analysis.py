@@ -2050,3 +2050,43 @@ def template_heavy_changers(logs: DataFrame) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def pandas_udaf_error_median(logs: DataFrame) -> DataFrame:
+    """Per-node median hourly error rate via a GROUPED_AGG pandas UDF
+    — the one Arrow-Python surface the engine didn't yet exercise
+    (mapInPandas, applyInPandas, applyInPandasWithState and cogroup
+    all carry value-graded operators; this completes the matrix with
+    the vectorized-UDAF shape). The UDAF consumes each node's
+    ZERO-FILLED hourly series (cusum_series — rollup cardinality, so
+    the per-group pandas Series is bounded by hours, never lines) and
+    must land the identical dyadic-rational median the SQL
+    quantile_cont computes: the Arrow aggregation path itself is
+    what's being value-graded, the multimodal_decode_check discipline
+    once more.
+
+    At 100 TB the same statistic comes free from the builtin
+    percentile (error_anomaly_hours' path); a real deployment reaches
+    for GROUPED_AGG when the per-group math has no builtin (exotic
+    robust estimators, scipy calls) — this query pins that path's
+    exactness so those can trust it.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the annotation-based form can't resolve
+    # function-local imports under `from __future__ import annotations`
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _median(x):
+        return float(x.median())
+
+    series = cusum_series(logs)
+    # Spark disallows mixing a GROUPED_AGG UDF with JVM aggregates in
+    # one agg — the exact stats ride a separate tiny rollup join
+    stats = series.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.max("x").cast("long").alias("max_hourly_errors"),
+    )
+    med = series.groupBy("node").agg(
+        _median("x").alias("med_hourly_errors")
+    )
+    return stats.join(med, "node")

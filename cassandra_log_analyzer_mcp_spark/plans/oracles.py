@@ -1096,6 +1096,32 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # GROUPED_AGG pandas UDF twin: the Arrow UDAF must land the same
+    # dyadic-rational median quantile_cont computes over the grid
+    o["pandas_udaf_error_median"] = with_logs(
+        """
+        , hourly AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM flagged WHERE is_error GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT g.node, CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+          FROM (
+            SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+            FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                  FROM hourly GROUP BY node) b
+          ) g
+          LEFT JOIN hourly hr ON hr.node = g.node AND hr.h = g.h
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(max(x) AS BIGINT) AS max_hourly_errors,
+               quantile_cont(x, 0.5) AS med_hourly_errors
+        FROM grid GROUP BY node
+        """
+    )
+
     # cogrouped as-of census: union + running max of warning ems
     # (warnings sort before errors at equal ems, matching the
     # kernel's side='right' searchsorted)

@@ -647,6 +647,8 @@ def queries() -> dict[str, QueryFn]:
             _on_logs(analysis.cogroup_error_warning_asof),
         "template_heavy_changers":
             _on_logs(analysis.template_heavy_changers),
+        "pandas_udaf_error_median":
+            _on_logs(analysis.pandas_udaf_error_median),
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)

@@ -917,3 +917,27 @@ def test_heavy_changers_sees_quieted_and_louder(spark):
     assert by["queue depth <NUM> high"].rk == 2
     hb = by["heartbeat ok"]
     assert hb.n_first == 5 and hb.n_second == 5 and hb.delta == 0
+
+
+def test_pandas_udaf_median_even_and_odd_counts(spark):
+    """GROUPED_AGG median on crafted series: odd count -> middle
+    element; even count -> dyadic mean of middles (zero-fill
+    included: node n1's silent middle hour counts as 0)."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        pandas_udaf_error_median,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000 - (1_600_000_000 % 3600)
+    rows = []
+    for h, n in enumerate([1, 5, 9]):  # n0: odd count, median 5
+        rows += [(base + h * 3600 + i, "n0", True) for i in range(n)]
+    for h, n in [(0, 2), (3, 7)]:  # n1: grid 0..3 -> [2,0,0,7], med 1.0
+        rows += [(base + h * 3600 + i, "n1", True) for i in range(n)]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error")
+    out = {r.node: r for r in pandas_udaf_error_median(logs).collect()}
+    assert out["n0"].n_hours == 3 and out["n0"].med_hourly_errors == 5.0
+    assert out["n1"].n_hours == 4 and out["n1"].med_hourly_errors == 1.0
+    assert out["n1"].max_hourly_errors == 7
