@@ -1122,6 +1122,10 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # the Python DataSource connector must deliver byte-identical
+    # lines: graded through the standard pipeline vs the same oracle
+    o["python_datasource_node_summary"] = o["node_summary"]
+
     # cogrouped as-of census: union + running max of warning ems
     # (warnings sort before errors at equal ems, matching the
     # kernel's side='right' searchsorted)

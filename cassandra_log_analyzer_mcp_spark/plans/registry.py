@@ -39,6 +39,9 @@ from ..sources.silver import (
     silver_restatement as _silver_restatement,
     silver_vacuum as _silver_vacuum,
 )
+from ..sources.pyds import (
+    python_datasource_node_summary as _pyds_node_summary,
+)
 from ..sources.tables import logs_flagged
 from ..streaming import batch_bridge
 from . import oracles
@@ -649,6 +652,9 @@ def queries() -> dict[str, QueryFn]:
             _on_logs(analysis.template_heavy_changers),
         "pandas_udaf_error_median":
             _on_logs(analysis.pandas_udaf_error_median),
+        # Spark 4 Python DataSource connector path, graded end-to-end
+        # via node_summary's oracle
+        "python_datasource_node_summary": _pyds_node_summary,
         # exact-rational OLS degradation trend (mergeable moments)
         "error_trend_ols": _on_logs(analysis.error_trend_ols),
         # directional lead-lag cross-correlation (who fails first)

@@ -63,3 +63,43 @@ def test_numbering_has_no_per_node_global_window(spark, two_file_dir):
     )
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_fname" in spec, f"per-node global window: {spec}"
+
+
+def test_python_datasource_matches_builtin_text_reader(spark, tmp_path):
+    """The logdir DataSource plans one partition per file and returns
+    exactly the same (node, raw) multiset as spark.read.text over the
+    same tree."""
+    from cassandra_log_analyzer_mcp_spark.sources.pyds import (
+        LogDirDataSource,
+        LogDirReader,
+    )
+
+    root = tmp_path / "logs"
+    for node, fname, lines in [
+        ("n0", "a.log", ["l1", "l2"]),
+        ("n0", "b.log", ["l3"]),
+        ("n1", "a.log", ["x1", "x2", "x3"]),
+    ]:
+        d = root / f"node={node}"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / fname).write_text("\n".join(lines) + "\n")
+    (root / "_SUCCESS").parent.mkdir(exist_ok=True)
+    (root / "node=n0" / "_hidden").write_text("skip me")
+
+    reader = LogDirReader({"path": str(root)})
+    parts = reader.partitions()
+    assert len(parts) == 3  # one per visible file, _hidden skipped
+    assert {p.node for p in parts} == {"n0", "n1"}
+
+    spark.dataSource.register(LogDirDataSource)
+    got = sorted(
+        (r.node, r.raw)
+        for r in spark.read.format("logdir")
+        .option("path", str(root))
+        .load()
+        .collect()
+    )
+    assert got == [
+        ("n0", "l1"), ("n0", "l2"), ("n0", "l3"),
+        ("n1", "x1"), ("n1", "x2"), ("n1", "x3"),
+    ]
