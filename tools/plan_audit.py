@@ -44,6 +44,12 @@ EAGER = {
     "streaming_priority_sample",  # availableNow run; bottom-K fold
     "streaming_funnel_state",  # availableNow run; per-user state fold
     "streaming_late_data_drop",  # availableNow run; memory sink
+    "streaming_f2_ams",  # availableNow run; driver counter fold
+    "streaming_seasonal_mad",  # availableNow run; additive rollup fold
+    # writes the text landing then registers the Python DataSource;
+    # the final node_summary plan is lazily inspectable, but the
+    # build-time write makes the whole query eager-shaped
+    "python_datasource_node_summary",
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
