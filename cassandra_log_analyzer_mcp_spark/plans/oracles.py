@@ -420,6 +420,39 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # branch isolation: both refs' contents stated from first
+    # principles — main@v1 is the restatement rule, branch is v0 plus
+    # the latest-day error backfill; leakage in either direction
+    # breaks one of the two halves
+    o["silver_branch_diverge"] = with_logs(
+        """
+        , g AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date,
+                 node,
+                 CAST(ts AS DATE) =
+                   (SELECT min(CAST(ts AS DATE)) FROM flagged)
+                   AS is_day0,
+                 CAST(ts AS DATE) =
+                   (SELECT max(CAST(ts AS DATE)) FROM flagged)
+                   AS is_daymax,
+                 CAST(count(*) AS BIGINT) AS total,
+                 CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                      AS BIGINT) AS errors
+          FROM flagged GROUP BY 1, 2, 3, 4
+        )
+        SELECT 'main@v1' AS ref, log_date, node,
+               CASE WHEN is_day0 AND errors > 0
+                    THEN errors ELSE total END AS n_rows,
+               errors AS n_errors
+        FROM g
+        UNION ALL
+        SELECT 'branch', log_date, node,
+               CASE WHEN is_daymax THEN total + errors ELSE total END,
+               CASE WHEN is_daymax THEN 2 * errors ELSE errors END
+        FROM g
+        """
+    )
+
     # CDC closure: feed applied to v0 must reconstruct v1 — graded
     # against the first-principles restated-content oracle, which
     # never sees the feed (a self-consistent-but-wrong feed fails)

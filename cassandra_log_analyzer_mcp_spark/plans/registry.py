@@ -37,6 +37,7 @@ from ..sources.silver import (
     silver_merge_upsert as _silver_merge_upsert,
     silver_node_errors as _silver_node_errors,
     silver_restatement as _silver_restatement,
+    silver_branch_diverge as _silver_branch_diverge,
     silver_vacuum as _silver_vacuum,
 )
 from ..sources.pyds import (
@@ -482,6 +483,7 @@ def queries() -> dict[str, QueryFn]:
         "silver_changes_between": _silver_changes_between,
         # CDC closure: feed applied to v0 reconstructs v1
         "silver_cdc_apply": _silver_cdc_apply,
+        "silver_branch_diverge": _silver_branch_diverge,
         # copy-on-write key erasure, file-local via clustered layout
         "silver_delete_rewrite": _silver_delete_rewrite,
         # key-level merge upsert (Delta-style MERGE on plain parquet)

@@ -1032,3 +1032,81 @@ def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("d").cast("long").alias("n_days"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+_BRANCH_PATHS: dict[tuple[int, str], str] = {}
+
+
+def silver_branch_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE BRANCHING — the last lakehouse verb after merge /
+    restatement / time travel / CDC / vacuum (Iceberg branches, Delta
+    shallow clones): a branch is just ANOTHER manifest chain rooted at
+    an existing snapshot, with its new data files landing in a branch
+    directory — the shared table's files are never touched, so main
+    and branch diverge with zero copying.
+
+    Build: branch forks at v0 and appends a backfill (the LATEST
+    day's error rows re-landed); main meanwhile advanced to v1 (the
+    earliest-day restatement). The graded read is a per-(ref,
+    log_date, node) census of BOTH refs side by side, proving
+    ISOLATION in both directions: the branch still sees v0's
+    pre-restatement earliest day (main's restatement never leaks in)
+    and main shows no doubled latest-day errors (the branch append
+    never leaks out). The oracle states both contents from first
+    principles off the shared flagged CTE — file/manifest bookkeeping
+    defects in either direction hash-mismatch.
+
+    Scale shape: branch creation writes only the delta partitions;
+    both reads are manifest-driven file-list scans with partition
+    columns recovered (basePath), censuses are one rollup each.
+    """
+    import os
+
+    from ..functions.parsing import with_issue_flags
+    from .tables import logs
+
+    path = versioned_silver(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    bpath = _BRANCH_PATHS.get(key)
+    if bpath is None:
+        bpath = path + "_branch"
+        flagged = with_issue_flags(logs(spark, sf_dir)).withColumn(
+            "log_date", F.to_date("ts")
+        )
+        day_max = flagged.agg(F.max("log_date")).collect()[0][0]
+        backfill = flagged.filter(
+            (F.col("log_date") == F.lit(day_max)) & F.col("is_error")
+        )
+        (
+            backfill.repartition("log_date", "node")
+            .write.mode("overwrite")
+            .partitionBy("log_date", "node")
+            .parquet(bpath)
+        )
+        # branch manifest: v0's files + the branch delta's — stored
+        # with the branch so the shared table's manifests stay frozen
+        _manifest_write(
+            bpath, 0, _manifest_read(path, 0) + _manifest_files(spark, bpath)
+        )
+        _BRANCH_PATHS[key] = bpath
+
+    main = spark.read.option("basePath", path).parquet(
+        *_manifest_read(path, 1)
+    )
+    branch = (
+        spark.read.option("basePath", path)
+        .parquet(*_manifest_read(path, 0))
+        .unionByName(spark.read.parquet(bpath))
+    )
+
+    def census(df: DataFrame, ref: str) -> DataFrame:
+        return df.groupBy(
+            F.date_format("log_date", "yyyy-MM-dd").alias("log_date"),
+            "node",
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+        ).select(F.lit(ref).alias("ref"), "log_date", "node",
+                 "n_rows", "n_errors")
+
+    return census(main, "main@v1").unionByName(census(branch, "branch"))

@@ -569,3 +569,48 @@ def test_encoding_plan_prefers_dict_for_low_ndv(spark, sf_dir):
     assert rows[("events", "event_type")].use_dict == 1
     assert rows[("orders", "o_orderpriority")].use_dict == 1
     assert rows[("documents", "lang")].use_dict == 1
+
+
+def test_branch_isolation_both_directions(spark, sf_dir):
+    """Branch still sees v0's pre-restatement earliest day; main
+    shows no doubled latest-day errors — checked against a raw
+    recount of the source."""
+    from pyspark.sql import functions as F
+    from cassandra_log_analyzer_mcp_spark.sources.silver import (
+        silver_branch_diverge,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    out = {
+        (r.ref, r.log_date, r.node): r
+        for r in silver_branch_diverge(spark, sf_dir).collect()
+    }
+    raw = {
+        (r.log_date, r.node): r
+        for r in logs_flagged(spark, sf_dir)
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("log_date"),
+            "node",
+        )
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+        )
+        .collect()
+    }
+    day0 = min(d for d, _ in raw)
+    day_max = max(d for d, _ in raw)
+    for (d, node), r in raw.items():
+        b = out[("branch", d, node)]
+        m = out[("main@v1", d, node)]
+        if d == day0 and r.errors > 0:
+            assert m.n_rows == r.errors  # restatement applied on main
+        else:
+            assert m.n_rows == r.total
+        assert m.n_errors == r.errors  # branch append never leaks in
+        if d == day_max:
+            assert b.n_rows == r.total + r.errors  # backfill applied
+            assert b.n_errors == 2 * r.errors
+        else:
+            assert b.n_rows == r.total  # restatement never leaks out
+            assert b.n_errors == r.errors
