@@ -2958,7 +2958,10 @@ def zone_map_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe")
         .agg(F.count("*").alias("rows_matched"))
     )
-    return per.join(matched, "probe", "left").select(
+    # both sides are probe-keyed rollups (≤ |probes| rows) — the
+    # stats-derived plan would SMJ because `matched` descends from a
+    # full scan; broadcast is the right call at every scale
+    return per.join(F.broadcast(matched), "probe", "left").select(
         "layout",
         "probe",
         "files_total",
@@ -3252,9 +3255,11 @@ def range_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe")
         .agg(F.count("*").alias("actual_rows"))
     )
+    # est/actual are probe-keyed rollups — broadcast (see
+    # zone_map_skip_stats note)
     return (
-        probes.join(est, "probe", "left")
-        .join(actual, "probe", "left")
+        probes.join(F.broadcast(est), "probe", "left")
+        .join(F.broadcast(actual), "probe", "left")
         .select(
             "probe",
             "lo",
