@@ -1111,6 +1111,37 @@ def text_oracles() -> dict[str, str]:
         WHERE {EDIT_DEN} * edit_dist <= {EDIT_NUM} * max_len
     """
 
+    # DL twin: DuckDB's damerau_levenshtein IS the unrestricted
+    # Lowrance–Wagner distance (validated in tests incl. the OSA
+    # distinguisher); thresholded-lev -1s map to NULL via the CASE
+    o["dedup_editdist_dl"] = f"""
+        WITH {minhash_base},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.da, c.db,
+                 CAST(levenshtein(x.text, y.text) AS INT) AS lev_full,
+                 CAST(damerau_levenshtein(x.text, y.text) AS INT)
+                   AS dl_dist,
+                 greatest(length(x.text), length(y.text)) AS max_len,
+                 CAST(floor({EDIT_NUM} * greatest(length(x.text),
+                        length(y.text)) / {EDIT_DEN}) AS INT) AS thr
+          FROM cand c
+          JOIN documents x ON x.doc_id = c.da
+          JOIN documents y ON y.doc_id = c.db
+          WHERE {EDIT_DEN} * abs(length(x.text) - length(y.text))
+                  <= {EDIT_NUM} * greatest(length(x.text), length(y.text))
+        )
+        SELECT da, db, dl_dist,
+               CASE WHEN lev_full <= thr THEN lev_full END AS lev_dist,
+               CASE WHEN lev_full <= thr THEN lev_full - dl_dist END
+                 AS transposition_gain
+        FROM scored
+        WHERE {EDIT_DEN} * dl_dist <= {EDIT_NUM} * max_len
+    """
+
     # components = transitive closure of the verified-pair graph; the
     # recursive CTE computes, for each doc, every reachable doc and
     # keeps the minimum as the cluster label — independent derivation

@@ -168,6 +168,12 @@ NEW_IN_R3_REPLICA_ONLY = {
     "streaming_f2_ams", "streaming_seasonal_mad",
     "multimodal_image_histogram", "new_template_alert",
     "join_cardinality_eval", "column_histogram_equidepth",
+    # late session-5 additions, replica-only: the branch census
+    # composes the driver-covered manifest machinery
+    # (silver_cdc_apply in-window), the DL verify rides in-window
+    # dedup machinery (same band index as r2-graded dedup_editdist)
+    # with its kernel property-tested vs DuckDB
+    "silver_branch_diverge", "dedup_editdist_dl",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).

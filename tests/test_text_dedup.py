@@ -1448,3 +1448,29 @@ def test_hrw_rebalance_beats_mod(spark, sf_dir):
     assert 40 <= hrw.moved_permille <= 250
     assert mod.moved_permille >= 700
     assert hrw.n_moved < mod.n_moved
+
+
+def test_dl_distance_matches_duckdb_incl_osa_distinguisher():
+    """The Lowrance–Wagner kernel is the UNRESTRICTED DL (edits may
+    pass through a transposition): randomized agreement with DuckDB's
+    damerau_levenshtein plus the canonical OSA/DL distinguisher."""
+    import random
+
+    import duckdb
+
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        _dl_distance,
+    )
+
+    assert _dl_distance("CA", "ABC") == 2  # OSA would say 3
+    assert _dl_distance("ab", "ba") == 1
+    assert _dl_distance("", "abc") == 3 and _dl_distance("abc", "") == 3
+    con = duckdb.connect()
+    rng = random.Random(11)
+    for _ in range(300):
+        a = "".join(rng.choices("abcd ", k=rng.randint(0, 14)))
+        b = "".join(rng.choices("abcd ", k=rng.randint(0, 14)))
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _dl_distance(a, b) == want, (a, b)
