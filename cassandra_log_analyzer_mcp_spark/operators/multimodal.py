@@ -580,3 +580,69 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, b0 long, b1 long, b2 long, b3 long,"
         " px_sum long, px_min long, px_max long",
     )
+
+
+#: energy-gate VAD threshold: ~the expected window energy of uniform
+#: int16 noise (8 samples × E[s²] ≈ 2.86e9), so the md5-noise corpus
+#: splits into genuinely active AND silent windows.
+VAD_ENERGY_MIN = 2_900_000_000
+
+
+def _vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-doc voice-activity summary over the window-energy grid:
+    boolean gate, then vectorized run stats across the (docs,
+    windows) matrix — starts = active & ~previous, longest run via a
+    cumulative run-length carry, no per-row Python."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        arr = (
+            np.frombuffer(b"".join(pdf["pcm"]), dtype=">i2")
+            .astype(np.int64)
+            .reshape(n, -1)
+        )
+        nw = arr.shape[1] // AUDIO_WIN
+        w = arr.reshape(n, nw, AUDIO_WIN)
+        active = (w * w).sum(axis=2) > VAD_ENERGY_MIN
+        prev = np.zeros_like(active)
+        prev[:, 1:] = active[:, :-1]
+        starts = active & ~prev
+        run = np.zeros(n, dtype=np.int64)
+        longest = np.zeros(n, dtype=np.int64)
+        for j in range(nw):
+            run = np.where(active[:, j], run + 1, 0)
+            longest = np.maximum(longest, run)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_windows": np.full(n, nw, dtype=np.int64),
+                "n_active": active.sum(axis=1),
+                "n_segments": starts.sum(axis=1),
+                "longest_run": longest,
+            }
+        )
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate voice-activity detection — the segmentation step an
+    ASR-data pipeline runs before transcription (keep speechy spans,
+    drop silence): windows whose energy clears VAD_ENERGY_MIN are
+    active, adjacent active windows merge into segments, and the
+    per-clip summary (active windows, segment count, longest run) is
+    what a curation filter consumes. Same real-PCM payload and Arrow
+    kernel discipline as multimodal_audio_energy; the oracle
+    recomputes every sample from the md5 hex arithmetic and rebuilds
+    the segments with gaps-and-islands SQL — the run-merge logic
+    itself is value-graded.
+
+    Scale shape: map-only mapInPandas, 4 integers per clip out.
+    """
+    docs = documents(spark, sf_dir).select("doc_id")
+    return with_audio_payload(docs).mapInPandas(
+        _vad_batches,
+        "doc_id long, n_windows long, n_active long,"
+        " n_segments long, longest_run long",
+    )

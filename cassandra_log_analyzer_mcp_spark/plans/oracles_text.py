@@ -791,6 +791,69 @@ def text_oracles() -> dict[str, str]:
         FROM sv GROUP BY 1, 2
     """
 
+    # VAD: same sample reconstruction, energy gate, then
+    # gaps-and-islands over active windows — the run merge re-derived
+    # independently in SQL
+    from ..operators.multimodal import VAD_ENERGY_MIN
+
+    o["multimodal_audio_vad"] = f"""
+        WITH ks AS (
+          SELECT doc_id, unnest(range(0, {AUDIO_CHUNKS * AUDIO_WIN}))
+                   AS k
+          FROM documents
+        ),
+        hx4 AS (
+          SELECT doc_id, k,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':a'
+                            || CAST(k // {AUDIO_WIN} AS VARCHAR)),
+                        CAST((k % {AUDIO_WIN}) * 4 + 1 AS INT), 4) AS hx
+          FROM ks
+        ),
+        vals AS (
+          SELECT doc_id, k,
+                 ({hexd.format(i=1)}) * 4096
+                 + ({hexd.format(i=2)}) * 256
+                 + ({hexd.format(i=3)}) * 16
+                 + ({hexd.format(i=4)}) AS v
+          FROM hx4
+        ),
+        sv AS (
+          SELECT doc_id, k,
+                 CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+          FROM vals
+        ),
+        wins AS (
+          SELECT doc_id, k // {AUDIO_WIN} AS win_id,
+                 sum(s * s) > {VAD_ENERGY_MIN} AS active
+          FROM sv GROUP BY 1, 2
+        ),
+        runs AS (
+          SELECT doc_id, win_id, active,
+                 win_id - row_number() OVER (
+                   PARTITION BY doc_id, active ORDER BY win_id)
+                   AS island
+          FROM wins
+        ),
+        segs AS (
+          SELECT doc_id, island, count(*) AS run_len
+          FROM runs WHERE active GROUP BY 1, 2
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN w.active THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_active,
+               CAST(coalesce(max(st.n_segs), 0) AS BIGINT)
+                 AS n_segments,
+               CAST(coalesce(max(st.longest), 0) AS BIGINT)
+                 AS longest_run
+        FROM wins w
+        LEFT JOIN (
+          SELECT doc_id, count(*) AS n_segs, max(run_len) AS longest
+          FROM segs GROUP BY doc_id
+        ) st ON st.doc_id = w.doc_id
+        GROUP BY w.doc_id
+    """
+
     from ..operators.textops import (
         REP_DUP2_MAX,
         REP_DUP3_MAX,

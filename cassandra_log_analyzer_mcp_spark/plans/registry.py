@@ -450,6 +450,7 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_phash_dedup": multimodal.multimodal_phash_dedup,
         "multimodal_image_histogram":
             multimodal.multimodal_image_histogram,
+        "multimodal_audio_vad": multimodal.multimodal_audio_vad,
         # video modality value-graded: inter-frame scene-cut kernel
         "multimodal_scene_cuts": multimodal.multimodal_scene_cuts,
         # new parity variants (reference tool-surface semantics)

@@ -204,3 +204,47 @@ def test_image_histogram_matches_python_recount(spark, sf_dir):
         )
         assert r.px_sum == sum(img)
         assert r.px_min == min(img) and r.px_max == max(img)
+
+
+def test_vad_run_stats_match_python_recount(spark, sf_dir):
+    """Per-clip VAD stats equal a Python recount of the actual PCM
+    bytes, and both active and silent windows exist in the corpus
+    (the threshold genuinely gates)."""
+    import numpy as np
+
+    from cassandra_log_analyzer_mcp_spark.operators.multimodal import (
+        AUDIO_WIN,
+        VAD_ENERGY_MIN,
+        multimodal_audio_vad,
+        with_audio_payload,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).limit(25)
+    pcm = {r.doc_id: bytes(r.pcm) for r in with_audio_payload(docs).collect()}
+    out = {
+        r.doc_id: r
+        for r in multimodal_audio_vad(spark, sf_dir).collect()
+        if r.doc_id in pcm
+    }
+    assert len(out) == len(pcm)
+    saw_active = saw_silent = False
+    for did, raw in pcm.items():
+        s = np.frombuffer(raw, dtype=">i2").astype(np.int64)
+        w = s.reshape(-1, AUDIO_WIN)
+        act = [(wi * wi).sum() > VAD_ENERGY_MIN for wi in w]
+        segs = sum(
+            1 for j, a in enumerate(act) if a and (j == 0 or not act[j - 1])
+        )
+        longest = run = 0
+        for a in act:
+            run = run + 1 if a else 0
+            longest = max(longest, run)
+        r = out[did]
+        assert (r.n_active, r.n_segments, r.longest_run) == (
+            sum(act), segs, longest,
+        )
+        saw_active |= any(act)
+        saw_silent |= not all(act)
+    assert saw_active and saw_silent

@@ -174,6 +174,9 @@ NEW_IN_R3_REPLICA_ONLY = {
     # dedup machinery (same band index as r2-graded dedup_editdist)
     # with its kernel property-tested vs DuckDB
     "silver_branch_diverge", "dedup_editdist_dl",
+    # shares in-window multimodal_audio_energy's payload + kernel
+    # discipline; run-merge recount unit-tested
+    "multimodal_audio_vad",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
