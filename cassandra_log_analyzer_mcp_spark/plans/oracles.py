@@ -1192,6 +1192,61 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # seasonal OLS: same zero-filled daily grid, Cramer determinants
+    # as exact integer sums of products (DuckDB sums cast to BIGINT
+    # before the products so HUGEINT never floats through pandas)
+    o["error_trend_seasonal_ols"] = with_logs(
+        """
+        , hourly AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM flagged WHERE is_error GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+          FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                FROM hourly GROUP BY node) b
+        ),
+        daily AS (
+          SELECT g.node, g.h // 86400 AS d,
+                 CAST(sum(coalesce(hr.x, 0)) AS BIGINT) AS y
+          FROM grid g
+          LEFT JOIN hourly hr ON hr.node = g.node AND hr.h = g.h
+          GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT node, d - min(d) OVER (PARTITION BY node) AS t,
+                 CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS w,
+                 y
+          FROM daily
+        ),
+        m AS (
+          SELECT node,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(w) AS BIGINT) AS sw,
+                 CAST(sum(t * t) AS BIGINT) AS stt,
+                 CAST(sum(t * w) AS BIGINT) AS stw,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(t * y) AS BIGINT) AS sty,
+                 CAST(sum(w * y) AS BIGINT) AS swy
+          FROM base GROUP BY node
+        )
+        SELECT node, n AS n_days,
+               CAST(n * (stt * sw - stw * stw) - st * (st * sw - stw * sw) + sw * (st * stw - stt * sw) AS BIGINT) AS det,
+               CAST(n * (sty * sw - stw * swy) - sy * (st * sw - stw * sw) + sw * (st * swy - sty * sw) AS BIGINT) AS slope_num,
+               CAST(n * (stt * swy - sty * stw) - st * (st * swy - sty * sw) + sy * (st * stw - stt * sw) AS BIGINT) AS weekend_num,
+               CASE WHEN (n * (stt * sw - stw * stw) - st * (st * sw - stw * sw) + sw * (st * stw - stt * sw)) != 0
+                    THEN CAST((n * (sty * sw - stw * swy) - sy * (st * sw - stw * sw) + sw * (st * swy - sty * sw)) AS DOUBLE) / (n * (stt * sw - stw * stw) - st * (st * sw - stw * sw) + sw * (st * stw - stt * sw))
+               END AS slope_per_day,
+               CASE WHEN (n * (stt * sw - stw * stw) - st * (st * sw - stw * sw) + sw * (st * stw - stt * sw)) != 0
+                    THEN CAST((n * (stt * swy - sty * stw) - st * (st * swy - sty * sw) + sy * (st * stw - stt * sw)) AS DOUBLE) / (n * (stt * sw - stw * stw) - st * (st * sw - stw * sw) + sw * (st * stw - stt * sw))
+               END AS weekend_lift
+        FROM m
+        """
+    )
+
     # Theil–Sen: zero-filled hourly grid rolled to days, all pairs per
     # node, LOWER median selected under (double slope, integer
     # tie-break) ordering — same selection rule as the Spark window

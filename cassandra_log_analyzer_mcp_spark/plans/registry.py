@@ -649,6 +649,8 @@ def queries() -> dict[str, QueryFn]:
         "error_ewma_smoothed": _on_logs(analysis.error_ewma_smoothed),
         "error_seasonal_mad": _on_logs(analysis.error_seasonal_mad),
         "error_trend_theilsen": _on_logs(analysis.error_trend_theilsen),
+        "error_trend_seasonal_ols":
+            _on_logs(analysis.error_trend_seasonal_ols),
         "new_template_alert": _on_logs(analysis.new_template_alert),
         "cogroup_error_warning_asof":
             _on_logs(analysis.cogroup_error_warning_asof),

@@ -941,3 +941,37 @@ def test_pandas_udaf_median_even_and_odd_counts(spark):
     assert out["n0"].n_hours == 3 and out["n0"].med_hourly_errors == 5.0
     assert out["n1"].n_hours == 4 and out["n1"].med_hourly_errors == 1.0
     assert out["n1"].max_hourly_errors == 7
+
+
+def test_seasonal_ols_separates_trend_from_weekend_cycle(spark):
+    """Crafted series y = 10 + 2*t + 50*weekend over 21 days: the fit
+    must recover slope 2 and weekend lift 50 exactly (integer data,
+    exact normal equations), where 1-D OLS would smear the cycle into
+    the slope. Degenerate node (single day) yields NULL estimates."""
+    from fractions import Fraction
+
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_trend_seasonal_ols,
+    )
+    from pyspark.sql import functions as F
+
+    base_day = 1_600_041_600 // 86400  # a fixed epoch day
+    rows = []
+    for t in range(21):
+        d = base_day + t
+        w = 1 if (d + 4) % 7 in (0, 6) else 0
+        y = 10 + 2 * t + 50 * w
+        rows += [
+            (d * 86400 + i, "n0", True) for i in range(y)
+        ]
+    rows += [(base_day * 86400, "n1", True)]  # singular design
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error")
+    out = {r.node: r for r in error_trend_seasonal_ols(logs).collect()}
+    r = out["n0"]
+    assert r.n_days == 21 and r.det != 0
+    assert Fraction(r.slope_num, r.det) == 2
+    assert Fraction(r.weekend_num, r.det) == 50
+    assert out["n1"].slope_per_day is None
+    assert out["n1"].weekend_lift is None

@@ -177,6 +177,9 @@ NEW_IN_R3_REPLICA_ONLY = {
     # shares in-window multimodal_audio_energy's payload + kernel
     # discipline; run-merge recount unit-tested
     "multimodal_audio_vad",
+    # extends the in-window trend family (error_trend_ols machinery);
+    # exact-recovery unit test pins the Cramer arithmetic
+    "error_trend_seasonal_ols",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
