@@ -1605,3 +1605,74 @@ def knn_truncated_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.lit(KNN_TOP_K).cast("long").alias("k"),
     )
+
+
+#: filtered-search predicate: sources whose docs remain searchable
+#: (~25% of the corpus) — the "only retrieve from licensed sources"
+#: constraint of a production vector store.
+KNN_FILTER_SOURCES = ("src1", "src3", "src5", "src7", "src9")
+
+
+def knn_filtered_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate (the
+    only-these-sources constraint every production vector store has
+    to honor): PRE-FILTERING searches the filtered corpus exactly
+    (top-k guaranteed, what pgvector/Qdrant do when selectivity is
+    low), and the per-query ``n_postfilter`` column counts how many
+    of the UNFILTERED top-k would have survived the predicate — the
+    measured gap that explains why post-filtering an ANN result
+    under-fills k. Same int8 integer scoring as knn_quantized_int8,
+    so every rank and score hash-grades.
+
+    Scale shape: the metadata attach is the doc⋈embedding id-equi
+    join (bucketed layout per sources/bucketed.py at scale); queries
+    broadcast; per-query top-k windows over candidate sets.
+    """
+    from ..sources.tables import documents
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * QUANT_SCALE)).alias("q"),
+    )
+    meta = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    corpus = quant.join(meta, "vec_id")
+    keep = F.col("source").isin(*KNN_FILTER_SOURCES)
+    queries = quant.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            keep.alias("keep"),
+            dot_long(F.col("qq"), F.col("q")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id")
+    )
+    unfiltered_topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_TOP_K
+    )
+    n_post = unfiltered_topk.groupBy("q_id").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_postfilter")
+    )
+    filtered_topk = (
+        pairs.filter("keep")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_TOP_K)
+    )
+    return filtered_topk.join(F.broadcast(n_post), "q_id").select(
+        "q_id",
+        "vec_id",
+        "qdot",
+        F.col("rn").cast("int").alias("rn"),
+        "n_postfilter",
+    )

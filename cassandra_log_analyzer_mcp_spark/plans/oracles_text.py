@@ -2429,6 +2429,46 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE rn <= {KNN_TOP_K}
     """
 
+    # filtered search: same int8 arithmetic; pre-filter top-k plus the
+    # unfiltered-top-k survivor count per query
+    from ..operators.similarity import KNN_FILTER_SOURCES as _KFS
+
+    _kfs = "(" + ", ".join(f"'{s}'" for s in _KFS) + ")"
+    o["knn_filtered_int8"] = f"""
+        WITH quant AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {QUANT_SCALE})
+                                          AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT qs.vec_id AS q_id, e.vec_id,
+                 d.source IN {_kfs} AS keep,
+                 CAST(list_dot_product(qs.q, e.q) AS BIGINT) AS qdot
+          FROM quant e
+          JOIN documents d ON d.doc_id = e.vec_id, quant qs
+          WHERE qs.vec_id < {KNN_N_QUERIES} AND e.vec_id != qs.vec_id
+        ),
+        unf AS (
+          SELECT q_id,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_postfilter
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY qdot DESC, vec_id) AS rn
+            FROM pairs
+          ) t WHERE rn <= {KNN_TOP_K} GROUP BY q_id
+        )
+        SELECT q_id, vec_id, qdot, CAST(rn AS INT) AS rn, n_postfilter
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY qdot DESC, vec_id) AS rn
+          FROM pairs WHERE keep
+        ) f JOIN unf USING (q_id)
+        WHERE rn <= {KNN_TOP_K}
+    """
+
     planes = lsh_planes()
     bucket_expr = " || ".join(
         "(CASE WHEN list_dot_product(v, ["

@@ -412,6 +412,7 @@ def queries() -> dict[str, QueryFn]:
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
+        "knn_filtered_int8": similarity.knn_filtered_int8,
         "knn_hamming_sign": similarity.knn_hamming_sign,
         "knn_truncated_dims_eval": similarity.knn_truncated_dims_eval,
         "ann_lsh_cosine": similarity.ann_lsh_cosine,

@@ -180,6 +180,9 @@ NEW_IN_R3_REPLICA_ONLY = {
     # extends the in-window trend family (error_trend_ols machinery);
     # exact-recovery unit test pins the Cramer arithmetic
     "error_trend_seasonal_ols",
+    # same int8 scoring as r2-graded knn_quantized_int8; the filter
+    # semantics carry their own pre/post-filter unit test
+    "knn_filtered_int8",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).

@@ -1474,3 +1474,31 @@ def test_dl_distance_matches_duckdb_incl_osa_distinguisher():
             "select damerau_levenshtein(?, ?)", [a, b]
         ).fetchone()[0]
         assert _dl_distance(a, b) == want, (a, b)
+
+
+def test_filtered_knn_prefilter_fills_k_postfilter_does_not(spark, sf_dir):
+    """Pre-filtering returns a full top-k from allowed sources; the
+    n_postfilter census shows the unfiltered top-k would UNDER-fill k
+    for at least one query (the reason filtered search exists)."""
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        KNN_FILTER_SOURCES,
+        KNN_TOP_K,
+        knn_filtered_int8,
+    )
+
+    rows = knn_filtered_int8(spark, sf_dir).collect()
+    srcs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+        assert srcs[r.vec_id] in KNN_FILTER_SOURCES  # predicate honored
+        assert 0 <= r.n_postfilter <= KNN_TOP_K
+    for q, hits in by_q.items():
+        assert len(hits) == KNN_TOP_K  # pre-filter fills k
+        assert len({h.vec_id for h in hits}) == KNN_TOP_K
+    assert any(h.n_postfilter < KNN_TOP_K for h in rows)
