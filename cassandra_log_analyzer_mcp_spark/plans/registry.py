@@ -657,6 +657,7 @@ def queries() -> dict[str, QueryFn]:
             _on_logs(analysis.cogroup_error_warning_asof),
         "template_heavy_changers":
             _on_logs(analysis.template_heavy_changers),
+        "node_mtbf": _on_logs(analysis.node_mtbf),
         "pandas_udaf_error_median":
             _on_logs(analysis.pandas_udaf_error_median),
         # Spark 4 Python DataSource connector path, graded end-to-end

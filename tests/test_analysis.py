@@ -975,3 +975,29 @@ def test_seasonal_ols_separates_trend_from_weekend_cycle(spark):
     assert Fraction(r.weekend_num, r.det) == 50
     assert out["n1"].slope_per_day is None
     assert out["n1"].weekend_lift is None
+
+
+def test_node_mtbf_hand_computed(spark):
+    """Two incidents: starts 0s and 2000s (MTBF 2000), spans 240s and
+    0s (MTTR 120), fleet span = first start to LAST EVENT (2000s), so
+    availability = 1000*(2000-240)//2000 = 880. A single-incident
+    node yields NULL MTBF."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        node_mtbf,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000
+    rows = [
+        (base, "n0", True), (base + 240, "n0", True),      # incident 1
+        (base + 2000, "n0", True),                          # incident 2
+        (base + 50, "n1", True),                            # single
+    ]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error")
+    out = {r.node: r for r in node_mtbf(logs).collect()}
+    r = out["n0"]
+    assert (r.n_incidents, r.mtbf_s, r.mttr_s) == (2, 2000, 120)
+    assert r.availability_permille == 1000 * (2000 - 240) // 2000
+    assert out["n1"].mtbf_s is None and out["n1"].n_incidents == 1

@@ -183,6 +183,9 @@ NEW_IN_R3_REPLICA_ONLY = {
     # same int8 scoring as r2-graded knn_quantized_int8; the filter
     # semantics carry their own pre/post-filter unit test
     "knn_filtered_int8",
+    # rollup over r1-graded error_sessions' output (shared session
+    # CTE refactored, error_sessions re-gated); hand-computed test
+    "node_mtbf",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).
