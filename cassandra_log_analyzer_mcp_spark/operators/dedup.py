@@ -1218,3 +1218,41 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lev_dist") - F.col("dl_dist"),
         ).otherwise(None).alias("transposition_gain"),
     )
+
+
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-modality AGREEMENT MATRIX — which near-dup pairs each
+    detector family finds: the verified pair sets of MinHash-Jaccard
+    (token-set overlap), SimHash (weighted-vocabulary Hamming) and
+    edit-distance (character-level) are unioned and each pair flagged
+    per modality, rolled up to a combo census. This is the evaluation
+    a pipeline owner runs before choosing (or ensembling) detectors —
+    the disagreement cells are exactly the typo-copies token methods
+    miss and the paraphrases character methods miss.
+
+    Composes three GRADED pair generators unchanged; everything past
+    them is pair-cardinality (union + three flag joins + an ≤8-row
+    rollup), so the census costs nothing beyond the shared indexes.
+    """
+    mm = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    sh = dedup_simhash(spark, sf_dir).select("da", "db")
+    ed = dedup_editdist(spark, sf_dir).select("da", "db")
+    allp = mm.unionByName(sh).unionByName(ed).distinct()
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.withColumn(name, F.lit(1)).dropDuplicates(["da", "db"])
+
+    j = (
+        allp.join(flag(mm, "m"), ["da", "db"], "left")
+        .join(flag(sh, "s"), ["da", "db"], "left")
+        .join(flag(ed, "e"), ["da", "db"], "left")
+    )
+    return (
+        j.select(
+            F.coalesce("m", F.lit(0)).cast("long").alias("in_minhash"),
+            F.coalesce("s", F.lit(0)).cast("long").alias("in_simhash"),
+            F.coalesce("e", F.lit(0)).cast("long").alias("in_editdist"),
+        )
+        .groupBy("in_minhash", "in_simhash", "in_editdist")
+        .agg(F.count("*").alias("n_pairs"))
+    )

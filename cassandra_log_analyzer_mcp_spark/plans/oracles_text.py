@@ -1485,6 +1485,60 @@ def text_oracles() -> dict[str, str]:
         FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
     """
 
+    # modality agreement: the three verified pair sets composed with
+    # renamed CTEs (simhash's tok/buckets/cand collide with
+    # minhash's), flags via left joins over the distinct union
+    o["dedup_modality_agreement"] = f"""
+        WITH {minhash_ctes},
+        mpairs AS (
+          SELECT da, db FROM verified
+          WHERE jaccard >= {MINHASH_VERIFY_MIN}
+        ),
+        stok AS (
+          SELECT doc_id, md5(unnest({TOKS})) AS h FROM documents
+        ),
+        sbs AS (SELECT doc_id, {bit_sums} FROM stok GROUP BY doc_id),
+        shash AS (SELECT doc_id, ({packed}) AS sim FROM sbs),
+        sbuck AS (SELECT doc_id, sim, unnest([{band_elems}]) AS band
+                  FROM shash),
+        spairs AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM sbuck a JOIN sbuck b USING (band)
+          WHERE a.doc_id < b.doc_id
+            AND bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
+        ),
+        epairs AS (
+          SELECT c.da, c.db
+          FROM cand c
+          JOIN documents x ON x.doc_id = c.da
+          JOIN documents y ON y.doc_id = c.db
+          WHERE {EDIT_DEN} * abs(length(x.text) - length(y.text))
+                  <= {EDIT_NUM} * greatest(length(x.text), length(y.text))
+            AND {EDIT_DEN} * levenshtein(x.text, y.text)
+                  <= {EDIT_NUM} * greatest(length(x.text), length(y.text))
+        ),
+        allp AS (
+          SELECT da, db FROM mpairs
+          UNION SELECT da, db FROM spairs
+          UNION SELECT da, db FROM epairs
+        )
+        SELECT CAST(CASE WHEN m.da IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS in_minhash,
+               CAST(CASE WHEN sp.da IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS in_simhash,
+               CAST(CASE WHEN e.da IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS in_editdist,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM allp a
+        LEFT JOIN (SELECT DISTINCT da, db FROM mpairs) m
+               ON m.da = a.da AND m.db = a.db
+        LEFT JOIN (SELECT DISTINCT da, db FROM spairs) sp
+               ON sp.da = a.da AND sp.db = a.db
+        LEFT JOIN (SELECT DISTINCT da, db FROM epairs) e
+               ON e.da = a.da AND e.db = a.db
+        GROUP BY 1, 2, 3
+    """
+
     # Composition of the already-generated quality / lang / dedup SQL —
     # the curation oracle can't drift from its components.
     # DP mechanism: identical md5 draw — magnitude = leading 1-bits

@@ -186,6 +186,9 @@ NEW_IN_R3_REPLICA_ONLY = {
     # rollup over r1-graded error_sessions' output (shared session
     # CTE refactored, error_sessions re-gated); hand-computed test
     "node_mtbf",
+    # composes three driver-graded pair generators; census reconciled
+    # against the pair sets in its unit test
+    "dedup_modality_agreement",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).

@@ -1502,3 +1502,28 @@ def test_filtered_knn_prefilter_fills_k_postfilter_does_not(spark, sf_dir):
         assert len(hits) == KNN_TOP_K  # pre-filter fills k
         assert len({h.vec_id for h in hits}) == KNN_TOP_K
     assert any(h.n_postfilter < KNN_TOP_K for h in rows)
+
+
+def test_modality_agreement_census_consistency(spark, sf_dir):
+    """Census totals reconcile with the modality pair sets: per-
+    modality sums match, no (0,0,0) cell exists, and the union size
+    equals the sum of cells."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        dedup_editdist,
+        dedup_minhash_lsh,
+        dedup_modality_agreement,
+        dedup_simhash,
+    )
+
+    cells = dedup_modality_agreement(spark, sf_dir).collect()
+    assert all(
+        (c.in_minhash, c.in_simhash, c.in_editdist) != (0, 0, 0)
+        for c in cells
+    )
+    mm = {(r.da, r.db) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    sh = {(r.da, r.db) for r in dedup_simhash(spark, sf_dir).collect()}
+    ed = {(r.da, r.db) for r in dedup_editdist(spark, sf_dir).collect()}
+    assert sum(c.n_pairs for c in cells) == len(mm | sh | ed)
+    assert sum(c.n_pairs for c in cells if c.in_minhash) == len(mm)
+    assert sum(c.n_pairs for c in cells if c.in_simhash) == len(sh)
+    assert sum(c.n_pairs for c in cells if c.in_editdist) == len(ed)
