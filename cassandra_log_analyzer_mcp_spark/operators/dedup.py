@@ -1256,3 +1256,29 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("in_minhash", "in_simhash", "in_editdist")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — keep every copy, down-weight by duplication: each
+    document's training weight is 1000 div cluster_size permille
+    (singletons keep full weight), so a cluster of near-identical
+    docs contributes ~one document's worth of gradient instead of
+    being hard-dropped — the loss-reweighting alternative to keeper
+    election that modern data recipes reach for when near-dups carry
+    complementary diffs. Composes the graded connected components;
+    the corpus-wide left join fills singletons with weight 1.
+
+    Everything past the shared cluster build is doc-cardinality: one
+    left join, integer floor-div weights (no float protocol).
+    """
+    cc = dedup_clusters(spark, sf_dir)
+    d = documents(spark, sf_dir).select("doc_id")
+    return d.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1))
+        .cast("long")
+        .alias("cluster_size"),
+        F.expr("CAST(1000 div coalesce(cluster_size, 1) AS BIGINT)").alias(
+            "weight_permille"
+        ),
+    )

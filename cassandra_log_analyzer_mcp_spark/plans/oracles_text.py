@@ -1227,6 +1227,32 @@ def text_oracles() -> dict[str, str]:
               FROM reach GROUP BY u) c
     """
 
+    # soft weights: same recursive components, corpus-wide left join
+    # fills singletons at full weight; integer floor-div permille
+    o["dedup_soft_weights"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        reach AS (
+          SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+        ),
+        sized AS (
+          SELECT doc_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cs
+          FROM (SELECT u AS doc_id, min(l) AS cluster_id
+                FROM reach GROUP BY u) c
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size,
+               CAST(1000 // coalesce(cs, 1) AS BIGINT)
+                 AS weight_permille
+        FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
+    """
+
     # histogram over the same recursive-CTE components + the
     # singleton remainder from the documents total
     o["dedup_graph_stats"] = f"""

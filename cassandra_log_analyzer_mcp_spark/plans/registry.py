@@ -355,6 +355,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_chunks_rewrite": textops.dedup_chunks_rewrite,
         "dedup_editdist_dl": dedup.dedup_editdist_dl,
         "dedup_modality_agreement": dedup.dedup_modality_agreement,
+        "dedup_soft_weights": dedup.dedup_soft_weights,
         "token_f2_ams": textops.token_f2_ams,
         "bpe_train_merges": textops.bpe_train_merges,
         "bpe_encode": textops.bpe_encode,

@@ -189,6 +189,9 @@ NEW_IN_R3_REPLICA_ONLY = {
     # composes three driver-graded pair generators; census reconciled
     # against the pair sets in its unit test
     "dedup_modality_agreement",
+    # composes r2-graded dedup_clusters; per-doc weights reconciled
+    # against the cluster sizes in its unit test
+    "dedup_soft_weights",
 }
 
 #: queries whose implementation changed in round 3 (oracle unchanged).

@@ -1527,3 +1527,24 @@ def test_modality_agreement_census_consistency(spark, sf_dir):
     assert sum(c.n_pairs for c in cells if c.in_minhash) == len(mm)
     assert sum(c.n_pairs for c in cells if c.in_simhash) == len(sh)
     assert sum(c.n_pairs for c in cells if c.in_editdist) == len(ed)
+
+
+def test_soft_weights_reconcile_with_clusters(spark, sf_dir):
+    """Every doc appears once; clustered docs carry 1000//size,
+    singletons 1000; the effective corpus mass equals
+    n_singletons*1000 + sum over clusters of size*(1000//size)."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_soft_weights,
+    )
+
+    w = dedup_soft_weights(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(w) == n_docs
+    cc = {r.doc_id: r.cluster_size for r in dedup_clusters(spark, sf_dir).collect()}
+    for r in w:
+        size = cc.get(r.doc_id, 1)
+        assert r.cluster_size == size
+        assert r.weight_permille == 1000 // size
+    assert any(r.cluster_size > 1 for r in w)  # clusters exist
+    assert any(r.cluster_size == 1 for r in w)  # singletons exist
