@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EAGER = {
     "dedup_clusters",
     "dedup_canonical",  # contains dedup_clusters' driver loop
+    "dedup_soft_weights",  # composes dedup_clusters' driver loop
     "bpe_train_merges",  # per-round argmax collect driver loop
     # runs its availableNow stream at build time; the returned frame
     # is a driver-local createDataFrame of the digest state
