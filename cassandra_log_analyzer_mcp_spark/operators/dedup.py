@@ -1242,10 +1242,13 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     def flag(df: DataFrame, name: str) -> DataFrame:
         return df.withColumn(name, F.lit(1)).dropDuplicates(["da", "db"])
 
+    # flag sides are verified-pair cardinality — broadcast (the
+    # stats-derived plan would sort-merge because they descend from
+    # fact-sized joins)
     j = (
-        allp.join(flag(mm, "m"), ["da", "db"], "left")
-        .join(flag(sh, "s"), ["da", "db"], "left")
-        .join(flag(ed, "e"), ["da", "db"], "left")
+        allp.join(F.broadcast(flag(mm, "m")), ["da", "db"], "left")
+        .join(F.broadcast(flag(sh, "s")), ["da", "db"], "left")
+        .join(F.broadcast(flag(ed, "e")), ["da", "db"], "left")
     )
     return (
         j.select(
