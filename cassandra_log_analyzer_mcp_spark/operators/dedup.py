@@ -1107,25 +1107,39 @@ def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dl_distance(a: str, b: str) -> int:
+def _dl_distance(a: str, b: str, cap: int | None = None) -> int:
     """Lowrance–Wagner UNRESTRICTED Damerau–Levenshtein (adjacent
     transpositions may be edited through, unlike OSA) — validated
     against DuckDB's damerau_levenshtein on randomized pairs
-    including the OSA/DL distinguisher ('CA'→'ABC' = 2, not 3)."""
+    including the OSA/DL distinguisher ('CA'→'ABC' = 2, not 3).
+
+    With ``cap``: Ukkonen-banded — only cells with |i−j| ≤ cap are
+    computed and the scan bails as soon as a whole band row exceeds
+    the cap, returning cap+1. EXACT for every result ≤ cap (any path
+    of cost ≤ cap, including its transposition anchors H[i1][j1],
+    stays inside the band since cost ≥ |i−j| at every cell); results
+    above the cap are only promised to be above it — exactly the
+    contract the ratio filter consumes, and what turns the 37 s
+    uncapped sweep into a few seconds at sf0.1."""
     la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
     maxd = la + lb
+    band = cap if cap is not None else maxd
     last = {}
-    h = [[0] * (lb + 2) for _ in range(la + 2)]
-    h[0][0] = maxd
+    h = [[maxd] * (lb + 2) for _ in range(la + 2)]
     for i in range(la + 1):
-        h[i + 1][0] = maxd
-        h[i + 1][1] = i
+        if i <= band:
+            h[i + 1][1] = i
     for j in range(lb + 1):
-        h[0][j + 1] = maxd
-        h[1][j + 1] = j
+        if j <= band:
+            h[1][j + 1] = j
     for i in range(1, la + 1):
         db = 0
-        for j in range(1, lb + 1):
+        lo = max(1, i - band)
+        hi = min(lb, i + band)
+        row_min = maxd
+        for j in range(lo, hi + 1):
             i1 = last.get(b[j - 1], 0)
             j1 = db
             if a[i - 1] == b[j - 1]:
@@ -1133,14 +1147,22 @@ def _dl_distance(a: str, b: str) -> int:
                 db = j
             else:
                 cost = 1
-            h[i + 1][j + 1] = min(
+            v = min(
                 h[i][j] + cost,
                 h[i + 1][j] + 1,
                 h[i][j + 1] + 1,
                 h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
             )
+            h[i + 1][j + 1] = v
+            if v < row_min:
+                row_min = v
         last[a[i - 1]] = i
-    return h[la + 1][lb + 1]
+        if cap is not None and row_min > cap:
+            return cap + 1
+    d = h[la + 1][lb + 1]
+    if cap is not None and d > cap:
+        return cap + 1
+    return d
 
 
 def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,11 +1186,15 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     @pandas_udf("int", PandasUDFType.SCALAR)
-    def _dl(ta, tb):
+    def _dl(ta, tb, thr):
         import pandas as pd
 
         return pd.Series(
-            [_dl_distance(x, y) for x, y in zip(ta, tb)], dtype="int32"
+            [
+                _dl_distance(x, y, cap=int(t))
+                for x, y, t in zip(ta, tb, thr)
+            ],
+            dtype="int32",
         )
 
     arrs = _doc_shingle_arrays(spark, sf_dir)
@@ -1200,7 +1226,7 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "db",
         "max_len",
         F.expr("levenshtein(ta, tb, thr)").alias("lev_dist"),
-        _dl("ta", "tb").alias("dl_dist"),
+        _dl("ta", "tb", "thr").alias("dl_dist"),
     )
     return scored.filter(
         EDIT_DEN * F.col("dl_dist") <= EDIT_NUM * F.col("max_len")

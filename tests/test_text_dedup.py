@@ -1548,3 +1548,25 @@ def test_soft_weights_reconcile_with_clusters(spark, sf_dir):
         assert r.weight_permille == 1000 // size
     assert any(r.cluster_size > 1 for r in w)  # clusters exist
     assert any(r.cluster_size == 1 for r in w)  # singletons exist
+
+
+def test_dl_banded_cap_exact_below_sentinel_above():
+    """Capped DL equals the exact distance whenever exact <= cap and
+    returns cap+1 otherwise — randomized against the uncapped DP."""
+    import random
+
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        _dl_distance,
+    )
+
+    rng = random.Random(23)
+    for _ in range(300):
+        a = "".join(rng.choices("abc", k=rng.randint(0, 16)))
+        b = "".join(rng.choices("abc", k=rng.randint(0, 16)))
+        exact = _dl_distance(a, b)
+        for cap in (0, 1, 2, 4, 8, 32):
+            got = _dl_distance(a, b, cap=cap)
+            if exact <= cap:
+                assert got == exact, (a, b, cap)
+            else:
+                assert got == cap + 1, (a, b, cap)
