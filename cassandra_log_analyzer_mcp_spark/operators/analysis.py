@@ -532,6 +532,13 @@ def dropped_messages(logs: DataFrame) -> DataFrame:
     )
 
 
+#: session gap (seconds) shared by every gap-sessionization default
+#: (error_sessions / error_bursts / burst_context / error_recovery)
+#: AND by node_mtbf's reversal of session_window's gap-padded end —
+#: a single source so changing the incident definition cannot
+#: silently desynchronize the MTTR/availability arithmetic.
+SESSION_GAP_S = 300
+
 ANOM_FACTOR = 2
 
 
@@ -564,7 +571,7 @@ def error_anomaly_hours(logs: DataFrame) -> DataFrame:
     )
 
 
-def error_sessions(logs: DataFrame, gap_s: int = 300) -> DataFrame:
+def error_sessions(logs: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Gap sessionization of errors via Spark's NATIVE session_window —
     the built-in that replaces both the window-function formulation
     (error_bursts) and custom state code in streaming: it's a hash
@@ -591,7 +598,7 @@ def error_sessions(logs: DataFrame, gap_s: int = 300) -> DataFrame:
 
 
 def burst_context(
-    logs: DataFrame, gap_s: int = 300, bucket_s: int = 300
+    logs: DataFrame, gap_s: int = SESSION_GAP_S, bucket_s: int = 300
 ) -> DataFrame:
     """Range join (interval containment), Spark-first: for each error
     burst, the level breakdown of ALL lines logged inside the burst's
@@ -739,7 +746,7 @@ def error_rate_rolling(logs: DataFrame, window_s: int = 3600) -> DataFrame:
     )
 
 
-def error_recovery(logs: DataFrame, gap_s: int = 300) -> DataFrame:
+def error_recovery(logs: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Per-node failure cadence (MTBF view): the quiet gaps BETWEEN
     error bursts — burst k's start minus burst k-1's end — summarized
     as count / mean / max seconds of recovery time.
@@ -862,7 +869,7 @@ def template_drift(logs: DataFrame) -> DataFrame:
     )
 
 
-def error_bursts(logs: DataFrame, gap_s: int = 300) -> DataFrame:
+def error_bursts(logs: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Gap-based sessionization of errors per node (>gap_s ⇒ new burst).
 
     Built on Spark's NATIVE session_window — a hash aggregate with
@@ -2173,14 +2180,14 @@ def node_mtbf(logs: DataFrame) -> DataFrame:
     blow-up.
     """
     sess = error_sessions(logs)
-    dur = F.col("end_s_excl") - 300 - F.col("start_s")
+    dur = F.col("end_s_excl") - SESSION_GAP_S - F.col("start_s")
     return (
         sess.groupBy("node")
         .agg(
             F.count("*").alias("n_incidents"),
             F.min("start_s").alias("first_start"),
             F.max("start_s").alias("last_start"),
-            (F.max("end_s_excl") - 300).alias("last_end"),
+            (F.max("end_s_excl") - SESSION_GAP_S).alias("last_end"),
             F.sum(dur).alias("sum_dur"),
         )
         .selectExpr(

@@ -1698,6 +1698,54 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              "min_value", "max_value")
 
 
+#: HLL++ relative standard deviation for the approx profile —
+#: Spark's approx_count_distinct default (the value the error-bound
+#: unit test asserts against, at 4 sigma)
+PROFILE_APPROX_RSD = 0.05
+
+
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_profile's documented 100 TB plan swap, EXECUTABLE: the
+    identical single-scan/Expand/unpivot profile with every exact
+    count_distinct replaced by approx_count_distinct (HLL++, rsd
+    PROFILE_APPROX_RSD). The exact multi-distinct is the one piece of
+    table_profile whose cost curve breaks at corpus scale — each
+    distinct adds an Expand duplicate of the scan's rows and a
+    wide hash aggregate per column; the sketch swap collapses that to
+    one map-side HLL register set per column, mergeable in the
+    partial aggregate, at bounded memory regardless of cardinality.
+
+    Rows-only by design: HLL register values are engine-specific, so
+    there is no DuckDB hash twin — the error contract (|approx −
+    exact| ≤ 4·rsd·exact per column) is asserted by a unit test
+    against the graded exact twin instead.
+    """
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        s_min, s_max = F.min(col).cast("string"), F.max(col).cast("string")
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, PROFILE_APPROX_RSD).alias(
+                f"{c}__ndv"
+            ),
+            s_min.alias(f"{c}__min"),
+            s_max.alias(f"{c}__max"),
+        ]
+    wide = ev.agg(F.count("*").alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) as (column, n_nulls, n_distinct,"
+        " min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct",
+             "min_value", "max_value")
+
+
 def constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite (the Deequ/dbt-test shape) over
     the warehouse tables — each constraint evaluates DISTRIBUTED and

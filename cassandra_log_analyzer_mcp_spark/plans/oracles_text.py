@@ -1045,12 +1045,23 @@ def text_oracles() -> dict[str, str]:
 
     # banding-loss calibration: truth re-derived from the EXHAUSTIVE
     # inverted-index candidate join + the same exact-Jaccard verify,
-    # the minhash oracle nested verbatim as the prediction side
+    # the minhash oracle nested verbatim as the prediction side —
+    # BOTH sides restricted to the salted-hash doc sample (the eval's
+    # executable 100 TB contract; sample size is a graded column)
+    from ..operators.dedup import PR_EVAL_SAMPLE_MAX4, PR_EVAL_SAMPLE_SALT
+
+    def _sampled(col: str) -> str:
+        return (
+            f"substr(md5('{PR_EVAL_SAMPLE_SALT}' || "
+            f"CAST({col} AS VARCHAR)), 1, 4) < '{PR_EVAL_SAMPLE_MAX4}'"
+        )
+
     o["minhash_dedup_pr_eval"] = f"""
         WITH {_shingle_cte(SHINGLE_K).lstrip()},
+        sh_s AS (SELECT doc_id, s FROM sh WHERE {_sampled("doc_id")}),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+          FROM sh_s a JOIN sh_s b USING (s) WHERE a.doc_id < b.doc_id
         ),
         {_VERIFY.lstrip()},
         truth AS (
@@ -1059,21 +1070,31 @@ def text_oracles() -> dict[str, str]:
         ),
         pred AS (
           SELECT da, db, 1 AS p FROM ({o["dedup_minhash_lsh"]}) mh
+          WHERE {_sampled("da")} AND {_sampled("db")}
         ),
         j AS (
           SELECT coalesce(p, 0) AS p, coalesce(t, 0) AS t
           FROM pred FULL JOIN truth USING (da, db)
+        ),
+        nsamp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sample_docs
+          FROM documents WHERE {_sampled("doc_id")}
+        ),
+        stats AS (
+          SELECT CAST(sum(p) AS BIGINT) AS n_pred,
+                 CAST(sum(t) AS BIGINT) AS n_truth,
+                 CAST(sum(p * t) AS BIGINT) AS tp,
+                 CAST(CASE WHEN sum(p) = 0 THEN 0
+                      ELSE 1000 * sum(p * t) // sum(p) END AS BIGINT)
+                   AS precision_permille,
+                 CAST(CASE WHEN sum(t) = 0 THEN 0
+                      ELSE 1000 * sum(p * t) // sum(t) END AS BIGINT)
+                   AS recall_permille
+          FROM j
         )
-        SELECT CAST(sum(p) AS BIGINT) AS n_pred,
-               CAST(sum(t) AS BIGINT) AS n_truth,
-               CAST(sum(p * t) AS BIGINT) AS tp,
-               CAST(CASE WHEN sum(p) = 0 THEN 0
-                    ELSE 1000 * sum(p * t) // sum(p) END AS BIGINT)
-                 AS precision_permille,
-               CAST(CASE WHEN sum(t) = 0 THEN 0
-                    ELSE 1000 * sum(p * t) // sum(t) END AS BIGINT)
-                 AS recall_permille
-        FROM j
+        SELECT n_sample_docs, n_pred, n_truth, tp,
+               precision_permille, recall_permille
+        FROM nsamp CROSS JOIN stats
     """
 
     # estimator calibration: component equality recomputed per pair
@@ -1248,7 +1269,7 @@ def text_oracles() -> dict[str, str]:
         )
         SELECT d.doc_id,
                CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size,
-               CAST(1000 // coalesce(cs, 1) AS BIGINT)
+               CAST(greatest(1, 1000 // coalesce(cs, 1)) AS BIGINT)
                  AS weight_permille
         FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
     """

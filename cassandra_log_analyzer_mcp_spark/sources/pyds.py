@@ -77,6 +77,11 @@ class LogDirReader(DataSourceReader):
                 yield (partition.node, line.rstrip("\n"))
 
 
+#: landed log corpus per sf_dir (process-lifetime, like
+#: batch_bridge._MATERIALIZED)
+_PYDS_MATERIALIZED: dict[str, str] = {}
+
+
 def python_datasource_node_summary(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -89,6 +94,11 @@ def python_datasource_node_summary(
     node_summary's oracle — a hash match means the Python connector
     path delivered byte-identical lines AND the downstream pipeline
     is connector-agnostic.
+
+    The landed corpus is memoized per sf_dir (the lines are a pure
+    function of the events table), matching batch_bridge's
+    _landed_log_dir discipline — repeat invocations re-scan, they
+    don't re-write, and temp roots stop accumulating.
     """
     import tempfile
 
@@ -96,14 +106,17 @@ def python_datasource_node_summary(
     from ..operators.analysis import node_summary
     from ..sources.tables import table
 
-    lines = synth_raw_lines(table(spark, sf_dir, "events"))
-    root = tempfile.mkdtemp(prefix="pyds_logs_") + "/logs"
-    (
-        lines.select("node", F.col("raw").alias("value"))
-        .repartition(4)
-        .write.partitionBy("node")
-        .text(root)
-    )
+    root = _PYDS_MATERIALIZED.get(sf_dir)
+    if root is None:
+        lines = synth_raw_lines(table(spark, sf_dir, "events"))
+        root = tempfile.mkdtemp(prefix="pyds_logs_") + "/logs"
+        (
+            lines.select("node", F.col("raw").alias("value"))
+            .repartition(4)
+            .write.partitionBy("node")
+            .text(root)
+        )
+        _PYDS_MATERIALIZED[sf_dir] = root
     spark.dataSource.register(LogDirDataSource)
     raw = (
         spark.read.format("logdir")

@@ -278,6 +278,27 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
             assert abs(below / n - float(target)) <= eps, (t, target)
 
 
+def test_table_profile_approx_matches_exact_within_bound(spark, sf_dir):
+    """The approx profile is the exact profile with ONLY the ndv
+    column sketched: nulls/min/max/n_rows are identical, and every
+    approx ndv sits within 4·rsd of the exact distinct count (HLL++'s
+    standard-deviation contract, 4 sigma)."""
+    from cassandra_log_analyzer_mcp_spark.operators import analytics
+
+    exact = {r.column: r for r in analytics.table_profile(
+        spark, sf_dir).collect()}
+    approx = {r.column: r for r in analytics.table_profile_approx(
+        spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (
+            e.n_rows, e.n_nulls, e.min_value, e.max_value)
+        tol = 4 * analytics.PROFILE_APPROX_RSD * e.n_distinct
+        assert abs(a.n_distinct - e.n_distinct) <= max(tol, 1), (
+            c, a.n_distinct, e.n_distinct)
+
+
 def test_distinct_users_sketch_error_bound(spark, sf_dir):
     from cassandra_log_analyzer_mcp_spark.operators import analytics
     from cassandra_log_analyzer_mcp_spark.sources.tables import table

@@ -1361,13 +1361,30 @@ def test_release_manifest_is_a_funnel(spark, sf_dir):
 def test_minhash_pr_eval_containment_invariant(spark, sf_dir):
     """Band candidates verify with the same exact Jaccard as the
     exhaustive truth, so predictions are CONTAINED in the truth:
-    tp == n_pred, precision pinned at 1000, recall in (0, 1000]."""
+    tp == n_pred, precision pinned at 1000, recall in (0, 1000].
+    The truth frame is the salted-hash doc sample (the executable
+    100 TB contract): its size is a graded output column, a real
+    sample (0 < n < corpus), and exactly reproducible row-side."""
     r = dedup.minhash_dedup_pr_eval(spark, sf_dir).collect()[0]
     assert r.tp == r.n_pred
     assert r.n_pred <= r.n_truth
     if r.n_pred:
         assert r.precision_permille == 1000
     assert 0 < r.recall_permille <= 1000
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert 0 < r.n_sample_docs < n_docs
+    # membership is the documented salted-md5-prefix predicate
+    import hashlib
+
+    n_expected = sum(
+        1
+        for (doc_id,) in docs.select("doc_id").collect()
+        if hashlib.md5(
+            f"{dedup.PR_EVAL_SAMPLE_SALT}{doc_id}".encode()
+        ).hexdigest()[:4] < dedup.PR_EVAL_SAMPLE_MAX4
+    )
+    assert r.n_sample_docs == n_expected
 
 
 def test_truncated_dims_eval_shape(spark, sf_dir):
@@ -1545,9 +1562,28 @@ def test_soft_weights_reconcile_with_clusters(spark, sf_dir):
     for r in w:
         size = cc.get(r.doc_id, 1)
         assert r.cluster_size == size
-        assert r.weight_permille == 1000 // size
+        assert r.weight_permille == max(1, 1000 // size)
     assert any(r.cluster_size > 1 for r in w)  # clusters exist
     assert any(r.cluster_size == 1 for r in w)  # singletons exist
+
+
+def test_soft_weights_floor_at_mega_cluster(spark):
+    """The weight expression floors at 1 permille: a cluster larger
+    than 1000 docs must still contribute, never zero out (the
+    boilerplate-mega-cluster case the corpus fixture can't reach)."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        SOFT_WEIGHT_EXPR,
+    )
+
+    rows = spark.createDataFrame(
+        [(1,), (3,), (999,), (1000,), (1001,), (2_500_000,), (None,)],
+        "cluster_size long",
+    ).selectExpr("cluster_size", f"{SOFT_WEIGHT_EXPR} AS weight_permille")
+    got = {r.cluster_size: r.weight_permille for r in rows.collect()}
+    assert got == {
+        1: 1000, 3: 333, 999: 1, 1000: 1, 1001: 1, 2_500_000: 1,
+        None: 1000,
+    }
 
 
 def test_dl_banded_cap_exact_below_sentinel_above():
