@@ -1287,6 +1287,208 @@ def _dl_distance_fast(a: str, b: str, cap: int) -> int:
     return _dl_distance_np(a, b, cap)
 
 
+#: batched-kernel chunk sizing: cap the padded DP cube at ~48M cells
+#: so one chunk's H stays ~200 MB of int32 at worst
+_DL_BATCH_MAX_CELLS = 48_000_000
+_DL_BIG = 1 << 20  # "infinity" safely below int32 overflow under +len
+
+
+def _dl_distance_batch(tas, tbs, caps):
+    """Banded unrestricted Damerau–Levenshtein for a BATCH of pairs,
+    vectorized across pairs AND across the row — the numpy call count
+    per DP row is constant in batch size, which is what the per-pair
+    row sweep (_dl_distance_np) can't offer: its ~15 vector ops per
+    row act on ≤2·cap+1 cells, so call overhead dominates at
+    real-document band widths.
+
+    Same contract per pair as _dl_distance(a, b, cap): exact when the
+    true distance ≤ cap, cap+1 otherwise (above-cap values are only
+    promised to be above). Pairs are length-sorted into chunks of
+    homogeneous shape (padding waste stays ~0), each chunk sweeps DP
+    rows for all its pairs at once, and the active set compacts as
+    pairs finish or early-exit, preserving the banded early-out. All
+    per-row dependencies vectorize: previous-row reads are slices,
+    the Lowrance–Wagner transposition reference h[i1][j1] is a flat
+    take_along_axis gather (i1 from a per-pair last-occurrence table
+    over factorized chunk-local char codes, j1 a shifted running max
+    of in-window match positions), and the sequential left-deletion
+    term is the min-plus prefix scan minimum.accumulate(tmp−j)+j —
+    every horizontal step costs exactly 1, so the scan is exact.
+    """
+    import numpy as np
+
+    n = len(tas)
+    res = np.full(n, -1, dtype=np.int64)
+    las = np.fromiter((len(t) for t in tas), dtype=np.int64, count=n)
+    lbs = np.fromiter((len(t) for t in tbs), dtype=np.int64, count=n)
+    caps = np.asarray(caps, dtype=np.int64)
+    pre = np.abs(las - lbs) > caps
+    res[pre] = caps[pre] + 1
+    todo = np.flatnonzero(~pre)
+    if todo.size == 0:
+        return res
+    # widest bands first, then longest — chunks are homogeneous in
+    # BOTH dimensions of the DP cost (rows × union band), so a chunk
+    # of tight-cap pairs never pays a loose pair's band width
+    todo = todo[np.lexsort((-(las[todo] + lbs[todo]), -caps[todo]))]
+    pos = 0
+    while pos < todo.size:
+        L = int(las[todo[pos]])
+        L2 = int(lbs[todo[pos]])
+        cells = max((L + 2) * (max(L2, 1) + 2), 1)
+        take = max(1, min(todo.size - pos, _DL_BATCH_MAX_CELLS // cells))
+        idx = todo[pos : pos + take]
+        pos += take
+        res[idx] = _dl_chunk(
+            [tas[i] for i in idx],
+            [tbs[i] for i in idx],
+            caps[idx],
+            np,
+        )
+    return res
+
+
+def _dl_chunk(tas, tbs, caps, np):
+    """One shape-homogeneous chunk of the batched DL sweep.
+
+    Semantics mirror _dl_distance exactly, including its two finite-
+    infinity quirks: unwritten cells read as the PAIR's maxd = la+lb
+    (not a global infinity), and the early-exit row minimum clamps at
+    maxd — so a pair whose maxd ≤ cap never early-exits (it must run
+    to its true distance). The batch uses one global BIG sentinel and
+    re-clamps per pair at the comparison points instead of storing
+    per-pair maxd cells; both reads are only ever compared against
+    values ≤ cap < maxd ≤ BIG, so the clamp is observationally
+    identical.
+    """
+    B = len(tas)
+    las = np.fromiter((len(t) for t in tas), dtype=np.int64, count=B)
+    lbs = np.fromiter((len(t) for t in tbs), dtype=np.int64, count=B)
+    bands = np.asarray(caps, dtype=np.int64)
+    maxds = las + lbs
+    L, L2 = int(las.max()), int(lbs.max())
+    maxband = int(bands.max())
+    # chunk-local factorized char codes; 0 is the padding code, which
+    # never equals a real char and owns last_occ slot 0 (write sink
+    # for rows past a pair's own length)
+    blob = "".join(tas) + "".join(tbs)
+    codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+    uniq, inv = np.unique(codes, return_inverse=True)
+    inv = inv.astype(np.int32) + 1
+    amat = np.zeros((B, L), dtype=np.int32)
+    bmat = np.zeros((B, L2), dtype=np.int32)
+    off = 0
+    for p, la in enumerate(las):
+        amat[p, :la] = inv[off : off + la]
+        off += la
+    for p, lb in enumerate(lbs):
+        bmat[p, :lb] = inv[off : off + lb]
+        off += lb
+    last_occ = np.zeros((B, len(uniq) + 1), dtype=np.int32)
+    H = np.full((B, L + 2, L2 + 2), _DL_BIG, dtype=np.int32)
+    j0 = np.arange(L2 + 1)
+    i0 = np.arange(L + 1)
+    lim_b = np.minimum(bands, lbs)[:, None]
+    lim_a = np.minimum(bands, las)[:, None]
+    H[:, 1, 1:] = np.where(j0[None, :] <= lim_b, j0[None, :], _DL_BIG)
+    H[:, 1:, 1] = np.where(i0[None, :] <= lim_a, i0[None, :], _DL_BIG)
+    out = np.full(B, -1, dtype=np.int64)
+    sel = np.arange(B)      # current array rows -> original chunk rows
+    done = np.zeros(B, dtype=bool)
+    n_done = 0
+    i = 0
+    i_max = int(las.max())
+    while i < i_max:
+        i += 1
+        la, lb, bd = las[sel], lbs[sel], bands[sel]
+        # harvest pairs whose final row was written last iteration
+        fin = (la == i - 1) & ~done
+        if fin.any():
+            f = np.flatnonzero(fin)
+            d = H[f, las[sel[f]] + 1, lbs[sel[f]] + 1].astype(np.int64)
+            out[sel[f]] = np.where(
+                d <= bands[sel[f]], d, bands[sel[f]] + 1
+            )
+            done[f] = True
+            n_done += f.size
+        # compact only when the dead weight justifies the copy
+        if n_done >= max(32, sel.size // 4):
+            keep = np.flatnonzero(~done)
+            if keep.size == 0:
+                return out
+            H, amat, bmat, last_occ = (
+                H[keep], amat[keep], bmat[keep], last_occ[keep]
+            )
+            sel = sel[keep]
+            done = np.zeros(sel.size, dtype=bool)
+            n_done = 0
+            la, lb, bd = las[sel], lbs[sel], bands[sel]
+            i_max = int(la[~done].max())
+            if i > i_max:
+                break
+        # union band across the chunk: columns outside it are BIG for
+        # every pair, so slicing them off changes nothing
+        cl = max(1, i - maxband)
+        ch = min(L2, i + maxband)
+        if cl > ch:
+            cl, ch = 1, 0  # empty slice; rows still advance
+        jful = np.arange(cl, ch + 1, dtype=np.int32)
+        lo = np.maximum(1, i - bd)[:, None]
+        hi = np.minimum(lb, i + bd)[:, None]
+        wmask = (jful >= lo) & (jful <= hi)
+        ai = amat[:, i - 1]
+        bw = bmat[:, cl - 1 : ch]
+        cost = (bw != ai[:, None]).astype(np.int32)
+        i1 = np.take_along_axis(last_occ, bw, axis=1)
+        mp = np.where((cost == 0) & wmask, jful, np.int32(0))
+        db = np.zeros_like(mp)
+        if mp.shape[1] > 1:
+            np.maximum.accumulate(mp[:, :-1], axis=1, out=db[:, 1:])
+        prev = H[:, i, :]
+        tmp = np.minimum(prev[:, cl : ch + 1] + cost,
+                         prev[:, cl + 1 : ch + 2] + 1)
+        flat = H.reshape(H.shape[0], -1)
+        trans = np.take_along_axis(flat, i1 * (L2 + 2) + db, axis=1)
+        # (i − i1 − 1) deletions + 1 transposition + (j − db − 1) inserts
+        trans = trans + (i + jful - i1 - db - 1)
+        np.minimum(tmp, trans, out=tmp)
+        tmp[~wmask] = _DL_BIG
+        arr = tmp - jful
+        if arr.shape[1]:
+            # left-edge seed: h[i+1][cl] in arr-space is value−(cl−1);
+            # only the cl==1 boundary cell is ever initialized
+            np.minimum(
+                arr[:, 0],
+                H[:, i + 1, cl] - np.int32(cl - 1),
+                out=arr[:, 0],
+            )
+            np.minimum.accumulate(arr, axis=1, out=arr)
+        vals = arr + jful
+        vals[~wmask] = _DL_BIG
+        H[:, i + 1, cl + 1 : ch + 2] = vals
+        np.put_along_axis(last_occ, ai[:, None].astype(np.int32), i,
+                          axis=1)
+        # early exit, mirroring the scalar DP: its row minimum clamps
+        # at the pair's own maxd, so maxd ≤ cap pairs never exit early
+        if vals.shape[1]:
+            rowmin = np.minimum(vals.min(axis=1), maxds[sel])
+        else:
+            rowmin = maxds[sel]
+        dead = (rowmin > bd) & (i <= la) & ~done
+        if dead.any():
+            dd = np.flatnonzero(dead)
+            out[sel[dd]] = bands[sel[dd]] + 1
+            done[dd] = True
+            n_done += dd.size
+    # pairs finishing exactly at i_max harvest here
+    rem = np.flatnonzero(~done)
+    if rem.size:
+        f = sel[rem]
+        d = H[rem, las[f] + 1, lbs[f] + 1].astype(np.int64)
+        out[f] = np.where(d <= bands[f], d, bands[f] + 1)
+    return out
+
+
 def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transposition-aware near-dup verify: unrestricted
     Damerau–Levenshtein over the SAME MinHash band candidates as
@@ -1298,26 +1500,44 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     last Pandas-UDF flavor (after mapInPandas, applyInPandas,
     applyInPandasWithState, cogroup, GROUPED_AGG): Spark has no
     builtin DL, so the Lowrance–Wagner DP runs in Python over Arrow
-    batches. The input is the CANDIDATE set (band-bucketed, length-
-    prefiltered — never all-pairs), which is what makes a per-pair
-    O(n·m) Python DP admissible; at 100 TB the same banded-threshold
-    trick Spark's levenshtein(a, b, thr) uses applies (cap the DP at
-    the pair's ratio budget) — noted, not needed at candidate
-    cardinality.
+    batches, STAGED so the expensive exact DP touches as few pairs
+    with as small a band as the math allows:
+
+    1. the JVM's codegen levenshtein runs once per pair at budget
+       2·thr+1 (whole-stage, effectively free);
+    2. lev > 2·thr proves dl > thr without any DP — a transposition
+       replaces at most two single-char edits, so dl ≥ lev/2; those
+       pairs skip the kernel entirely (at gate scale that is every
+       above-threshold candidate);
+    3. survivors run the numpy-batched banded DP with cap =
+       min(lev, thr): dl ≤ lev always, so the tightened band still
+       returns the exact distance for every pair that can pass the
+       ratio filter — near-dup pairs collapse from band ≈ max_len/5
+       to band ≈ their actual edit count.
+
+    The input is the CANDIDATE set (band-bucketed, length-
+    prefiltered — never all-pairs), which is what makes a Python DP
+    stage admissible at 100 TB: candidates arrive shuffle-wide there,
+    and each Arrow batch amortizes the kernel across its pairs.
     """
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     @pandas_udf("int", PandasUDFType.SCALAR)
-    def _dl(ta, tb, thr):
+    def _dl(ta, tb, thr, lev2):
+        import numpy as np
         import pandas as pd
 
-        return pd.Series(
-            [
-                _dl_distance_fast(x, y, int(t))
-                for x, y, t in zip(ta, tb, thr)
-            ],
-            dtype="int32",
-        )
+        thrv = thr.to_numpy()
+        levv = lev2.to_numpy()
+        out = np.where(levv < 0, thrv + 1, 0).astype("int64")
+        m = np.flatnonzero(levv >= 0)
+        if m.size:
+            out[m] = _dl_distance_batch(
+                [ta.iat[i] for i in m],
+                [tb.iat[i] for i in m],
+                np.minimum(levv[m], thrv[m]),
+            )
+        return pd.Series(out, dtype="int32")
 
     arrs = _doc_shingle_arrays(spark, sf_dir)
     buckets = _band_buckets(arrs)
@@ -1343,12 +1563,23 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(EDIT_NUM * mx / EDIT_DEN).cast("int").alias("thr"),
         )
     )
-    scored = joined.select(
+    # one thresholded JVM levenshtein at the 2·thr+1 budget feeds
+    # both the skip proof and the band tightening (docstring steps
+    # 1-3); lev_dist's graded -1 sentinel semantics are recovered
+    # from it exactly (lev2 ≤ thr ⟺ the thr-budget call succeeds)
+    lev = joined.withColumn(
+        "lev2",
+        F.expr("levenshtein(ta, tb, CAST(2 * thr + 1 AS INT))"),
+    )
+    scored = lev.select(
         "da",
         "db",
         "max_len",
-        F.expr("levenshtein(ta, tb, thr)").alias("lev_dist"),
-        _dl("ta", "tb", "thr").alias("dl_dist"),
+        F.when(
+            (F.col("lev2") >= 0) & (F.col("lev2") <= F.col("thr")),
+            F.col("lev2"),
+        ).otherwise(F.lit(-1)).alias("lev_dist"),
+        _dl("ta", "tb", "thr", "lev2").alias("dl_dist"),
     )
     return scored.filter(
         EDIT_DEN * F.col("dl_dist") <= EDIT_NUM * F.col("max_len")

@@ -1586,6 +1586,46 @@ def test_soft_weights_floor_at_mega_cluster(spark):
     }
 
 
+def test_dl_batch_kernel_matches_scalar_dp():
+    """The numpy-batched banded DL sweep returns bit-identical values
+    to the scalar reference DP across mixed lengths/caps/edit mixes —
+    including empty strings, transposition-heavy pairs, and the
+    finite-maxd early-exit quirk (pairs with la+lb ≤ cap must never
+    early-exit)."""
+    import random
+
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        _dl_distance,
+        _dl_distance_batch,
+    )
+
+    rng = random.Random(41)
+    tas, tbs, caps = [], [], []
+    for _ in range(500):
+        n = rng.randint(0, 120)
+        a = "".join(rng.choices("abcdef", k=n))
+        b = list(a)
+        for _ in range(rng.randint(0, 15)):
+            op = rng.choice("sdit")
+            if not b:
+                break
+            p = rng.randrange(len(b))
+            if op == "s":
+                b[p] = rng.choice("abcdef")
+            elif op == "d":
+                del b[p]
+            elif op == "i":
+                b.insert(p, rng.choice("abcdef"))
+            elif op == "t" and p + 1 < len(b):
+                b[p], b[p + 1] = b[p + 1], b[p]
+        tas.append(a)
+        tbs.append("".join(b))
+        caps.append(rng.choice([0, 1, 3, 8, 24, 60]))
+    got = _dl_distance_batch(tas, tbs, caps)
+    for i, (a, b, c) in enumerate(zip(tas, tbs, caps)):
+        assert got[i] == _dl_distance(a, b, cap=c), (i, a, b, c)
+
+
 def test_dl_banded_cap_exact_below_sentinel_above():
     """Capped DL equals the exact distance whenever exact <= cap and
     returns cap+1 otherwise — randomized against the uncapped DP."""
