@@ -41,3 +41,134 @@ def test_salted_agg_matches_direct(spark):
         assert got[k][1] == want[k][1]
         assert got[k][2] == want[k][2]
         assert abs(got[k][0] - want[k][0]) < 1e-6 * max(1.0, abs(want[k][0]))
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _skewed_logs(spark, n=200_000, hot_share=0.9):
+    """Deliberately skewed log fixture: one node emits 90% of all
+    lines (the 'one node spewing' case the salting exists for)."""
+    hot_mod = int(1 / (1 - hot_share))
+    return spark.range(0, n).select(
+        F.when(F.col("id") % hot_mod < hot_mod - 1, "node-hot")
+        .otherwise(F.concat(F.lit("node"), (F.col("id") % 5).cast("string")))
+        .alias("node"),
+        (F.col("id") % 17 == 0).alias("is_error"),
+        (F.col("id") % 11 == 0).alias("is_warning"),
+    )
+
+
+def _node_summary_salted(logs):
+    return salted_agg(
+        logs,
+        ["node"],
+        {
+            "errors": ("sum", F.sum(F.col("is_error").cast("long"))),
+            "warnings": ("sum", F.sum(F.col("is_warning").cast("long"))),
+            "total_lines": ("count", F.count("*")),
+        },
+    )
+
+
+def test_skew_stress_salted_agg_exact_on_90pct_hot_node(spark):
+    """The registry's node_summary_salted shape, on the skewed
+    fixture: per-node results must equal the direct aggregation
+    exactly (integer counts — no float tolerance)."""
+    logs = _skewed_logs(spark)
+    got = {
+        r.node: (r.errors, r.warnings, r.total_lines)
+        for r in _node_summary_salted(logs).collect()
+    }
+    want = {
+        r.node: (r.errors, r.warnings, r.total_lines)
+        for r in logs.groupBy("node")
+        .agg(
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+            F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+            F.count("*").alias("total_lines"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the fixture really is skewed: hot node carries ~90% of lines
+    total = sum(v[2] for v in want.values())
+    assert want["node-hot"][2] >= 0.85 * total
+
+
+def test_skew_stress_salted_agg_plan_is_two_stage(spark):
+    """The treatment itself, pinned in the physical plan: the first
+    exchange partitions on (node, _salt) — the hot key sprays across
+    salt buckets — and a second exchange combines partials on node
+    alone. Removing the salting collapses the plan to one node-keyed
+    exchange and this test fails."""
+    plan = _plan(_node_summary_salted(_skewed_logs(spark)))
+    salted_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "_salt" in ln
+    ]
+    assert salted_exchanges, plan
+    # the combine stage must re-aggregate WITHOUT the salt
+    final_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(node" in ln and "_salt" not in ln
+    ]
+    assert final_exchanges, plan
+
+
+def test_skew_stress_salted_join_exact_and_sprayed(spark):
+    """salted_join on a fact whose hot key is 90% of rows: row-exact
+    vs the plain join, and the join condition in the plan carries the
+    salt equality (the spray) — remove the treatment and the salt
+    columns vanish from the plan."""
+    from cassandra_log_analyzer_mcp_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 < 9, 7)
+        .otherwise((F.col("id") % 13).cast("long"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    other = spark.range(0, 13).select(
+        F.col("id").alias("ok"), (F.col("id") * 100).alias("dim")
+    )
+    j = salted_join(fact, other, "k", "ok")
+    assert j.count() == fact.join(other, fact.k == other.ok).count()
+    got = j.groupBy("k").agg(F.sum("dim").alias("s")).collect()
+    want = (
+        fact.join(other, fact.k == other.ok)
+        .groupBy("k")
+        .agg(F.sum("dim").alias("s"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    plan = _plan(j)
+    assert "_salt_l" in plan and "_salt_r" in plan, plan
+
+
+def test_skew_stress_surprisal_hot_tier_is_broadcast_in_plan(
+    spark, sf_dir, monkeypatch
+):
+    """The mega-gram fixture (one bigram in every doc) must route its
+    join through an explicit broadcast exchange — the df-tier split's
+    hot arm. Removing the split leaves one shuffle gram join and no
+    broadcast of the hot counts, failing this plan assert (the
+    value-equality twin lives in test_text_dedup)."""
+    from pyspark.sql import Row
+
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    rows = [
+        Row(doc_id=i, text=f"common pair u{i}a u{i}b u{i}c")
+        for i in range(30)
+    ]
+    monkeypatch.setattr(t, "documents", lambda s, d: s.createDataFrame(rows))
+    plan = _plan(t.doc_surprisal(spark, sf_dir, hot_c=5))
+    assert "BroadcastExchange" in plan, plan
+    # both tiers exist: a union of the cold shuffle arm + hot arm
+    assert "Union" in plan, plan
