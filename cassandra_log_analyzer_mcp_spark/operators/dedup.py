@@ -964,10 +964,14 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = e.select(F.col("a"), F.col("b"))
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    # the edge set is verified-pair cardinality (tiny), but it
+    # descends from fact-sized joins so stats overestimate it and the
+    # planner drifts to SortMergeJoin between sessions — hint both
+    # the wedge and the closure probe explicitly (audit-caught)
     tri = (
-        ab.join(bc, "b")
+        ab.join(F.broadcast(bc), "b")
         .join(
-            ac,
+            F.broadcast(ac),
             (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
         )
         .select("a", "b", "c")

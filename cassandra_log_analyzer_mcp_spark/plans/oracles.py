@@ -1345,10 +1345,13 @@ def analysis_oracles() -> dict[str, str]:
     # session closes only when the next event is STRICTLY > gap away
     # (verified by test_error_sessions_keeps_exact_gap_event); rule
     # applied at ms precision, end = last event + gap.
-    sessions_body = """
+    from ..operators.analysis import SESSION_GAP_S
+
+    sessions_body = f"""
         SELECT node,
                CAST(min(ems) // 1000 AS BIGINT) AS start_s,
-               CAST(max(ems) // 1000 + 300 AS BIGINT) AS end_s_excl,
+               CAST(max(ems) // 1000 + {SESSION_GAP_S} AS BIGINT)
+                 AS end_s_excl,
                CAST(count(*) AS BIGINT) AS n_events
         FROM (
           SELECT node, ems,
@@ -1361,7 +1364,7 @@ def analysis_oracles() -> dict[str, str]:
                                    line_id) IS NULL
                              OR epoch_ms(ts) - lag(epoch_ms(ts))
                                 OVER (PARTITION BY node ORDER BY epoch_ms(ts),
-                                      line_id) > 300000
+                                      line_id) > {SESSION_GAP_S * 1000}
                         THEN 1 ELSE 0 END AS new_s
             FROM flagged WHERE is_error
           ) m
@@ -1382,12 +1385,12 @@ def analysis_oracles() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 2 THEN
                  (max(start_s) - min(start_s)) // (count(*) - 1)
                END AS BIGINT) AS mtbf_s,
-               CAST(sum(end_s_excl - 300 - start_s) // count(*)
+               CAST(sum(end_s_excl - {SESSION_GAP_S} - start_s) // count(*)
                     AS BIGINT) AS mttr_s,
-               CAST(CASE WHEN max(end_s_excl) - 300 - min(start_s) > 0
-                 THEN 1000 * (max(end_s_excl) - 300 - min(start_s)
-                              - sum(end_s_excl - 300 - start_s))
-                      // (max(end_s_excl) - 300 - min(start_s))
+               CAST(CASE WHEN max(end_s_excl) - {SESSION_GAP_S} - min(start_s) > 0
+                 THEN 1000 * (max(end_s_excl) - {SESSION_GAP_S} - min(start_s)
+                              - sum(end_s_excl - {SESSION_GAP_S} - start_s))
+                      // (max(end_s_excl) - {SESSION_GAP_S} - min(start_s))
                END AS BIGINT) AS availability_permille
         FROM sess GROUP BY node
         """
