@@ -1084,6 +1084,73 @@ def _pr_eval_sampled(col: str):
     )
 
 
+#: b-bit minwise hashing keeps only the lowest HEX_B hex digits
+#: (4·HEX_B bits) of each minhash component — Li & König, "b-Bit
+#: Minwise Hashing" (WWW 2010 / CACM 2011): at corpus scale the
+#: signature store shrinks 16× (64→4 bits here) at the cost of
+#: accidental collisions P[equal | J] = J + (1−J)/2^b, which the
+#: estimator unbiases as (p̂ − 1/2^b)/(1 − 1/2^b).
+BBIT_HEX = 1
+
+
+def minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-BIT minwise hashing calibration — the storage/accuracy
+    tradeoff report for the compressed-signature regime: for every
+    LSH candidate pair, the full-component match count next to the
+    match count when each component keeps only its lowest 4 bits
+    (one hex digit of the string-min signature). Full equality
+    implies suffix equality, so n_match_b4 ≥ n_match per pair — the
+    surplus IS the measured accidental-collision rate the b-bit
+    estimator's bias correction removes; with K=8 components both
+    counts are small integers and the report grades hash-exactly.
+
+    At 100 TB this is the dial that decides whether the signature
+    store is 64 bits/component or 4: the candidates come from the
+    shared band index (collision cardinality), signatures are the
+    cached map-side folds, and the eval moves only (pair, 2 ints).
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    sigs = _signatures(arrs)
+    buckets = _band_buckets(arrs)
+    cand = (
+        buckets.select(F.col("doc_id").alias("da"), "band")
+        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"sig{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"sig{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    n_full = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        for k in range(MINHASH_K)
+    )
+    # lowest hex digit of the 16-hex component = its low 4 bits
+    n_b4 = sum(
+        (
+            F.substring(F.col(f"a{k}"), 17 - BBIT_HEX, BBIT_HEX)
+            == F.substring(F.col(f"b{k}"), 17 - BBIT_HEX, BBIT_HEX)
+        ).cast("int")
+        for k in range(MINHASH_K)
+    )
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            n_full.cast("int").alias("n_match"),
+            n_b4.cast("int").alias("n_match_b4"),
+        )
+    )
+
+
 def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL of the MinHash-LSH detector against the exhaustive
     truth, measured ON A DETERMINISTIC DOC SAMPLE — every pair of

@@ -1124,6 +1124,34 @@ def text_oracles() -> dict[str, str]:
         JOIN arrs b ON b.doc_id = m.db
     """
 
+    # b-bit minwise eval: same signature CTE, component equality
+    # recomputed both at full width and on the lowest hex digit
+    from ..operators.dedup import BBIT_HEX
+
+    full_eq = " + ".join(
+        f"CASE WHEN a.sig{k} = b.sig{k} THEN 1 ELSE 0 END"
+        for k in range(MINHASH_K)
+    )
+    b4_eq = " + ".join(
+        f"CASE WHEN substr(a.sig{k}, {17 - BBIT_HEX}, {BBIT_HEX})"
+        f" = substr(b.sig{k}, {17 - BBIT_HEX}, {BBIT_HEX})"
+        " THEN 1 ELSE 0 END"
+        for k in range(MINHASH_K)
+    )
+    o["minhash_bbit_eval"] = f"""
+        WITH {minhash_base},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+        )
+        SELECT c.da, c.db,
+               CAST({full_eq} AS INT) AS n_match,
+               CAST({b4_eq} AS INT) AS n_match_b4
+        FROM cand c
+        JOIN sigs a ON a.doc_id = c.da
+        JOIN sigs b ON b.doc_id = c.db
+    """
+
     from ..operators.dedup import CONTAINMENT_MIN
 
     # containment shares the band-index candidate CTE with the

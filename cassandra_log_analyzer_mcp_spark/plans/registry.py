@@ -315,6 +315,11 @@ def queries() -> dict[str, QueryFn]:
         # MinHash estimator calibration (component-exact sketch eval)
         "minhash_dedup_pr_eval": dedup.minhash_dedup_pr_eval,
         "minhash_estimate_eval": dedup.minhash_estimate_eval,
+        # b-bit signature compression calibration (round 5); stays
+        # replica-only this round by the shared-machinery rule — the
+        # signature/band CTEs are graded via dedup_minhash_lsh (r2
+        # driver) and minhash_estimate_eval (replica every round)
+        "minhash_bbit_eval": dedup.minhash_bbit_eval,
         # MMR diversified re-ranking (greedy chain, unrolled oracle)
         "mmr_diversified_search": similarity.mmr_diversified_search,
         # retrieval recall harness (IVF/LSH/PQ vs brute, set-exact)

@@ -1586,6 +1586,19 @@ def test_soft_weights_floor_at_mega_cluster(spark):
     }
 
 
+def test_minhash_bbit_dominance_and_inflation(spark, sf_dir):
+    """Full-component equality implies low-bits equality, so
+    n_match_b4 >= n_match on every pair; and the 4-bit channel must
+    show SOME accidental collisions corpus-wide (the inflation the
+    b-bit estimator corrects — if it never fires, the eval is
+    vacuous)."""
+    rows = dedup.minhash_bbit_eval(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_match_b4 >= r.n_match for r in rows)
+    assert all(0 <= r.n_match <= 8 and r.n_match_b4 <= 8 for r in rows)
+    assert any(r.n_match_b4 > r.n_match for r in rows)
+
+
 def test_dl_batch_kernel_matches_scalar_dp():
     """The numpy-batched banded DL sweep returns bit-identical values
     to the scalar reference DP across mixed lengths/caps/edit mixes —
