@@ -119,6 +119,64 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the fuzzy pass holds out 1/31 of docs (vs the exact check's 1/97)
+#: so near-dup clusters actually straddle the split at gate scale
+FUZZY_EVAL_MOD = 31
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — near-duplicate contamination the exact
+    n-gram check misses: a training doc is flagged when its shingle
+    Jaccard against ANY held-out eval doc clears the near-dup bar,
+    catching paraphrased/lightly-edited eval leakage (the reason
+    modern data recipes run a fuzzy pass alongside exact overlap).
+    Emits per flagged training doc the count of near eval docs and
+    the best-match Jaccard.
+
+    Pure composition of graded machinery: the shared MinHash band
+    index supplies train×eval candidates (band equi-join at collision
+    cardinality — never train×eval all-pairs), the shared
+    exact-Jaccard array verify scores them, and the eval membership
+    rule is decontaminate's modulus split with its own dial
+    (FUZZY_EVAL_MOD — wider than the exact check's 1/97 so the
+    near-dup×split intersection is non-vacuous at gate scale; the
+    mechanism is modulus-independent). Scale shape: the
+    eval side is 1/FUZZY_EVAL_MOD of the corpus, candidates are
+    band-bounded, and the verify joins per-doc arrays — the same
+    discipline as dedup_minhash_lsh, pointed across the split.
+    """
+    from .dedup import (
+        MINHASH_VERIFY_MIN,
+        _band_buckets,
+        _doc_shingle_arrays,
+        _verified_pairs,
+    )
+
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    buckets = _band_buckets(arrs)
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
+    cand = (
+        buckets.filter(~is_eval)
+        .select(F.col("doc_id").alias("da"), "band")
+        .join(
+            buckets.filter(is_eval)
+            .select(F.col("doc_id").alias("db"), "band"),
+            "band",
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    return (
+        _verified_pairs(arrs, cand)
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(
+            F.countDistinct("db").cast("long").alias("n_eval_near"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def _hash4(salt: str):
     return F.substring(
         F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 4

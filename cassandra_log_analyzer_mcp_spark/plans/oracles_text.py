@@ -1152,6 +1152,27 @@ def text_oracles() -> dict[str, str]:
         JOIN sigs b ON b.doc_id = c.db
     """
 
+    # fuzzy decontamination: the SAME band index + exact-Jaccard
+    # verify, candidates restricted across the train/eval split
+    from ..operators.curation import FUZZY_EVAL_MOD
+
+    o["decontaminate_fuzzy"] = f"""
+        WITH {minhash_base},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM buckets a JOIN buckets b USING (band)
+          WHERE a.doc_id % {FUZZY_EVAL_MOD} <> 0
+            AND b.doc_id % {FUZZY_EVAL_MOD} = 0
+        ),
+        {_VERIFY.lstrip()}
+        SELECT da AS doc_id,
+               CAST(count(DISTINCT db) AS BIGINT) AS n_eval_near,
+               max(jaccard) AS max_jaccard
+        FROM verified
+        WHERE jaccard >= {MINHASH_VERIFY_MIN}
+        GROUP BY da
+    """
+
     from ..operators.dedup import CONTAINMENT_MIN
 
     # containment shares the band-index candidate CTE with the

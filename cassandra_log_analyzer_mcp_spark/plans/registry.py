@@ -287,6 +287,11 @@ def queries() -> dict[str, QueryFn]:
         "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
         "decontaminate_bloom": curation.decontaminate_bloom,
+        # near-dup (paraphrase) contamination sweep (round 5); stays
+        # replica-only this round by the shared-machinery rule — it
+        # composes the r2-driver-graded band index + array verify
+        # with decontaminate's graded split, adding no new kernel
+        "decontaminate_fuzzy": curation.decontaminate_fuzzy,
         "source_quality": curation.source_quality,
         "domain_mixture": curation.domain_mixture,
         "mixture_token_budget": curation.mixture_token_budget,

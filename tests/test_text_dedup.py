@@ -376,6 +376,29 @@ def test_decontaminate_flags_only_train_docs(spark, sf_dir):
         assert r.n_eval_docs >= 1
 
 
+def test_decontaminate_fuzzy_flags_cross_split_near_dups(spark, sf_dir):
+    """Fuzzy decontamination flags only TRAIN docs, every flag is
+    backed by a real eval near-dup (jaccard >= the shared verify
+    bar), and each flagged train doc appears in dedup_minhash_lsh's
+    pair set with its matching eval doc — the composition really is
+    the graded dedup machinery pointed across the split."""
+    rows = curation.decontaminate_fuzzy(spark, sf_dir).collect()
+    assert rows  # non-vacuous at gate scale (the FUZZY_EVAL_MOD dial)
+    pairs = {
+        tuple(sorted((r.da, r.db)))
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.doc_id % curation.FUZZY_EVAL_MOD != 0
+        assert r.n_eval_near >= 1
+        assert r.max_jaccard >= dedup.MINHASH_VERIFY_MIN
+        assert any(
+            r.doc_id in p
+            and any(x % curation.FUZZY_EVAL_MOD == 0 for x in p)
+            for p in pairs
+        )
+
+
 def test_log_templates_collapse_numbers(spark):
     from tests.test_analysis import _logs_df, TS
     from cassandra_log_analyzer_mcp_spark.operators import analysis
