@@ -80,6 +80,15 @@ R5_DRIVER_WINDOW = [
     "dedup_editdist_dl",
     "node_mtbf",
     "python_datasource_node_summary",
+    # (a2) round-5 NEW oracled operators (zero evidence anywhere) —
+    # two slots freed by shared-oracle evictions with r4 precedent:
+    # silver_restatement's oracle is ALSO graded via in-window
+    # silver_cdc_apply (r4-documented), and orc_export_roundtrip
+    # shares silver_node_errors' oracle (r4-driver-graded via
+    # silver_incremental_rollup); both keep their physical-side unit
+    # tests and the replica gate
+    "minhash_bbit_eval",
+    "decontaminate_fuzzy",
     # (b) §2C TPC-H analytics family — none ever driver-graded
     "nation_volume",
     "small_quantity_revenue",
@@ -115,8 +124,6 @@ R5_DRIVER_WINDOW = [
     "silver_vacuum",
     "partition_evolution_read",
     "silver_branch_diverge",
-    "orc_export_roundtrip",
-    "silver_restatement",
     # (e) dedup / ANN / embedding evals — never driver-graded
     "embedding_pca_project",
     "doc_surprisal",
@@ -287,10 +294,8 @@ def queries() -> dict[str, QueryFn]:
         "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
         "decontaminate_bloom": curation.decontaminate_bloom,
-        # near-dup (paraphrase) contamination sweep (round 5); stays
-        # replica-only this round by the shared-machinery rule — it
-        # composes the r2-driver-graded band index + array verify
-        # with decontaminate's graded split, adding no new kernel
+        # near-dup (paraphrase) contamination sweep (round 5, in the
+        # r5 driver window)
         "decontaminate_fuzzy": curation.decontaminate_fuzzy,
         "source_quality": curation.source_quality,
         "domain_mixture": curation.domain_mixture,
@@ -320,10 +325,8 @@ def queries() -> dict[str, QueryFn]:
         # MinHash estimator calibration (component-exact sketch eval)
         "minhash_dedup_pr_eval": dedup.minhash_dedup_pr_eval,
         "minhash_estimate_eval": dedup.minhash_estimate_eval,
-        # b-bit signature compression calibration (round 5); stays
-        # replica-only this round by the shared-machinery rule — the
-        # signature/band CTEs are graded via dedup_minhash_lsh (r2
-        # driver) and minhash_estimate_eval (replica every round)
+        # b-bit signature compression calibration (round 5, in the
+        # r5 driver window)
         "minhash_bbit_eval": dedup.minhash_bbit_eval,
         # MMR diversified re-ranking (greedy chain, unrolled oracle)
         "mmr_diversified_search": similarity.mmr_diversified_search,
