@@ -190,6 +190,67 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Zipf fit runs over the same vocabulary head as vocab_top_tokens
+ZIPF_TOP_K = 100
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-NATURALNESS diagnostic — the Zipf log-log slope of the
+    vocabulary head: natural language tracks count(rank) ∝ rank^(−s)
+    with s ≈ 1, so a corpus whose fitted slope drifts far from −1
+    (too flat: templated/synthetic token soup; too steep: a few
+    tokens dominating — boilerplate spam) fails the sanity gate a
+    data recipe runs before training. One row per (ground-truth)
+    language plus the whole-corpus row.
+
+    Integer-exact OLS: x = floor(log2 rank), y = floor(log2 count)
+    (bit lengths — no libm), Cramer's rule over integer moment sums,
+    the slope emitted both as exact integer numerator/denominator
+    and as one IEEE division rounded to 4dp (identical across
+    engines on integer operands). Shape at scale: token counts are
+    one partial-aggregated shuffle; the per-group rank window runs
+    over ZIPF_TOP_K rows per language, never the vocabulary.
+    """
+    docs = documents(spark, sf_dir).select("lang", "text")
+    tok = docs.select(
+        "lang",
+        F.explode(tokens_col()).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.count("*").alias("c")
+    )
+    # whole-corpus tier: re-aggregate the per-lang rollup (token-keyed,
+    # vocabulary cardinality — no second pass over the corpus)
+    allc = counts.groupBy("token").agg(F.sum("c").alias("c")).select(
+        F.lit("*ALL*").alias("lang"), "token", "c"
+    )
+    tiers = counts.select("lang", "token", "c").unionByName(allc)
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "token")
+    head = (
+        tiers.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ZIPF_TOP_K)
+    )
+    x = _floor_log2(F.col("rk")).cast("long")
+    y = _floor_log2(F.col("c")).cast("long")
+    pts = head.select("lang", x.alias("x"), y.alias("y"))
+    agg = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n_points"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den != 0, F.round(num / den, 4)).alias("zipf_slope"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 

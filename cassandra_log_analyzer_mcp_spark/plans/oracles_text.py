@@ -311,6 +311,54 @@ def text_oracles() -> dict[str, str]:
         FROM counts ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K}
     """
 
+    # Zipf slope over the vocabulary head: integer bit-length x/y,
+    # Cramer integer moments, one IEEE division rounded at 4dp
+    from ..operators.textops import ZIPF_TOP_K
+
+    o["doc_zipf_fit"] = f"""
+        WITH tok AS (SELECT lang, unnest({TOKS}) AS token
+                     FROM documents),
+        counts AS (
+          SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY lang, token
+        ),
+        tiers AS (
+          SELECT lang, token, c FROM counts
+          UNION ALL
+          SELECT '*ALL*' AS lang, token,
+                 CAST(sum(c) AS BIGINT) AS c
+          FROM counts GROUP BY token
+        ),
+        head AS (
+          SELECT lang,
+                 CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+                 CAST(length(bin(c)) - 1 AS BIGINT) AS y
+          FROM (
+            SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, token) AS rk
+            FROM tiers
+          ) r WHERE rk <= {ZIPF_TOP_K}
+        ),
+        agg AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM head GROUP BY lang
+        )
+        SELECT lang,
+               n AS n_points,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               END AS zipf_slope
+        FROM agg
+    """
+
     # positional (non-distinct) grams: n_occurrences counts true
     # repetitions; the HAVING keeps only cross-document repeats.
     o["repeated_ngrams"] = f"""

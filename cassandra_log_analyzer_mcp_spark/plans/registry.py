@@ -255,6 +255,10 @@ def queries() -> dict[str, QueryFn]:
         "lang_confusion": textops.lang_confusion,
         "doc_fingerprint": textops.doc_fingerprint,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        # Zipf log-log slope of the vocab head (round 5); replica-only
+        # this round: composes the graded token-count shuffle with
+        # error_trend_ols' driver-graded integer Cramer arithmetic
+        "doc_zipf_fit": textops.doc_zipf_fit,
         "vocab_top_tokens_mergeable": textops.vocab_top_tokens_mergeable,
         # count-min sketch, collision arithmetic graded exactly
         "token_counts_cms": textops.token_counts_cms,

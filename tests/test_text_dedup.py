@@ -1682,3 +1682,24 @@ def test_dl_banded_cap_exact_below_sentinel_above():
                 assert got == exact, (a, b, cap)
             else:
                 assert got == cap + 1, (a, b, cap)
+
+
+def test_doc_zipf_fit_tiers_and_slope_sign(spark, sf_dir):
+    """One row per ground-truth language plus the *ALL* corpus tier;
+    every tier's fitted log-log slope is negative (counts decrease
+    with rank by construction) and the exact integer num/den pair
+    reproduces the rounded slope."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    rows = {r.lang: r for r in textops.doc_zipf_fit(
+        spark, sf_dir).collect()}
+    assert "*ALL*" in rows and len(rows) >= 3
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert set(rows) - {"*ALL*"} == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+    for lang, r in rows.items():
+        assert 0 < r.n_points <= textops.ZIPF_TOP_K
+        assert r.slope_den > 0
+        assert r.slope_num < 0  # head counts strictly decrease in rank
+        assert r.zipf_slope == round(r.slope_num / r.slope_den, 4)
