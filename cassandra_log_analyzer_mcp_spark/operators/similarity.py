@@ -197,10 +197,14 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_and_probes(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str,
+    nprobe: int = IVF_NPROBE, keep_prn: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(assignment index, probe list) shared by the in-memory and
-    persisted IVF variants — see ann_ivf_cosine for the design."""
+    persisted IVF variants — see ann_ivf_cosine for the design.
+    ``nprobe``/``keep_prn`` let the probe-sweep eval widen the probe
+    list and retain each cell's probe rank; defaults reproduce the
+    graded production path unchanged."""
     emb = _embeddings_normed(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
         F.col("vec_id").alias("cell"),
@@ -248,8 +252,11 @@ def _ivf_index_and_probes(
             "csim",
         )
         .withColumn("prn", F.row_number().over(pw))
-        .filter(F.col("prn") <= IVF_NPROBE)
-        .select("q_id", "qv", "qn", "cell")
+        .filter(F.col("prn") <= nprobe)
+        .select(
+            "q_id", "qv", "qn", "cell",
+            *(["prn"] if keep_prn else []),
+        )
     )
     return assign, probes
 
@@ -287,6 +294,72 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assign, probes = _ivf_index_and_probes(spark, sf_dir)
     return _ivf_probe(assign, probes)
+
+
+#: probe widths swept by the IVF tuning-curve eval
+IVF_SWEEP_PROBES = [1, 2, 4, 8]
+
+
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE — the recall-vs-cost table an ANN deployment
+    is actually tuned with: for each probe width nprobe ∈
+    IVF_SWEEP_PROBES, total recall against the exact brute-force
+    top-k next to the candidate-pair count the probe had to score
+    (the cost axis IVF trades on). Recall rises and cost rises with
+    nprobe; the knee picks the production setting — reading this
+    table IS the tuning step, so it ships as a graded operator like
+    the other sketch-calibration evals (CMS/KMV/MinHash/ANN-recall).
+
+    One index build (the shared assignment pass) and ONE widened
+    probe list feed all sweep points: pairs carry their probe cell's
+    rank, so sweep point p is a prn ≤ p filter — no rebuild, no
+    rescan. All-integer output (hit counts, candidate counts,
+    floor-div permille) grades hash-exactly; the oracle recomposes
+    the full IVF formulation per sweep point.
+    """
+    assign, probes = _ivf_index_and_probes(
+        spark, sf_dir, nprobe=max(IVF_SWEEP_PROBES), keep_prn=True
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "prn",
+            _pair_sim("qv", "v", "qn", "nv").alias("sim"),
+        )
+    )
+    brute = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id")
+    truth = brute.agg(F.count("*").cast("long").alias("n_truth"))
+    legs = []
+    for p in IVF_SWEEP_PROBES:
+        cand = pairs.filter(F.col("prn") <= p)
+        ranked = _ranked(
+            cand.select("q_id", "vec_id", "sim"), IVF_TOP_K
+        ).select("q_id", "vec_id")
+        hits = ranked.join(brute, ["q_id", "vec_id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        ncand = cand.agg(
+            F.count("*").cast("long").alias("n_candidates")
+        )
+        legs.append(
+            truth.crossJoin(hits)
+            .crossJoin(ncand)
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_truth",
+                "n_hits",
+                F.expr(
+                    "CAST(CASE WHEN n_truth = 0 THEN 0"
+                    " ELSE 1000 * n_hits div n_truth END AS BIGINT)"
+                ).alias("recall_permille"),
+                "n_candidates",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2778,6 +2778,78 @@ def similarity_oracles() -> dict[str, str]:
         + f" AND a.vec_id % {IVF_DELETE_MOD} != 0",
     )
 
+    # IVF probe-width tuning curve: the same index/probe CTEs with
+    # prn retained; each sweep point re-ranks the prn-filtered pairs
+    # and recounts hits against the nested brute-force truth
+    from ..operators.similarity import IVF_SWEEP_PROBES
+
+    _sweep_max = max(IVF_SWEEP_PROBES)
+    _sweep_legs = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({p} AS INT) AS nprobe, t.n_truth, h.n_hits,
+               CAST(CASE WHEN t.n_truth = 0 THEN 0
+                    ELSE 1000 * h.n_hits // t.n_truth END AS BIGINT)
+                 AS recall_permille,
+               c.n_candidates
+        FROM truth t
+        CROSS JOIN (
+          SELECT CAST(count(*) AS BIGINT) AS n_hits
+          FROM (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, vec_id) AS rn
+              FROM pairs WHERE prn <= {p}
+            ) rr WHERE rn <= {IVF_TOP_K}
+          ) rk JOIN brute b USING (q_id, vec_id)
+        ) h
+        CROSS JOIN (
+          SELECT CAST(count(*) AS BIGINT) AS n_candidates
+          FROM pairs WHERE prn <= {p}
+        ) c"""
+        for p in IVF_SWEEP_PROBES
+    )
+    o["ann_ivf_probe_sweep"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        nemb AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM emb
+        ),
+        cent AS (
+          SELECT vec_id AS cell, v AS cv, nv AS cn FROM nemb
+          WHERE vec_id < {IVF_N_CELLS}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.v, e.nv, c.cell,
+                 round(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 3) AS csim
+          FROM nemb e CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, v, nv, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS arn
+            FROM scored) t
+          WHERE arn = 1
+        ),
+        probe AS (
+          SELECT vec_id AS q_id, v AS qv, nv AS qn, cell, prn FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS prn
+            FROM scored WHERE vec_id < {ANN_N_QUERIES}) t
+          WHERE prn <= {_sweep_max}
+        ),
+        pairs AS (
+          SELECT p.q_id, a.vec_id, p.prn,
+                 round(list_dot_product(p.qv, a.v) / (p.qn * a.nv), 3) AS sim
+          FROM probe p JOIN assign a USING (cell)
+          WHERE a.vec_id != p.q_id
+        ),
+        brute AS (SELECT q_id, vec_id FROM ({o["knn_cosine_brute"]}) bb),
+        truth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute)
+        {_sweep_legs}
+    """
+
     from ..operators.similarity import (
         PQ_K,
         PQ_M,

@@ -336,6 +336,10 @@ def queries() -> dict[str, QueryFn]:
         "mmr_diversified_search": similarity.mmr_diversified_search,
         # retrieval recall harness (IVF/LSH/PQ vs brute, set-exact)
         "ann_recall_eval": similarity.ann_recall_eval,
+        # IVF recall-vs-cost tuning curve (round 5); replica-only this
+        # round: one prn filter away from in-window ann_recall_eval's
+        # IVF leg + the r2-driver-graded brute-force truth
+        "ann_ivf_probe_sweep": similarity.ann_ivf_probe_sweep,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

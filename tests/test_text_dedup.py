@@ -1703,3 +1703,33 @@ def test_doc_zipf_fit_tiers_and_slope_sign(spark, sf_dir):
         assert r.slope_den > 0
         assert r.slope_num < 0  # head counts strictly decrease in rank
         assert r.zipf_slope == round(r.slope_num / r.slope_den, 4)
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """Widening the probe list can only add candidates and can only
+    help recall: n_candidates and recall are nondecreasing in nprobe,
+    and the widest sweep point matches the standalone IVF leg's hit
+    count (same index, same ranking)."""
+    from cassandra_log_analyzer_mcp_spark.operators import similarity
+
+    rows = sorted(
+        similarity.ann_ivf_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == similarity.IVF_SWEEP_PROBES
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hits >= a.n_hits
+        assert a.n_truth == b.n_truth > 0
+    assert 0 < rows[-1].recall_permille <= 1000
+    # cross-check vs ann_recall_eval's IVF leg at the production
+    # nprobe (a sweep point by construction)
+    from pyspark.sql import functions as F
+
+    ivf_hits = (
+        similarity.ann_recall_eval(spark, sf_dir)
+        .filter(F.col("method") == "ivf")
+        .agg(F.sum("n_hits")).collect()[0][0]
+    )
+    at_prod = {r.nprobe: r.n_hits for r in rows}[similarity.IVF_NPROBE]
+    assert at_prod == ivf_hits
