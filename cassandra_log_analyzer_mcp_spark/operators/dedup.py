@@ -1151,6 +1151,27 @@ def minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampled_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive near-dup truth on the pr-eval sample frame: every
+    pair of SAMPLED docs sharing any shingle, exact-Jaccard verified
+    at the shared threshold. The scale contract both evals ride:
+    the inverted-index self-join only ever sees sampled docs."""
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).filter(_pr_eval_sampled("doc_id"))
+    cand_all = (
+        sh.select(F.col("doc_id").alias("da"), "s")
+        .join(sh.select(F.col("doc_id").alias("db"), "s"), "s")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    return (
+        _verified_pairs(arrs, cand_all)
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+        .select("da", "db")
+    )
+
+
 def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL of the MinHash-LSH detector against the exhaustive
     truth, measured ON A DETERMINISTIC DOC SAMPLE — every pair of
@@ -1172,19 +1193,8 @@ def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     like-for-like. n_sample_docs is a graded column: shrink the dial
     and the hash changes — the contract cannot silently rot.
     """
-    arrs = _doc_shingle_arrays(spark, sf_dir)
-    sh = _doc_shingles(spark, sf_dir).filter(_pr_eval_sampled("doc_id"))
-    cand_all = (
-        sh.select(F.col("doc_id").alias("da"), "s")
-        .join(sh.select(F.col("doc_id").alias("db"), "s"), "s")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
-    truth = (
-        _verified_pairs(arrs, cand_all)
-        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
-        .select("da", "db", F.lit(1).alias("t"))
+    truth = _sampled_truth_pairs(spark, sf_dir).select(
+        "da", "db", F.lit(1).alias("t")
     )
     pred = (
         dedup_minhash_lsh(spark, sf_dir)
@@ -1215,6 +1225,91 @@ def minhash_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1-row × 1-row: the only cross join in the plan is scalar glue
     return n_sample.crossJoin(stats)
+
+
+#: (n_bands, rows_per_band) configurations swept by the banding
+#: tuning eval — every factorization of the MINHASH_K=8 signature
+MINHASH_BAND_CONFIGS = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+def minhash_band_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING S-CURVE — the (bands × rows) tuning table for the
+    MinHash detector: for every factorization of the K=8 signature,
+    the candidate-pair count (cost) and the verified-pair recall
+    against the sampled exhaustive truth. More bands of fewer rows
+    move the S-curve left (more candidates, higher recall) — reading
+    this table IS how the production banding (4×2 here, the
+    dedup_minhash_lsh config) gets chosen, completing the detector's
+    calibration set next to minhash_estimate_eval (component
+    accuracy), minhash_bbit_eval (storage) and minhash_dedup_pr_eval
+    (banding loss at the production point).
+
+    Every leg runs on the pr-eval sample frame with the SAME
+    exhaustive truth (shared helper), so the four recall numbers are
+    comparable by construction; signatures come from the one cached
+    map-side fold, each config just regroups them into band keys.
+    All-integer output grades hash-exactly.
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    sigs = _signatures(arrs).filter(_pr_eval_sampled("doc_id"))
+    t_agg = _sampled_truth_pairs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    legs = []
+    for nb, rpb in MINHASH_BAND_CONFIGS:
+        bands = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.col(f"sig{b * rpb + r}")
+                                for r in range(rpb)
+                            ]
+                        )
+                    ),
+                )
+                for b in range(nb)
+            ]
+        )
+        buckets = sigs.select("doc_id", F.explode(bands).alias("band"))
+        cand = (
+            buckets.select(F.col("doc_id").alias("da"), "band")
+            .join(
+                buckets.select(F.col("doc_id").alias("db"), "band"),
+                "band",
+            )
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+        )
+        pred = _verified_pairs(arrs, cand).filter(
+            F.col("jaccard") >= MINHASH_VERIFY_MIN
+        )
+        ncand = cand.agg(
+            F.count("*").cast("long").alias("n_candidates")
+        )
+        npred = pred.agg(F.count("*").cast("long").alias("n_pred"))
+        legs.append(
+            t_agg.crossJoin(ncand)
+            .crossJoin(npred)
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_pred",
+                "n_truth",
+                F.expr(
+                    "CAST(CASE WHEN n_truth = 0 THEN 0"
+                    " ELSE 1000 * n_pred div n_truth END AS BIGINT)"
+                ).alias("recall_permille"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _dl_distance(a: str, b: str, cap: int | None = None) -> int:

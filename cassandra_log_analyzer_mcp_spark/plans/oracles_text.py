@@ -1172,6 +1172,78 @@ def text_oracles() -> dict[str, str]:
         JOIN arrs b ON b.doc_id = m.db
     """
 
+    # LSH banding S-curve: per (n_bands, rows_per_band) config, the
+    # sampled candidate count + verified recall vs the SAME sampled
+    # exhaustive truth as minhash_dedup_pr_eval
+    from ..operators.dedup import MINHASH_BAND_CONFIGS
+
+    _cfg_ctes = []
+    _cfg_legs = []
+    for _nb, _rpb in MINHASH_BAND_CONFIGS:
+        _belems = ", ".join(
+            f"'{b}:' || md5("
+            + " || ".join(f"sig{b * _rpb + r}" for r in range(_rpb))
+            + ")"
+            for b in range(_nb)
+        )
+        _cfg_ctes.append(
+            f"""bk{_nb} AS (
+          SELECT doc_id, unnest([{_belems}]) AS band FROM sigs_s
+        ),
+        cand{_nb} AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bk{_nb} a JOIN bk{_nb} b USING (band)
+          WHERE a.doc_id < b.doc_id
+        ),
+        pred{_nb} AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pred FROM (
+            SELECT c.da FROM cand{_nb} c
+            JOIN arrs a ON a.doc_id = c.da
+            JOIN arrs b ON b.doc_id = c.db
+            WHERE round(len(list_intersect(a.arr, b.arr))
+                  / (len(a.arr) + len(b.arr)
+                     - len(list_intersect(a.arr, b.arr))), 4)
+                  >= {MINHASH_VERIFY_MIN}
+          ) v
+        ),
+        nc{_nb} AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand{_nb}
+        )"""
+        )
+        _cfg_legs.append(
+            f"""SELECT CAST({_nb} AS INT) AS n_bands,
+               CAST({_rpb} AS INT) AS rows_per_band,
+               nc{_nb}.n_candidates, pred{_nb}.n_pred, tn.n_truth,
+               CAST(CASE WHEN tn.n_truth = 0 THEN 0
+                    ELSE 1000 * pred{_nb}.n_pred // tn.n_truth
+                    END AS BIGINT) AS recall_permille
+        FROM tn CROSS JOIN nc{_nb} CROSS JOIN pred{_nb}"""
+        )
+    o["minhash_band_tuning_eval"] = f"""
+        WITH {_shingle_cte(SHINGLE_K).lstrip()},
+        sh_s AS (SELECT doc_id, s FROM sh WHERE {_sampled("doc_id")}),
+        sigs_s AS (SELECT doc_id, {sig_cols} FROM sh
+                   WHERE {_sampled("doc_id")} GROUP BY doc_id),
+        arrs AS (SELECT doc_id, list(s) AS arr FROM sh GROUP BY doc_id),
+        cand_t AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM sh_s a JOIN sh_s b USING (s) WHERE a.doc_id < b.doc_id
+        ),
+        tn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth FROM (
+            SELECT c.da FROM cand_t c
+            JOIN arrs a ON a.doc_id = c.da
+            JOIN arrs b ON b.doc_id = c.db
+            WHERE round(len(list_intersect(a.arr, b.arr))
+                  / (len(a.arr) + len(b.arr)
+                     - len(list_intersect(a.arr, b.arr))), 4)
+                  >= {MINHASH_VERIFY_MIN}
+          ) v
+        ),
+        {", ".join(_cfg_ctes)}
+        {" UNION ALL ".join(_cfg_legs)}
+    """
+
     # b-bit minwise eval: same signature CTE, component equality
     # recomputed both at full width and on the lowest hex digit
     from ..operators.dedup import BBIT_HEX

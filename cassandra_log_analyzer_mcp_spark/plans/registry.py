@@ -332,6 +332,10 @@ def queries() -> dict[str, QueryFn]:
         # b-bit signature compression calibration (round 5, in the
         # r5 driver window)
         "minhash_bbit_eval": dedup.minhash_bbit_eval,
+        # LSH banding S-curve table (round 5); replica-only this
+        # round: regroups the same cached signatures the in-window
+        # minhash evals grade, against pr_eval's in-window truth
+        "minhash_band_tuning_eval": dedup.minhash_band_tuning_eval,
         # MMR diversified re-ranking (greedy chain, unrolled oracle)
         "mmr_diversified_search": similarity.mmr_diversified_search,
         # retrieval recall harness (IVF/LSH/PQ vs brute, set-exact)

@@ -1733,3 +1733,27 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
     )
     at_prod = {r.nprobe: r.n_hits for r in rows}[similarity.IVF_NPROBE]
     assert at_prod == ivf_hits
+
+
+def test_band_tuning_nested_configs_monotone(spark, sf_dir):
+    """With the nested factorizations of K=8, each config's candidate
+    set CONTAINS the next-stricter one, so candidates / predictions /
+    recall are all nondecreasing in the band count; the production
+    (4,2) point must agree exactly with minhash_dedup_pr_eval's
+    prediction count (same banding, same sample, same verify)."""
+    rows = sorted(
+        dedup.minhash_band_tuning_eval(spark, sf_dir).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [(r.n_bands, r.rows_per_band) for r in rows] == sorted(
+        dedup.MINHASH_BAND_CONFIGS
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_pred >= a.n_pred
+        assert b.recall_permille >= a.recall_permille
+        assert a.n_truth == b.n_truth > 0
+    pr = dedup.minhash_dedup_pr_eval(spark, sf_dir).collect()[0]
+    at_prod = {r.n_bands: r for r in rows}[dedup.MINHASH_BANDS]
+    assert at_prod.n_pred == pr.n_pred
+    assert at_prod.n_truth == pr.n_truth
