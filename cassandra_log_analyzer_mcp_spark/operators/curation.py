@@ -355,6 +355,48 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING EFFICIENCY report — the table that decides whether the
+    greedy packer is good enough or a smarter (offline) packer is
+    worth building: per block, the pack count next to the
+    information-theoretic floor ceil(used_tokens / CTX), context
+    utilization, and the overhead over the floor in permille. A
+    block whose overhead stays near zero makes fancier bin-packing
+    pointless; one that doesn't names exactly where tokens are being
+    burned as padding.
+
+    Computed ENTIRELY from sequence_packing's graded output (the
+    Arrow recurrence that is already value-hashed), so this adds no
+    new kernel — one block-keyed rollup of integers; the oracle
+    nests the packing oracle and re-aggregates.
+    """
+    seq = sequence_packing(spark, sf_dir)
+    used = F.sum(
+        F.least(F.col("n_tokens"), F.lit(PACK_CTX_TOKENS))
+    ).cast("long")
+    agg = seq.groupBy("block_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        used.alias("used_tokens"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+    )
+    return agg.selectExpr(
+        "block_id",
+        "n_docs",
+        "used_tokens",
+        "n_packs",
+        f"CAST((used_tokens + {PACK_CTX_TOKENS - 1})"
+        f" div {PACK_CTX_TOKENS} AS BIGINT) AS lb_packs",
+        f"CAST(1000 * used_tokens div (n_packs * {PACK_CTX_TOKENS})"
+        " AS BIGINT) AS utilization_permille",
+        f"CAST(CASE WHEN (used_tokens + {PACK_CTX_TOKENS - 1})"
+        f" div {PACK_CTX_TOKENS} = 0 THEN 0"
+        f" ELSE 1000 * (n_packs - (used_tokens + {PACK_CTX_TOKENS - 1})"
+        f" div {PACK_CTX_TOKENS})"
+        f" div ((used_tokens + {PACK_CTX_TOKENS - 1})"
+        f" div {PACK_CTX_TOKENS}) END AS BIGINT) AS overhead_permille",
+    )
+
+
 #: Deterministic global corpus shuffle: seeded hash key + shard count.
 #: 256 prefix blocks (the first two hex chars of the key) make the
 #: two-stage global rank exact: block ordering IS key ordering because

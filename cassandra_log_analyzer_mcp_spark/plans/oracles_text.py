@@ -1852,6 +1852,35 @@ def text_oracles() -> dict[str, str]:
 
     # composed from the quality oracle so the gate booleans cannot
     # drift; only integer-derived stats are aggregated (see operator).
+    # efficiency rollup over the NESTED packing oracle: pack count vs
+    # the ceil(used/CTX) floor, utilization + overhead in permille
+    o["sequence_packing_efficiency"] = f"""
+        SELECT block_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(n_tokens, {PACK_CTX_TOKENS}))
+                    AS BIGINT) AS used_tokens,
+               CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+               CAST((sum(least(n_tokens, {PACK_CTX_TOKENS}))
+                     + {PACK_CTX_TOKENS - 1})
+                    // {PACK_CTX_TOKENS} AS BIGINT) AS lb_packs,
+               CAST(1000 * sum(least(n_tokens, {PACK_CTX_TOKENS}))
+                    // (count(DISTINCT pack_id) * {PACK_CTX_TOKENS})
+                    AS BIGINT) AS utilization_permille,
+               CAST(CASE WHEN (sum(least(n_tokens, {PACK_CTX_TOKENS}))
+                               + {PACK_CTX_TOKENS - 1})
+                              // {PACK_CTX_TOKENS} = 0 THEN 0
+                    ELSE 1000 * (count(DISTINCT pack_id)
+                         - (sum(least(n_tokens, {PACK_CTX_TOKENS}))
+                            + {PACK_CTX_TOKENS - 1})
+                           // {PACK_CTX_TOKENS})
+                         // ((sum(least(n_tokens, {PACK_CTX_TOKENS}))
+                              + {PACK_CTX_TOKENS - 1})
+                             // {PACK_CTX_TOKENS})
+                    END AS BIGINT) AS overhead_permille
+        FROM ({o["sequence_packing"]}) sp
+        GROUP BY block_id
+    """
+
     o["source_quality"] = f"""
         WITH q AS ({o['quality_score']})
         SELECT d.source,

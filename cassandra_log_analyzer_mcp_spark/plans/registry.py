@@ -308,6 +308,11 @@ def queries() -> dict[str, QueryFn]:
         "corpus_release_manifest": curation.corpus_release_manifest,
         "train_test_split": curation.train_test_split,
         "sequence_packing": curation.sequence_packing,
+        # packing-overhead report over the graded packer (round 5);
+        # replica-only this round: pure rollup of in-window
+        # sequence_packing's value-hashed output
+        "sequence_packing_efficiency":
+            curation.sequence_packing_efficiency,
         # §2D — deduplication
         "dedup_exact": dedup.dedup_exact,
         "dedup_normalized": dedup.dedup_normalized,

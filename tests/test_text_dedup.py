@@ -1757,3 +1757,20 @@ def test_band_tuning_nested_configs_monotone(spark, sf_dir):
     at_prod = {r.n_bands: r for r in rows}[dedup.MINHASH_BANDS]
     assert at_prod.n_pred == pr.n_pred
     assert at_prod.n_truth == pr.n_truth
+
+
+def test_packing_efficiency_bounds(spark, sf_dir):
+    """Per block: the pack count is at least the ceil(used/CTX)
+    floor, utilization is in (0, 1000], and overhead reconstructs
+    from (n_packs, lb_packs) exactly."""
+    from cassandra_log_analyzer_mcp_spark.operators import curation
+
+    rows = curation.sequence_packing_efficiency(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_packs >= r.lb_packs >= 1
+        assert 0 < r.utilization_permille <= 1000
+        assert r.overhead_permille == (
+            1000 * (r.n_packs - r.lb_packs) // r.lb_packs
+        )
+        assert r.used_tokens <= r.n_packs * curation.PACK_CTX_TOKENS
