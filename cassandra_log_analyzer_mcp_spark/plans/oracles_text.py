@@ -807,6 +807,97 @@ def text_oracles() -> dict[str, str]:
     from ..operators.multimodal import AUDIO_CHUNKS, AUDIO_WIN
 
     hexd = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+    # AV-sync: video bytes rebuilt as in scene_cuts; audio bytes are
+    # the SAME frame bytes re-timed by the planted per-doc lag (pad
+    # md5 off either end); the centered cross-correlation sweep is
+    # replayed per candidate lag in raw-moment integer form
+    from ..operators.multimodal import AV_LAGS
+
+    _av_half = AV_LAGS // 2
+    _av_lag_list = ", ".join(
+        str(l) for l in range(-_av_half, _av_half + 1)
+    )
+    _vbyte_src = f"""CASE WHEN i IN ({sc_p_list}) THEN
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':f'
+                              || CAST(src AS VARCHAR)),
+                          CASE i {sc_p_off} END, 2)
+                 ELSE
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':s'
+                              || CAST(src // {SC_SHOT} AS VARCHAR)),
+                          CAST(i * 2 + 1 AS INT), 2)
+                 END"""
+    o["multimodal_av_sync"] = f"""
+        WITH grid AS (
+          SELECT doc_id, g, i,
+                 g - (doc_id % {AV_LAGS} - {_av_half}) AS src
+          FROM documents,
+               (SELECT unnest(range(0, {SC_FRAMES})) AS g) tg,
+               (SELECT unnest(range(0, {SC_BYTES})) AS i) ti
+        ),
+        ahx AS (
+          SELECT doc_id, g, i,
+                 CASE WHEN src BETWEEN 0 AND {SC_FRAMES - 1} THEN
+                   {_vbyte_src}
+                 ELSE
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':pad'
+                              || CAST(g AS VARCHAR)),
+                          CAST(i * 2 + 1 AS INT), 2)
+                 END AS hx
+          FROM grid
+        ),
+        avals AS (
+          SELECT doc_id, g, i,
+                 ({sc_hexd.format(i=1)}) * 16 + ({sc_hexd.format(i=2)})
+                   AS v
+          FROM ahx
+        ),
+        vhx AS (
+          SELECT doc_id, g AS f, i,
+                 CASE WHEN i IN ({sc_p_list}) THEN
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':f'
+                              || CAST(g AS VARCHAR)),
+                          CASE i {sc_p_off} END, 2)
+                 ELSE
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':s'
+                              || CAST(g // {SC_SHOT} AS VARCHAR)),
+                          CAST(i * 2 + 1 AS INT), 2)
+                 END AS hx
+          FROM (SELECT doc_id, g, i FROM documents,
+                (SELECT unnest(range(0, {SC_FRAMES})) AS g) tg,
+                (SELECT unnest(range(0, {SC_BYTES})) AS i) ti) vg
+        ),
+        vvals AS (
+          SELECT doc_id, f, i,
+                 ({sc_hexd.format(i=1)}) * 16 + ({sc_hexd.format(i=2)})
+                   AS v
+          FROM vhx
+        ),
+        sweep AS (
+          SELECT a.doc_id, l.l,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a.v * v.v) AS BIGINT) AS sab,
+                 CAST(sum(a.v) AS BIGINT) AS sa,
+                 CAST(sum(v.v) AS BIGINT) AS sb
+          FROM avals a
+          JOIN (SELECT unnest([{_av_lag_list}]) AS l) l ON TRUE
+          JOIN vvals v ON v.doc_id = a.doc_id AND v.i = a.i
+                      AND v.f = a.g - l.l
+          GROUP BY a.doc_id, l.l
+        ),
+        ranked AS (
+          SELECT doc_id, l, n * sab - sa * sb AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY n * sab - sa * sb DESC, abs(l), l) AS rn
+          FROM sweep
+        )
+        SELECT doc_id,
+               CAST(doc_id % {AV_LAGS} - {_av_half} AS BIGINT)
+                 AS true_lag,
+               CAST(l AS BIGINT) AS est_lag,
+               CAST(score AS BIGINT) AS best_score
+        FROM ranked WHERE rn = 1
+    """
+
     o["multimodal_audio_energy"] = f"""
         WITH ks AS (
           SELECT doc_id, unnest(range(0, {AUDIO_CHUNKS * AUDIO_WIN}))

@@ -394,6 +394,10 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_audio_vad": multimodal.multimodal_audio_vad,
         # video modality value-graded: inter-frame scene-cut kernel
         "multimodal_scene_cuts": multimodal.multimodal_scene_cuts,
+        # cross-modal lag recovery (round 5); replica-only this
+        # round: same payload hex arithmetic + Arrow value-grading
+        # discipline as the in-window audio/scene kernels
+        "multimodal_av_sync": multimodal.multimodal_av_sync,
         # new parity variants (reference tool-surface semantics)
         "get_errors_global": _on_logs(analysis.get_errors_global),
         "error_timeline_raw": _on_logs(analysis.error_timeline_raw),

@@ -248,3 +248,21 @@ def test_vad_run_stats_match_python_recount(spark, sf_dir):
         saw_active |= any(act)
         saw_silent |= not all(act)
     assert saw_active and saw_silent
+
+
+def test_av_sync_recovers_planted_lag(spark, sf_dir):
+    """The estimator recovers the planted per-doc mux offset for the
+    overwhelming majority of docs (byte-level centered correlation,
+    ~7 sigma at the true lag), covers every candidate lag, and emits
+    exactly one row per doc."""
+    from cassandra_log_analyzer_mcp_spark.operators import multimodal as mm
+
+    rows = mm.multimodal_av_sync(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    half = mm.AV_LAGS // 2
+    assert {r.true_lag for r in rows} == set(range(-half, half + 1))
+    acc = sum(1 for r in rows if r.est_lag == r.true_lag) / len(rows)
+    assert acc >= 0.9, acc
+    for r in rows:
+        assert -half <= r.est_lag <= half
