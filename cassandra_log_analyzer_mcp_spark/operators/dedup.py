@@ -1061,6 +1061,60 @@ def minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: duplication-tier buckets for the quality report
+CLUSTER_QUALITY_BUCKETS = "CASE WHEN cs = 1 THEN 'singleton' WHEN cs = 2 THEN 'pair' WHEN cs <= 4 THEN '3-4' ELSE '5+' END"
+
+
+def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION×QUALITY cross-tab — the diagnostic behind the
+    "dedup is also a quality filter" folklore: per duplication tier
+    (singleton / pair / 3-4 / 5+ cluster members), the document
+    count, mean quality (permille) and mean token length. If the 5+
+    tier's quality sits far below the singletons', hard-dropping
+    dups doubles as quality filtering; if not, dedup and quality
+    gates must stay independent dials. Composes the graded
+    connected components with the shared one-pass quality
+    featurizer; per-doc quality floors to integer permille BEFORE
+    summing (bit-identical doubles → identical floors → order-free
+    integer sums — the float protocol for aggregating quality).
+
+    Doc-cardinality throughout: one left join against the cluster
+    rollup, one 4-row aggregate.
+    """
+    from .textops import quality_cols
+
+    cc = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_size")
+    qc = quality_cols()
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.floor(1000 * qc["quality"]).cast("long").alias("q_permille"),
+        qc["n_tokens"].cast("long").alias("n_tokens"),
+    )
+    j = docs.join(cc, "doc_id", "left").select(
+        F.coalesce("cluster_size", F.lit(1)).alias("cs"),
+        "q_permille",
+        "n_tokens",
+    )
+    return (
+        j.selectExpr(
+            f"{CLUSTER_QUALITY_BUCKETS} AS dup_tier",
+            "q_permille",
+            "n_tokens",
+        )
+        .groupBy("dup_tier")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("q_permille").cast("long").alias("sum_q_permille"),
+            F.expr(
+                "CAST(sum(q_permille) div count(*) AS BIGINT)"
+            ).alias("mean_q_permille"),
+            F.expr(
+                "CAST(sum(n_tokens) div count(*) AS BIGINT)"
+            ).alias("mean_tokens"),
+        )
+    )
+
+
 #: Sampling dial for the exhaustive truth side of the banding-loss
 #: eval. The truth frame is the docs whose salted doc_id hash lands
 #: below the threshold — '8000' keeps ~1/2 the corpus at gate scale;

@@ -1510,6 +1510,58 @@ def text_oracles() -> dict[str, str]:
 
     # soft weights: same recursive components, corpus-wide left join
     # fills singletons at full weight; integer floor-div permille
+    from ..operators.dedup import CLUSTER_QUALITY_BUCKETS as _CQB
+
+    CLUSTER_QUALITY_BUCKETS_SQL = _CQB
+
+    o["dedup_cluster_quality"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        reach AS (
+          SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+        ),
+        sized AS (
+          SELECT doc_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cs
+          FROM (SELECT u AS doc_id, min(l) AS cluster_id
+                FROM reach GROUP BY u) c
+        ),
+        q AS (
+          SELECT doc_id,
+                 CAST(floor(1000 * (
+                   0.25 * (len(regexp_extract_all(text,
+                            '{quality_stop_pattern()}')) / len({TOKS}))
+                   + 0.25 * (len(list_distinct({TOKS})) / len({TOKS}))
+                   + 0.25 * (1 - len(regexp_extract_all(text,
+                              '{PUNCT_REGEX}')) / length(text))
+                   + 0.25 * least(len({TOKS}) / 100, 1.0)
+                 )) AS BIGINT) AS q_permille,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        tiers AS (
+          SELECT {CLUSTER_QUALITY_BUCKETS_SQL} AS dup_tier,
+                 q_permille, n_tokens
+          FROM (
+            SELECT q.q_permille, q.n_tokens,
+                   coalesce(s.cs, 1) AS cs
+            FROM q LEFT JOIN sized s ON s.doc_id = q.doc_id
+          ) jj
+        )
+        SELECT dup_tier,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q_permille) AS BIGINT) AS sum_q_permille,
+               CAST(sum(q_permille) // count(*) AS BIGINT)
+                 AS mean_q_permille,
+               CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
+        FROM tiers GROUP BY dup_tier
+    """
+
     o["dedup_soft_weights"] = f"""
         WITH RECURSIVE {minhash_ctes},
         pairs AS (SELECT da, db FROM verified

@@ -275,6 +275,10 @@ def queries() -> dict[str, QueryFn]:
         "dedup_editdist_dl": dedup.dedup_editdist_dl,
         "dedup_modality_agreement": dedup.dedup_modality_agreement,
         "dedup_soft_weights": dedup.dedup_soft_weights,
+        # duplication-tier x quality cross-tab (round 5); replica-only
+        # this round: composes in-window dedup_soft_weights' cluster
+        # rollup with the r2-driver-graded quality featurizer
+        "dedup_cluster_quality": dedup.dedup_cluster_quality,
         "token_f2_ams": textops.token_f2_ams,
         "bpe_train_merges": textops.bpe_train_merges,
         "bpe_encode": textops.bpe_encode,

@@ -1774,3 +1774,19 @@ def test_packing_efficiency_bounds(spark, sf_dir):
             1000 * (r.n_packs - r.lb_packs) // r.lb_packs
         )
         assert r.used_tokens <= r.n_packs * curation.PACK_CTX_TOKENS
+
+
+def test_cluster_quality_reconciles_with_clusters(spark, sf_dir):
+    """Tier doc counts reconcile exactly with the cluster rollup +
+    singleton fill; means reconstruct from the graded integer sums."""
+    rows = {r.dup_tier: r for r in dedup.dedup_cluster_quality(
+        spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert "singleton" in rows
+    cc = dedup.dedup_clusters(spark, sf_dir).collect()
+    clustered = len(cc)
+    assert rows["singleton"].n_docs == n_docs - clustered
+    for r in rows.values():
+        assert r.mean_q_permille == r.sum_q_permille // r.n_docs
+        assert 0 < r.mean_q_permille <= 1000
