@@ -1223,6 +1223,11 @@ def _sampled_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verified_pairs(arrs, cand_all)
         .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
         .select("da", "db")
+        # plan-keyed cache (the _doc_shingle_arrays discipline): the
+        # pr-eval and band-tuning queries share one truth build per
+        # session instead of re-running the sampled inverted-index
+        # join — pair-cardinality, tiny residency
+        .cache()
     )
 
 
@@ -1298,65 +1303,87 @@ def minhash_band_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy), minhash_bbit_eval (storage) and minhash_dedup_pr_eval
     (banding loss at the production point).
 
-    Every leg runs on the pr-eval sample frame with the SAME
-    exhaustive truth (shared helper), so the four recall numbers are
-    comparable by construction; signatures come from the one cached
-    map-side fold, each config just regroups them into band keys.
-    All-integer output grades hash-exactly.
+    ONE candidate join feeds every sweep point: the nested
+    factorizations make the 8×1 config's candidates a SUPERSET of
+    every other config's, so the tighter configs are per-pair BOOLEAN
+    predicates over the joined signatures (∃band: all its components
+    equal) — one band self-join, one exact-Jaccard verify, one
+    aggregate of conditional sums, 4 rows out. Every leg runs on the
+    pr-eval sample frame with the SAME exhaustive truth (shared
+    helper), so the four recall numbers are comparable by
+    construction; all-integer output grades hash-exactly.
     """
     arrs = _doc_shingle_arrays(spark, sf_dir)
     sigs = _signatures(arrs).filter(_pr_eval_sampled("doc_id"))
     t_agg = _sampled_truth_pairs(spark, sf_dir).agg(
         F.count("*").cast("long").alias("n_truth")
     )
+    # superset candidates: any single component equal (the 8×1 bands)
+    single = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{k}:"), F.col(f"sig{k}"))
+                    for k in range(MINHASH_K)
+                ]
+            )
+        ).alias("band"),
+    )
+    cand = (
+        single.select(F.col("doc_id").alias("da"), "band")
+        .join(single.select(F.col("doc_id").alias("db"), "band"), "band")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"sig{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"sig{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    ver = _verified_pairs(arrs, cand).join(sa, "da").join(sb, "db")
+    ok = F.col("jaccard") >= MINHASH_VERIFY_MIN
+
+    def collides(nb: int, rpb: int):
+        bands = []
+        for b in range(nb):
+            eqs = None
+            for r in range(rpb):
+                k = b * rpb + r
+                e = F.col(f"a{k}") == F.col(f"b{k}")
+                eqs = e if eqs is None else (eqs & e)
+            bands.append(eqs)
+        out = bands[0]
+        for e in bands[1:]:
+            out = out | e
+        return out
+
+    aggs = []
+    for nb, rpb in MINHASH_BAND_CONFIGS:
+        c = collides(nb, rpb)
+        aggs.append(
+            F.sum(c.cast("long")).cast("long").alias(f"nc{nb}")
+        )
+        aggs.append(
+            F.sum((c & ok).cast("long")).cast("long").alias(f"np{nb}")
+        )
+    wide = ver.agg(*aggs).crossJoin(t_agg)
     legs = []
     for nb, rpb in MINHASH_BAND_CONFIGS:
-        bands = F.array(
-            *[
-                F.concat(
-                    F.lit(f"{b}:"),
-                    F.md5(
-                        F.concat(
-                            *[
-                                F.col(f"sig{b * rpb + r}")
-                                for r in range(rpb)
-                            ]
-                        )
-                    ),
-                )
-                for b in range(nb)
-            ]
-        )
-        buckets = sigs.select("doc_id", F.explode(bands).alias("band"))
-        cand = (
-            buckets.select(F.col("doc_id").alias("da"), "band")
-            .join(
-                buckets.select(F.col("doc_id").alias("db"), "band"),
-                "band",
-            )
-            .filter(F.col("da") < F.col("db"))
-            .select("da", "db")
-            .distinct()
-        )
-        pred = _verified_pairs(arrs, cand).filter(
-            F.col("jaccard") >= MINHASH_VERIFY_MIN
-        )
-        ncand = cand.agg(
-            F.count("*").cast("long").alias("n_candidates")
-        )
-        npred = pred.agg(F.count("*").cast("long").alias("n_pred"))
         legs.append(
-            t_agg.crossJoin(ncand)
-            .crossJoin(npred)
-            .select(
+            wide.select(
                 F.lit(nb).cast("int").alias("n_bands"),
                 F.lit(rpb).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_pred",
+                F.col(f"nc{nb}").alias("n_candidates"),
+                F.col(f"np{nb}").alias("n_pred"),
                 "n_truth",
                 F.expr(
-                    "CAST(CASE WHEN n_truth = 0 THEN 0"
-                    " ELSE 1000 * n_pred div n_truth END AS BIGINT)"
+                    f"CAST(CASE WHEN n_truth = 0 THEN 0"
+                    f" ELSE 1000 * np{nb} div n_truth END AS BIGINT)"
                 ).alias("recall_permille"),
             )
         )

@@ -1263,53 +1263,41 @@ def text_oracles() -> dict[str, str]:
         JOIN arrs b ON b.doc_id = m.db
     """
 
-    # LSH banding S-curve: per (n_bands, rows_per_band) config, the
-    # sampled candidate count + verified recall vs the SAME sampled
-    # exhaustive truth as minhash_dedup_pr_eval
+    # LSH banding S-curve: ONE superset candidate join (any single
+    # component equal = the 8x1 bands), per-config collision
+    # predicates over the joined signatures, conditional counts
     from ..operators.dedup import MINHASH_BAND_CONFIGS
 
-    _cfg_ctes = []
-    _cfg_legs = []
-    for _nb, _rpb in MINHASH_BAND_CONFIGS:
-        _belems = ", ".join(
-            f"'{b}:' || md5("
-            + " || ".join(f"sig{b * _rpb + r}" for r in range(_rpb))
-            + ")"
-            for b in range(_nb)
-        )
-        _cfg_ctes.append(
-            f"""bk{_nb} AS (
-          SELECT doc_id, unnest([{_belems}]) AS band FROM sigs_s
-        ),
-        cand{_nb} AS (
-          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM bk{_nb} a JOIN bk{_nb} b USING (band)
-          WHERE a.doc_id < b.doc_id
-        ),
-        pred{_nb} AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_pred FROM (
-            SELECT c.da FROM cand{_nb} c
-            JOIN arrs a ON a.doc_id = c.da
-            JOIN arrs b ON b.doc_id = c.db
-            WHERE round(len(list_intersect(a.arr, b.arr))
-                  / (len(a.arr) + len(b.arr)
-                     - len(list_intersect(a.arr, b.arr))), 4)
-                  >= {MINHASH_VERIFY_MIN}
-          ) v
-        ),
-        nc{_nb} AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand{_nb}
-        )"""
-        )
-        _cfg_legs.append(
-            f"""SELECT CAST({_nb} AS INT) AS n_bands,
-               CAST({_rpb} AS INT) AS rows_per_band,
-               nc{_nb}.n_candidates, pred{_nb}.n_pred, tn.n_truth,
-               CAST(CASE WHEN tn.n_truth = 0 THEN 0
-                    ELSE 1000 * pred{_nb}.n_pred // tn.n_truth
-                    END AS BIGINT) AS recall_permille
-        FROM tn CROSS JOIN nc{_nb} CROSS JOIN pred{_nb}"""
-        )
+    def _collide_sql(nb: int, rpb: int) -> str:
+        bands = []
+        for b in range(nb):
+            eqs = " AND ".join(
+                f"sa.sig{b * rpb + r} = sb.sig{b * rpb + r}"
+                for r in range(rpb)
+            )
+            bands.append(f"({eqs})")
+        return "(" + " OR ".join(bands) + ")"
+
+    _cfg_sums = ",\n               ".join(
+        f"CAST(sum(CASE WHEN {_collide_sql(nb, rpb)} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS nc{nb},\n               "
+        f"CAST(sum(CASE WHEN {_collide_sql(nb, rpb)} AND jaccard >="
+        f" {MINHASH_VERIFY_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS np{nb}"
+        for nb, rpb in MINHASH_BAND_CONFIGS
+    )
+    _cfg_rows = " UNION ALL ".join(
+        f"""SELECT CAST({nb} AS INT) AS n_bands,
+               CAST({rpb} AS INT) AS rows_per_band,
+               nc{nb} AS n_candidates, np{nb} AS n_pred, n_truth,
+               CAST(CASE WHEN n_truth = 0 THEN 0
+                    ELSE 1000 * np{nb} // n_truth END AS BIGINT)
+                 AS recall_permille
+        FROM wide"""
+        for nb, rpb in MINHASH_BAND_CONFIGS
+    )
+    _single_bands = ", ".join(
+        f"'{k}:' || sig{k}" for k in range(MINHASH_K)
+    )
     o["minhash_band_tuning_eval"] = f"""
         WITH {_shingle_cte(SHINGLE_K).lstrip()},
         sh_s AS (SELECT doc_id, s FROM sh WHERE {_sampled("doc_id")}),
@@ -1331,8 +1319,31 @@ def text_oracles() -> dict[str, str]:
                   >= {MINHASH_VERIFY_MIN}
           ) v
         ),
-        {", ".join(_cfg_ctes)}
-        {" UNION ALL ".join(_cfg_legs)}
+        singles AS (
+          SELECT doc_id, unnest([{_single_bands}]) AS band FROM sigs_s
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM singles a JOIN singles b USING (band)
+          WHERE a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT c.da, c.db,
+                 round(len(list_intersect(a.arr, b.arr))
+                  / (len(a.arr) + len(b.arr)
+                     - len(list_intersect(a.arr, b.arr))), 4) AS jaccard
+          FROM cand c
+          JOIN arrs a ON a.doc_id = c.da
+          JOIN arrs b ON b.doc_id = c.db
+        ),
+        wide AS (
+          SELECT {_cfg_sums},
+                 (SELECT n_truth FROM tn) AS n_truth
+          FROM ver v
+          JOIN sigs_s sa ON sa.doc_id = v.da
+          JOIN sigs_s sb ON sb.doc_id = v.db
+        )
+        {_cfg_rows}
     """
 
     # b-bit minwise eval: same signature CTE, component equality
