@@ -312,54 +312,65 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One index build (the shared assignment pass) and ONE widened
     probe list feed all sweep points: pairs carry their probe cell's
-    rank, so sweep point p is a prn ≤ p filter — no rebuild, no
-    rescan. All-integer output (hit counts, candidate counts,
-    floor-div permille) grades hash-exactly; the oracle recomposes
-    the full IVF formulation per sweep point.
+    rank, and each pair EXPLODES into the sweep points it belongs to
+    (nprobe ≥ prn, fan-out ≤ |IVF_SWEEP_PROBES| at pair cardinality),
+    so one (nprobe, q_id) window rank + one conditional-sum groupBy
+    produces the whole table in a SINGLE pass over the probe join —
+    the pairs subtree is physically scanned once instead of once per
+    sweep leg (the same collapse minhash_band_tuning_eval uses).
+    All-integer output (hit counts, candidate counts, floor-div
+    permille) grades hash-exactly; the oracle recomposes the full IVF
+    formulation per sweep point.
     """
     assign, probes = _ivf_index_and_probes(
         spark, sf_dir, nprobe=max(IVF_SWEEP_PROBES), keep_prn=True
     )
-    pairs = (
+    sweep_pts = F.array(*[F.lit(p) for p in IVF_SWEEP_PROBES])
+    # each candidate pair appears once per sweep point that includes
+    # it; ranking within (nprobe, q_id) reproduces the per-leg top-k
+    expanded = (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
-            "q_id", "vec_id", "prn",
+            "q_id", "vec_id",
             _pair_sim("qv", "v", "qn", "nv").alias("sim"),
+            F.explode(
+                F.filter(sweep_pts, lambda p: p >= F.col("prn"))
+            ).alias("nprobe"),
         )
+    )
+    w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
     )
     brute = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id")
     truth = brute.agg(F.count("*").cast("long").alias("n_truth"))
-    legs = []
-    for p in IVF_SWEEP_PROBES:
-        cand = pairs.filter(F.col("prn") <= p)
-        ranked = _ranked(
-            cand.select("q_id", "vec_id", "sim"), IVF_TOP_K
-        ).select("q_id", "vec_id")
-        hits = ranked.join(brute, ["q_id", "vec_id"]).agg(
-            F.count("*").cast("long").alias("n_hits")
+    marked = expanded.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(brute.withColumn("hit", F.lit(1))),
+        ["q_id", "vec_id"],
+        "left",
+    )
+    return (
+        marked.groupBy(F.col("nprobe").cast("int").alias("nprobe"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rn") <= IVF_TOP_K) & F.col("hit").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_hits"),
+            F.count("*").cast("long").alias("n_candidates"),
         )
-        ncand = cand.agg(
-            F.count("*").cast("long").alias("n_candidates")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "nprobe",
+            "n_truth",
+            "n_hits",
+            F.expr(
+                "CAST(CASE WHEN n_truth = 0 THEN 0"
+                " ELSE 1000 * n_hits div n_truth END AS BIGINT)"
+            ).alias("recall_permille"),
+            "n_candidates",
         )
-        legs.append(
-            truth.crossJoin(hits)
-            .crossJoin(ncand)
-            .select(
-                F.lit(p).cast("int").alias("nprobe"),
-                "n_truth",
-                "n_hits",
-                F.expr(
-                    "CAST(CASE WHEN n_truth = 0 THEN 0"
-                    " ELSE 1000 * n_hits div n_truth END AS BIGINT)"
-                ).alias("recall_permille"),
-                "n_candidates",
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
 
 
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

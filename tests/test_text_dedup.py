@@ -1706,10 +1706,14 @@ def test_doc_zipf_fit_tiers_and_slope_sign(spark, sf_dir):
 
 
 def test_ivf_probe_sweep_monotone(spark, sf_dir):
-    """Widening the probe list can only add candidates and can only
-    help recall: n_candidates and recall are nondecreasing in nprobe,
-    and the widest sweep point matches the standalone IVF leg's hit
-    count (same index, same ranking)."""
+    """Widening the probe list can only add candidates: n_candidates
+    is nondecreasing in nprobe (a set-containment guarantee). n_hits
+    is NOT guaranteed monotone in general — a widened candidate set
+    can displace a true hit from the re-ranked top-k when rounded
+    sims tie — so hits get a small one-step tolerance instead of a
+    strict assert (ADVICE r5: the strict form was fixture-dependent).
+    The widest sweep point matches the standalone IVF leg's hit count
+    (same index, same ranking)."""
     from cassandra_log_analyzer_mcp_spark.operators import similarity
 
     rows = sorted(
@@ -1718,9 +1722,11 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
     )
     assert [r.nprobe for r in rows] == similarity.IVF_SWEEP_PROBES
     for a, b in zip(rows, rows[1:]):
-        assert b.n_candidates >= a.n_candidates
-        assert b.n_hits >= a.n_hits
+        assert b.n_candidates >= a.n_candidates  # guaranteed superset
+        assert b.n_hits >= a.n_hits - 2  # re-rank displacement slack
         assert a.n_truth == b.n_truth > 0
+    # end-to-end the sweep must still climb: widest ≥ narrowest
+    assert rows[-1].n_hits >= rows[0].n_hits
     assert 0 < rows[-1].recall_permille <= 1000
     # cross-check vs ann_recall_eval's IVF leg at the production
     # nprobe (a sweep point by construction)
