@@ -542,6 +542,70 @@ def text_oracles() -> dict[str, str]:
         FROM s GROUP BY doc_id, span_id
     """
 
+    # variable-K maximal repeats (round 6): three gram widths UNION'd
+    # into one positional hit stream (duplication judged per width),
+    # then the identical gaps-and-islands pass with variable interval
+    # ends pos+k; per-width support counts + the max certified width
+    from ..operators.textops import MULTIK_WIDTHS
+
+    _mk_gram_legs = "\n          UNION ALL\n".join(
+        f"""
+          SELECT doc_id, unnest(gr) AS gram,
+                 unnest(range(1, len(gr) + 1)) AS pos,
+                 {k} AS k
+          FROM (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(len(t) - {k - 1}, 0) + 1),
+                     i -> array_to_string(t[i:i + {k - 1}], ' '))
+                     AS gr
+            FROM toks) x{k}"""
+        for k in MULTIK_WIDTHS
+    )
+    _mk_width_counts = ",\n               ".join(
+        f"CAST(sum(CASE WHEN k = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_grams_k{k}"
+        for k in MULTIK_WIDTHS
+    )
+    o["repeated_spans_multik"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          {_mk_gram_legs}
+        ),
+        dup AS (
+          SELECT gram, k FROM g GROUP BY gram, k
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        hits AS (
+          SELECT g.doc_id, g.pos - 1 AS pos, g.k
+          FROM g JOIN dup USING (gram, k)
+        ),
+        m AS (
+          SELECT doc_id, pos, k,
+                 max(pos + k) OVER (
+                   PARTITION BY doc_id ORDER BY pos, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS run_end
+          FROM hits
+        ),
+        s AS (
+          SELECT doc_id, pos, k,
+                 sum(CASE WHEN run_end IS NULL OR pos > run_end
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+          FROM m
+        )
+        SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos + k) AS BIGINT) AS span_end_excl,
+               CAST(max(pos + k) - min(pos) AS BIGINT) AS span_tokens,
+               {_mk_width_counts},
+               CAST(max(k) AS BIGINT) AS max_k_certified
+        FROM s GROUP BY doc_id, span_id
+    """
+
     from ..operators.multimodal import FAKE_FPS_MS, MAX_FRAMES, MIN_DIM
 
     # the Arrow frame-sampling fan-out hash-checked per FRAME: the
@@ -3103,6 +3167,92 @@ def similarity_oracles() -> dict[str, str]:
         brute AS (SELECT q_id, vec_id FROM ({o["knn_cosine_brute"]}) bb),
         truth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute)
         {_sweep_legs}
+    """
+
+    # SCALED probe sweep (round 6): identical formulation at the
+    # grown quantizer (cells/queries/k where cell sizes matter);
+    # truth is an inline brute top-k over the same 100-query panel.
+    from ..operators.similarity import (
+        IVF_SCALED_CELLS,
+        IVF_SCALED_QUERIES,
+        IVF_SCALED_TOP_K,
+    )
+
+    _ssweep_legs = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({p} AS INT) AS nprobe, t.n_truth, h.n_hits,
+               CAST(CASE WHEN t.n_truth = 0 THEN 0
+                    ELSE 1000 * h.n_hits // t.n_truth END AS BIGINT)
+                 AS recall_permille,
+               c.n_candidates
+        FROM truth t
+        CROSS JOIN (
+          SELECT CAST(count(*) AS BIGINT) AS n_hits
+          FROM (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, vec_id) AS rn
+              FROM pairs WHERE prn <= {p}
+            ) rr WHERE rn <= {IVF_SCALED_TOP_K}
+          ) rk JOIN brute b USING (q_id, vec_id)
+        ) h
+        CROSS JOIN (
+          SELECT CAST(count(*) AS BIGINT) AS n_candidates
+          FROM pairs WHERE prn <= {p}
+        ) c"""
+        for p in IVF_SWEEP_PROBES
+    )
+    o["ann_ivf_probe_sweep_scaled"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        nemb AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM emb
+        ),
+        cent AS (
+          SELECT vec_id AS cell, v AS cv, nv AS cn FROM nemb
+          WHERE vec_id < {IVF_SCALED_CELLS}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.v, e.nv, c.cell,
+                 round(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 3) AS csim
+          FROM nemb e CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, v, nv, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS arn
+            FROM scored) t
+          WHERE arn = 1
+        ),
+        probe AS (
+          SELECT vec_id AS q_id, v AS qv, nv AS qn, cell, prn FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cell) AS prn
+            FROM scored WHERE vec_id < {IVF_SCALED_QUERIES}) t
+          WHERE prn <= {_sweep_max}
+        ),
+        pairs AS (
+          SELECT p.q_id, a.vec_id, p.prn,
+                 round(list_dot_product(p.qv, a.v) / (p.qn * a.nv), 3) AS sim
+          FROM probe p JOIN assign a USING (cell)
+          WHERE a.vec_id != p.q_id
+        ),
+        brute AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY round(list_dot_product(q.qv, e.v)
+                                       / (q.qn * e.nv), 3) DESC,
+                        e.vec_id) AS rn
+            FROM (SELECT vec_id AS q_id, v AS qv, nv AS qn FROM nemb
+                  WHERE vec_id < {IVF_SCALED_QUERIES}) q
+            JOIN nemb e ON e.vec_id != q.q_id
+          ) bb WHERE rn <= {IVF_SCALED_TOP_K}
+        ),
+        truth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute)
+        {_ssweep_legs}
     """
 
     from ..operators.similarity import (

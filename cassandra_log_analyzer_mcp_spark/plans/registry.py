@@ -270,6 +270,11 @@ def queries() -> dict[str, QueryFn]:
         "ngram_novelty_decay": textops.ngram_novelty_decay,
         "repeated_span_coverage": textops.repeated_span_coverage,
         "repeated_spans_merged": textops.repeated_spans_merged,
+        # variable-K maximal repeats (round 6, VERDICT r5 ask #4):
+        # K ∈ {8,16,32} merged so span certification is not
+        # gram-width-quantized; reconciles with repeated_spans_merged
+        # at K=8 by the sub-gram containment theorem (tested)
+        "repeated_spans_multik": textops.repeated_spans_multik,
         "chunk_dedup": textops.chunk_dedup,
         "dedup_chunks_rewrite": textops.dedup_chunks_rewrite,
         "dedup_editdist_dl": dedup.dedup_editdist_dl,
@@ -353,6 +358,10 @@ def queries() -> dict[str, QueryFn]:
         # round: one prn filter away from in-window ann_recall_eval's
         # IVF leg + the r2-driver-graded brute-force truth
         "ann_ivf_probe_sweep": similarity.ann_ivf_probe_sweep,
+        # SCALED tuning curve (round 6): cells/queries/k grown to the
+        # regime where cell sizes matter (VERDICT r5 ask #5); recall
+        # floors asserted at sf0.1 in tests/test_text_dedup.py
+        "ann_ivf_probe_sweep_scaled": similarity.ann_ivf_probe_sweep_scaled,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

@@ -1796,3 +1796,74 @@ def test_cluster_quality_reconciles_with_clusters(spark, sf_dir):
     for r in rows.values():
         assert r.mean_q_permille == r.sum_q_permille // r.n_docs
         assert 0 < r.mean_q_permille <= 1000
+
+
+def test_multik_spans_reconcile_with_k8_merged(spark, sf_dir):
+    """The round-6 reconciliation contract: every duplicated 2K-gram's
+    K-token sub-grams are duplicated in the same doc pair, so the
+    wider widths add CERTIFICATION, never coverage — multik span
+    boundaries must equal repeated_spans_merged's at K=8, with
+    n_grams_k8 matching merged's n_grams, and certified widths only
+    appear inside spans long enough to hold them."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    merged = {
+        (r.doc_id, r.span_start): r
+        for r in textops.repeated_spans_merged(spark, sf_dir).collect()
+    }
+    multik = {
+        (r.doc_id, r.span_start): r
+        for r in textops.repeated_spans_multik(spark, sf_dir).collect()
+    }
+    assert set(merged) == set(multik) and len(multik) > 0
+    saw_wider = False
+    for key, m in multik.items():
+        b = merged[key]
+        assert m.span_end_excl == b.span_end_excl
+        assert m.span_tokens == b.span_tokens
+        assert m.n_grams_k8 == b.n_grams
+        assert m.max_k_certified >= textops.REPEAT_K
+        assert m.max_k_certified in textops.MULTIK_WIDTHS
+        # a width-k certificate needs at least k tokens of span
+        assert m.span_tokens >= m.max_k_certified
+        if m.max_k_certified > textops.REPEAT_K:
+            saw_wider = True
+        # per-width counts decrease with width (containment)
+        assert m.n_grams_k8 >= m.n_grams_k16 >= m.n_grams_k32 >= 0
+    # the fixture corpus contains at least one wide-certified repeat,
+    # otherwise the operator degenerates to the K=8 view
+    assert saw_wider
+
+
+def test_scaled_probe_sweep_recall_floors_sf01():
+    """VERDICT r5 ask #5: the IVF tuning table read off a regime where
+    cell sizes matter — 2000 vectors / 32 cells / 100 queries at
+    sf0.1. Floors are set from the audited curve (390→656 permille,
+    candidates 3%→25% of brute) with slack for testdata drops."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata absent")
+    from cassandra_log_analyzer_mcp_spark.operators import similarity
+    from cassandra_log_analyzer_mcp_spark.session import get_spark
+
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    rows = sorted(
+        similarity.ann_ivf_probe_sweep_scaled(s, sf01).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == similarity.IVF_SWEEP_PROBES
+    n_q = similarity.IVF_SCALED_QUERIES
+    brute_pairs = n_q * (
+        s.read.parquet(f"{sf01}/embeddings.parquet").count() - 1
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+    # recall floors: the sweep must climb into a usable regime while
+    # staying far cheaper than brute force
+    assert rows[0].recall_permille >= 300
+    assert rows[-1].recall_permille >= 550
+    assert rows[-1].recall_permille >= rows[0].recall_permille + 100
+    assert rows[-1].n_candidates < brute_pairs * 0.3
+    assert rows[0].n_truth == n_q * similarity.IVF_SCALED_TOP_K
