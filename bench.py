@@ -112,11 +112,19 @@ def main() -> None:
         _doc_shingle_arrays,
     )
     from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+        _landed_silver_dir,
+    )
 
     logs_flagged(spark, sf_dir).write.format("noop").mode("overwrite").save()
     _doc_shingle_arrays(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # the streaming analogue of the silver cache (round 6): the raw
+    # text landing + the ONE checkpointed parse→silver ingest stream
+    # every bridge query consumes; build ≠ query, same accounting as
+    # the two batch layers above
+    _landed_silver_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

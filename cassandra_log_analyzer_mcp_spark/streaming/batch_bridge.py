@@ -26,6 +26,24 @@ from . import log_stream
 
 _MATERIALIZED: dict[str, str] = {}
 
+#: one work root per process for bridge checkpoints/sinks — a shared
+#: checkpoint ROOT (each query still gets its own subdirectory: Spark
+#: requires one checkpoint dir per query, but the root is created,
+#: tracked and cleaned once instead of one mkdtemp per bridge call)
+_WORK_ROOT: str | None = None
+
+
+def _bridge_workdir(prefix: str) -> str:
+    """A fresh subdirectory under the process-shared bridge work root."""
+    global _WORK_ROOT
+    if _WORK_ROOT is None:
+        _WORK_ROOT = os.environ.get(
+            "SPARK_GRAFT_LANDING_DIR"
+        ) or tempfile.mkdtemp(prefix="stream_bridge_work_")
+    d = os.path.join(_WORK_ROOT, f"{prefix}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
 
 def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """Land the synthesized raw lines as per-node log directories
@@ -58,24 +76,70 @@ def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
-def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLOSED error bursts computed BY THE STREAM's custom stateful
-    operator (applyInPandasWithState) — bridged so the driver's oracle
-    hash-checks the Python-state path too: closed bursts are exactly
-    the batch sessionization minus each node's final (still-open)
-    burst, which is plain SQL.
+_LANDED_SILVER: dict[str, str] = {}
+
+
+def _landed_silver_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Parse+classify the landed raw feed ONCE per process through
+    the checkpointed exactly-once streaming silver writer, and share
+    the landed parquet as the parsed-feed fixture downstream bridges
+    stream from (round 6: the silver-cache discipline applied to
+    streams). At 100 TB this IS the architecture: ONE ingest stream
+    lands bronze→silver through the commit log; every consumer
+    streams the silver table instead of re-running the regex parse
+    over raw text per query. The text→parse path itself stays graded
+    in-stream by streaming_issue_counts / streaming_kafka_issue_counts,
+    and the landing's content is hash-graded by streaming_silver_counts.
     """
+    if sf_dir in _LANDED_SILVER:
+        return _LANDED_SILVER[sf_dir]
     log_dir = _landed_log_dir(spark, sf_dir)
     lines = spark.readStream.text(log_dir).select(
         F.lit(None).cast("long").alias("line_id"),
         F.col("node").cast("string").alias("node"),
         F.col("value").alias("raw"),
     )
+    parsed = log_stream.parsed_stream(lines).withColumn(
+        "log_date", F.to_date("ts")
+    )
+    work = _bridge_workdir("shared_silver")
+    out = os.path.join(work, "silver")
+    ck = os.path.join(work, "ck")
+    q = log_stream.stream_to_silver(
+        parsed, out, ck, partition_cols=("log_date", "node")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "shared silver landing did not finish its availableNow batch"
+        )
+    _LANDED_SILVER[sf_dir] = out
+    return out
+
+
+def _silver_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared parsed+classified feed as a STREAMING source: a
+    parquet file stream over the silver landing — the same parsed
+    schema ``parsed_stream`` emits (plus the log_date partition
+    column), with the parse paid once per process instead of once
+    per bridge query."""
+    path = _landed_silver_dir(spark, sf_dir)
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+
+
+def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED error bursts computed BY THE STREAM's custom stateful
+    operator (applyInPandasWithState) — bridged so the driver's oracle
+    hash-checks the Python-state path too: closed bursts are exactly
+    the batch sessionization minus each node's final (still-open)
+    burst, which is plain SQL. Source: the shared streamed-silver
+    landing (_silver_stream) — parse paid once per process.
+    """
     from . import burst_state
 
-    bursts = burst_state.streaming_error_bursts(
-        log_stream.parsed_stream(lines)
-    )
+    bursts = burst_state.streaming_error_bursts(_silver_stream(spark, sf_dir))
     sink = f"stream_bursts_{uuid.uuid4().hex[:8]}"
     # state is keyed by node (4 keys here) — size the state-store
     # shuffle to it, same reasoning as streaming_issue_counts.
@@ -165,19 +229,13 @@ def streaming_windowed_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 5 threshold rules fired per (node, 15-min
     window) BY THE STREAM — real-time alerting (ref README roadmap),
     graded: windowed_alerts is source-agnostic, so running the same
-    function over the file stream in complete mode must fire exactly
-    the batch alert rows, and sharing windowed_alerts' oracle makes
-    the gate prove it value-for-value.
+    function over the shared streamed-silver feed in complete mode
+    must fire exactly the batch alert rows, and sharing
+    windowed_alerts' oracle makes the gate prove it value-for-value.
     """
     from ..operators import analysis
 
-    log_dir = _landed_log_dir(spark, sf_dir)
-    lines = spark.readStream.text(log_dir).select(
-        F.lit(None).cast("long").alias("line_id"),
-        F.col("node").cast("string").alias("node"),
-        F.col("value").alias("raw"),
-    )
-    alerts = analysis.windowed_alerts(log_stream.parsed_stream(lines))
+    alerts = analysis.windowed_alerts(_silver_stream(spark, sf_dir))
     sink = f"stream_alerts_{uuid.uuid4().hex[:8]}"
     # state is (node × window × 5 issues) — tiny; size the state-store
     # shuffle to it (see streaming_issue_counts)
@@ -201,7 +259,7 @@ def streaming_windowed_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-gap sessionization BY THE STREAM using Spark's NATIVE
     session_window — the built-in merging session aggregate running
-    under readStream (complete mode over the file source; a production
+    under readStream (complete mode over the shared silver feed; a production
     stream swaps to watermark + append for state eviction). The same
     error_sessions function runs unchanged on the stream, shares the
     batch oracle, and the gate proves the native streaming session
@@ -209,13 +267,7 @@ def streaming_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import analysis
 
-    log_dir = _landed_log_dir(spark, sf_dir)
-    lines = spark.readStream.text(log_dir).select(
-        F.lit(None).cast("long").alias("line_id"),
-        F.col("node").cast("string").alias("node"),
-        F.col("value").alias("raw"),
-    )
-    sess = analysis.error_sessions(log_stream.parsed_stream(lines))
+    sess = analysis.error_sessions(_silver_stream(spark, sf_dir))
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     # session state is keyed by node (handful of keys) — size the
     # state-store shuffle to it (see streaming_issue_counts)
@@ -247,30 +299,13 @@ def streaming_silver_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     write path — sharing its oracle, so the gate proves the streaming
     writer loses and duplicates nothing.
     """
-    log_dir = _landed_log_dir(spark, sf_dir)
-    lines = spark.readStream.text(log_dir).select(
-        F.lit(None).cast("long").alias("line_id"),
-        F.col("node").cast("string").alias("node"),
-        F.col("value").alias("raw"),
-    )
-    parsed = log_stream.parsed_stream(lines).withColumn(
-        "log_date", F.to_date("ts")
-    )
-    work = tempfile.mkdtemp(prefix="stream_silver_")
-    out = os.path.join(work, "silver")
-    ck = os.path.join(work, "ck")
-    q = log_stream.stream_to_silver(
-        parsed, out, ck, partition_cols=("log_date", "node")
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_silver_counts did not finish its availableNow batch"
-        )
     from ..sources.silver import node_errors_rollup
 
-    # the SAME rollup code as silver_node_errors — they share one
-    # oracle, so the consumer must be shared, not copied
+    # the shared landing IS the stream_to_silver run this query
+    # grades (built once per process; first caller pays it); the SAME
+    # rollup code as silver_node_errors — they share one oracle, so
+    # the consumer must be shared, not copied
+    out = _landed_silver_dir(spark, sf_dir)
     return node_errors_rollup(spark.read.parquet(out))
 
 
@@ -1141,17 +1176,11 @@ def streaming_rack_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.silver import _default_path, write_node_dim
 
-    log_dir = _landed_log_dir(spark, sf_dir)
     dim_path = _default_path(sf_dir) + "_nodedim_stream"
     write_node_dim(spark, dim_path)
     rack_dim = spark.read.parquet(dim_path)
 
-    lines = spark.readStream.text(log_dir).select(
-        F.lit(None).cast("long").alias("line_id"),
-        F.col("node").cast("string").alias("node"),
-        F.col("value").alias("raw"),
-    )
-    parsed = log_stream.parsed_stream(lines)
+    parsed = _silver_stream(spark, sf_dir)
     enriched = parsed.join(F.broadcast(rack_dim), "node")
     counts = (
         enriched.withWatermark("ts", "2 hours")
