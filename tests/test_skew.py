@@ -172,3 +172,36 @@ def test_skew_stress_surprisal_hot_tier_is_broadcast_in_plan(
     assert "BroadcastExchange" in plan, plan
     # both tiers exist: a union of the cold shuffle arm + hot arm
     assert "Union" in plan, plan
+
+
+def test_skew_gate_artifact_is_green():
+    """The measured skew-stress gate (tools/skew_gate.py, VERDICT r5
+    ask #2): spread vs pathological drops with identical work volume
+    at sf0.1 — the committed artifact must show every treated
+    operator inside its 2x budget and the salted agg integer-exact
+    on the 90%-hot drop. Re-run the gate itself with
+    `python tools/skew_gate.py /root/testdata/sf0.1` (the driver can
+    replay it; ~90 s)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SKEW_GATE_r06.json",
+    )
+    with open(path) as fh:
+        gate = json.load(fh)
+    assert gate["pass"] is True
+    assert gate["salted_agg_exact_on_skew"] is True
+    assert gate["drops"]["skew"]["hot_node_share"] >= 0.85
+    assert gate["drops"]["spread"]["hot_node_share"] <= 0.5
+    expected = {
+        "node_summary_salted",
+        "doc_surprisal",
+        "repeated_span_coverage",
+        "repeated_spans_merged",
+    }
+    assert set(gate["ops"]) == expected
+    for op, row in gate["ops"].items():
+        assert row["pass"], op
+        assert row["skew_s"] <= row["budget_s"], op

@@ -1,0 +1,215 @@
+#!/usr/bin/env python3
+"""Measured skew-stress gate (round 6 — VERDICT r5 ask #2).
+
+The plan-shape asserts in tests/test_skew.py prove the skew
+treatments EXIST (salted exchanges, broadcast hot arms); this gate
+proves they WORK at sf0.1 volume: it builds two derived drops with
+IDENTICAL work volume but opposite key distributions, runs the
+treated operators end-to-end on both, and asserts the pathological
+drop costs no more than ~2x the spread drop.
+
+Drops (both rewritten through the same write pipeline so file layout
+and compression are identical — only the key distribution differs):
+
+- events: SPREAD = the sf0.1 events as shipped (nodes uniform via
+  user_id % 4); SKEW = user_id remapped so ONE node carries 90% of
+  all 600k synthesized log lines (event_id % 10 < 9 -> node0).
+- documents: both drops append a 9-token boilerplate sentence to
+  every doc — SPREAD keys it by doc_id % 64 (64 medium grams, each
+  duplicated across ~1/64 of docs), SKEW keys every doc identically
+  (ONE mega-gram duplicated across the whole corpus). Total
+  duplicated-gram occurrences are equal; only the bucket shape
+  changes.
+
+Operators under test (the salted/split treatments from the registry):
+node_summary_salted (salted two-stage agg), doc_surprisal +
+repeated_span_coverage + repeated_spans_merged (df-tier skew split:
+hot grams broadcast, cold grams shuffle).
+
+Usage: python tools/skew_gate.py [sf_dir] [--json PATH]
+Writes one JSON object with per-op timings, ratios and pass flags;
+exit code 1 if any op fails its budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+#: skew budget: the pathological drop may cost at most this multiple
+#: of the spread drop (plus an absolute slack for sub-second noise)
+RATIO_BUDGET = 2.0
+ABS_SLACK_S = 1.0
+#: spread drop's gram fan-out (64 medium grams vs 1 mega-gram)
+SPREAD_MOD = 64
+HOT_NODE_SHARE_MIN = 0.85
+
+
+def build_drops(spark: SparkSession, sf_dir: str, root: str) -> dict:
+    """Write the spread/skew derived drops; returns their stats."""
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sentence = " ".join(f"zq{i}" for i in range(1, 8))  # 7 shared tokens
+
+    def doc_rewrite(mod: int):
+        v = F.concat(F.lit("zv"), (F.col("doc_id") % mod).cast("string"))
+        return docs.select(
+            "doc_id",
+            F.concat_ws(" ", "text", v, F.lit(sentence), v).alias("text"),
+            "lang", "source", "n_chars",
+        )
+
+    hot_user = F.col("user_id") - (F.col("user_id") % 4)  # -> node0
+    variants = {
+        "spread": (ev, doc_rewrite(SPREAD_MOD)),
+        "skew": (
+            ev.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 10 < 9, hot_user).otherwise(
+                    F.col("user_id")
+                ),
+            ),
+            doc_rewrite(1),
+        ),
+    }
+    stats: dict[str, dict] = {}
+    for name, (e, d) in variants.items():
+        out = os.path.join(root, name)
+        e.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+        d.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        node_rows = (
+            spark.read.parquet(os.path.join(out, "events.parquet"))
+            .groupBy((F.col("user_id") % 4).alias("n"))
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in node_rows)
+        stats[name] = {
+            "dir": out,
+            "n_events": total,
+            "hot_node_share": round(
+                max(r["count"] for r in node_rows) / total, 4
+            ),
+        }
+    return stats
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+
+    from cassandra_log_analyzer_mcp_spark.plans import registry
+    from cassandra_log_analyzer_mcp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="skew_gate",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = os.path.join("/tmp", f"spark_graft_skewgate_{os.getpid()}")
+    stats = build_drops(spark, sf_dir, root)
+    assert stats["skew"]["hot_node_share"] >= HOT_NODE_SHARE_MIN
+    assert stats["spread"]["hot_node_share"] <= 0.5
+
+    qs = registry.queries()
+    ops = [
+        "node_summary_salted",
+        "doc_surprisal",
+        "repeated_span_coverage",
+        "repeated_spans_merged",
+    ]
+
+    # codegen/parquet-footer warm pass at the smallest SF (same
+    # accounting as bench.py)
+    for op in ops:
+        qs[op](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def timed(op: str, d: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[op](spark, d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    results: dict[str, dict] = {}
+    ok = True
+    for op in ops:
+        spread_s = timed(op, stats["spread"]["dir"])
+        skew_s = timed(op, stats["skew"]["dir"])
+        budget = max(RATIO_BUDGET * spread_s, spread_s + ABS_SLACK_S)
+        passed = skew_s <= budget
+        ok &= passed
+        results[op] = {
+            "spread_s": round(spread_s, 3),
+            "skew_s": round(skew_s, 3),
+            "ratio": round(skew_s / spread_s, 3) if spread_s else None,
+            "budget_s": round(budget, 3),
+            "pass": passed,
+        }
+
+    # correctness on the pathological drop: the salted two-stage agg
+    # must equal the direct single-exchange aggregation, integer-exact
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    logs = logs_flagged(spark, stats["skew"]["dir"])
+    direct = {
+        r.node: (r.errors, r.warnings, r.total_lines)
+        for r in logs.groupBy("node")
+        .agg(
+            F.sum(F.col("is_error").cast("long")).alias("errors"),
+            F.sum(F.col("is_warning").cast("long")).alias("warnings"),
+            F.count("*").alias("total_lines"),
+        )
+        .collect()
+    }
+    salted = {
+        r.node: (r.errors, r.warnings, r.total_lines)
+        for r in qs["node_summary_salted"](
+            spark, stats["skew"]["dir"]
+        ).collect()
+    }
+    salted_exact = salted == direct
+    ok &= salted_exact
+
+    out = {
+        "sf_dir": sf_dir,
+        "ratio_budget": RATIO_BUDGET,
+        "abs_slack_s": ABS_SLACK_S,
+        "drops": {
+            k: {kk: vv for kk, vv in v.items() if kk != "dir"}
+            for k, v in stats.items()
+        },
+        "ops": results,
+        "salted_agg_exact_on_skew": salted_exact,
+        "pass": ok,
+    }
+    line = json.dumps(out, indent=1, sort_keys=True)
+    print(line)
+    if json_path:
+        with open(json_path, "w") as fh:
+            fh.write(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
