@@ -742,6 +742,62 @@ def repeated_spans_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: minimum certified width for span DROPPING: only spans containing a
+#: verbatim cross-document repeat of at least this many tokens are
+#: removed (Lee et al. 2022 drop at 50 BPE tokens; 2K=16 word tokens
+#: is the analogous corpus-scaled setting here) — k8-only chains are
+#: kept, they certify nothing longer than one overlapping-gram hop
+SPAN_DROP_MIN_K = 2 * REPEAT_K
+
+
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DROP POLICY applied (Lee et al. 2022's substring-dedup
+    rewrite): every maximal span CERTIFIED at width ≥ SPAN_DROP_MIN_K
+    (a provable ≥16-token verbatim cross-document repeat — see
+    repeated_spans_multik) is removed from its document and the text
+    is rebuilt from the surviving tokens. Weakly-supported spans
+    (k8-only overlap chains) survive — exactly the false-positive
+    class the variable-K certification exists to protect.
+
+    Shape: the multik spans (built once — shared _pos_grams substrate)
+    filter map-side to the certified subset, collect to a tiny per-doc
+    interval list (disjoint by construction: subsets of the maximal
+    islands), and the rewrite is a per-doc array expression — a
+    positional filter of the token array against ≤ a handful of
+    intervals, no second text shuffle (the dedup_chunks_rewrite
+    discipline). Integer counts + rebuilt string grade hash-exactly.
+    """
+    spans = (
+        repeated_spans_multik(spark, sf_dir)
+        .filter(F.col("max_k_certified") >= SPAN_DROP_MIN_K)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end_excl")
+            ).alias("sp"),
+            F.sum("span_tokens").cast("long").alias("n_dropped"),
+        )
+    )
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"),
+        tokens_col().alias("t"),
+    )
+    in_span = lambda i: lambda s: (  # noqa: E731
+        (i >= s["span_start"]) & (i < s["span_end_excl"])
+    )
+    kept = F.filter(
+        "t", lambda tok, i: ~F.exists(F.col("sp"), in_span(i))
+    )
+    return docs.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        F.when(F.col("sp").isNull(), F.array_join("t", " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+    )
+
+
 #: fixed-width chunk dedup (CCNet/MassiveText line- and
 #: paragraph-level dedup, adapted to an unpunctuated corpus): docs
 #: split into ALIGNED CHUNK_TOKENS-token chunks, chunks dedup by

@@ -606,6 +606,54 @@ def text_oracles() -> dict[str, str]:
         FROM s GROUP BY doc_id, span_id
     """
 
+    # the drop policy applied: certified spans (max width >= 2K) are
+    # removed positionally and the text rebuilt from surviving tokens
+    # — covered positions via unnest(range), anti-join, ordered
+    # string_agg (plain SQL, independent of the Spark array lambdas)
+    from ..operators.textops import SPAN_DROP_MIN_K
+
+    _mk_spans_body = o["repeated_spans_multik"].strip()
+    assert _mk_spans_body.startswith("WITH ")
+    o["dedup_spans_rewrite"] = f"""
+        WITH mk AS ({_mk_spans_body}),
+        certified AS (
+          SELECT doc_id, span_start, span_end_excl, span_tokens
+          FROM mk WHERE max_k_certified >= {SPAN_DROP_MIN_K}
+        ),
+        toks2 AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(t) AS tok,
+                 unnest(range(1, len(t) + 1)) AS p
+          FROM toks2
+        ),
+        cov AS (
+          SELECT doc_id, unnest(range(span_start, span_end_excl)) AS tp
+          FROM certified
+        ),
+        kept AS (
+          SELECT pos.doc_id, pos.p, pos.tok
+          FROM pos LEFT JOIN cov
+            ON pos.doc_id = cov.doc_id AND pos.p - 1 = cov.tp
+          WHERE cov.tp IS NULL
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+                 string_agg(tok, ' ' ORDER BY p) AS clean_text
+          FROM kept GROUP BY doc_id
+        ),
+        dropped AS (
+          SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS n_dropped
+          FROM certified GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               COALESCE(d.n_dropped, 0) AS n_dropped,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM toks2 b
+        LEFT JOIN dropped d USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
+    """
+
     from ..operators.multimodal import FAKE_FPS_MS, MAX_FRAMES, MIN_DIM
 
     # the Arrow frame-sampling fan-out hash-checked per FRAME: the

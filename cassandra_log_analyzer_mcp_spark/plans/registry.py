@@ -93,6 +93,7 @@ R6_DRIVER_WINDOW = [
     # REWRITTEN to the single-pass exploded form (ADVICE r5);
     # minhash_band_tuning_eval rides the now-memoized truth build
     "repeated_spans_multik",
+    "dedup_spans_rewrite",
     "ann_ivf_probe_sweep_scaled",
     "ann_ivf_probe_sweep",
     "minhash_band_tuning_eval",
@@ -145,7 +146,9 @@ R6_DRIVER_WINDOW = [
     "vocab_top_tokens_mergeable",
     "repeated_spans_merged",
     "chunk_dedup",
-    "bpe_encode",
+    # (bpe_encode yielded its slot to the round-6 dedup_spans_rewrite:
+    # new implementations outrank never-graded-but-stable ones; it
+    # stays replica-covered and is first in line for the r7 window)
     "dp_noised_counts",
     "shard_balance_report",
     "jsonl_shard_export",
@@ -361,6 +364,9 @@ def queries() -> dict[str, QueryFn]:
         # gram-width-quantized; reconciles with repeated_spans_merged
         # at K=8 by the sub-gram containment theorem (tested)
         "repeated_spans_multik": textops.repeated_spans_multik,
+        # the drop policy applied (round 6): certified spans removed,
+        # text rebuilt from surviving tokens (Lee et al.'s rewrite)
+        "dedup_spans_rewrite": textops.dedup_spans_rewrite,
         "chunk_dedup": textops.chunk_dedup,
         "dedup_chunks_rewrite": textops.dedup_chunks_rewrite,
         "dedup_editdist_dl": dedup.dedup_editdist_dl,

@@ -1867,3 +1867,30 @@ def test_scaled_probe_sweep_recall_floors_sf01():
     assert rows[-1].recall_permille >= rows[0].recall_permille + 100
     assert rows[-1].n_candidates < brute_pairs * 0.3
     assert rows[0].n_truth == n_q * similarity.IVF_SCALED_TOP_K
+
+
+def test_spans_rewrite_drops_exactly_certified_tokens(spark, sf_dir):
+    """dedup_spans_rewrite must drop exactly the token positions of
+    certified (max_k >= SPAN_DROP_MIN_K) spans and nothing else:
+    per-doc kept+dropped = total, untouched docs rebuild verbatim
+    from their tokens, and dropped counts reconcile with the multik
+    span table."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops
+
+    spans = {}
+    for r in textops.repeated_spans_multik(spark, sf_dir).collect():
+        if r.max_k_certified >= textops.SPAN_DROP_MIN_K:
+            spans.setdefault(r.doc_id, 0)
+            spans[r.doc_id] += r.span_tokens
+    rows = textops.dedup_spans_rewrite(spark, sf_dir).collect()
+    assert len(rows) > 0
+    touched = 0
+    for r in rows:
+        want = spans.get(r.doc_id, 0)
+        assert r.n_dropped == want, r.doc_id
+        kept_tokens = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept_tokens == r.n_tokens - r.n_dropped, r.doc_id
+        if want:
+            touched += 1
+    # the policy must actually fire somewhere AND spare somewhere
+    assert 0 < touched < len(rows)
