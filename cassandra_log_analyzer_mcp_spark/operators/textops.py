@@ -739,7 +739,11 @@ def repeated_spans_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("span_tokens"),
         *width_counts,
         F.max("k").cast("long").alias("max_k_certified"),
-    )
+        # span-cardinality cache (tiny): one span build serves this
+        # query AND dedup_spans_rewrite's policy application — the
+        # three gram-width hit streams run once per session, the
+        # _pos_grams discipline one layer up
+    ).cache()
 
 
 #: minimum certified width for span DROPPING: only spans containing a
