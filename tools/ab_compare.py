@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Compose BENCH_AB_r{N}.json from two BENCH_FULL.json sidecars.
+
+Usage: python tools/ab_compare.py OLD_FULL NEW_FULL OUT round_note
+
+Compares the common-query totals, lists the new-only queries, the top
+wins, and flags regressions (>25% AND >0.75s slower) for the isolated
+re-probe protocol (both orders, plan-md5) before any adjudication.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    old_p, new_p, out_p, note = sys.argv[1:5]
+    old = json.load(open(old_p))["queries"]
+    new = json.load(open(new_p))["queries"]
+    common = sorted(set(old) & set(new))
+    o_tot = round(sum(old[q] for q in common if old[q] >= 0), 1)
+    n_tot = round(sum(new[q] for q in common if new[q] >= 0), 1)
+    deltas = {
+        q: round(new[q] - old[q], 3)
+        for q in common
+        if old[q] >= 0 and new[q] >= 0
+    }
+    wins = dict(
+        (q, {"old": old[q], "new": new[q]})
+        for q, d in sorted(deltas.items(), key=lambda kv: kv[1])[:8]
+        if d < -0.5
+    )
+    regressions = dict(
+        (q, {"old": old[q], "new": new[q]})
+        for q, d in sorted(deltas.items(), key=lambda kv: -kv[1])
+        if d > 0.75 and new[q] > 1.25 * old[q]
+    )
+    out = {
+        "protocol": note,
+        f"common_{len(common)}_total_sec": {
+            "old_code": o_tot,
+            "new_code": n_tot,
+        },
+        "ratio_new_over_old": round(n_tot / o_tot, 3),
+        "new_only_queries": {
+            q: new[q] for q in sorted(set(new) - set(old))
+        },
+        "top_wins": wins,
+        "regression_flags": regressions,
+    }
+    with open(out_p, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=False)
+    print(json.dumps(out, indent=1)[:1500])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
