@@ -394,6 +394,76 @@ def _sweep_table(
     )
 
 
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over K-MEANS-TRAINED centroids — the production quantizer
+    ann_ivf_cosine's docstring promised ('production would
+    k-means-train the centroids'), now graded: cells are the learned
+    Lloyd clusters (kmeans_assignments — exact-integer centroid
+    state, cached per session: the trained index), probe cells are
+    ranked per query by the SAME two-division integer distance the
+    training assignment uses (bit-identical across engines, no
+    rounding protocol), and everything from the probe join onward is
+    the unchanged IVF pipeline. At 100 TB the training pass is the
+    one-off index build and this query is the steady-state read path.
+
+    Shape: centroid refinement is the kmeans driver-state discipline
+    (K rows collected, never the corpus); probe ranking is a
+    zero-shuffle array_sort of K scored structs per query row; the
+    cell join broadcasts (queries × nprobe) against the
+    cluster-partitioned corpus.
+    """
+    quant = _quantized(spark, sf_dir)
+    a = kmeans_assignments(spark, sf_dir)
+    sums = [
+        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+        for i in range(EMBED_DIM)
+    ]
+    rows = (
+        quant.join(a, "vec_id")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("c"), *sums)
+        .collect()
+    )
+    structs = []
+    for r in rows:
+        cell, c = int(r.cluster), int(r.c)
+        s = [int(r[f"s{i}"]) for i in range(EMBED_DIM)]
+        sss_over_c2 = sum(x * x for x in s) / (c * c)
+        s_lit = F.array(*[F.lit(x).cast("long") for x in s])
+        score = F.lit(sss_over_c2) - (
+            (2 * dot_long(F.col("q"), s_lit)) / F.lit(c).cast("long")
+        )
+        structs.append(
+            F.struct(
+                score.alias("score"), F.lit(cell).cast("long").alias("cell")
+            )
+        )
+    ranked_cells = F.slice(F.array_sort(F.array(*structs)), 1, IVF_NPROBE)
+    emb = _embeddings_normed(spark, sf_dir)
+    probes = (
+        quant.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.explode(ranked_cells).alias("pc"))
+        .select("q_id", F.col("pc.cell").alias("cell"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("qv"),
+                F.col("nv").alias("qn"),
+            ),
+            "q_id",
+        )
+    )
+    assign = emb.join(a, "vec_id").select(
+        "vec_id", "v", "nv", F.col("cluster").cast("long").alias("cell")
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pair_sim("qv", "v", "qn", "nv").alias("sim"))
+    )
+    return _ranked(pairs, IVF_TOP_K).select("q_id", "vec_id", "sim", "rn")
+
+
 #: SCALED IVF tuning regime (round 6): the production-sized read of
 #: the recall-vs-cost curve. The base sweep quantizes 500 vectors
 #: into 16 cells (~31/cell) — probe width barely moves recall there.

@@ -3569,6 +3569,59 @@ def similarity_oracles() -> dict[str, str]:
 
     # global purity + Rand index from the same contingency table:
     # pair counts via n·(n−1)//2, agreements via inclusion-exclusion
+    # IVF over the TRAINED centroids (round 6): final-assignment
+    # centroid sums, probe cells ranked per query by the SAME
+    # two-division integer distance the training uses, then the
+    # unchanged IVF pair/rank formulation over double vectors
+    _L = KMEANS_ITERS - 1
+    o["ann_ivf_kmeans"] = f"""
+        WITH {km_ctes},
+        fsums AS (
+          SELECT cell, pos, CAST(sum(x) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(q) AS x,
+                       unnest(range(1, len(q) + 1)) AS pos
+                FROM assign{_L}) u
+          GROUP BY cell, pos),
+        fcent AS (
+          SELECT cell, list(sv ORDER BY pos) AS s, min(c) AS c
+          FROM fsums JOIN (
+            SELECT cell, CAST(count(*) AS BIGINT) AS c
+            FROM assign{_L} GROUP BY cell) n USING (cell)
+          GROUP BY cell),
+        probe AS (
+          SELECT q_id, cell FROM (
+            SELECT v.vec_id AS q_id, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     (CAST(list_dot_product(c.s, c.s) AS BIGINT)
+                        / (c.c * c.c))
+                     - ((2 * CAST(list_dot_product(v.q, c.s) AS BIGINT))
+                        / c.c) ASC, c.cell) AS prn
+            FROM quant v CROSS JOIN fcent c
+            WHERE v.vec_id < {ANN_N_QUERIES}) t
+          WHERE prn <= {IVF_NPROBE}),
+        nemb2 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nv
+          FROM embeddings),
+        av AS (
+          SELECT n.vec_id, n.v, n.nv, a.cluster AS cell
+          FROM nemb2 n JOIN asg a USING (vec_id)),
+        pairs AS (
+          SELECT p.q_id, av.vec_id,
+                 round(list_dot_product(q.v, av.v) / (q.nv * av.nv), 3)
+                   AS sim
+          FROM probe p
+          JOIN av ON av.cell = p.cell
+          JOIN nemb2 q ON q.vec_id = p.q_id
+          WHERE av.vec_id != p.q_id)
+        SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS rn
+          FROM pairs
+        ) t WHERE rn <= {IVF_TOP_K}
+    """
+
     o["cluster_purity_eval"] = f"""
         WITH {km_ctes},
         ct AS (

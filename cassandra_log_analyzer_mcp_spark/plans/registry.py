@@ -94,6 +94,7 @@ R6_DRIVER_WINDOW = [
     # minhash_band_tuning_eval rides the now-memoized truth build
     "repeated_spans_multik",
     "dedup_spans_rewrite",
+    "ann_ivf_kmeans",
     "ann_ivf_probe_sweep_scaled",
     "ann_ivf_probe_sweep",
     "minhash_band_tuning_eval",
@@ -151,7 +152,9 @@ R6_DRIVER_WINDOW = [
     # stays replica-covered and is first in line for the r7 window)
     "dp_noised_counts",
     "shard_balance_report",
-    "jsonl_shard_export",
+    # (jsonl_shard_export yielded its slot to the round-6
+    # ann_ivf_kmeans, same rule as bpe_encode above; replica-covered,
+    # r7-next)
     "decontaminate_bloom",
 ]
 
@@ -463,6 +466,10 @@ def queries() -> dict[str, QueryFn]:
         "ann_lsh_cosine": similarity.ann_lsh_cosine,
         "ann_lsh_multiprobe": similarity.ann_lsh_multiprobe,
         "ann_ivf_cosine": similarity.ann_ivf_cosine,
+        # IVF over k-means-TRAINED centroids (round 6): the production
+        # quantizer the deterministic-seed variant's docstring
+        # promised, graded end-to-end (training + probe + rank)
+        "ann_ivf_kmeans": similarity.ann_ivf_kmeans,
         "ann_ivf_persisted": similarity.ann_ivf_persisted,
         "ann_ivf_append": similarity.ann_ivf_append,
         # tombstone-masked deletion on the persisted index

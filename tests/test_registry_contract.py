@@ -40,6 +40,7 @@ LANDED_ARTIFACTS = (
 CHANGED_IN_R6 = {
     "repeated_spans_multik",
     "dedup_spans_rewrite",
+    "ann_ivf_kmeans",
     "ann_ivf_probe_sweep_scaled",
     "ann_ivf_probe_sweep",
     "minhash_band_tuning_eval",

@@ -1894,3 +1894,29 @@ def test_spans_rewrite_drops_exactly_certified_tokens(spark, sf_dir):
             touched += 1
     # the policy must actually fire somewhere AND spare somewhere
     assert 0 < touched < len(rows)
+
+
+def test_ivf_kmeans_structure_and_recall(spark, sf_dir):
+    """IVF over trained centroids: per-query top-k is well-formed and
+    the learned quantizer must not be useless — across queries the
+    trained-cell index recovers a nonzero share of the brute-force
+    neighbors (the full recall table lives in ann_recall_eval's
+    family; this pins the floor)."""
+    from cassandra_log_analyzer_mcp_spark.operators import similarity
+
+    rows = similarity.ann_ivf_kmeans(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        assert 1 <= r.rn <= similarity.IVF_TOP_K
+        assert -1.001 <= r.sim <= 1.001
+        per_q.setdefault(r.q_id, set()).add(r.vec_id)
+    assert len(per_q) > 0
+    assert all(len(v) <= similarity.IVF_TOP_K for v in per_q.values())
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_cosine_brute(spark, sf_dir).collect()
+    }
+    hits = sum(
+        1 for q, vs in per_q.items() for v in vs if (q, v) in brute
+    )
+    assert hits > 0
