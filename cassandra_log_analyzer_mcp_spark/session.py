@@ -73,9 +73,23 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    import os
+
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    # local[] mode runs every executor thread inside the driver JVM,
+    # whose pyspark default heap is 1g — the full 290+-query sweep's
+    # designed caches (parsed silver, shingle arrays, quantized
+    # vectors) plus 25 memory-sink tables ran that to the brim at
+    # sf0.1 (observed: heap OOM mid-sweep, round 6). Size the heap to
+    # the harness box; on a real cluster the executor/driver memory
+    # comes from the deployment, and this builder conf is inert for
+    # an already-running JVM.
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
     if shuffle_partitions:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
