@@ -74,6 +74,16 @@ def main() -> None:
     os.dup2(2, 1)
     sys.stdout = sys.stderr
 
+    # Silence the pandas concat FutureWarning at the source (ADVICE /
+    # VERDICT r6 #8): it leaked ahead of the JSON line in the driver's
+    # tail capture. The env var reaches the forked Python UDF workers
+    # (the in-process filter alone would not); set before the JVM and
+    # worker pool launch.
+    import warnings
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -116,22 +126,50 @@ def main() -> None:
         _landed_silver_dir,
     )
 
-    logs_flagged(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    _doc_shingle_arrays(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Each shared layer's build time is recorded by name in the
+    # sidecar (ADVICE r6): pre-paying these OUTSIDE the timed loop is
+    # an accounting change vs pre-r6 sidecars — cross-round A/B reads
+    # must not mistake the moved cost for a code win (ab_compare.py
+    # notes this in its protocol string).
+    shared_build_s: dict[str, float] = {}
+
+    def _build(layer: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        shared_build_s[layer] = round(time.perf_counter() - t0, 3)
+
+    _build(
+        "_shared_logs_flagged_build_s",
+        lambda: logs_flagged(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _build(
+        "_shared_shingle_arrays_build_s",
+        lambda: _doc_shingle_arrays(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     # the streaming analogue of the silver cache (round 6): the raw
     # text landing + the ONE checkpointed parse→silver ingest stream
     # every bridge query consumes; build ≠ query, same accounting as
     # the two batch layers above
-    _landed_silver_dir(spark, sf_dir)
+    _build(
+        "_shared_silver_build_s",
+        lambda: _landed_silver_dir(spark, sf_dir),
+    )
     # the batch silver parquet table itself (written once at 100 TB;
     # silver_node_errors & co. still rebuild their OWN writes so the
     # write path stays under the hash gate — this only pre-pays the
     # shared read-side location)
     from cassandra_log_analyzer_mcp_spark.sources.silver import silver_path
 
-    silver_path(spark, sf_dir)
+    _build(
+        "_shared_batch_silver_build_s",
+        lambda: silver_path(spark, sf_dir),
+    )
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -158,6 +196,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "shared_build_s": shared_build_s,
             },
             f,
             indent=1,

@@ -1205,11 +1205,14 @@ def minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-sf_dir memo for the sampled truth build (ADVICE r5): makes the
-#: cross-query reuse EXPLICIT instead of relying on CacheManager
-#: canonical-plan matching, and bounds residency to one cached frame
-#: per sf_dir per session (pair cardinality — tiny).
-_TRUTH_PAIRS_MEMO: dict[str, DataFrame] = {}
+#: per-(session, sf_dir) memo for the sampled truth build (ADVICE r5):
+#: makes the cross-query reuse EXPLICIT instead of relying on
+#: CacheManager canonical-plan matching, and bounds residency to one
+#: cached frame per sf_dir per session (pair cardinality — tiny).
+#: Keyed by (id(spark), sf_dir) like _KMEANS_CACHE (ADVICE r6): a
+#: stopped-and-recreated in-process session must not be handed a
+#: DataFrame bound to the dead one.
+_TRUTH_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _sampled_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,7 +1220,7 @@ def _sampled_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair of SAMPLED docs sharing any shingle, exact-Jaccard verified
     at the shared threshold. The scale contract both evals ride:
     the inverted-index self-join only ever sees sampled docs."""
-    memo = _TRUTH_PAIRS_MEMO.get(sf_dir)
+    memo = _TRUTH_PAIRS_MEMO.get((id(spark), sf_dir))
     if memo is not None:
         return memo
     arrs = _doc_shingle_arrays(spark, sf_dir)
@@ -1238,7 +1241,7 @@ def _sampled_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # inverted-index join — pair-cardinality, tiny residency
         .cache()
     )
-    _TRUTH_PAIRS_MEMO[sf_dir] = truth
+    _TRUTH_PAIRS_MEMO[(id(spark), sf_dir)] = truth
     return truth
 
 

@@ -370,15 +370,35 @@ def _sweep_table(
         ["q_id", "vec_id"],
         "left",
     )
+    # Every sweep point must emit a row even when the probe join
+    # produced zero candidates for it (ADVICE r6): the oracle's
+    # per-point aggregates over empty sets still return a zero row,
+    # so anchor the grouped counts to the literal sweep-point list
+    # and coalesce to 0. One row per IVF_SWEEP_PROBES entry, always.
+    points = (
+        assign.sparkSession.range(1)
+        .select(F.explode(sweep_pts).alias("nprobe"))
+        .select(F.col("nprobe").cast("int").alias("nprobe"))
+    )
+    grouped = marked.groupBy(
+        F.col("nprobe").cast("int").alias("nprobe")
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("rn") <= top_k) & F.col("hit").isNotNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_hits"),
+        F.count("*").cast("long").alias("n_candidates"),
+    )
     return (
-        marked.groupBy(F.col("nprobe").cast("int").alias("nprobe"))
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("rn") <= top_k) & F.col("hit").isNotNull(), 1
-                ).otherwise(0)
-            ).cast("long").alias("n_hits"),
-            F.count("*").cast("long").alias("n_candidates"),
+        F.broadcast(points)
+        .join(grouped, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
         )
         .crossJoin(F.broadcast(truth))
         .select(
@@ -414,20 +434,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     quant = _quantized(spark, sf_dir)
     a = kmeans_assignments(spark, sf_dir)
-    sums = [
-        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-        for i in range(EMBED_DIM)
-    ]
-    rows = (
-        quant.join(a, "vec_id")
-        .groupBy("cluster")
-        .agg(F.count("*").alias("c"), *sums)
-        .collect()
-    )
+    cent = kmeans_centroid_state(spark, sf_dir)
     structs = []
-    for r in rows:
-        cell, c = int(r.cluster), int(r.c)
-        s = [int(r[f"s{i}"]) for i in range(EMBED_DIM)]
+    for cell, s, c in cent:
         sss_over_c2 = sum(x * x for x in s) / (c * c)
         s_lit = F.array(*[F.lit(x).cast("long") for x in s])
         score = F.lit(sss_over_c2) - (
@@ -617,6 +626,47 @@ def _kmeans_assign(
 
 
 _KMEANS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+#: Trained quantizer state — per-cell (component-sum vector, count)
+#: aggregated over the FINAL Lloyd assignment — memoized next to the
+#: assignment itself (VERDICT r6 ask #2): ann_ivf_kmeans consumed this
+#: exact aggregation on every invocation; it is pure derived state of
+#: the cached assignment, so one K-row collect per (session, sf_dir)
+#: serves every later probe-ranking read. (The loop's last in-loop
+#: aggregation describes the PENULTIMATE assignment — only equal once
+#: Lloyd has converged — so the state is computed from the final
+#: assignment, bit-identical to what the query previously derived.)
+_KMEANS_STATE_CACHE: dict[tuple[int, str], list] = {}
+
+
+def kmeans_centroid_state(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int], int]]:
+    """Exact-integer trained centroid state [(cell, Σ components,
+    count)] of the final k-means assignment, collected once per
+    (session, sf_dir). K rows of driver state — the trained index a
+    production IVF would persist next to the assignment table."""
+    key = (id(spark), sf_dir)
+    if key in _KMEANS_STATE_CACHE:
+        return _KMEANS_STATE_CACHE[key]
+    quant = _quantized(spark, sf_dir)
+    a = kmeans_assignments(spark, sf_dir)
+    sums = [
+        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+        for i in range(EMBED_DIM)
+    ]
+    rows = (
+        quant.join(a, "vec_id")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("c"), *sums)
+        .collect()
+    )
+    cent = [
+        (int(r.cluster), [int(r[f"s{i}"]) for i in range(EMBED_DIM)], int(r.c))
+        for r in rows
+    ]
+    _KMEANS_STATE_CACHE[key] = cent
+    return cent
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:

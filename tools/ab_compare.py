@@ -19,13 +19,13 @@ def main() -> int:
     old = json.load(open(old_p))["queries"]
     new = json.load(open(new_p))["queries"]
     common = sorted(set(old) & set(new))
-    o_tot = round(sum(old[q] for q in common if old[q] >= 0), 1)
-    n_tot = round(sum(new[q] for q in common if new[q] >= 0), 1)
-    deltas = {
-        q: round(new[q] - old[q], 3)
-        for q in common
-        if old[q] >= 0 and new[q] >= 0
-    }
+    # Totals and deltas use the SAME set — queries timed (>= 0) on
+    # BOTH sides (ADVICE r6): a query errored on one side only must
+    # not be summed into the other side's total.
+    both_ok = [q for q in common if old[q] >= 0 and new[q] >= 0]
+    o_tot = round(sum(old[q] for q in both_ok), 1)
+    n_tot = round(sum(new[q] for q in both_ok), 1)
+    deltas = {q: round(new[q] - old[q], 3) for q in both_ok}
     wins = dict(
         (q, {"old": old[q], "new": new[q]})
         for q, d in sorted(deltas.items(), key=lambda kv: kv[1])[:8]
@@ -37,8 +37,14 @@ def main() -> int:
         if d > 0.75 and new[q] > 1.25 * old[q]
     )
     out = {
-        "protocol": note,
-        f"common_{len(common)}_total_sec": {
+        "protocol": note
+        + " | accounting note: since r6 the shared silver/shingle/"
+        "streaming-landing builds are pre-paid OUTSIDE the timed loop"
+        " and recorded under shared_build_s in the sidecar — sidecars"
+        " from r5 and earlier charge those builds to the first"
+        " consuming query, so cross-era per-query ratios on those"
+        " queries reflect the accounting move, not code.",
+        f"common_{len(both_ok)}_total_sec": {
             "old_code": o_tot,
             "new_code": n_tot,
         },

@@ -136,12 +136,22 @@ def main() -> int:
         "repeated_spans_merged",
     ]
 
-    # codegen/parquet-footer warm pass at the smallest SF (same
-    # accounting as bench.py)
-    for op in ops:
-        qs[op](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # codegen/parquet-footer warm pass at the smallest available SF
+    # (same accounting as bench.py). Derived from the supplied sf_dir
+    # instead of a hard-coded fixture path (ADVICE r6): prefer a
+    # sibling sf0.001 drop when it exists, else warm on sf_dir itself;
+    # skip warming entirely when neither is readable.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir if os.path.isdir(sf_dir) else None
+    if warm_dir:
+        for op in ops:
+            qs[op](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     def timed(op: str, d: str) -> float:
         best = float("inf")
