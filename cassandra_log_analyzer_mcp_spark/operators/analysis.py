@@ -2203,3 +2203,44 @@ def node_mtbf(logs: DataFrame) -> DataFrame:
             " END AS BIGINT) AS availability_permille",
         )
     )
+
+
+def error_interarrival_histogram(logs: DataFrame) -> DataFrame:
+    """Per-node ERROR INTERARRIVAL histogram on a log2 axis — the
+    burstiness fingerprint (a Poissonian node spreads across buckets;
+    a cascading one piles into the small-gap bins; a flapping one is
+    bimodal). Complements node_mtbf's single mean with the whole
+    distribution, per node.
+
+    Buckets are floor(log2(gap_s + 1)) computed as a BIT LENGTH
+    (length(bin(x)) − 1 — the doc_surprisal protocol; log2()/ln() are
+    libm-divergent and banned from gated outputs), so bucket 0 =
+    sub-second, bucket k spans [2^k − 1, 2^(k+1) − 1) seconds. Counts
+    and min/max bounds are exact integers — hash-exact both engines.
+
+    Scale: one lag window per node over its error lines (node-keyed
+    partitions, linear scan), then a (node, bucket)-keyed partial agg
+    — bucket cardinality is ~32 per node, tiny.
+    """
+    w = Window.partitionBy("node").orderBy("ts", "line_id")
+    gaps = (
+        logs.filter(F.col("is_error"))
+        .select(
+            "node",
+            "ts",
+            "line_id",
+            F.col("ts").cast("long").alias("epoch_s"),
+        )
+        .withColumn("gap_s", F.col("epoch_s") - F.lag("epoch_s").over(w))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    bucket = (F.length(F.bin(F.col("gap_s") + 1)) - 1).cast("int")
+    return (
+        gaps.withColumn("gap_bucket", bucket)
+        .groupBy("node", "gap_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    )

@@ -3394,3 +3394,100 @@ def encoding_plan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("use_dict"),
     )
+
+
+def _quartile_thresholds(metric: DataFrame, col: str) -> DataFrame:
+    """1-row (t1, t2, t3) exact quartile boundaries of ``col``:
+    t_k = min value whose cumulative user count reaches k·n/4
+    (4·cum ≥ k·n keeps the comparison integer). Computed over the
+    DISTINCT-value histogram, so the global cumulative window runs
+    over value cardinality, not user cardinality — the scale contract
+    (recency is bounded by the time range, frequency by activity;
+    monetary pre-buckets to whole units in the caller for the same
+    reason). Ties all land on the same side of a boundary — no
+    per-user tiebreak, no global row sort."""
+    counts = metric.groupBy(col).agg(F.count("*").alias("c"))
+    cum = counts.select(
+        F.col(col).alias("v"),
+        F.sum("c").over(Window.orderBy(col)).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return cum.agg(
+        *[
+            F.min(
+                F.when(4 * F.col("cum") >= k * F.col("n"), F.col("v"))
+            ).alias(f"t{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic user-value cube (recency ×
+    frequency × monetary quartiles) a curation/marketing pipeline
+    cuts its audience with: each user lands in one of 4³ cells, the
+    report is the cell census. Quartile boundaries are EXACT
+    cumulative-histogram ranks (no ntile: its tie handling is
+    position-dependent and engine-divergent; here equal metric values
+    always share a segment), monetary uses exact integer cents
+    (whole units for thresholding, bounding the distinct-value
+    histogram), and segments are 1..4 ascending in metric value —
+    hash-exact across engines.
+
+    Scale: one user-keyed partial agg over events, three tiny
+    distinct-value histograms with bounded cardinality, and 9 scalar
+    thresholds broadcast back — the corpus never globally sorts.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("epoch"),
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    um = ev.groupBy("user_id").agg(
+        F.max("epoch").alias("last_epoch"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("purchase_cents"),
+    )
+    gmax = ev.agg(F.max("epoch").alias("gmax"))
+    m = um.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        (F.col("gmax") - F.col("last_epoch")).alias("recency_s"),
+        "n_events",
+        "purchase_cents",
+        F.expr("purchase_cents div 100").alias("mon_units"),
+    )
+    rt = _quartile_thresholds(m, "recency_s")
+    ft = _quartile_thresholds(m, "n_events")
+    mt = _quartile_thresholds(m, "mon_units")
+
+    def seg(col: str, t: str) -> F.Column:
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(f"{t}.t1"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{t}.t2"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{t}.t3"), 1).otherwise(0)
+        ).cast("int")
+
+    enriched = (
+        m.crossJoin(F.broadcast(rt.select(F.struct("*").alias("rt"))))
+        .crossJoin(F.broadcast(ft.select(F.struct("*").alias("ft"))))
+        .crossJoin(F.broadcast(mt.select(F.struct("*").alias("mt"))))
+        .select(
+            seg("recency_s", "rt").alias("r_seg"),
+            seg("n_events", "ft").alias("f_seg"),
+            seg("mon_units", "mt").alias("m_seg"),
+            "n_events",
+            "purchase_cents",
+        )
+    )
+    return enriched.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("sum_events"),
+        F.sum("purchase_cents").cast("long").alias("sum_purchase_cents"),
+    )

@@ -1211,6 +1211,46 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the standard multilingual-
+    tokenizer health report (how many learned symbols each language
+    pays per whitespace word; a tokenizer trained on an en-heavy mix
+    over-fragments the tail languages, and this table is where that
+    shows up). Rides the graded train→encode lifecycle unchanged:
+    per-doc symbol counts from bpe_encode, language from documents,
+    one tiny groupBy(lang).
+
+    All-integer protocol: token/symbol counts are longs, fertility is
+    floor-div permille (1000 = one symbol per word; higher = more
+    fragmentation) — hash-exact across engines. Scale: the encode fold
+    is the cost (shared, cached); this adds one (lang)-keyed partial
+    agg over per-doc counts.
+    """
+    enc = bpe_encode(spark, sf_dir).select(
+        "doc_id", "n_raw_tokens", "n_bpe_symbols"
+    )
+    langs = documents(spark, sf_dir).select("doc_id", "lang")
+    return (
+        enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_raw_tokens").cast("long").alias("n_raw_tokens"),
+            F.sum("n_bpe_symbols").cast("long").alias("n_bpe_symbols"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_raw_tokens",
+            "n_bpe_symbols",
+            F.expr(
+                "CAST(CASE WHEN n_raw_tokens = 0 THEN 0 ELSE"
+                " 1000 * n_bpe_symbols div n_raw_tokens END AS BIGINT)"
+            ).alias("fertility_permille"),
+        )
+    )
+
+
 #: doc_surprisal's hot-gram threshold: bigrams with more occurrences
 #: than this broadcast instead of shuffling (≤ total/HOT can exist)
 SURPRISAL_HOT_C = 10_000

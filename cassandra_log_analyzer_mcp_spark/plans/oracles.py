@@ -1767,4 +1767,25 @@ def analysis_oracles() -> dict[str, str]:
         GROUP BY b.node, b.burst_id, b.start_s, b.end_s
         """
     )
+
+    # interarrival histogram: bit-length stands in for floor(log2)
+    # (the doc_surprisal protocol — no libm)
+    o["error_interarrival_histogram"] = with_logs("""
+        SELECT node, CAST(length(bin(gap_s + 1)) - 1 AS INT)
+                 AS gap_bucket,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        FROM (
+          SELECT node,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY node ORDER BY ts, line_id)
+                   AS gap_s
+          FROM flagged WHERE is_error
+        ) g
+        WHERE gap_s IS NOT NULL
+        GROUP BY node, gap_bucket
+    """)
+
     return o

@@ -1849,4 +1849,62 @@ def analytics_oracles() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS use_dict
         FROM stats JOIN dstats USING (tbl, col)
     """
+
+    # RFM segmentation: exact cumulative-histogram quartiles — t_k is
+    # the min value whose cum count reaches k*n/4 (4*cum >= k*n stays
+    # integer); ties share a segment, so no ntile / row-order hazard.
+    # Monetary thresholds on whole units (cents // 100) like Spark.
+    def _rfm_thr(col: str) -> str:
+        return f"""(
+          SELECT min(CASE WHEN 4 * cum >= 1 * n THEN v END) AS t1,
+                 min(CASE WHEN 4 * cum >= 2 * n THEN v END) AS t2,
+                 min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS t3
+          FROM (
+            SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                   sum(c) OVER () AS n
+            FROM (SELECT {col} AS v, count(*) AS c FROM m GROUP BY 1) h
+          ) cw
+        )"""
+
+    o["user_rfm_segments"] = f"""
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                 event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        um AS (
+          SELECT user_id, max(epoch) AS last_epoch,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                          ELSE 0 END) AS BIGINT) AS purchase_cents
+          FROM ev GROUP BY user_id
+        ),
+        m AS (
+          SELECT user_id,
+                 (SELECT max(epoch) FROM ev) - last_epoch AS recency_s,
+                 n_events, purchase_cents,
+                 purchase_cents // 100 AS mon_units
+          FROM um
+        ),
+        rt AS {_rfm_thr("recency_s")},
+        ft AS {_rfm_thr("n_events")},
+        mt AS {_rfm_thr("mon_units")}
+        SELECT CAST(1 + (m.recency_s > rt.t1)::int
+                      + (m.recency_s > rt.t2)::int
+                      + (m.recency_s > rt.t3)::int AS INT) AS r_seg,
+               CAST(1 + (m.n_events > ft.t1)::int
+                      + (m.n_events > ft.t2)::int
+                      + (m.n_events > ft.t3)::int AS INT) AS f_seg,
+               CAST(1 + (m.mon_units > mt.t1)::int
+                      + (m.mon_units > mt.t2)::int
+                      + (m.mon_units > mt.t3)::int AS INT) AS m_seg,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(m.n_events) AS BIGINT) AS sum_events,
+               CAST(sum(m.purchase_cents) AS BIGINT)
+                 AS sum_purchase_cents
+        FROM m, rt, ft, mt
+        GROUP BY 1, 2, 3
+    """
+
     return o

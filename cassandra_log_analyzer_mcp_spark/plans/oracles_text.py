@@ -2279,6 +2279,26 @@ def text_oracles() -> dict[str, str]:
     """
     )
 
+    # fertility = the same encode chain rolled up by language;
+    # floor-div permille keeps the ratio integer-exact
+    o["tokenizer_fertility_eval"] = (
+        bpe_chain
+        + f"""
+        SELECT doc.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(d0.t)) AS BIGINT) AS n_raw_tokens,
+               CAST(sum(len(z.t)) AS BIGINT) AS n_bpe_symbols,
+               CAST(CASE WHEN sum(len(d0.t)) = 0 THEN 0 ELSE
+                    1000 * CAST(sum(len(z.t)) AS BIGINT)
+                    // CAST(sum(len(d0.t)) AS BIGINT) END AS BIGINT)
+                 AS fertility_permille
+        FROM d{BPE_N_MERGES} z
+        JOIN d0 USING (doc_id)
+        JOIN documents doc USING (doc_id)
+        GROUP BY doc.lang
+    """
+    )
+
     from ..operators.curation import BLOOM_K, BLOOM_POS_HEX
 
     # Bloom positions ARE 4-hex md5 prefixes — string equality is the

@@ -382,6 +382,8 @@ def queries() -> dict[str, QueryFn]:
         "token_f2_ams": textops.token_f2_ams,
         "bpe_train_merges": textops.bpe_train_merges,
         "bpe_encode": textops.bpe_encode,
+        # fertility-by-language rollup of the same train->encode chain
+        "tokenizer_fertility_eval": textops.tokenizer_fertility_eval,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         "quality_classifier": textops.quality_classifier,
@@ -457,6 +459,13 @@ def queries() -> dict[str, QueryFn]:
         # regime where cell sizes matter (VERDICT r5 ask #5); recall
         # floors asserted at sf0.1 in tests/test_text_dedup.py
         "ann_ivf_probe_sweep_scaled": similarity.ann_ivf_probe_sweep_scaled,
+        # BIG regime (round 7 — VERDICT r6 ask #4): 50k generated
+        # vectors, 224 cells; rows-only by design (the drop is
+        # generated, not shipped) with EXACT tables pinned in
+        # tests/test_big_ann.py — the pr_eval discipline
+        "ann_ivf_probe_sweep_big": similarity.ann_ivf_probe_sweep_big,
+        "ann_ivf_big_cell_stats": similarity.ann_ivf_big_cell_stats,
+        "ann_ivf_pq_recall_big": similarity.ann_ivf_pq_recall_big,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
@@ -621,6 +630,8 @@ def queries() -> dict[str, QueryFn]:
         "event_path_trigrams": analytics.event_path_trigrams,
         # user-level ML feature-store table (RFM + diversity + mode)
         "user_feature_matrix": analytics.user_feature_matrix,
+        # exact cumulative-histogram quartile cube (no ntile ties)
+        "user_rfm_segments": analytics.user_rfm_segments,
         # Spark 4 VARIANT twin of the JSON-path scan (shared oracle)
         "props_variant_stats": analytics.props_variant_stats,
         # fulfillment SLA over the canonical big fact-fact join
@@ -717,6 +728,8 @@ def queries() -> dict[str, QueryFn]:
         "template_heavy_changers":
             _on_logs(analysis.template_heavy_changers),
         "node_mtbf": _on_logs(analysis.node_mtbf),
+        "error_interarrival_histogram":
+            _on_logs(analysis.error_interarrival_histogram),
         "pandas_udaf_error_median":
             _on_logs(analysis.pandas_udaf_error_median),
         # Spark 4 Python DataSource connector path, graded end-to-end

@@ -1022,3 +1022,34 @@ def test_node_mtbf_hand_computed(spark):
     assert (r.n_incidents, r.mtbf_s, r.mttr_s) == (2, 2000, 120)
     assert r.availability_permille == 1000 * (2000 - 240) // 2000
     assert out["n1"].mtbf_s is None and out["n1"].n_incidents == 1
+
+
+def test_interarrival_histogram_buckets_and_totals(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_interarrival_histogram,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+    from pyspark.sql import functions as F
+
+    logs = logs_flagged(spark, sf_dir)
+    rows = error_interarrival_histogram(logs).collect()
+    assert rows
+    for r in rows:
+        # bucket k holds gaps with floor(log2(gap+1)) == k:
+        # [2^k - 1, 2^(k+1) - 1)
+        lo, hi = (1 << r.gap_bucket) - 1, (1 << (r.gap_bucket + 1)) - 1
+        assert lo <= r.min_gap_s <= r.max_gap_s < hi
+        assert r.n_gaps >= 1
+    # per node: number of gaps == number of error lines - 1
+    per_node = {}
+    for r in rows:
+        per_node[r.node] = per_node.get(r.node, 0) + r.n_gaps
+    errs = {
+        r.node: r.n
+        for r in logs.filter(F.col("is_error"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for node, n_gaps in per_node.items():
+        assert n_gaps == errs[node] - 1

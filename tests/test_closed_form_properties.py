@@ -286,3 +286,30 @@ def test_forecast_equals_fraction_arithmetic(spark):
         assert r.outlook == (
             "rising" if yhat > Fraction(m.sy, n) else "easing"
         )
+
+
+def test_rfm_segments_cover_users_and_bound_quartiles(spark, sf_dir):
+    """Segment cube must partition the user base exactly; segments lie
+    in 1..4; each metric's marginal seg-1 share is >= 1/4 (ties can
+    only GROW the boundary bucket, never shrink it below the exact
+    quartile rank)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        user_rfm_segments,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import table
+
+    rows = user_rfm_segments(spark, sf_dir).collect()
+    n_users_true = (
+        table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert sum(r.n_users for r in rows) == n_users_true
+    for r in rows:
+        assert 1 <= r.r_seg <= 4 and 1 <= r.f_seg <= 4 and 1 <= r.m_seg <= 4
+    for axis in ("r_seg", "f_seg", "m_seg"):
+        seg1 = sum(r.n_users for r in rows if getattr(r, axis) == 1)
+        assert 4 * seg1 >= n_users_true

@@ -1920,3 +1920,22 @@ def test_ivf_kmeans_structure_and_recall(spark, sf_dir):
         1 for q, vs in per_q.items() for v in vs if (q, v) in brute
     )
     assert hits > 0
+
+
+def test_tokenizer_fertility_consistent_with_encode(spark, sf_dir):
+    """Fertility rows must be the exact per-lang rollup of the graded
+    encode output, and BPE can only MERGE (fertility <= 1000)."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops as T
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    fert = {r.lang: r for r in T.tokenizer_fertility_eval(spark, sf_dir).collect()}
+    langs = {r.lang for r in documents(spark, sf_dir).select("lang").distinct().collect()}
+    assert set(fert) == langs
+    enc_tot = T.bpe_encode(spark, sf_dir).groupBy().sum(
+        "n_raw_tokens", "n_bpe_symbols"
+    ).collect()[0]
+    assert sum(r.n_raw_tokens for r in fert.values()) == enc_tot[0]
+    assert sum(r.n_bpe_symbols for r in fert.values()) == enc_tot[1]
+    for r in fert.values():
+        assert 0 < r.fertility_permille <= 1000
+        assert 1000 * r.n_bpe_symbols // r.n_raw_tokens == r.fertility_permille
