@@ -87,6 +87,88 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (node_lead_lag, error_rate_wilson_ci, impute_hourly_locf, ...)
 #: and the §2C events/profile tranche (table_profile,
 #: props_json_stats, event_seasonality, ...).
+#: ROUND-7 WINDOW: CORRECTNESS_r06 landed exactly the 50 R6 slots
+#: (all green), bringing cumulative driver-issued evidence to 249
+#: distinct queries. Exactly 44 registry entries have never held a
+#: driver slot (37 oracled + 7 rows-only) and round 7 adds 6 new
+#: queries (3 oracled + 3 rows-only big-ANN) — 44 + 6 = 50, so THIS
+#: rotation closes the never-slotted tail completely: after r7 every
+#: oracled query carries driver-issued hash evidence and every
+#: rows-only query has held a (weaker, by design) driver rows slot.
+#: Strategy per VERDICT r6 ask #1: the two ledgered evictions lead
+#: (bpe_encode, jsonl_shard_export — promised first in the r6
+#: ledger), then the round-7 NEW implementations (fresh evidence
+#: outranks stable-never-graded), then the §2B window-function
+#: tranche, the §2C events/profile tranche, the CBO-stats/curation
+#: stragglers, and the 7 rows-only entries last (their driver check
+#: is rows-only — weaker — so they spend the tail slots, not the
+#: head). Zero overlap with CORRECTNESS_r01/r02/r04/r05/r06 —
+#: enforced by tests/test_registry_contract.py loading all five.
+#: EVICTION LEDGER: every R6 occupant carries a green
+#: CORRECTNESS_r06 row, so rotating all 50 out spends no evidence.
+R7_DRIVER_WINDOW = [
+    # (a) the two r6 evictions, honored first as ledgered
+    "bpe_encode",
+    "jsonl_shard_export",
+    # (b) round-7 NEW implementations (3 oracled + 3 rows-only)
+    "tokenizer_fertility_eval",
+    "user_rfm_segments",
+    "error_interarrival_histogram",
+    "ann_ivf_probe_sweep_big",
+    "ann_ivf_big_cell_stats",
+    "ann_ivf_pq_recall_big",
+    # (c) §2B window-function / log-analytics tranche
+    "node_lead_lag",
+    "error_rate_wilson_ci",
+    "impute_hourly_locf",
+    "error_independence_chi2",
+    "slo_burn_alerts",
+    "error_rate_sliding",
+    "error_forecast_next_day",
+    "node_coverage_gaps",
+    "node_summary_unpivot",
+    "new_template_alert",
+    "template_heavy_changers",
+    "template_trending_decayed",
+    "cogroup_error_warning_asof",
+    "pandas_udaf_error_median",
+    # (d) §2C events / profile tranche
+    "table_profile",
+    "props_json_stats",
+    "props_variant_stats",
+    "event_seasonality",
+    "user_activity_pivot",
+    "top_users_by_value",
+    "event_path_trigrams",
+    "ship_latency_percentiles",
+    "repeat_purchase_rate",
+    "last_touch_attribution",
+    "user_trailing_spend",
+    "value_drift_eras",
+    "above_avg_orders",
+    "cascade_erasure",
+    "part_copurchase_rules",
+    # (e) CBO-stats / curation stragglers
+    "column_histogram_equidepth",
+    "join_cardinality_eval",
+    "encoding_plan_census",
+    "constraint_checks",
+    "corpus_release_manifest",
+    "priority_sample",
+    # (f) rows-only by design — never slotted before; the driver
+    # records the weaker rows-only check, which is exactly the
+    # evidence tier these carry everywhere else
+    "table_profile_approx",
+    "distinct_users_sketch",
+    "event_value_percentiles_approx",
+    "event_value_percentiles_tdigest",
+    "streaming_percentiles_tdigest",
+    "multimodal_pipeline",
+    "multimodal_frames",
+]
+
+#: HISTORICAL (round 6's window, fully graded in CORRECTNESS_r06 —
+#: kept for the audit trail; the active window above replaces it)
 R6_DRIVER_WINDOW = [
     # (a) round-6 new/changed implementations (fresh evidence first):
     # multik spans + scaled sweep are NEW; ann_ivf_probe_sweep was
@@ -841,8 +923,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_purchase_error_full_join,
     }
     # project the round's driver window to the front (see
-    # R6_DRIVER_WINDOW); everything else keeps its relative order
-    ordered = {k: q[k] for k in R6_DRIVER_WINDOW}
+    # R7_DRIVER_WINDOW); everything else keeps its relative order
+    ordered = {k: q[k] for k in R7_DRIVER_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

@@ -51,6 +51,13 @@ EAGER = {
     # the final node_summary plan is lazily inspectable, but the
     # build-time write makes the whole query eager-shaped
     "python_datasource_node_summary",
+    # the BIG embeddings regime writes its generated 50k-vector drop
+    # at build time (generate-once parquet, like the landing above);
+    # downstream plans are the graded IVF/PQ shapes already audited
+    # on the shipped table
+    "ann_ivf_probe_sweep_big",
+    "ann_ivf_big_cell_stats",
+    "ann_ivf_pq_recall_big",
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
