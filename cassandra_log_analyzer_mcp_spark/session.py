@@ -53,19 +53,53 @@ def tune(spark: SparkSession) -> SparkSession:
 
 
 def clear_caches(spark: SparkSession) -> None:
-    """Release every DataFrame block this package cached in the session.
+    """Release every byte this package parked in the session: cached
+    DataFrame blocks, streaming memory-sink tables, and the module
+    memos that hand out cached frames.
 
     Operators cache session-scoped on purpose (CacheManager dedupes
     identical plans, so a gate sweep holds one entry per distinct
     rollup, not per call) — but a LONG-LIVED service cycling many
     inputs would accumulate executor memory forever. This is the
     explicit lifecycle hook for that deployment: call it between
-    analyses (the MCP server exposes it as a tool). catalog.clearCache
-    drops all cached blocks in one call; per-frame bookkeeping would
-    add nothing because every cache this package creates is rebuilt
-    on demand by the next query.
+    analyses (the MCP server exposes it as a tool).
+
+    Three layers (round 7 — the r6 driver-heap OOM showed they add up
+    silently; tools/cache_census.py measures them against a budget):
+
+    - catalog.clearCache() drops all cached blocks in one call;
+    - the streaming bridges' memory sinks are driver-resident temp
+      views (``stream_*``) — dropped by name;
+    - the module memos (k-means assignment/state, sampled truth
+      pairs, BPE fold, big-ANN index) must be cleared WITH the blocks:
+      a memo handing out a frame whose cache entry was just dropped
+      would silently recompute-per-use instead of re-caching.
+    Everything is rebuilt on demand by the next query.
     """
     spark.catalog.clearCache()
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("stream_"):
+            spark.catalog.dropTempView(t.name)
+    from .operators import dedup, similarity, textops
+
+    similarity._KMEANS_CACHE.clear()
+    similarity._KMEANS_STATE_CACHE.clear()
+    similarity._BIG_IVF_MEMO.clear()
+    similarity._BIG_PQ_MEMO.clear()
+    dedup._TRUTH_PAIRS_MEMO.clear()
+    textops._BPE_CACHE.clear()
+    # localCheckpoint() blocks (the BPE/connected-components iteration
+    # lineage cuts) live in RDD storage OUTSIDE the SQL CacheManager —
+    # release them too (their memos were just cleared, so nothing
+    # hands out frames over the truncated lineage anymore)
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        # snapshot first (list()): unpersist() removes the entry from
+        # the very map being iterated
+        for r in list(jmap.values()):
+            r.unpersist(True)
+    except Exception:
+        pass  # JVM bookkeeping API unavailable; SQL cache is cleared
 
 
 def get_spark(

@@ -78,6 +78,10 @@ def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
 
 _LANDED_SILVER: dict[str, str] = {}
 
+#: node-dim parquet paths already written this process (static dim —
+#: one write per path, not one per streaming_rack_counts call)
+_NODE_DIM_WRITTEN: set[str] = set()
+
 
 def _landed_silver_dir(spark: SparkSession, sf_dir: str) -> str:
     """Parse+classify the landed raw feed ONCE per process through
@@ -1177,7 +1181,11 @@ def streaming_rack_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.silver import _default_path, write_node_dim
 
     dim_path = _default_path(sf_dir) + "_nodedim_stream"
-    write_node_dim(spark, dim_path)
+    # the dim is STATIC — write it once per process (it previously
+    # re-wrote on every call, a build cost charged to the query)
+    if dim_path not in _NODE_DIM_WRITTEN:
+        write_node_dim(spark, dim_path)
+        _NODE_DIM_WRITTEN.add(dim_path)
     rack_dim = spark.read.parquet(dim_path)
 
     parsed = _silver_stream(spark, sf_dir)

@@ -90,3 +90,55 @@ def test_health_report_renders_all_nodes(spark, sf_dir):
 
     ranks = [int(m) for m in re.findall(r"\| (\d+) \| node", md)]
     assert ranks == sorted(ranks) and len(ranks) == 4
+
+
+def test_cache_budget_census_and_full_release(spark, sf_dir):
+    """Round-7 cache-footprint gate (the r6 driver-heap OOM lesson):
+    after building every designed cache layer + memory sinks, the
+    measured footprint stays under budget, and clear_caches releases
+    ALL THREE layers — SQL cache blocks, localCheckpoint RDD storage,
+    stream_* sink views — plus the module memos."""
+    import importlib
+
+    cache_census = importlib.import_module("tools.cache_census")
+    from cassandra_log_analyzer_mcp_spark.operators import (
+        dedup,
+        similarity,
+        textops,
+    )
+    from cassandra_log_analyzer_mcp_spark.plans import registry
+    from cassandra_log_analyzer_mcp_spark.session import clear_caches
+
+    qs = registry.queries()
+    # one representative per cache layer (subset of the tool's list —
+    # the tool itself is the sf0.1 gate artifact)
+    for name in (
+        "node_summary",
+        "minhash_dedup_pr_eval",
+        "kmeans_embeddings",
+        "bpe_encode",
+        "streaming_issue_counts",
+    ):
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    loaded = cache_census.census(spark)
+    assert loaded["cached_rdd_bytes"] > 0
+    assert loaded["n_sinks"] >= 1
+    # sf0.001 footprint is tiny; 256 MB bounds it with wide slack
+    # while still catching an accidental corpus-scale cache
+    assert (
+        loaded["cached_rdd_bytes"] + loaded["sink_est_bytes"]
+        < 256 * 1024 * 1024
+    )
+    clear_caches(spark)
+    after = cache_census.census(spark)
+    assert after["cached_rdd_bytes"] == 0
+    assert after["n_cached_rdds"] == 0
+    assert after["n_sinks"] == 0
+    assert not similarity._KMEANS_CACHE
+    assert not similarity._KMEANS_STATE_CACHE
+    assert not dedup._TRUTH_PAIRS_MEMO
+    assert not textops._BPE_CACHE
+    # and the session still works: the next query rebuilds on demand
+    assert qs["node_summary"](spark, sf_dir).count() > 0
