@@ -1939,3 +1939,169 @@ def test_tokenizer_fertility_consistent_with_encode(spark, sf_dir):
     for r in fert.values():
         assert 0 < r.fertility_permille <= 1000
         assert 1000 * r.n_bpe_symbols // r.n_raw_tokens == r.fertility_permille
+
+
+def test_multik_certification_proven_against_raw_text(spark):
+    """Round-7 property (VERDICT r6 ask #6): on a crafted slice, the
+    gram quantization at K ∈ {8,16,32} neither LOSES nor SPLITS any
+    maximal cross-document verbatim repeat, certification widths
+    match a brute-force substring census of the RAW TEXT, and the
+    rewrite's '>= 16-token verbatim repeat is dropped' guarantee
+    holds window-by-window against the original token streams —
+    not just against the gram substrate."""
+    import os
+    import tempfile
+
+    from cassandra_log_analyzer_mcp_spark.operators.textops import (
+        MULTIK_WIDTHS,
+        SPAN_DROP_MIN_K,
+        dedup_spans_rewrite,
+        repeated_spans_multik,
+    )
+
+    # --- crafted corpus: planted repeats bracket every width edge
+    def rep(tag, n):
+        return [f"r{tag}n{j}" for j in range(n)]
+
+    plants = {  # tag -> (length, expected max_k or None if below k8)
+        "a7": 7, "b8": 8, "c15": 15, "d16": 16, "e31": 31,
+        "f32": 32, "g33": 33, "h64": 64, "i100": 100,
+    }
+    docs = {}
+    pos_of = {}  # (tag, doc) -> start position
+
+    def build(doc_id, parts):
+        toks, out = [], []
+        for part in parts:
+            if isinstance(part, str):  # planted repeat tag
+                pos_of[(part, doc_id)] = len(toks)
+                toks += rep(part, plants[part])
+            else:  # unique filler of n tokens
+                out_len = len(toks)
+                toks += [f"d{doc_id}u{out_len + j}" for j in range(part)]
+        docs[doc_id] = toks
+
+    # doc 0/1 share every plant at different offsets; two plants in
+    # doc 0 are separated by a SINGLE unique token (must stay two
+    # spans); one plant sits at position 0 and one at the very end
+    build(0, ["d16", 1, "f32", 5, "a7", 4, "c15", 3, "h64", 2, "b8"])
+    build(1, [6, "f32", 2, "d16", 9, "c15", 1, "h64", 3, "b8", 5, "a7"])
+    build(2, [4, "e31", 3, "g33", 2, "i100"])
+    build(3, ["i100", 5, "e31", 7, "g33"])
+    # three-way share: i100 also in doc 4
+    build(4, [3, "i100", 4])
+    # within-one-doc-only repeat: must generate NO spans in doc 5
+    same = [f"samedoc{j}" for j in range(20)]
+    docs[5] = same + ["d5gap0"] + same
+
+    rows = [
+        (i, " ".join(t), "en", "crafted", len(" ".join(t)))
+        for i, t in docs.items()
+    ]
+    sf_like = tempfile.mkdtemp(prefix="crafted_slice_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf_like, "documents.parquet")
+    )
+
+    # --- brute-force census straight off the raw token streams
+    def windows(toks, k):
+        return [
+            (" ".join(toks[p : p + k]), p)
+            for p in range(len(toks) - k + 1)
+        ]
+
+    dup_cover = {d: set() for d in docs}  # positions under any dup gram
+    dup_k = {d: {} for d in docs}         # pos -> widths hitting there
+    for k in MULTIK_WIDTHS:
+        where = {}
+        for d, toks in docs.items():
+            for g, p in windows(toks, k):
+                where.setdefault(g, set()).add(d)
+        for d, toks in docs.items():
+            for g, p in windows(toks, k):
+                if len(where[g]) > 1:
+                    for i in range(p, p + k):
+                        dup_cover[d].add(i)
+                    dup_k[d].setdefault(p, set()).add(k)
+
+    def brute_spans(d):
+        cov = sorted(dup_cover[d])
+        spans, start, prev = [], None, None
+        for i in cov:
+            if start is None:
+                start, prev = i, i
+            elif i == prev + 1:
+                prev = i
+            else:
+                spans.append((start, prev + 1))
+                start, prev = i, i
+        if start is not None:
+            spans.append((start, prev + 1))
+        return spans
+
+    got = repeated_spans_multik(spark, sf_like).collect()
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end_excl): r for r in got
+    }
+    # (1) span boundaries == brute maximal islands, per doc, exactly
+    expect = {
+        (d, s, e) for d in docs for (s, e) in brute_spans(d)
+    }
+    assert set(got_spans) == expect
+    # (2) certification == the max gram width starting inside the span
+    for (d, s, e), r in got_spans.items():
+        widths = {
+            k
+            for p, ks in dup_k[d].items()
+            if s <= p < e
+            for k in ks
+        }
+        assert r.max_k_certified == max(widths)
+    # (3) every planted repeat of length >= 8 lives in ONE span, whole
+    for tag, length in plants.items():
+        if length < 8:
+            continue
+        want_k = max(k for k in MULTIK_WIDTHS if k <= length)
+        for (t, d), s in pos_of.items():
+            if t != tag:
+                continue
+            hit = [
+                r
+                for (dd, ss, ee), r in got_spans.items()
+                if dd == d and ss <= s and ee >= s + length
+            ]
+            assert len(hit) == 1, (tag, d)
+            assert hit[0].max_k_certified >= want_k, (tag, d)
+    # (4) sub-k8 and same-doc-only repeats generate nothing
+    assert not [r for r in got if r.doc_id == 5]
+    # (5) the RAW-TEXT drop guarantee: every cross-doc duplicated
+    # 16-token window of the ORIGINAL text falls inside a dropped
+    # interval, and clean_text is exactly the kept positions
+    dropped = {
+        d: [
+            (r.span_start, r.span_end_excl)
+            for r in got
+            if r.doc_id == d and r.max_k_certified >= SPAN_DROP_MIN_K
+        ]
+        for d in docs
+    }
+    clean = {
+        r.doc_id: r for r in dedup_spans_rewrite(spark, sf_like).collect()
+    }
+    for d, toks in docs.items():
+        for p, ks in dup_k[d].items():
+            if SPAN_DROP_MIN_K in ks or (2 * SPAN_DROP_MIN_K) in ks:
+                assert any(
+                    s <= p and p + SPAN_DROP_MIN_K <= e
+                    for (s, e) in dropped[d]
+                ), (d, p)
+        keep = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i < e for (s, e) in dropped[d])
+        ]
+        assert clean[d].clean_text == " ".join(keep)
+        assert clean[d].n_dropped == len(toks) - len(keep)
