@@ -2244,3 +2244,55 @@ def error_interarrival_histogram(logs: DataFrame) -> DataFrame:
             F.max("gap_s").cast("long").alias("max_gap_s"),
         )
     )
+
+
+#: minimum observations for a transition row (singleton transitions
+#: are noise at any scale and would bloat the rollup)
+TEMPLATE_TRANSITION_MIN_N = 2
+
+
+def template_transitions(logs: DataFrame) -> DataFrame:
+    """Template→template TRANSITION MATRIX per node — the Markov
+    view of a log stream (event_transitions' discipline applied to
+    the mined template space): which masked message template tends
+    to FOLLOW which, per node, with the share of the predecessor's
+    outgoing transitions in permille. The triage read: a cascade
+    shows up as a high-probability error-template chain; a healthy
+    node's matrix is flat.
+
+    Shape: one node-keyed lag window over the parsed lines (template
+    masking is codegen'd in the same pass), then a (node, prev, cur)
+    partial agg and one tiny per-(node, prev) rollup joined back
+    broadcast. Floor-div permille keeps it integer-exact; singleton
+    transitions are cut (TEMPLATE_TRANSITION_MIN_N) so the output
+    stays rollup-sized at any corpus scale.
+    """
+    tmpl = F.regexp_replace(
+        "message", TEMPLATE_NUM_REGEX, TEMPLATE_NUM_TOKEN
+    )
+    w = Window.partitionBy("node").orderBy("ts", "line_id")
+    seq = logs.select(
+        "node", "ts", "line_id", tmpl.alias("cur")
+    ).withColumn("prev", F.lag("cur").over(w))
+    pairs = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("node", "prev", "cur")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    outs = pairs.groupBy("node", "prev").agg(
+        F.sum("n").cast("long").alias("n_out")
+    )
+    return (
+        pairs.join(F.broadcast(outs), ["node", "prev"])
+        .filter(F.col("n") >= TEMPLATE_TRANSITION_MIN_N)
+        .select(
+            "node",
+            "prev",
+            "cur",
+            "n",
+            "n_out",
+            F.expr("CAST(1000 * n div n_out AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+    )

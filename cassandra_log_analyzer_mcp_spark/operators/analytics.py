@@ -3455,12 +3455,19 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_cents"),
     )
     gmax = ev.agg(F.max("epoch").alias("gmax"))
-    m = um.crossJoin(F.broadcast(gmax)).select(
-        "user_id",
-        (F.col("gmax") - F.col("last_epoch")).alias("recency_s"),
-        "n_events",
-        "purchase_cents",
-        F.expr("purchase_cents div 100").alias("mon_units"),
+    # cached: the three quartile histograms AND the final cube all
+    # read this user-cardinality frame — without the barrier each
+    # branch would re-scan events (4 fact scans instead of 1)
+    m = (
+        um.crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            (F.col("gmax") - F.col("last_epoch")).alias("recency_s"),
+            "n_events",
+            "purchase_cents",
+            F.expr("purchase_cents div 100").alias("mon_units"),
+        )
+        .cache()
     )
     rt = _quartile_thresholds(m, "recency_s")
     ft = _quartile_thresholds(m, "n_events")

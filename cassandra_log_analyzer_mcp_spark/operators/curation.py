@@ -1074,3 +1074,56 @@ def shard_rebalance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture weights (τ = 0.5) per language —
+    the standard multilingual rebalancing (sample language i with
+    probability ∝ p_i^τ instead of p_i, so tail languages are
+    up-sampled without letting any single head language dominate —
+    the mBERT/XLM-R exponential-smoothing recipe). The report a
+    mixture planner reads next to domain_mixture's caps.
+
+    Exact-integer protocol: p^0.5 is realized as floor(sqrt(n_docs))
+    — sqrt is a CORRECTLY-ROUNDED IEEE op (unlike ln/pow, which are
+    libm-divergent and banned), so both engines floor the identical
+    double, and every share is a floor-div permille of exact integer
+    sums. boost_permille = temperature share − raw share (positive =
+    up-sampled tail, negative = down-sampled head).
+
+    Scale: one (lang)-keyed partial agg over documents + a broadcast
+    1-row total — nothing else.
+    """
+    from ..functions.texts import tokens_col
+
+    per = (
+        documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_col()).cast("long"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("w").alias("tot_w")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(1000 * n_docs div tot_docs AS BIGINT)").alias(
+            "share_permille"
+        ),
+        F.expr("CAST(1000 * w div tot_w AS BIGINT)").alias(
+            "temp_share_permille"
+        ),
+        F.expr(
+            "CAST(1000 * w div tot_w - 1000 * n_docs div tot_docs"
+            " AS BIGINT)"
+        ).alias("boost_permille"),
+    )

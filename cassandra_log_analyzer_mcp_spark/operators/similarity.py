@@ -412,9 +412,14 @@ def _sweep_table(
         ).cast("long").alias("n_hits"),
         F.count("*").cast("long").alias("n_candidates"),
     )
+    # right-outer keeps every sweep point; the BUILD side of a
+    # right-outer broadcast join is the LEFT one, so the hint goes on
+    # grouped (≤ |sweep| rows) — a left-outer with the points side
+    # hinted cannot build-broadcast and fell back to SortMergeJoin
+    # (caught by the r7 plan-audit diff)
     return (
-        F.broadcast(points)
-        .join(grouped, "nprobe", "left")
+        F.broadcast(grouped)
+        .join(points, "nprobe", "right")
         .select(
             "nprobe",
             F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),

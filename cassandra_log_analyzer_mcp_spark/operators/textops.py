@@ -1862,3 +1862,163 @@ def token_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_r") * F.col("s_r")).alias("est_r"),
         "f2_exact",
     )
+
+
+#: vocabulary budgets swept by the coverage curve
+VOCAB_COVERAGE_SIZES = [100, 1000, 10000]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN COVERAGE vs VOCABULARY BUDGET — the table a tokenizer
+    planner sizes its vocab with: for each budget N in
+    VOCAB_COVERAGE_SIZES, the share of ALL corpus token occurrences
+    covered by the top-N tokens (count desc, token asc — the
+    deterministic vocab order). The knee of this curve is where
+    adding vocab stops buying coverage and BPE merges take over.
+
+    Shape at scale: ONE token-keyed count shuffle (the vocab build),
+    a TakeOrderedAndProject head of max(N) rows ranked driver-light,
+    then each budget is a conditional sum over that head next to the
+    exact corpus total — the curve costs one scan + one top-K
+    regardless of corpus size. Integer counts, floor-div permille.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select(F.explode(tokens_col()).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    top_n = max(VOCAB_COVERAGE_SIZES)
+    head = counts.orderBy(F.desc("c"), "token").limit(top_n)
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = head.withColumn("rk", F.row_number().over(w))
+    total = counts.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size_full"),
+    )
+    budgets = F.array(*[F.lit(n) for n in VOCAB_COVERAGE_SIZES])
+    return (
+        ranked.select(
+            "c", F.explode(F.filter(budgets, lambda b: b >= F.col("rk"))).alias("vocab_size")
+        )
+        .groupBy(F.col("vocab_size").cast("int").alias("vocab_size"))
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size_full",
+            F.expr(
+                "CAST(1000 * covered_tokens div total_tokens AS BIGINT)"
+            ).alias("coverage_permille"),
+        )
+    )
+
+
+#: T5-style span corruption: tokens group into spans of this width;
+#: a group masks when its seeded md5 prefix clears the rate gate
+SPANC_GROUP = 3
+SPANC_SEED = "spanc"
+SPANC_RATE_HEX = "2666"  # 0x2666 / 0xFFFF ≈ 15% of groups
+
+
+def augment_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style SPAN CORRUPTION (Raffel et al. 2020) as a graded
+    batch operator: tokens group into SPANC_GROUP-wide spans, ~15% of
+    groups (seeded md5 gate — replayable, the augment_token_dropout
+    discipline) are replaced by ordinal sentinels, and the denoising
+    TARGET sequence (sentinel + original tokens, in order) is emitted
+    next to the corrupted input — the actual training-pair shape a
+    span-corruption objective consumes.
+
+    Relational form, no per-doc fold: groups explode once, the
+    sentinel ordinal is a row_number over masked groups per doc, and
+    both output strings are order-fixed aggregations (array_sort of
+    (group, piece) structs — collect_list order is NOT deterministic,
+    the sort is what makes the hash exact). One doc-keyed window +
+    one groupBy(doc) — linear at any scale.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", tokens_col().alias("t"))
+    n = F.size("t")
+    n_groups = F.ceil(n / F.lit(SPANC_GROUP)).cast("int")
+    groups = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.explode(
+            F.when(
+                n > 0, F.sequence(F.lit(0), n_groups - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("g"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "g",
+        F.array_join(
+            F.slice("t", F.col("g") * SPANC_GROUP + 1, SPANC_GROUP), " "
+        ).alias("piece"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(SPANC_SEED),
+                        F.col("doc_id"),
+                        F.col("g"),
+                    )
+                ),
+                1,
+                4,
+            )
+            < SPANC_RATE_HEX
+        ).alias("masked"),
+    )
+    wm = Window.partitionBy("doc_id").orderBy("g")
+    marked = groups.withColumn(
+        "sid",
+        F.sum(F.col("masked").cast("int")).over(
+            wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("masked").cast("int"),
+    )
+    sid_s = F.col("sid").cast("string")
+    out_piece = F.when(
+        F.col("masked"),
+        F.concat(F.lit("<extra_id_"), sid_s, F.lit(">")),
+    ).otherwise(F.col("piece"))
+    tgt_piece = F.concat(
+        F.lit("<extra_id_"), sid_s, F.lit("> "), F.col("piece")
+    )
+
+    def joined(struct_col: F.Column) -> F.Column:
+        # collect_list SKIPS null inputs (how the targets side keeps
+        # only masked groups); array_sort on (g, piece) structs fixes
+        # the order collect_list does not guarantee
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(struct_col)),
+                lambda x: x["p"],
+            ),
+            " ",
+        )
+
+    return marked.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked_groups"),
+        joined(
+            F.struct(F.col("g"), out_piece.alias("p"))
+        ).alias("corrupted_text"),
+        joined(
+            F.when(
+                F.col("masked"),
+                F.struct(F.col("g"), tgt_piece.alias("p")),
+            )
+        ).alias("targets_text"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_groups",
+        "n_masked_groups",
+        "corrupted_text",
+        "targets_text",
+    )

@@ -1788,4 +1788,28 @@ def analysis_oracles() -> dict[str, str]:
         GROUP BY node, gap_bucket
     """)
 
+
+    from ..operators.analysis import TEMPLATE_TRANSITION_MIN_N
+
+    o["template_transitions"] = with_logs(f"""
+        SELECT node, prev, cur, n, n_out,
+               CAST(1000 * n // n_out AS BIGINT) AS share_permille
+        FROM (
+          SELECT node, prev, cur, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(count(*)) OVER (PARTITION BY node, prev)
+                      AS BIGINT) AS n_out
+          FROM (
+            SELECT node,
+                   regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                                  '{TEMPLATE_NUM_TOKEN}', 'g') AS cur,
+                   lag(regexp_replace(message, '{TEMPLATE_NUM_REGEX}',
+                                      '{TEMPLATE_NUM_TOKEN}', 'g'))
+                     OVER (PARTITION BY node ORDER BY ts, line_id)
+                     AS prev
+            FROM logs) s
+          WHERE prev IS NOT NULL
+          GROUP BY node, prev, cur) t
+        WHERE n >= {TEMPLATE_TRANSITION_MIN_N}
+    """)
+
     return o

@@ -90,6 +90,89 @@ verified AS (
 def text_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
+    o["mixture_temperature_weights"] = f"""
+        WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens,
+                 CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+                       CAST(sum(w) AS BIGINT) AS tot_w FROM per)
+        SELECT lang, n_docs, n_tokens,
+               CAST(1000 * n_docs // tot_docs AS BIGINT)
+                 AS share_permille,
+               CAST(1000 * w // tot_w AS BIGINT)
+                 AS temp_share_permille,
+               CAST(1000 * w // tot_w - 1000 * n_docs // tot_docs
+                    AS BIGINT) AS boost_permille
+        FROM per, tot
+    """
+
+    from ..operators.textops import VOCAB_COVERAGE_SIZES as _VCS
+
+    o["vocab_coverage_curve"] = f"""
+        WITH counts AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest({TOKS}) AS token FROM documents) u
+          GROUP BY token),
+        ranked AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+          FROM counts),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                       CAST(count(*) AS BIGINT) AS vocab_size_full
+                FROM counts),
+        b AS (SELECT unnest({_VCS}) AS vocab_size)
+        SELECT CAST(b.vocab_size AS INT) AS vocab_size,
+               CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+               tot.total_tokens, tot.vocab_size_full,
+               CAST(1000 * CAST(sum(r.c) AS BIGINT) // tot.total_tokens
+                    AS BIGINT) AS coverage_permille
+        FROM b JOIN ranked r ON r.rk <= b.vocab_size, tot
+        GROUP BY b.vocab_size, tot.total_tokens, tot.vocab_size_full
+    """
+
+    from ..operators.textops import (
+        SPANC_GROUP as _SG,
+        SPANC_RATE_HEX as _SRH,
+        SPANC_SEED as _SS,
+    )
+
+    o["augment_span_corruption"] = f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        g AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t,
+                 unnest(range(0,
+                   CAST(ceil(len(t) / {_SG}.0) AS BIGINT))) AS g
+          FROM d WHERE len(t) > 0),
+        p AS (
+          SELECT doc_id, n_tokens, g,
+                 array_to_string(
+                   t[g * {_SG} + 1 : g * {_SG} + {_SG}], ' ') AS piece,
+                 substr(md5('{_SS}:' || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(g AS VARCHAR)), 1, 4)
+                   < '{_SRH}' AS masked
+          FROM g),
+        m AS (
+          SELECT doc_id, n_tokens, g, piece, masked,
+                 CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY g) AS INT)
+                 - CASE WHEN masked THEN 1 ELSE 0 END AS sid
+          FROM p)
+        SELECT doc_id, n_tokens,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked_groups,
+               string_agg(CASE WHEN masked
+                               THEN '<extra_id_' || sid || '>'
+                               ELSE piece END, ' ' ORDER BY g)
+                 AS corrupted_text,
+               coalesce(string_agg(
+                 CASE WHEN masked
+                      THEN '<extra_id_' || sid || '> ' || piece END,
+                 ' ' ORDER BY g), '') AS targets_text
+        FROM m GROUP BY doc_id, n_tokens
+    """
+
     o["token_count"] = f"""
         SELECT doc_id,
                CAST(len({TOKS}) AS INT) AS n_ws_tokens,

@@ -466,6 +466,10 @@ def queries() -> dict[str, QueryFn]:
         "bpe_encode": textops.bpe_encode,
         # fertility-by-language rollup of the same train->encode chain
         "tokenizer_fertility_eval": textops.tokenizer_fertility_eval,
+        # vocab-budget coverage curve (one count shuffle + top-K head)
+        "vocab_coverage_curve": textops.vocab_coverage_curve,
+        # T5-style span corruption training pairs (seeded md5 gate)
+        "augment_span_corruption": textops.augment_span_corruption,
         "bm25_search": textops.bm25_search,
         "tfidf_keywords": textops.tfidf_keywords,
         "quality_classifier": textops.quality_classifier,
@@ -714,6 +718,9 @@ def queries() -> dict[str, QueryFn]:
         "user_feature_matrix": analytics.user_feature_matrix,
         # exact cumulative-histogram quartile cube (no ntile ties)
         "user_rfm_segments": analytics.user_rfm_segments,
+        # tau=0.5 multilingual rebalancing (isqrt-exact, no libm)
+        "mixture_temperature_weights":
+            curation.mixture_temperature_weights,
         # Spark 4 VARIANT twin of the JSON-path scan (shared oracle)
         "props_variant_stats": analytics.props_variant_stats,
         # fulfillment SLA over the canonical big fact-fact join
@@ -812,6 +819,8 @@ def queries() -> dict[str, QueryFn]:
         "node_mtbf": _on_logs(analysis.node_mtbf),
         "error_interarrival_histogram":
             _on_logs(analysis.error_interarrival_histogram),
+        # Markov view of the mined template space (lag + keyed agg)
+        "template_transitions": _on_logs(analysis.template_transitions),
         "pandas_udaf_error_median":
             _on_logs(analysis.pandas_udaf_error_median),
         # Spark 4 Python DataSource connector path, graded end-to-end

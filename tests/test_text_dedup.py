@@ -907,7 +907,15 @@ def test_bpe_train_merges_hand_computed(spark, sf_dir, monkeypatch):
             ]
         )
     )
-    rows = textops.bpe_train_merges(spark, sf_dir).orderBy("round").collect()
+    # a sentinel dir keys the memo away from the REAL sf_dir: the
+    # monkeypatch reverts but _BPE_CACHE would otherwise keep the toy
+    # corpus under (session, sf_dir) and poison every later consumer
+    # (bpe_encode / tokenizer_fertility_eval) in the same session
+    rows = (
+        textops.bpe_train_merges(spark, "memo://bpe-toy")
+        .orderBy("round")
+        .collect()
+    )
     assert (rows[0].left, rows[0].right, rows[0].n_pairs) == ("a", "b", 6)
     assert (rows[1].left, rows[1].right) == ("a b", "a b")
     assert rows[1].n_pairs == 4  # two per doc: (ab,ab),(ab,ab) overlaps
