@@ -50,6 +50,16 @@ NEW_IN_R7 = [
 #: implementations — the eviction ledger promised them first in r7
 LEDGERED_EVICTIONS = ["bpe_encode", "jsonl_shard_export"]
 
+#: round-7 additions BEYOND the window's capacity (the 50 slots were
+#: exactly consumed by the 44 never-slotted + 6 new): replica-graded
+#: this round, first in line for the r8 window
+EXTRAS_R7 = {
+    "mixture_temperature_weights",
+    "vocab_coverage_curve",
+    "augment_span_corruption",
+    "template_transitions",
+}
+
 #: rows-only by design — no oracle, unit-test evidence instead;
 #: anything NOT listed here must have an oracle_sql() twin.
 ROWS_ONLY = {
@@ -107,6 +117,7 @@ def test_r7_window_closes_the_never_slotted_tail() -> None:
         set(registry.R7_DRIVER_WINDOW)
         | _driver_graded()
         | set(NEW_IN_R7)
+        | EXTRAS_R7
     )
     missing = set(registry.queries()) - covered
     assert not missing, f"queries that would stay never-slotted: {missing}"
