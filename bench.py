@@ -170,6 +170,27 @@ def main() -> None:
         "_shared_batch_silver_build_s",
         lambda: silver_path(spark, sf_dir),
     )
+    # the trained k-means index (assignment + exact centroid state) —
+    # the fourth designed build-once layer (its docstring's 100 TB
+    # analogue is a written cluster-id table; three registry queries
+    # consume the cached assignment and ann_ivf_kmeans reads the
+    # memoized trained state). Measured: the build is ~14 s of
+    # round-structured Lloyd jobs at sf0.1 while the consuming
+    # queries cost 0.2-3 s marginal — charging the build to whichever
+    # consumer happens to run first made bench ordering, not plan
+    # quality, decide the top rows.
+    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+        kmeans_assignments,
+        kmeans_centroid_state,
+    )
+
+    def _kmeans_layer() -> None:
+        kmeans_assignments(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        kmeans_centroid_state(spark, sf_dir)
+
+    _build("_shared_kmeans_index_build_s", _kmeans_layer)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
