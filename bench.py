@@ -82,7 +82,18 @@ def main() -> None:
     import warnings
 
     warnings.filterwarnings("ignore", category=FutureWarning)
-    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+    warnings.filterwarnings(
+        "ignore", message="Cannot infer the eval type"
+    )
+    # the second filter targets pyspark's benign eval-type-inference
+    # UserWarning (group_ops), which otherwise lands LAST on stderr —
+    # exactly where a combined-stream tail capture would put it in
+    # front of the JSON line
+    os.environ.setdefault(
+        "PYTHONWARNINGS",
+        "ignore::FutureWarning,"
+        "ignore::UserWarning:pyspark.sql.pandas.group_ops",
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
