@@ -85,10 +85,14 @@ def main() -> None:
     warnings.filterwarnings(
         "ignore", message="Cannot infer the eval type"
     )
-    # the second filter targets pyspark's benign eval-type-inference
-    # UserWarning (group_ops), which otherwise lands LAST on stderr —
-    # exactly where a combined-stream tail capture would put it in
-    # front of the JSON line
+    warnings.filterwarnings(
+        "ignore", message="In Python 3.6+ and Spark 3.0+"
+    )
+    # the message filters target pyspark's two benign driver-side
+    # pandas-UDF advisories (eval-type inference; SPARK-28264 type
+    # hints), which otherwise land LAST on stderr — exactly where a
+    # combined-stream tail capture would put them in front of the
+    # JSON line
     os.environ.setdefault(
         "PYTHONWARNINGS",
         "ignore::FutureWarning,"
