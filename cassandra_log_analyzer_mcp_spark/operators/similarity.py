@@ -2239,3 +2239,58 @@ def knn_filtered_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("int").alias("rn"),
         "n_postfilter",
     )
+
+
+#: semantic decontamination dials: the held-out "benchmark" is
+#: 1/SEM_EVAL_MOD of vectors (wider than decontaminate's 1/97 so the
+#: semantic neighborhood actually straddles the split at gate scale);
+#: the flag bar sits below the near-dup bar — contamination screening
+#: wants higher recall than dedup does.
+SEM_EVAL_MOD = 11
+SEM_DECONTAM_MIN_SIM = 0.35
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space member of the
+    decontamination family (exact n-gram → decontaminate, bloom →
+    decontaminate_bloom, near-dup text → decontaminate_fuzzy): flag
+    training vectors whose cosine against ANY held-out eval vector
+    clears SEM_DECONTAM_MIN_SIM, catching paraphrase/translation
+    leakage that no token-level overlap check can see (the screen
+    modern data recipes run with an embedding model over both sides).
+
+    Emits per flagged training vector: how many eval vectors sit
+    inside the bar, the best similarity, and the eval id attaining it
+    (smallest id under rounded-sim ties — deterministic).
+
+    Scale: the eval/benchmark side is tiny by construction, so it
+    BROADCASTS over the corpus scan — no shuffle of the training
+    corpus, linear at 100 TB exactly like ``decontaminate``.
+    """
+    emb = _embeddings_normed(spark, sf_dir)
+    is_eval = F.col("vec_id") % SEM_EVAL_MOD == 0
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    pairs = (
+        emb.filter(~is_eval)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id", "eval_id", _pair_sim("qv", "v", "qn", "nv").alias("sim")
+        )
+        .filter(F.col("sim") >= SEM_DECONTAM_MIN_SIM)
+    )
+    mx = Window.partitionBy("vec_id")
+    return (
+        pairs.withColumn("mx", F.max("sim").over(mx))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_near"),
+            F.max("sim").alias("best_sim"),
+            F.min(
+                F.when(F.col("sim") == F.col("mx"), F.col("eval_id"))
+            ).alias("best_eval_id"),
+        )
+    )

@@ -2022,3 +2022,73 @@ def augment_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corrupted_text",
         "targets_text",
     )
+
+
+#: Gopher quality-rule battery (Rae et al. 2021, Table A1): document-
+#: level keep/drop gates a training-data pipeline applies before any
+#: expensive dedup or embedding stage. Bounds are the published ones;
+#: the stopword gate uses Gopher's own 8-word list (distinct from the
+#: quality_score stoplist above).
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_WORD_LEN_MIN = 3.0
+GOPHER_MEAN_WORD_LEN_MAX = 10.0
+GOPHER_SYMBOL_REGEX = r"(#|\.\.\.)"
+GOPHER_SYMBOL_RATIO_MAX = 0.1
+GOPHER_ALPHA_REGEX = "[A-Za-z]"
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags + the composite keep decision.
+
+    Map-only (no shuffle): every feature is a JVM array/regexp
+    expression inside whole-stage codegen, so at 100 TB this runs at
+    scan speed and is the natural FIRST pass of the curation funnel —
+    cheap rule-outs before MinHash or embeddings ever see the doc.
+
+    Determinism: every ratio is an int/int division on identical
+    integer inputs (IEEE-exact on both engines); no rounding, no libm.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    char_sum = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = char_sum / n_tok
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike(GOPHER_ALPHA_REGEX))) / n_tok
+    )
+    sym_ratio = count_matches(GOPHER_SYMBOL_REGEX) / n_tok
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    ok_tokens = (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+    ok_word_len = (mean_len >= GOPHER_MEAN_WORD_LEN_MIN) & (
+        mean_len <= GOPHER_MEAN_WORD_LEN_MAX
+    )
+    ok_symbols = sym_ratio <= GOPHER_SYMBOL_RATIO_MAX
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    ok_stopwords = n_stop >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_gopher_stopwords"),
+        ok_tokens.alias("ok_tokens"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stopwords.alias("ok_stopwords"),
+        (
+            ok_tokens & ok_word_len & ok_symbols & ok_alpha & ok_stopwords
+        ).alias("kept"),
+    )

@@ -1907,4 +1907,81 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY 1, 2, 3
     """
 
+    # KS drift: same integer-midpoint era split as value_drift_eras;
+    # the statistic stays an integer numerator until one division
+    o["value_ks_drift"] = """
+        WITH e AS (
+          SELECT event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+          FROM events
+        ),
+        mid AS (
+          SELECT (min(epoch) + max(epoch)) // 2 AS m FROM e
+        ),
+        per_val AS (
+          SELECT event_type, value,
+                 CAST(sum(CASE WHEN epoch < (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_e,
+                 CAST(sum(CASE WHEN epoch >= (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_l
+          FROM e GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT event_type, value,
+                 sum(n_e) OVER (PARTITION BY event_type) AS n_early,
+                 sum(n_l) OVER (PARTITION BY event_type) AS n_late,
+                 abs(sum(n_e) OVER w * sum(n_l)
+                       OVER (PARTITION BY event_type)
+                     - sum(n_l) OVER w * sum(n_e)
+                       OVER (PARTITION BY event_type)) AS ks_num
+          FROM per_val
+          WINDOW w AS (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        top AS (
+          SELECT event_type, n_early, n_late, max(ks_num) AS ks_num
+          FROM scored GROUP BY 1, 2, 3
+        )
+        SELECT s.event_type,
+               CAST(s.n_early AS BIGINT) AS n_early,
+               CAST(s.n_late AS BIGINT) AS n_late,
+               CAST(s.ks_num AS BIGINT) AS ks_num,
+               s.ks_num / (s.n_early * s.n_late) AS d_stat,
+               min(s.value) AS at_value
+        FROM scored s JOIN top t
+          ON s.event_type = t.event_type AND s.ks_num = t.ks_num
+        GROUP BY 1, 2, 3, 4, 5
+    """
+
+    # Benford audit: the nine expectation constants are the SAME
+    # decimal literals the Spark side parses (operators/analytics.py
+    # BENFORD_P) — no libm log10 in either graded path
+    from ..operators.analytics import BENFORD_P as _BENP
+
+    _benford_rows = ", ".join(
+        f"('{d + 1}', {p})" for d, p in enumerate(_BENP)
+    )
+    o["benford_check"] = f"""
+        WITH digits AS (
+          SELECT substr(regexp_replace(CAST(l_extendedprice AS VARCHAR),
+                                       '[^1-9]', '', 'g'), 1, 1) AS digit
+          FROM lineitem
+        ),
+        counts AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS observed
+          FROM digits WHERE digit != '' GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total
+                  FROM counts),
+        expect AS (SELECT * FROM (VALUES {_benford_rows})
+                   AS t(digit, p))
+        SELECT e.digit,
+               CAST(coalesce(c.observed, 0) AS BIGINT) AS observed,
+               round(n_total * e.p, 4) AS expected,
+               round((coalesce(c.observed, 0) - n_total * e.p)
+                     * (coalesce(c.observed, 0) - n_total * e.p)
+                     / (n_total * e.p), 4) AS chi2_term
+        FROM expect e CROSS JOIN total LEFT JOIN counts c USING (digit)
+    """
+
     return o

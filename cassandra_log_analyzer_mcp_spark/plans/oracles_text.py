@@ -2843,11 +2843,102 @@ def text_oracles() -> dict[str, str]:
     # counters — same oracle, crossed micro-batch boundaries
     o["streaming_f2_ams"] = o["token_f2_ams"]
 
+    # Gopher rule battery: every ratio is an int/int division on
+    # identical integers — no rounding, no libm (see operator note)
+    from ..operators.textops import (
+        GOPHER_ALPHA_REGEX,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MEAN_WORD_LEN_MAX,
+        GOPHER_MEAN_WORD_LEN_MIN,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_STOPWORDS,
+        GOPHER_SYMBOL_RATIO_MAX,
+        GOPHER_SYMBOL_REGEX,
+    )
+
+    _gstop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    o["gopher_quality_flags"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, {TOKS} AS tk FROM documents
+        ),
+        feat AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS INT) AS n_tokens,
+                 list_sum(list_transform(tk, s -> length(s)))
+                   / len(tk) AS mean_word_len,
+                 len(list_filter(tk,
+                     s -> regexp_matches(s, '{GOPHER_ALPHA_REGEX}')))
+                   / len(tk) AS alpha_ratio,
+                 len(regexp_extract_all(text, '{GOPHER_SYMBOL_REGEX}'))
+                   / len(tk) AS symbol_ratio,
+                 CAST(len(list_intersect(list_distinct(tk),
+                      [{_gstop}])) AS INT) AS n_gopher_stopwords
+          FROM t
+        )
+        SELECT doc_id, n_tokens, mean_word_len, alpha_ratio,
+               symbol_ratio, n_gopher_stopwords,
+               n_tokens >= {GOPHER_MIN_TOKENS}
+                 AND n_tokens <= {GOPHER_MAX_TOKENS} AS ok_tokens,
+               mean_word_len >= {GOPHER_MEAN_WORD_LEN_MIN}
+                 AND mean_word_len <= {GOPHER_MEAN_WORD_LEN_MAX}
+                 AS ok_word_len,
+               symbol_ratio <= {GOPHER_SYMBOL_RATIO_MAX} AS ok_symbols,
+               alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS ok_alpha,
+               n_gopher_stopwords >= {GOPHER_MIN_STOPWORDS}
+                 AS ok_stopwords,
+               (n_tokens >= {GOPHER_MIN_TOKENS}
+                 AND n_tokens <= {GOPHER_MAX_TOKENS})
+                 AND (mean_word_len >= {GOPHER_MEAN_WORD_LEN_MIN}
+                      AND mean_word_len <= {GOPHER_MEAN_WORD_LEN_MAX})
+                 AND symbol_ratio <= {GOPHER_SYMBOL_RATIO_MAX}
+                 AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+                 AND n_gopher_stopwords >= {GOPHER_MIN_STOPWORDS}
+                 AS kept
+        FROM feat
+    """
+
     return o
 
 
 def similarity_oracles() -> dict[str, str]:
+    from ..operators.similarity import (
+        SEM_DECONTAM_MIN_SIM,
+        SEM_EVAL_MOD,
+    )
+
     o: dict[str, str] = {}
+    # semantic decontamination: brute eval×train re-derivation with
+    # the identical rounded-cosine and smallest-id tie rule
+    o["decontaminate_semantic"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ),
+        ev AS (
+          SELECT vec_id AS eval_id, v AS qv FROM emb
+          WHERE vec_id % {SEM_EVAL_MOD} = 0
+        ),
+        pairs AS (
+          SELECT t.vec_id, e.eval_id,
+                 round(list_dot_product(e.qv, t.v)
+                       / (sqrt(list_dot_product(e.qv, e.qv))
+                          * sqrt(list_dot_product(t.v, t.v))), 3) AS sim
+          FROM emb t, ev e
+          WHERE t.vec_id % {SEM_EVAL_MOD} != 0
+        ),
+        flagged AS (
+          SELECT vec_id, eval_id, sim,
+                 max(sim) OVER (PARTITION BY vec_id) AS mx
+          FROM pairs WHERE sim >= {SEM_DECONTAM_MIN_SIM}
+        )
+        SELECT vec_id,
+               CAST(count(*) AS BIGINT) AS n_eval_near,
+               max(sim) AS best_sim,
+               min(CASE WHEN sim = mx THEN eval_id END) AS best_eval_id
+        FROM flagged GROUP BY 1
+    """
     o["knn_cosine_brute"] = f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

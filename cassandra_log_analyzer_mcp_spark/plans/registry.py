@@ -419,6 +419,10 @@ def queries() -> dict[str, QueryFn]:
         "pii_scrub": textops.pii_scrub,
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
+        # Gopher rule battery (Rae et al. 2021 Table A1) — the cheap
+        # map-only keep/drop gate ahead of dedup/embedding stages
+        # (round 7 late add; first in line for the r8 driver window)
+        "gopher_quality_flags": textops.gopher_quality_flags,
         # Pareto frontier over (quality ↑, tokens ↓) — skyline verb
         "doc_quality_skyline": textops.doc_quality_skyline,
         # reproducible token-dropout augmentation (seeded hash draw)
@@ -493,6 +497,9 @@ def queries() -> dict[str, QueryFn]:
         # near-dup (paraphrase) contamination sweep (round 5, in the
         # r5 driver window)
         "decontaminate_fuzzy": curation.decontaminate_fuzzy,
+        # embedding-space member of the decontamination family
+        # (round 7 late add; r8 driver-window candidate)
+        "decontaminate_semantic": similarity.decontaminate_semantic,
         "source_quality": curation.source_quality,
         "domain_mixture": curation.domain_mixture,
         "mixture_token_budget": curation.mixture_token_budget,
@@ -552,6 +559,11 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_probe_sweep_big": similarity.ann_ivf_probe_sweep_big,
         "ann_ivf_big_cell_stats": similarity.ann_ivf_big_cell_stats,
         "ann_ivf_pq_recall_big": similarity.ann_ivf_pq_recall_big,
+        # big-DEDUP regime (round 7 late add, r6 ask-#4 discipline
+        # extended to MinHash): rows-only by design — planted truth,
+        # exact tables pinned in tests/test_big_dedup.py
+        "dedup_minhash_recall_big": dedup.dedup_minhash_recall_big,
+        "minhash_big_band_census": dedup.minhash_big_band_census,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
@@ -656,6 +668,12 @@ def queries() -> dict[str, QueryFn]:
         "user_trailing_spend": analytics.user_trailing_spend,
         # era-vs-era histogram drift gate (per-band chi-square terms)
         "value_drift_eras": analytics.value_drift_eras,
+        # distribution-free KS companion to the banded drift view
+        # (round 7 late add; r8 driver-window candidate)
+        "value_ks_drift": analytics.value_ks_drift,
+        # Benford leading-digit audit over extendedprice (round 7
+        # late add; r8 driver-window candidate)
+        "benford_check": analytics.benford_check,
         # FK-closure subject erasure with integrity proof
         "cascade_erasure": analytics.cascade_erasure,
         # market-basket association rules (support/confidence/lift)

@@ -1074,3 +1074,55 @@ def test_template_transitions_shares_and_floor(spark, sf_dir):
     for r in rows:
         outs.setdefault((r.node, r.prev), set()).add(r.n_out)
     assert all(len(v) == 1 for v in outs.values())
+
+
+def test_value_ks_drift_known_distributions(spark, monkeypatch):
+    """KS on a crafted two-era frame: early values {1,2,3,4}, late
+    values {3,4,5,6} — D = 2/4 at x=2 (F_e=0.5, F_l=0)."""
+    from datetime import datetime, timezone
+
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    def t(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    rows = [Row(event_type="t", ts=t(h), value=float(v))
+            for h, v in [(0, 1), (1, 2), (2, 3), (3, 4)]]
+    rows += [Row(event_type="t", ts=t(h), value=float(v))
+             for h, v in [(20, 3), (21, 4), (22, 5), (23, 6)]]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(
+        "cassandra_log_analyzer_mcp_spark.operators.analytics.table",
+        lambda spark, sf_dir, name: df,
+    )
+    got = an.value_ks_drift(spark, "ignored").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_early, r.n_late) == (4, 4)
+    # max |cum_e*n_l - cum_l*n_e| = |2*4 - 0*4| = 8 at value 2
+    assert r.ks_num == 8 and r.at_value == 2.0
+    assert r.d_stat == 8 / 16
+
+
+def test_value_ks_drift_registry_shape(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    rows = an.value_ks_drift(spark, sf_dir).collect()
+    assert rows, "fixture eras must produce one row per event type"
+    for r in rows:
+        assert 0.0 <= r.d_stat <= 1.0
+        assert r.ks_num <= r.n_early * r.n_late
+
+
+def test_benford_check_battery(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    rows = {r.digit: r for r in an.benford_check(spark, sf_dir).collect()}
+    assert sorted(rows) == [str(d) for d in range(1, 10)]
+    n = sum(r.observed for r in rows.values())
+    # expectations scale with the observed total and the 9 shares
+    # sum to ~1 (the literals truncate at 15dp)
+    tot_exp = sum(r.expected for r in rows.values())
+    assert abs(tot_exp - n) < 0.01 * n
+    for r in rows.values():
+        assert r.chi2_term >= 0.0

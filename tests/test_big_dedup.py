@@ -1,0 +1,103 @@
+"""BIG documents regime (round 7 — the r6 ask-#4 "grow past toy"
+discipline extended from ANN to dedup): 50k generated docs with
+PLANTED duplicate structure, grading MinHash-LSH recall at 10× the
+sf0.1 corpus against truth known by construction.
+
+The drop is fully deterministic (md5 recipe), so these tests pin the
+EXACT recall and census tables — a stronger check than a floor: any
+drift in the generator, the shingler, the signature fold, or the
+banding shows up as a value diff, not a missed threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from cassandra_log_analyzer_mcp_spark.operators import dedup as D
+
+
+def _h6_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+
+def _expected_text(doc_id: int) -> str:
+    r = doc_id % D.BIG_DOC_GROUP
+    is_copy = r in D.BIG_DOC_MUT_PERMILLE
+    seed = doc_id - r if is_copy else doc_id
+    n_tok = D.BIG_DOC_LEN_MIN + _h6_py(f"bdl:{seed}") % D.BIG_DOC_LEN_SPAN
+    rate = D.BIG_DOC_MUT_PERMILLE.get(r, 0)
+    toks = []
+    for j in range(n_tok):
+        if _h6_py(f"bdm:{doc_id}:{j}") % 1000 < rate:
+            toks.append(f"m{_h6_py(f'bdr:{doc_id}:{j}') % D.BIG_DOC_VOCAB}")
+        else:
+            toks.append(f"w{_h6_py(f'bdt:{seed}:{j}') % D.BIG_DOC_VOCAB}")
+    return " ".join(toks)
+
+
+def test_big_doc_recipe_replayable(spark):
+    """The engine-side md5 recipe must match an independent python
+    re-derivation byte-exactly (a base doc, a light copy, a heavy
+    copy, and an independent doc)."""
+    d = D._big_documents_dir(spark)
+    rows = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{d}/documents.parquet")
+        .filter("doc_id IN (31330, 31331, 31335, 31337)")
+        .collect()
+    }
+    assert sorted(rows) == [31330, 31331, 31335, 31337]
+    for doc_id, text in rows.items():
+        assert text == _expected_text(doc_id), doc_id
+    # the light copy shares most tokens with its base; the heavy one
+    # diverges; the independent doc shares essentially nothing
+    base = set(rows[31330].split())
+    assert len(base & set(rows[31331].split())) / len(base) > 0.9
+    assert len(base & set(rows[31337].split())) / len(base) < 0.1
+
+
+def test_minhash_recall_big_exact_table(spark):
+    """Pin the planted-pair S-curve: candidate recall must fall with
+    the mutation rate exactly as measured, pipeline recall (vs the
+    pairs that truly clear the verify bar) stays high, and the
+    heaviest band sees essentially no true pairs — banding is the
+    only lossy stage and this is its exact loss."""
+    got = {
+        r.rate_permille: r
+        for r in D.dedup_minhash_recall_big(spark, "unused").collect()
+    }
+    expected = {
+        20: (5000, 895, 4947, 4999, 4946, 989, 989),
+        50: (5000, 757, 4694, 4922, 4636, 938, 941),
+        100: (5000, 584, 3923, 3742, 3208, 784, 857),
+        200: (5000, 349, 2061, 391, 308, 412, 787),
+        400: (5000, 122, 349, 0, 0, 69, None),
+    }
+    assert sorted(got) == sorted(expected)
+    for rate, exp in expected.items():
+        r = got[rate]
+        assert (
+            r.n_planted,
+            r.mean_jacc_permille,
+            r.n_candidates,
+            r.n_verify_true,
+            r.n_detected,
+            r.candidate_recall_permille,
+            r.pipeline_recall_permille,
+        ) == exp, rate
+
+
+def test_minhash_big_band_census_exact(spark):
+    """Pin the occupancy census: candidate volume stays ~1.3 pairs
+    per doc (the banded join is LINEAR at this scale — no
+    mega-bucket), max occupancy single-digit."""
+    r = D.minhash_big_band_census(spark, "unused").collect()[0]
+    assert (
+        r.n_docs,
+        r.n_buckets,
+        r.min_occupancy,
+        r.median_occupancy,
+        r.max_occupancy,
+        r.n_candidate_pairs,
+        r.cand_pairs_per_doc_permille,
+    ) == (50000, 161121, 1, 1, 6, 64598, 1291)

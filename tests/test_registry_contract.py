@@ -58,6 +58,16 @@ EXTRAS_R7 = {
     "vocab_coverage_curve",
     "augment_span_corruption",
     "template_transitions",
+    # second tranche of round-7 extras (added after the window froze):
+    # the Gopher rule battery, the KS/Benford statistical audits, the
+    # embedding-space decontamination sweep, and the big-documents
+    # dedup regime — replica-graded this round, r8-window candidates
+    "gopher_quality_flags",
+    "value_ks_drift",
+    "benford_check",
+    "decontaminate_semantic",
+    "dedup_minhash_recall_big",
+    "minhash_big_band_census",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -82,6 +92,11 @@ ROWS_ONLY = {
     "ann_ivf_probe_sweep_big",
     "ann_ivf_big_cell_stats",
     "ann_ivf_pq_recall_big",
+    # the BIG documents regime (round 7 late add): same rationale —
+    # generated drop, planted truth, exact tables pinned in
+    # tests/test_big_dedup.py
+    "dedup_minhash_recall_big",
+    "minhash_big_band_census",
 }
 
 

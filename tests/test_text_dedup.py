@@ -2196,3 +2196,67 @@ def test_mixture_temperature_flattens_the_mix(spark, sf_dir):
     head = max(rows, key=lambda r: r.n_docs)
     tail = min(rows, key=lambda r: r.n_docs)
     assert head.boost_permille < 0 < tail.boost_permille
+
+
+def test_gopher_quality_flags_rules(spark, monkeypatch):
+    """Each rule trips on its crafted violator and the clean doc
+    passes the whole battery."""
+    import cassandra_log_analyzer_mcp_spark.operators.textops as t
+
+    good = ("the good doc be to of and that have with " +
+            "word " * 45).strip()          # 54 tokens, stopwords ok
+    short = "the be to of tiny"             # < 50 tokens
+    # mean word length (3+2+34)/3 = 13 > 10
+    longwords = (
+        "the be supercalifragilisticexpialidocious " * 30
+    ).strip()
+    nostops = ("alpha beta gamma delta " * 15).strip()         # 0 stopwords
+    symbols = ("the be to of # # # # " * 10).strip()           # #-ratio > 0.1
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=short),
+            Row(doc_id=3, text=longwords),
+            Row(doc_id=4, text=nostops),
+            Row(doc_id=5, text=symbols),
+        ]
+    )
+    monkeypatch.setattr(
+        "cassandra_log_analyzer_mcp_spark.operators.textops.documents",
+        lambda spark, sf_dir: docs,
+    )
+    got = {r.doc_id: r for r in t.gopher_quality_flags(spark, "x").collect()}
+    assert got[1].kept
+    assert not got[2].ok_tokens and not got[2].kept
+    assert not got[3].ok_word_len and not got[3].kept
+    assert not got[4].ok_stopwords and not got[4].kept
+    assert not got[5].ok_symbols and not got[5].kept
+    # alpha gate: symbol tokens drag the alphabetic ratio down too
+    assert got[5].alpha_ratio < 1.0
+
+
+def test_decontaminate_semantic_flags_planted_neighbor(spark, monkeypatch):
+    """A training vector colinear with an eval vector is flagged with
+    best_sim 1.0 against that eval id; an orthogonal one is not."""
+    import cassandra_log_analyzer_mcp_spark.operators.similarity as s
+
+    dims = 4
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (dims - len(xs))
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=vec(1, 0), label=0),   # eval (0 % 11)
+            Row(vec_id=1, embedding=vec(2, 0), label=0),   # colinear train
+            Row(vec_id=2, embedding=vec(0, 3), label=0),   # orthogonal train
+        ]
+    )
+    monkeypatch.setattr(
+        "cassandra_log_analyzer_mcp_spark.operators.similarity.table",
+        lambda spark, sf_dir, name: emb,
+    )
+    got = {r.vec_id: r for r in
+           s.decontaminate_semantic(spark, "x").collect()}
+    assert list(got) == [1]
+    assert got[1].best_sim == 1.0 and got[1].best_eval_id == 0
+    assert got[1].n_eval_near == 1
