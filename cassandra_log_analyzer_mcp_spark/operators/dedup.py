@@ -474,7 +474,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda per pair. At 100 TB the shuffle is two 8-byte columns per
     candidate, the theoretical minimum for this scheme.
     """
-    docs = documents(spark, sf_dir).select("doc_id", "text")
+    return _simhash_pairs(
+        documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+def _simhash_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim): the packed 32-bit SimHash per document — the
+    source-agnostic core dedup_simhash and the big-regime recall eval
+    share (same votes, same packing)."""
+    docs = docs.select("doc_id", "text")
     # Hash each token ONCE in exploded row form — NOT array folds:
     # Spark evaluates higher-order lambdas interpreted, and 32 folds
     # each re-inline the hash transform (measured pathologically
@@ -500,6 +509,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("long")
+    return bit_sums.select("doc_id", packed.alias("sim"))
+
+
+def _simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Banded candidate join + exact hamming verify over the packed
+    hashes (the body dedup_simhash always had, parameterized on the
+    document source for the big-regime recall eval)."""
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
     # band key = band_index * 2^width + that band's bit slice — one
@@ -511,7 +527,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(SIMHASH_BANDS)
         ]
     )
-    hashed = bit_sums.select("doc_id", packed.alias("sim"))
+    hashed = _simhash_hashes(docs)
     buckets = hashed.select("doc_id", "sim", F.explode(bands).alias("band"))
     cand = (
         buckets.select(
@@ -2200,4 +2216,63 @@ def minhash_big_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1000) * F.col("n_candidate_pairs") / F.lit(n_docs)
             ).alias("cand_pairs_per_doc_permille"),
         )
+    )
+
+
+def dedup_simhash_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall on the SAME planted big drop — the modality
+    comparison dedup_minhash_recall_big makes possible: the two
+    detectors run against identical truth, so their S-curves are
+    directly comparable (which near-dup family catches what, at what
+    mutation depth). Per rate band: planted pairs, their exact mean
+    hamming over the packed 32-bit hashes (integer — no float sums),
+    how many sit within SIMHASH_MAX_HAMMING (the detector's stated
+    target), and how many the banded pipeline actually returned.
+    Banding is pigeonhole-EXACT for hamming ≤ 1 with 2 bands, so
+    n_detected ≥ n_within_target must hold (extra detections are
+    band-colliding pairs at larger hamming caught before the verify
+    filter — none here by construction of the filter; equality is
+    asserted in tests — the lossless-banding property at 50k scale).
+
+    Rows-only by design (generated drop); exact table pinned in
+    tests/test_big_dedup.py. Scale shape: identical to dedup_simhash —
+    16-bit band equi-join, two 8-byte columns per candidate.
+    """
+    d = _big_documents_dir(spark)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    hashes = _simhash_hashes(docs)
+    planted = _big_planted_pairs(spark)
+    ha = hashes.select(F.col("doc_id").alias("da"), F.col("sim").alias("sa"))
+    hb = hashes.select(F.col("doc_id").alias("db"), F.col("sim").alias("sb"))
+    detected = (
+        _simhash_pairs(docs)
+        .withColumn("is_detected", F.lit(1))
+        .select("da", "db", "is_detected")
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    scored = (
+        planted.join(ha, "da")
+        .join(hb, "db")
+        .join(detected, ["da", "db"], "left")
+        .select(
+            "rate_permille",
+            hamming.alias("hamming"),
+            (hamming <= SIMHASH_MAX_HAMMING).cast("long").alias("is_within"),
+            F.coalesce("is_detected", F.lit(0))
+            .cast("long")
+            .alias("is_detected"),
+        )
+    )
+    return (
+        scored.groupBy("rate_permille")
+        .agg(
+            F.count("*").alias("n_planted"),
+            F.floor(F.sum("hamming") / F.count("*")).alias("mean_hamming"),
+            F.sum("is_within").alias("n_within_target"),
+            F.sum("is_detected").alias("n_detected"),
+            F.floor(F.lit(1000) * F.sum("is_detected") / F.count("*")).alias(
+                "recall_permille"
+            ),
+        )
+        .orderBy("rate_permille")
     )

@@ -101,3 +101,34 @@ def test_minhash_big_band_census_exact(spark):
         r.n_candidate_pairs,
         r.cand_pairs_per_doc_permille,
     ) == (50000, 161121, 1, 1, 6, 64598, 1291)
+
+
+def test_simhash_recall_big_exact_table(spark):
+    """Pin the SimHash S-curve on the SAME planted truth — directly
+    comparable to the MinHash table above (989 vs 570 permille at
+    20‰ mutation: the hamming≤1 bar is far stricter than Jaccard≥0.5)
+    — and assert the pigeonhole property at scale: with 2 bands,
+    every planted pair within hamming 1 MUST be detected
+    (n_detected == n_within_target, banding lossless)."""
+    got = {
+        r.rate_permille: r
+        for r in D.dedup_simhash_recall_big(spark, "unused").collect()
+    }
+    expected = {
+        20: (5000, 1, 2851, 2851, 570),
+        50: (5000, 2, 1275, 1275, 255),
+        100: (5000, 4, 408, 408, 81),
+        200: (5000, 6, 60, 60, 12),
+        400: (5000, 9, 3, 3, 0),
+    }
+    assert sorted(got) == sorted(expected)
+    for rate, exp in expected.items():
+        r = got[rate]
+        assert (
+            r.n_planted,
+            r.mean_hamming,
+            r.n_within_target,
+            r.n_detected,
+            r.recall_permille,
+        ) == exp, rate
+        assert r.n_detected == r.n_within_target, rate

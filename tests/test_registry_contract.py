@@ -68,6 +68,7 @@ EXTRAS_R7 = {
     "decontaminate_semantic",
     "dedup_minhash_recall_big",
     "minhash_big_band_census",
+    "dedup_simhash_recall_big",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -97,6 +98,7 @@ ROWS_ONLY = {
     # tests/test_big_dedup.py
     "dedup_minhash_recall_big",
     "minhash_big_band_census",
+    "dedup_simhash_recall_big",
 }
 
 
