@@ -3623,3 +3623,66 @@ def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_, 4).alias("expected"),
         F.round((obs - exp_) * (obs - exp_) / exp_, 4).alias("chi2_term"),
     )
+
+
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum drift test per event type — the third
+    member of the era-drift family (banded chi-square →
+    value_drift_eras, distribution-free max-gap → value_ks_drift,
+    rank-based location shift → this): U detects a median shift KS
+    can under-weight and the histogram bands can smear.
+
+    Exact-integer core with TIES: using per-(type, value) counts, the
+    doubled midrank of a distinct value is 2·c_prev + e + l + 1, so
+    the doubled rank-sum R1×2 = Σ e·(2·c_prev + e + l + 1) is exact
+    integer arithmetic; u2_stat = 2·U1 = R1×2 − n1(n1+1) (ties
+    contribute halves to U, whole numbers to 2U). The one double is
+    auc = U1/(n1·n2) — the common-language effect size
+    P(early > late) + ½P(tie) — a single exact-integer division.
+
+    Scale: identical shape to value_ks_drift — one map-combinable
+    (type, value) count, one per-type sort-based cumsum, a per-type
+    fold. The window partition holds |distinct values| rows, never
+    raw events.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("long").alias("epoch"),
+        "value",
+    )
+    b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
+    mid = (int(b.lo) + int(b.hi)) // 2
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("epoch") < mid, 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+        F.sum(F.when(F.col("epoch") >= mid, 1).otherwise(0))
+        .cast("long")
+        .alias("l"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c_prev = F.coalesce(F.sum(F.col("e") + F.col("l")).over(w), F.lit(0))
+    contrib = F.col("e") * (
+        F.lit(2) * c_prev + F.col("e") + F.col("l") + F.lit(1)
+    )
+    folded = per_val.select(
+        "event_type", "e", "l", contrib.alias("r1x2")
+    ).groupBy("event_type").agg(
+        F.sum("e").alias("n_early"),
+        F.sum("l").alias("n_late"),
+        F.sum("r1x2").alias("r1x2"),
+    )
+    u2 = F.col("r1x2") - F.col("n_early") * (F.col("n_early") + 1)
+    return folded.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        u2.alias("u2_stat"),
+        (
+            u2 / (F.lit(2) * F.col("n_early") * F.col("n_late"))
+        ).alias("auc"),
+    )

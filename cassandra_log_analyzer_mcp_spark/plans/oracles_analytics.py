@@ -1953,6 +1953,48 @@ def analytics_oracles() -> dict[str, str]:
         GROUP BY 1, 2, 3, 4, 5
     """
 
+    # Mann-Whitney: the doubled-midrank fold keeps ties integer
+    # (2·midrank = 2·c_prev + e + l + 1); one division at the end
+    o["mann_whitney_drift"] = """
+        WITH e AS (
+          SELECT event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+          FROM events
+        ),
+        mid AS (
+          SELECT (min(epoch) + max(epoch)) // 2 AS m FROM e
+        ),
+        per_val AS (
+          SELECT event_type, value,
+                 CAST(sum(CASE WHEN epoch < (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                 CAST(sum(CASE WHEN epoch >= (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nl
+          FROM e GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT event_type, ne, nl,
+                 coalesce(sum(ne + nl) OVER (
+                   PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS c_prev
+          FROM per_val
+        ),
+        folded AS (
+          SELECT event_type,
+                 CAST(sum(ne) AS BIGINT) AS n_early,
+                 CAST(sum(nl) AS BIGINT) AS n_late,
+                 CAST(sum(ne * (2 * c_prev + ne + nl + 1))
+                      AS BIGINT) AS r1x2
+          FROM ranked GROUP BY 1
+        )
+        SELECT event_type, n_early, n_late,
+               CAST(r1x2 - n_early * (n_early + 1) AS BIGINT) AS u2_stat,
+               (r1x2 - n_early * (n_early + 1))
+                 / (2 * n_early * n_late) AS auc
+        FROM folded
+    """
+
     # Benford audit: the nine expectation constants are the SAME
     # decimal literals the Spark side parses (operators/analytics.py
     # BENFORD_P) — no libm log10 in either graded path

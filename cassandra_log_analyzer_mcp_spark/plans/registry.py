@@ -672,6 +672,8 @@ def queries() -> dict[str, QueryFn]:
         # distribution-free KS companion to the banded drift view
         # (round 7 late add; r8 driver-window candidate)
         "value_ks_drift": analytics.value_ks_drift,
+        # rank-sum location-shift member of the drift family
+        "mann_whitney_drift": analytics.mann_whitney_drift,
         # Benford leading-digit audit over extendedprice (round 7
         # late add; r8 driver-window candidate)
         "benford_check": analytics.benford_check,

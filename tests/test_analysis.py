@@ -1126,3 +1126,37 @@ def test_benford_check_battery(spark, sf_dir):
     assert abs(tot_exp - n) < 0.01 * n
     for r in rows.values():
         assert r.chi2_term >= 0.0
+
+
+def test_mann_whitney_drift_known_u(spark, monkeypatch):
+    """Crafted eras with a tie: early {1, 2}, late {2, 3} — midrank
+    of the tied 2s is 2.5, so R1 = 1 + 2.5 = 3.5, U1 = 0.5,
+    u2_stat = 1, auc = 0.125."""
+    from datetime import datetime, timezone
+
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    def t(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    rows = [Row(event_type="t", ts=t(0), value=1.0),
+            Row(event_type="t", ts=t(1), value=2.0),
+            Row(event_type="t", ts=t(22), value=2.0),
+            Row(event_type="t", ts=t(23), value=3.0)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(
+        "cassandra_log_analyzer_mcp_spark.operators.analytics.table",
+        lambda spark, sf_dir, name: df,
+    )
+    r = an.mann_whitney_drift(spark, "ignored").collect()[0]
+    assert (r.n_early, r.n_late, r.u2_stat, r.auc) == (2, 2, 1, 0.125)
+
+
+def test_mann_whitney_drift_bounds(spark, sf_dir):
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    rows = an.mann_whitney_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.auc <= 1.0
+        assert 0 <= r.u2_stat <= 2 * r.n_early * r.n_late

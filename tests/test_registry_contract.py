@@ -64,6 +64,7 @@ EXTRAS_R7 = {
     # dedup regime — replica-graded this round, r8-window candidates
     "gopher_quality_flags",
     "value_ks_drift",
+    "mann_whitney_drift",
     "benford_check",
     "decontaminate_semantic",
     "dedup_minhash_recall_big",
