@@ -2026,7 +2026,9 @@ def value_drift_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value") / 50) * 50).cast("long").alias("band"),
     )
     b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
-    mid = (int(b.lo) + int(b.hi)) // 2
+    # empty input (a filter that matched nothing at 100 TB is routine)
+    # degenerates to mid 0: every downstream aggregate stays empty
+    mid = 0 if b.lo is None else (int(b.lo) + int(b.hi)) // 2
     counted = ev.groupBy(
         "event_type",
         "band",
@@ -3526,7 +3528,9 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
-    mid = (int(b.lo) + int(b.hi)) // 2
+    # empty input (a filter that matched nothing at 100 TB is routine)
+    # degenerates to mid 0: every downstream aggregate stays empty
+    mid = 0 if b.lo is None else (int(b.lo) + int(b.hi)) // 2
     per_val = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("epoch") < mid, 1).otherwise(0))
         .cast("long")
@@ -3651,7 +3655,9 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
-    mid = (int(b.lo) + int(b.hi)) // 2
+    # empty input (a filter that matched nothing at 100 TB is routine)
+    # degenerates to mid 0: every downstream aggregate stays empty
+    mid = 0 if b.lo is None else (int(b.lo) + int(b.hi)) // 2
     per_val = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("epoch") < mid, 1).otherwise(0))
         .cast("long")

@@ -27,6 +27,11 @@ PROBE = [
     "open_orders_timeline", "lang_id", "issue_counts", "revenue_cube",
     "user_trailing_spend", "node_summary_unpivot",
     "doc_length_histogram",
+    # the era-split family's scalar midpoint collect degenerates to 0
+    # on empty input instead of raising (round 7)
+    "value_drift_eras", "value_ks_drift", "mann_whitney_drift",
+    # the round-7 map-only/statistical adds
+    "gopher_quality_flags", "decontaminate_semantic",
 ]
 
 
