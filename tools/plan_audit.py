@@ -58,6 +58,14 @@ EAGER = {
     "ann_ivf_probe_sweep_big",
     "ann_ivf_big_cell_stats",
     "ann_ivf_pq_recall_big",
+    # the BIG documents regime writes its generated 50k-doc drop at
+    # build time (same generate-once parquet pattern); downstream
+    # plans are the graded band-join shapes already audited on the
+    # shipped table — and minhash_big_band_census additionally runs
+    # two bounded count() control edges at build
+    "dedup_minhash_recall_big",
+    "minhash_big_band_census",
+    "dedup_simhash_recall_big",
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
