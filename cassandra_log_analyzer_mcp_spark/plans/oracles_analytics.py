@@ -2015,8 +2015,12 @@ def analytics_oracles() -> dict[str, str]:
         ),
         total AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total
                   FROM counts),
-        expect AS (SELECT * FROM (VALUES {_benford_rows})
-                   AS t(digit, p))
+        -- p must be DOUBLE: bare decimal literals land as DECIMAL in
+        -- DuckDB, whose exact arithmetic overflows DECIMAL(38) when
+        -- squaring (obs − n·p) at sf0.1 row counts — and would not
+        -- reproduce Spark's IEEE double math anyway
+        expect AS (SELECT digit, CAST(p AS DOUBLE) AS p
+                   FROM (VALUES {_benford_rows}) AS t(digit, p))
         SELECT e.digit,
                CAST(coalesce(c.observed, 0) AS BIGINT) AS observed,
                round(n_total * e.p, 4) AS expected,
