@@ -51,8 +51,23 @@ SLATE = [
     "streaming_issue_counts",
 ]
 
+#: the COMPUTE-BOUND slate (--slate heavy): the big-regime queries —
+#: 50k docs / 50k vectors of md5-and-integer arithmetic, far above
+#: the ~1 s/query job-scheduling floor that dominates the sf0.1
+#: mixed slate. Their generated drops + cached substrates are
+#: pre-built untimed (the shared-layer accounting), so the timed
+#: numbers isolate the banding / sweep / ADC compute that actually
+#: decides 100 TB wall-clock.
+HEAVY_SLATE = [
+    "dedup_minhash_recall_big",
+    "dedup_simhash_recall_big",
+    "minhash_big_band_census",
+    "ann_ivf_probe_sweep_big",
+    "ann_ivf_pq_recall_big",
+]
 
-def run_width(width: int, sf_dir: str) -> None:
+
+def run_width(width: int, sf_dir: str, slate_name: str = "mixed") -> None:
     from cassandra_log_analyzer_mcp_spark.plans import registry
     from cassandra_log_analyzer_mcp_spark.session import get_spark
 
@@ -63,37 +78,62 @@ def run_width(width: int, sf_dir: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+    slate = HEAVY_SLATE if slate_name == "heavy" else SLATE
 
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir):
-        for name in SLATE:
-            try:
-                noop(qs[name](spark, warm_dir))
-            except Exception:
-                pass
-    # shared layers untimed (the bench accounting): parsed silver,
-    # shingle arrays, streamed-silver landing, trained k-means state
-    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
-        _doc_shingle_arrays,
-    )
-    from cassandra_log_analyzer_mcp_spark.operators.similarity import (
-        kmeans_centroid_state,
-    )
-    from cassandra_log_analyzer_mcp_spark.sources.tables import logs_flagged
-    from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
-        _landed_silver_dir,
-    )
+    build_s = None
+    if slate_name == "heavy":
+        # generated drops + the shared shingle substrate are the
+        # pre-paid data layer; their build time is ITSELF a useful
+        # scaling number (md5 generation is pure parallel compute),
+        # so it is recorded rather than discarded
+        from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+            _big_doc_arrs,
+            _big_documents_dir,
+        )
+        from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+            _big_embeddings_dir,
+        )
 
-    noop(logs_flagged(spark, sf_dir))
-    noop(_doc_shingle_arrays(spark, sf_dir))
-    _landed_silver_dir(spark, sf_dir)
-    kmeans_centroid_state(spark, sf_dir)
+        t0 = time.perf_counter()
+        _big_documents_dir(spark)
+        _big_embeddings_dir(spark)
+        noop(_big_doc_arrs(spark))
+        build_s = round(time.perf_counter() - t0, 3)
+    else:
+        warm_dir = os.path.join(
+            os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
+        )
+        if os.path.isdir(warm_dir):
+            for name in slate:
+                try:
+                    noop(qs[name](spark, warm_dir))
+                except Exception:
+                    pass
+        # shared layers untimed (the bench accounting): parsed silver,
+        # shingle arrays, streamed-silver landing, trained k-means state
+        from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+            _doc_shingle_arrays,
+        )
+        from cassandra_log_analyzer_mcp_spark.operators.similarity import (
+            kmeans_centroid_state,
+        )
+        from cassandra_log_analyzer_mcp_spark.sources.tables import (
+            logs_flagged,
+        )
+        from cassandra_log_analyzer_mcp_spark.streaming.batch_bridge import (
+            _landed_silver_dir,
+        )
+
+        noop(logs_flagged(spark, sf_dir))
+        noop(_doc_shingle_arrays(spark, sf_dir))
+        _landed_silver_dir(spark, sf_dir)
+        kmeans_centroid_state(spark, sf_dir)
 
     timings: dict[str, float] = {}
-    for name in SLATE:
+    for name in slate:
         t0 = time.perf_counter()
         try:
             noop(qs[name](spark, sf_dir))
@@ -101,14 +141,26 @@ def run_width(width: int, sf_dir: str) -> None:
         except Exception as e:  # recorded, not fatal
             timings[name] = -1.0
             print(f"ERR {name}: {e}", file=sys.stderr)
-    print(json.dumps({"width": width, "timings": timings}))
+    print(
+        json.dumps(
+            {"width": width, "timings": timings, "build_s": build_s}
+        )
+    )
 
 
-def orchestrate(sf_dir: str, json_path: str | None) -> int:
+def orchestrate(sf_dir: str, json_path: str | None, slate_name: str) -> int:
     per_width: dict[str, dict] = {}
     for w in WIDTHS:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--width", str(w), sf_dir],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--width",
+                str(w),
+                "--slate",
+                slate_name,
+                sf_dir,
+            ],
             capture_output=True,
             text=True,
             timeout=1800,
@@ -122,6 +174,8 @@ def orchestrate(sf_dir: str, json_path: str | None) -> int:
         t = rec["timings"]
         total = round(sum(v for v in t.values() if v >= 0), 3)
         per_width[str(w)] = {"total_s": total, "queries": t}
+        if rec.get("build_s") is not None:
+            per_width[str(w)]["data_build_s"] = rec["build_s"]
         print(f"local[{w:>2}]: {total:.1f}s")
     base_w = WIDTHS[0]
     base = per_width[str(base_w)]["total_s"]
@@ -133,18 +187,30 @@ def orchestrate(sf_dir: str, json_path: str | None) -> int:
         eff = round(speedup / (w / base_w), 3) if speedup else None
         per_width[str(w)]["speedup_vs_w4"] = speedup
         per_width[str(w)]["efficiency_vs_w4"] = eff
+    slate = HEAVY_SLATE if slate_name == "heavy" else SLATE
     result = {
         "sf_dir": sf_dir,
+        "slate_name": slate_name,
         "protocol": (
-            "one subprocess per width (fresh JVM, fresh caches); warm "
-            "pass at sf0.001; shared layers (silver, shingles, "
-            "streamed landing, k-means state) pre-built untimed; "
-            f"{len(SLATE)}-query per-family slate timed to noop sink; "
-            "efficiency = (t_w4/t_w)/(w/4) — fixed ~1s/query job "
-            "scheduling floor included, so the figure UNDERSTATES "
-            "plan scalability at this toy data size"
+            "one subprocess per width (fresh JVM, fresh caches); "
+            + (
+                "generated 50k-doc/50k-vector drops + shingle "
+                "substrate pre-built per width (build time recorded "
+                "as data_build_s — itself pure parallel md5 "
+                "compute); compute-bound big-regime queries timed "
+                "to noop sink; "
+                if slate_name == "heavy"
+                else "warm pass at sf0.001; shared layers (silver, "
+                "shingles, streamed landing, k-means state) "
+                "pre-built untimed; per-family slate timed to noop "
+                "sink; "
+            )
+            + "efficiency = (t_w4/t_w)/(w/4) — the fixed ~0.5-1 s/"
+            "query job-scheduling floor is included, so mixed-slate "
+            "figures UNDERSTATE plan scalability at toy data size "
+            "(the heavy slate exists to factor that floor out)"
         ),
-        "slate": SLATE,
+        "slate": slate,
         "widths": per_width,
     }
     payload = json.dumps(result, indent=1, sort_keys=False)
@@ -157,12 +223,17 @@ def orchestrate(sf_dir: str, json_path: str | None) -> int:
 
 def main() -> int:
     argv = sys.argv[1:]
+    slate_name = "mixed"
+    if "--slate" in argv:
+        i = argv.index("--slate")
+        slate_name = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if "--width" in argv:
         i = argv.index("--width")
         width = int(argv[i + 1])
         rest = argv[:i] + argv[i + 2 :]
         sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
-        run_width(width, sf_dir)
+        run_width(width, sf_dir, slate_name)
         return 0
     json_path = None
     if "--json" in argv:
@@ -170,7 +241,7 @@ def main() -> int:
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
-    return orchestrate(sf_dir, json_path)
+    return orchestrate(sf_dir, json_path, slate_name)
 
 
 if __name__ == "__main__":
