@@ -79,14 +79,18 @@ def main() -> None:
     # tail capture. The env var reaches the forked Python UDF workers
     # (the in-process filter alone would not); set before the JVM and
     # worker pool launch.
+    import re
     import warnings
 
     warnings.filterwarnings("ignore", category=FutureWarning)
     warnings.filterwarnings(
         "ignore", message="Cannot infer the eval type"
     )
+    # message is a REGEX: the literal '+' in the advisory text made
+    # the unescaped pattern unmatchable (observed still firing after
+    # the first silencing attempt) — escape it
     warnings.filterwarnings(
-        "ignore", message="In Python 3.6+ and Spark 3.0+"
+        "ignore", message=re.escape("In Python 3.6+ and Spark 3.0+")
     )
     # the message filters target pyspark's two benign driver-side
     # pandas-UDF advisories (eval-type inference; SPARK-28264 type
