@@ -78,6 +78,7 @@ REPRESENTATIVE = [
     "ann_ivf_kmeans",          # + trained centroid state
     "ann_ivf_probe_sweep_big",  # big-ANN assignment + brute caches
     "ann_ivf_pq_recall_big",   # + 8-bit code cache
+    "dedup_minhash_recall_big",  # big-documents shingle-array cache
     "bpe_encode",              # BPE fold memo
     # six memory-sink bridges (complete-mode aggs, state folds)
     "streaming_issue_counts",
@@ -146,6 +147,7 @@ def main() -> int:
             similarity._BIG_IVF_MEMO,
             similarity._BIG_PQ_MEMO,
             dedup._TRUTH_PAIRS_MEMO,
+            dedup._BIG_DOC_ARRS_MEMO,
             textops._BPE_CACHE,
         )
     )
