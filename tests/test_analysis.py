@@ -1160,3 +1160,31 @@ def test_mann_whitney_drift_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.auc <= 1.0
         assert 0 <= r.u2_stat <= 2 * r.n_early * r.n_late
+
+
+def test_drift_family_null_case_identical_eras(spark, monkeypatch):
+    """Both eras drawn identical ⇒ KS numerator 0 and Mann-Whitney
+    auc exactly 0.5 — the null-calibration property of the whole
+    drift family (a biased estimator would shift these even on
+    perfectly matched eras)."""
+    from datetime import datetime, timezone
+
+    from cassandra_log_analyzer_mcp_spark.operators import analytics as an
+
+    def t(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    vals = [1.0, 2.0, 2.0, 5.0, 9.0]
+    rows = [Row(event_type="t", ts=t(h), value=v)
+            for h, v in enumerate(vals)]
+    rows += [Row(event_type="t", ts=t(19 + h), value=v)
+             for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(
+        "cassandra_log_analyzer_mcp_spark.operators.analytics.table",
+        lambda spark, sf_dir, name: df,
+    )
+    ks = an.value_ks_drift(spark, "ignored").collect()[0]
+    assert (ks.ks_num, ks.d_stat) == (0, 0.0)
+    mw = an.mann_whitney_drift(spark, "ignored").collect()[0]
+    assert mw.auc == 0.5 and mw.u2_stat == mw.n_early * mw.n_late
