@@ -2092,3 +2092,44 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok_tokens & ok_word_len & ok_symbols & ok_alpha & ok_stopwords
         ).alias("kept"),
     )
+
+
+def gopher_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule rejection census over the Gopher battery — the corpus
+    report a curation run publishes: for each rule, how many docs it
+    rejects (regardless of the other rules), plus the composite keep
+    count under ``all``. Long format (rule, n_fail, n_docs,
+    fail_permille) with exact integer permille.
+
+    One map-only featurize pass + a 6-way conditional aggregate —
+    still scan-speed; composes gopher_quality_flags so the census
+    cannot drift from the gate.
+    """
+    flags = gopher_quality_flags(spark, sf_dir)
+    rules = ["ok_tokens", "ok_word_len", "ok_symbols", "ok_alpha",
+             "ok_stopwords"]
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum((~F.col(r)).cast("long")).alias(f"fail_{r}")
+            for r in rules
+        ],
+        F.sum((~F.col("kept")).cast("long")).alias("fail_all"),
+    )
+    stacked = agg.selectExpr(
+        "n_docs",
+        "stack({n}, {args}) as (rule, n_fail)".format(
+            n=len(rules) + 1,
+            args=", ".join(
+                [f"'{r}', fail_{r}" for r in rules] + ["'all', fail_all"]
+            ),
+        ),
+    )
+    return stacked.select(
+        "rule",
+        "n_fail",
+        "n_docs",
+        F.floor(F.lit(1000) * F.col("n_fail") / F.col("n_docs")).alias(
+            "fail_permille"
+        ),
+    )

@@ -2899,6 +2899,35 @@ def text_oracles() -> dict[str, str]:
         FROM feat
     """
 
+    # the census stacks conditional counts over the same feature CTE
+    # the battery grades — composition, not re-derivation
+    _rules = {
+        "ok_tokens": f"NOT (n_tokens >= {GOPHER_MIN_TOKENS} "
+                     f"AND n_tokens <= {GOPHER_MAX_TOKENS})",
+        "ok_word_len": f"NOT (mean_word_len >= {GOPHER_MEAN_WORD_LEN_MIN} "
+                       f"AND mean_word_len <= {GOPHER_MEAN_WORD_LEN_MAX})",
+        "ok_symbols": f"symbol_ratio > {GOPHER_SYMBOL_RATIO_MAX}",
+        "ok_alpha": f"alpha_ratio < {GOPHER_MIN_ALPHA_RATIO}",
+        "ok_stopwords": f"n_gopher_stopwords < {GOPHER_MIN_STOPWORDS}",
+        "all": "NOT kept",
+    }
+    _census_parts = " UNION ALL ".join(
+        f"""
+        SELECT '{rule}' AS rule,
+               CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM f"""
+        for rule, cond in _rules.items()
+    )
+    o["gopher_rule_census"] = f"""
+        WITH f AS ({o['gopher_quality_flags']})
+        SELECT rule, n_fail, n_docs,
+               CAST(floor(1000 * n_fail / n_docs) AS BIGINT)
+                 AS fail_permille
+        FROM ({_census_parts}) u
+    """
+
     return o
 
 

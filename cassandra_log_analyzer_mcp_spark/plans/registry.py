@@ -423,6 +423,8 @@ def queries() -> dict[str, QueryFn]:
         # map-only keep/drop gate ahead of dedup/embedding stages
         # (round 7 late add; first in line for the r8 driver window)
         "gopher_quality_flags": textops.gopher_quality_flags,
+        # per-rule rejection census composed from the battery
+        "gopher_rule_census": textops.gopher_rule_census,
         # Pareto frontier over (quality ↑, tokens ↓) — skyline verb
         "doc_quality_skyline": textops.doc_quality_skyline,
         # reproducible token-dropout augmentation (seeded hash draw)

@@ -63,6 +63,7 @@ EXTRAS_R7 = {
     # embedding-space decontamination sweep, and the big-documents
     # dedup regime — replica-graded this round, r8-window candidates
     "gopher_quality_flags",
+    "gopher_rule_census",
     "value_ks_drift",
     "mann_whitney_drift",
     "benford_check",
