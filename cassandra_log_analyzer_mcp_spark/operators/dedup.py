@@ -683,7 +683,13 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint equi-join (volume ∝ selected fingerprints ≈ 2n/(w+1)
     per doc — the winnowing density bound) and the pair count agg.
     """
-    docs = documents(spark, sf_dir).select("doc_id", "text")
+    return _winnow_pairs(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _winnow_pairs(docs: DataFrame) -> DataFrame:
+    """Winnowing selection + rare-fingerprint pair join over an
+    arbitrary (doc_id, text) frame (the body dedup_winnow always had,
+    parameterized for the big-regime recall eval)."""
     # Selection as a WINDOW FRAME over pos-exploded shingle hashes,
     # not an array lambda: min-over-frame and md5 run inside
     # whole-stage codegen (the interpreted slice/array_min per-window
@@ -2276,3 +2282,52 @@ def dedup_simhash_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rate_permille")
     )
+
+
+def dedup_winnow_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing on the SAME planted big drop — third column of the
+    modality comparison (MinHash whole-doc Jaccard, SimHash bit
+    distance, winnowing SHARED-RUN detection). Winnowing's guarantee
+    is positional: any surviving verbatim run of ≥ WINNOW_W +
+    SHINGLE_K − 1 tokens yields a shared selected fingerprint, so its
+    S-curve decays with RUN survival (1−p)^run — a different law than
+    either set overlap or bit flips, which is exactly why production
+    dedup stacks run both a whole-doc and a span detector.
+
+    Per rate band: planted pairs, detected (≥ WINNOW_MIN_SHARED
+    shared rare fingerprints), recall permille, and the mean shared-
+    fingerprint count among detected pairs (integer floor; -1 when
+    the band has no detections — no NULL ambiguity in a rows-only
+    pinned table).
+
+    Rows-only by design; exact table pinned in
+    tests/test_big_dedup.py. Scale shape: identical to dedup_winnow
+    (fingerprint equi-join at winnowing density, never all-pairs).
+    """
+    d = _big_documents_dir(spark)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    detected = _winnow_pairs(docs).select("da", "db", "n_shared")
+    planted = _big_planted_pairs(spark)
+    scored = planted.join(detected, ["da", "db"], "left").select(
+        "rate_permille",
+        F.when(F.col("n_shared").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_detected"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+    )
+    g = scored.groupBy("rate_permille").agg(
+        F.count("*").alias("n_planted"),
+        F.sum("is_detected").alias("n_detected"),
+        F.floor(
+            F.lit(1000) * F.sum("is_detected") / F.count("*")
+        ).alias("recall_permille"),
+        F.coalesce(
+            F.floor(
+                F.sum("n_shared")
+                / F.nullif(F.sum("is_detected"), F.lit(0))
+            ),
+            F.lit(-1),
+        ).alias("mean_shared_fps"),
+    )
+    return g.orderBy("rate_permille")

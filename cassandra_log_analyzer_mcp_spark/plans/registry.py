@@ -579,6 +579,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_minhash_recall_big": dedup.dedup_minhash_recall_big,
         "minhash_big_band_census": dedup.minhash_big_band_census,
         "dedup_simhash_recall_big": dedup.dedup_simhash_recall_big,
+        "dedup_winnow_recall_big": dedup.dedup_winnow_recall_big,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

@@ -132,3 +132,31 @@ def test_simhash_recall_big_exact_table(spark):
             r.recall_permille,
         ) == exp, rate
         assert r.n_detected == r.n_within_target, rate
+
+
+def test_winnow_recall_big_exact_table(spark):
+    """Pin the winnowing S-curve — the third modality on shared
+    truth. Span detection decays with RUN survival, not set overlap:
+    at 400‰ mutation (where MinHash candidate recall is 69‰ and
+    SimHash 0‰) winnowing still detects 879‰ of planted pairs,
+    because 40-80-token docs keep some ≥6-token verbatim runs."""
+    got = {
+        r.rate_permille: r
+        for r in D.dedup_winnow_recall_big(spark, "unused").collect()
+    }
+    expected = {
+        20: (5000, 5000, 1000, 20),
+        50: (5000, 5000, 1000, 18),
+        100: (5000, 5000, 1000, 15),
+        200: (5000, 4996, 999, 10),
+        400: (5000, 4398, 879, 4),
+    }
+    assert sorted(got) == sorted(expected)
+    for rate, exp in expected.items():
+        r = got[rate]
+        assert (
+            r.n_planted,
+            r.n_detected,
+            r.recall_permille,
+            r.mean_shared_fps,
+        ) == exp, rate

@@ -71,6 +71,7 @@ EXTRAS_R7 = {
     "dedup_minhash_recall_big",
     "minhash_big_band_census",
     "dedup_simhash_recall_big",
+    "dedup_winnow_recall_big",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -101,6 +102,7 @@ ROWS_ONLY = {
     "dedup_minhash_recall_big",
     "minhash_big_band_census",
     "dedup_simhash_recall_big",
+    "dedup_winnow_recall_big",
 }
 
 
