@@ -107,12 +107,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: EVICTION LEDGER: every R6 occupant carries a green
 #: CORRECTNESS_r06 row, so rotating all 50 out spends no evidence.
 #: R8 PREP (written during round 7): the window above is FROZEN for
-#: the r7 driver run. Thirteen queries were added after it froze and
+#: the r7 driver run. Fourteen queries were added after it froze and
 #: are the natural r8 leads (replica-graded at both SFs this round;
 #: tests/test_registry_contract.py EXTRAS_R7 names them): the second
 #: round-7 tranche — gopher_quality_flags, gopher_rule_census,
 #: value_ks_drift, mann_whitney_drift, benford_check,
-#: decontaminate_semantic, and the three rows-only big-dedup regime
+#: decontaminate_semantic, and the four rows-only big-dedup regime
 #: queries — plus the four first-tranche extras
 #: (mixture_temperature_weights, vocab_coverage_curve,
 #: augment_span_corruption, template_transitions). After those, all
