@@ -3521,6 +3521,14 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window key is event_type, whose cardinality is tiny, but each
     partition is only |distinct values| rows AFTER the count combine,
     not raw events.
+
+    Validity bound (ADVICE r7 #3): the integer numerator
+    cum_early·n_late − cum_late·n_early requires n_early·n_late
+    < 2⁶³ (≈9.2e18) PER event_type — beyond ~3e9 events on each side
+    of one type, Spark wraps silently under non-ANSI arithmetic while
+    DuckDB raises. At that scale, pre-aggregate into value buckets
+    (the banded chi-square view) or compute the numerator in
+    decimal(38,0) on both engines.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",
@@ -3648,6 +3656,13 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, value) count, one per-type sort-based cumsum, a per-type
     fold. The window partition holds |distinct values| rows, never
     raw events.
+
+    Validity bound (ADVICE r7 #3): r1x2 grows ~(n_early+n_late)² per
+    event_type, so one type's era counts must satisfy n² < 2⁶³ —
+    i.e. ~3e9 events per type-era — beyond which Spark wraps silently
+    under non-ANSI arithmetic while DuckDB raises. Past that,
+    pre-bucket values (the banded chi-square view) or carry r1x2 in
+    decimal(38,0) on both engines.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",

@@ -2331,3 +2331,236 @@ def dedup_winnow_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_shared_fps"),
     )
     return g.orderBy("rate_permille")
+
+
+# ——— Semantic (embedding-LSH) column of the modality comparison ——————
+#: hashed-sign bag-of-tokens embedding dimension (matches the shipped
+#: embeddings table's EMBED_DIM so the LSH plane machinery is shared)
+SEM_BIG_DIM = 64
+#: sign-random-projection signature: SEM_BIG_BANDS bands of
+#: SEM_BIG_BAND_BITS hyperplane-sign bits (similarity.lsh_planes —
+#: the SAME seeded ±1 planes dedup_embedding_cosine buckets with)
+SEM_BIG_BANDS = 4
+SEM_BIG_BAND_BITS = 8
+#: verify bar as an exact fraction (cos ≥ 3/4): the squared-integer
+#: comparison 16·dot² ≥ 9·‖a‖²·‖b‖² avoids sqrt in the decision —
+#: the JACCARD_NUM/DEN discipline applied to cosine
+SEM_BIG_COS_NUM, SEM_BIG_COS_DEN = 3, 4
+
+_BIG_DOC_EMB_MEMO: dict[int, DataFrame] = {}
+
+
+def _big_doc_embeddings(spark: SparkSession) -> DataFrame:
+    """Cached (doc_id, emb array<long>, n2 long) — a hashed-sign
+    bag-of-tokens embedding of the big drop's ACTUAL text (feature
+    hashing / sign random projection): token t contributes a ±1
+    vector whose dim-j sign is bit j of md5("bde:"+t)'s first 64
+    bits, summed over token POSITIONS. Cosine between a base doc and
+    its copy therefore concentrates on the surviving-token fraction
+    ≈ (1−rate) — the mutation-rate correlation EMERGES from the same
+    planted text the other three modalities read, rather than being
+    synthesized into a separate embedding table. All-integer
+    components (sums of ±1), so every downstream projection, norm and
+    dot is exact int64 arithmetic.
+
+    Cost shape: one md5 per token instance (~3M, JVM-side), map-side
+    combined 64-way sums per doc — no join, no shuffle beyond the
+    50k-group aggregation. ~26 MB cached (64×8B per doc).
+    """
+    memo = _BIG_DOC_EMB_MEMO.get(id(spark))
+    if memo is not None:
+        return memo
+    d = _big_documents_dir(spark)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = toks.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("bde:"), F.col("tok"))).alias("m"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sums = [
+        F.sum(
+            F.shiftright(
+                F.col("h1" if j < 32 else "h2"), j % 32
+            ).bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        )
+        .cast("long")
+        .alias(f"e{j}")
+        for j in range(SEM_BIG_DIM)
+    ]
+    emb = (
+        h.groupBy("doc_id")
+        .agg(*sums)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"e{j}") for j in range(SEM_BIG_DIM)]).alias(
+                "emb"
+            ),
+        )
+        .select(
+            "doc_id",
+            "emb",
+            F.aggregate(
+                "emb",
+                F.lit(0).cast("long"),
+                lambda a, x: a + x * x,
+            ).alias("n2"),
+        )
+        .cache()
+    )
+    _BIG_DOC_EMB_MEMO[id(spark)] = emb
+    return emb
+
+
+def _sem_band_buckets(emb: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): sign-random-projection banding — bit b
+    of the signature is sign(⟨emb, plane_b⟩) over the seeded ±1
+    hyperplanes shared with dedup_embedding_cosine
+    (similarity.lsh_planes), packed 8 bits per band into an integer
+    bucket id. Projections are integer (±1 planes × integer
+    embedding), so the ≥0 sign test has no float boundary."""
+    from .similarity import lsh_planes
+
+    planes = lsh_planes(SEM_BIG_BANDS * SEM_BIG_BAND_BITS, SEM_BIG_DIM)
+    bits = []
+    for plane in planes:
+        coeffs = F.array(*[F.lit(int(c)) for c in plane])
+        proj = F.aggregate(
+            F.zip_with("emb", coeffs, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        bits.append((proj >= 0).cast("long"))
+    buckets = []
+    for b in range(SEM_BIG_BANDS):
+        packed = F.lit(0).cast("long")
+        for i in range(SEM_BIG_BAND_BITS):
+            packed = packed + bits[b * SEM_BIG_BAND_BITS + i] * (1 << i)
+        buckets.append(
+            F.struct(F.lit(b).alias("band"), packed.alias("bucket"))
+        )
+    return emb.select(
+        "doc_id", F.explode(F.array(*buckets)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
+def dedup_semantic_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-LSH) dedup on the SAME planted big drop —
+    the FOURTH column of the modality comparison (VERDICT r7 ask #2):
+    MinHash grades set overlap, SimHash bit distance, winnowing
+    shared runs; this grades COSINE in a hashed-token embedding
+    space, bucketed by sign-random-projection bands — the SemDeDup-
+    style architecture production semantic dedup actually runs
+    (embed → LSH/cluster scope → cosine verify), with the embedding
+    derived from the same mutated text so all four S-curves share
+    identical truth band-for-band.
+
+    Pipeline (the production shape, never all-pairs): hashed-sign
+    embeddings (integer), 4×8-bit sign-LSH band equi-join for
+    candidates, exact integer-cosine verify (16·dot² ≥ 9·n²a·n²b,
+    dot>0 ⟺ cos ≥ 0.75). Per rate band: planted pairs, mean cosine
+    (permille, floor), candidates surfaced by banding, pairs truly
+    clearing the verify bar, detected (= candidate ∧ verified), and
+    the two recalls — candidate recall against all planted pairs,
+    pipeline recall against the verify-true set (banding is the only
+    lossy stage, exactly the MinHash table's accounting).
+
+    Rows-only by design (generated drop); the exact deterministic
+    table is pinned in tests/test_big_dedup.py. Scale shape: linear —
+    one md5 pass, band equi-join candidates (Σc² bounded by the
+    256-bucket occupancy census), verify on candidates only.
+    """
+    emb = _big_doc_embeddings(spark)
+    buckets = _sem_band_buckets(emb)
+    cand = (
+        buckets.select(F.col("doc_id").alias("da"), "band", "bucket")
+        .join(
+            buckets.select(F.col("doc_id").alias("db"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    planted = _big_planted_pairs(spark)
+    a = emb.select(
+        F.col("doc_id").alias("da"),
+        F.col("emb").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b = emb.select(
+        F.col("doc_id").alias("db"),
+        F.col("emb").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    dotc = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    num2 = F.lit(SEM_BIG_COS_DEN * SEM_BIG_COS_DEN)
+    den2 = F.lit(SEM_BIG_COS_NUM * SEM_BIG_COS_NUM)
+    scored = (
+        planted.join(a, "da")
+        .join(b, "db")
+        .join(cand.withColumn("is_cand", F.lit(1)), ["da", "db"], "left")
+        .select(
+            "rate_permille",
+            dotc.alias("dot"),
+            "na2",
+            "nb2",
+            F.coalesce("is_cand", F.lit(0)).cast("long").alias("is_cand"),
+        )
+        .select(
+            "rate_permille",
+            F.floor(
+                F.lit(1000)
+                * F.col("dot")
+                / (F.sqrt("na2") * F.sqrt("nb2"))
+            ).alias("cos_permille"),
+            (
+                (F.col("dot") > 0)
+                & (
+                    num2 * F.col("dot") * F.col("dot")
+                    >= den2 * F.col("na2") * F.col("nb2")
+                )
+            )
+            .cast("long")
+            .alias("is_true"),
+            "is_cand",
+        )
+        .withColumn("is_detected", F.col("is_cand") * F.col("is_true"))
+    )
+    g = scored.groupBy("rate_permille").agg(
+        F.count("*").alias("n_planted"),
+        F.floor(F.sum("cos_permille") / F.count("*")).alias(
+            "mean_cos_permille"
+        ),
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum("is_true").alias("n_verify_true"),
+        F.sum("is_detected").alias("n_detected"),
+    )
+    return g.select(
+        "rate_permille",
+        "n_planted",
+        "mean_cos_permille",
+        "n_candidates",
+        "n_verify_true",
+        "n_detected",
+        F.floor(F.lit(1000) * F.col("n_candidates") / F.col("n_planted"))
+        .alias("candidate_recall_permille"),
+        F.when(
+            F.col("n_verify_true") > 0,
+            F.floor(
+                F.lit(1000) * F.col("n_detected") / F.col("n_verify_true")
+            ),
+        ).alias("pipeline_recall_permille"),
+    ).orderBy("rate_permille")

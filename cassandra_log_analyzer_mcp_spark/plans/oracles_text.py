@@ -2934,12 +2934,14 @@ def text_oracles() -> dict[str, str]:
 def similarity_oracles() -> dict[str, str]:
     from ..operators.similarity import (
         SEM_DECONTAM_MIN_SIM,
+        SEM_EVAL_CAP,
         SEM_EVAL_MOD,
     )
 
     o: dict[str, str] = {}
     # semantic decontamination: brute eval×train re-derivation with
-    # the identical rounded-cosine and smallest-id tie rule
+    # the identical rounded-cosine and smallest-id tie rule; the
+    # eval side carries the same fixed-benchmark cap as the engine
     o["decontaminate_semantic"] = f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2948,6 +2950,7 @@ def similarity_oracles() -> dict[str, str]:
         ev AS (
           SELECT vec_id AS eval_id, v AS qv FROM emb
           WHERE vec_id % {SEM_EVAL_MOD} = 0
+            AND vec_id < {SEM_EVAL_MOD * SEM_EVAL_CAP}
         ),
         pairs AS (
           SELECT t.vec_id, e.eval_id,
@@ -2955,7 +2958,8 @@ def similarity_oracles() -> dict[str, str]:
                        / (sqrt(list_dot_product(e.qv, e.qv))
                           * sqrt(list_dot_product(t.v, t.v))), 3) AS sim
           FROM emb t, ev e
-          WHERE t.vec_id % {SEM_EVAL_MOD} != 0
+          WHERE NOT (t.vec_id % {SEM_EVAL_MOD} = 0
+                     AND t.vec_id < {SEM_EVAL_MOD * SEM_EVAL_CAP})
         ),
         flagged AS (
           SELECT vec_id, eval_id, sim,

@@ -118,6 +118,95 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: augment_span_corruption, template_transitions). After those, all
 #: remaining slots should rotate oldest-evidence-first (r1-graded
 #: queries have the stalest hashes).
+#: ROUND-8 WINDOW: CORRECTNESS_r07 landed exactly the 50 R7 slots
+#: (40 oracled hash-matches + the 10 tail rows-only entries recorded
+#: as the weaker rows check, by design). Cumulative driver-issued
+#: evidence now covers 299 distinct queries; the only oracled queries
+#: WITHOUT a driver hash are the 10 post-freeze r7 additions
+#: (EXTRAS_R7's oracled members). Strategy per VERDICT r7 ask #1:
+#: slots 1-10 = that late-session oracled tranche (never
+#: driver-graded — the weakest evidence on the surface); slots 47-50
+#: = the four rows-only big-dedup regime rows (weaker rows check →
+#: tail, per the standing discipline); the 36 middle slots rotate
+#: OLDEST-EVIDENCE-FIRST: queries whose latest driver hash is from
+#: round 1 (four rounds stale), leading with the reference-core
+#: §2A/§2B anchors the verdict names (log_parse, issue_classify,
+#: node_summary, search_logs, ...) plus the four r1-graded streaming
+#: bridges and the flagship pricing_summary. 49 queries are r1-stale;
+#: the 13 that don't fit (the §2C TPC-H/events tranche:
+#: customer_order_distribution, event_funnel, idle_customers,
+#: large_orders, late_shipment_priority, promo_revenue,
+#: regional_revenue, returned_item_customers, revenue_rollup,
+#: shipmode_priority, shipping_priority, shipping_priority_salted,
+#: top_suppliers) are LEDGERED as the r9 rotation leads.
+#: EVICTION LEDGER: every R7 occupant carries a green
+#: CORRECTNESS_r07 row (40 hash + 10 rows-only-by-design), so
+#: rotating all 50 out spends no evidence — enforced by
+#: tests/test_registry_contract.py loading the artifact.
+R8_DRIVER_WINDOW = [
+    # (a) the 10 post-freeze r7 oracled additions — zero driver
+    # evidence anywhere; the r7 registry note promised them the lead
+    "gopher_quality_flags",
+    "gopher_rule_census",
+    "value_ks_drift",
+    "mann_whitney_drift",
+    "benford_check",
+    "decontaminate_semantic",
+    "template_transitions",
+    "mixture_temperature_weights",
+    "vocab_coverage_curve",
+    "augment_span_corruption",
+    # (b) stale-r1 rotation — reference-core §2A anchors first
+    "log_parse",
+    "log_parse_multiline",
+    "log_parse_csv",
+    "log_parse_json",
+    "issue_classify",
+    "issue_counts",
+    # (c) stale-r1 §2B cluster-analysis tranche
+    "node_summary",
+    "node_summary_salted",
+    "error_timeline",
+    "compare_nodes",
+    "get_errors",
+    "search_logs",
+    "recommendations",
+    "top_error_classes",
+    "error_rate_windowed",
+    "error_rate_rolling",
+    "error_sessions",
+    "error_anomaly_hours",
+    "error_recovery",
+    "thread_hotspots",
+    "search_context",
+    "template_drift",
+    "issue_cooccurrence",
+    "node_failure_correlation",
+    "burst_context",
+    "windowed_alerts",
+    "alert_dedup",
+    "log_templates",
+    "top_templates_per_node",
+    "dropped_messages",
+    "node_metrics_correlation",
+    # (d) stale-r1 streaming bridges + the flagship
+    "streaming_issue_counts",
+    "streaming_error_bursts",
+    "streaming_windowed_alerts",
+    "streaming_dedup_incremental",
+    "pricing_summary",
+    # (e) rows-only by design — the four big-dedup regime rows from
+    # EXTRAS_R7; the driver records the weaker rows-only check, which
+    # is the evidence tier they carry everywhere else (exact planted
+    # tables pinned in tests/test_big_dedup.py)
+    "dedup_minhash_recall_big",
+    "minhash_big_band_census",
+    "dedup_simhash_recall_big",
+    "dedup_winnow_recall_big",
+]
+
+#: HISTORICAL (round 7's window, fully graded in CORRECTNESS_r07 —
+#: kept for the audit trail; the active window above replaces it)
 R7_DRIVER_WINDOW = [
     # (a) the two r6 evictions, honored first as ledgered
     "bpe_encode",
@@ -580,6 +669,10 @@ def queries() -> dict[str, QueryFn]:
         "minhash_big_band_census": dedup.minhash_big_band_census,
         "dedup_simhash_recall_big": dedup.dedup_simhash_recall_big,
         "dedup_winnow_recall_big": dedup.dedup_winnow_recall_big,
+        # round 8: the semantic (embedding-LSH) fourth column of the
+        # planted modality comparison — rows-only, EXTRAS_R8 (replica
+        # + pinned-table graded this round, r9-window candidate)
+        "dedup_semantic_recall_big": dedup.dedup_semantic_recall_big,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
@@ -968,8 +1061,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_purchase_error_full_join,
     }
     # project the round's driver window to the front (see
-    # R7_DRIVER_WINDOW); everything else keeps its relative order
-    ordered = {k: q[k] for k in R7_DRIVER_WINDOW}
+    # R8_DRIVER_WINDOW); everything else keeps its relative order
+    ordered = {k: q[k] for k in R8_DRIVER_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

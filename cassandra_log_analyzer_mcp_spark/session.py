@@ -88,6 +88,7 @@ def clear_caches(spark: SparkSession) -> None:
     similarity._BIG_PQ_MEMO.clear()
     dedup._TRUTH_PAIRS_MEMO.clear()
     dedup._BIG_DOC_ARRS_MEMO.clear()
+    dedup._BIG_DOC_EMB_MEMO.clear()
     textops._BPE_CACHE.clear()
     # localCheckpoint() blocks (the BPE/connected-components iteration
     # lineage cuts) live in RDD storage OUTSIDE the SQL CacheManager —

@@ -134,6 +134,75 @@ def test_simhash_recall_big_exact_table(spark):
         assert r.n_detected == r.n_within_target, rate
 
 
+def _expected_embedding(doc_id: int) -> list[int]:
+    """Independent python re-derivation of the hashed-sign embedding:
+    per token position, md5("bde:"+tok)'s first 64 bits give the ±1
+    sign per dim (bit j of the first/second 8-hex-char word)."""
+    emb = [0] * D.SEM_BIG_DIM
+    for tok in _expected_text(doc_id).split():
+        hx = hashlib.md5(f"bde:{tok}".encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        for j in range(D.SEM_BIG_DIM):
+            bit = ((h1 if j < 32 else h2) >> (j % 32)) & 1
+            emb[j] += bit * 2 - 1
+    return emb
+
+
+def test_semantic_embedding_recipe_replayable(spark):
+    """The engine-side hashed-sign embedding must match the python
+    re-derivation exactly (a base doc and its heavy copy), and the
+    base↔copy cosine must sit near 1−rate — the property that makes
+    the semantic S-curve comparable band-for-band."""
+    got = {
+        r.doc_id: (list(r.emb), r.n2)
+        for r in D._big_doc_embeddings(spark)
+        .filter("doc_id IN (31330, 31335)")
+        .collect()
+    }
+    for doc_id in (31330, 31335):
+        exp = _expected_embedding(doc_id)
+        assert got[doc_id] == (exp, sum(x * x for x in exp)), doc_id
+    ea, eb = got[31330][0], got[31335][0]
+    dot = sum(x * y for x, y in zip(ea, eb))
+    cos = dot / (got[31330][1] ** 0.5 * got[31335][1] ** 0.5)
+    assert 0.35 < cos < 0.85  # 400‰ mutation → cosine ≈ 0.6
+
+
+def test_semantic_recall_big_exact_table(spark):
+    """Pin the semantic (embedding-LSH) S-curve — the FOURTH modality
+    on shared truth. Mean cosine tracks 1−rate (979→595 permille);
+    4×8-bit sign-LSH candidate recall decays 964→238 permille (the
+    sign-agreement probability law, a different decay than Jaccard
+    banding's S-curve); the cos≥0.75 verify bar truncates the 400‰
+    band (260 of 5000 clear it). Side-by-side at the 100‰ band:
+    MinHash 784‰ candidate recall, SimHash 81‰, winnowing 1000‰,
+    semantic 749‰ — the modality choice table a pipeline owner
+    actually needs."""
+    got = {
+        r.rate_permille: r
+        for r in D.dedup_semantic_recall_big(spark, "unused").collect()
+    }
+    expected = {
+        20: (5000, 979, 4822, 5000, 4822, 964, 964),
+        50: (5000, 948, 4405, 4999, 4405, 881, 881),
+        100: (5000, 898, 3747, 4957, 3724, 749, 751),
+        200: (5000, 796, 2548, 3846, 2166, 509, 563),
+        400: (5000, 595, 1192, 260, 113, 238, 434),
+    }
+    assert sorted(got) == sorted(expected)
+    for rate, exp in expected.items():
+        r = got[rate]
+        assert (
+            r.n_planted,
+            r.mean_cos_permille,
+            r.n_candidates,
+            r.n_verify_true,
+            r.n_detected,
+            r.candidate_recall_permille,
+            r.pipeline_recall_permille,
+        ) == exp, rate
+
+
 def test_winnow_recall_big_exact_table(spark):
     """Pin the winnowing S-curve — the third modality on shared
     truth. Span detection decays with RUN survival, not set overlap:

@@ -1,18 +1,22 @@
 """Registry grading-order contract.
 
 The round driver records at most the FIRST 50 ``queries()`` entries
-into CORRECTNESS_r{N}.json (rounds 1, 2, 4, 5 and 6 each produced
+into CORRECTNESS_r{N}.json (rounds 1, 2, 4, 5, 6 and 7 each produced
 exactly 50 rows — a count cap). Each round the capture window is
 pointed at the queries with the weakest driver-issued evidence.
-Round 7's strategy (registry.R7_DRIVER_WINDOW): exactly 44 registry
-entries had never held a driver slot after r6 (37 oracled + 7
-rows-only) and round 7 adds 6 new queries — 44 + 6 = 50, so this
-rotation CLOSES the never-slotted tail: zero overlap with any landed
-artifact, the two r6-ledgered evictions honored first, new
-implementations next, rows-only entries spending the tail slots
-(their driver check is rows-only — weaker by design). These tests
-load the actual artifacts and enforce exactly that, so a re-shuffle
-can't silently spend slots on already-graded queries.
+
+Round 8's strategy (registry.R8_DRIVER_WINDOW): after r7, EVERY
+registry query has held a driver slot except the 14 post-freeze r7
+additions (EXTRAS_R7). Slots 1-10 go to that tranche's 10 oracled
+members (zero driver evidence anywhere); slots 47-50 to its 4
+rows-only big-dedup rows (their driver check is rows-only — weaker —
+so they spend the tail, per the standing discipline). The 36 middle
+slots rotate OLDEST-EVIDENCE-FIRST: queries whose latest driver hash
+is from round 1, i.e. four rounds stale (the reference-core §2A/§2B
+anchors, the four r1-graded streaming bridges, and the flagship
+pricing_summary). These tests load the actual artifacts and enforce
+exactly that, so a re-shuffle can't silently spend slots on
+well-evidenced queries.
 
 No Spark session needed — pure dict/JSON inspection.
 """
@@ -33,35 +37,17 @@ LANDED_ARTIFACTS = (
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 )
 
-#: implementations NEW in round 7 — zero evidence anywhere by
-#: construction; they follow the two ledgered evictions at the front
-NEW_IN_R7 = [
-    "tokenizer_fertility_eval",
-    "user_rfm_segments",
-    "error_interarrival_histogram",
-    "ann_ivf_probe_sweep_big",
-    "ann_ivf_big_cell_stats",
-    "ann_ivf_pq_recall_big",
-]
-
-#: the two queries that yielded their r6 slots to round-6 new
-#: implementations — the eviction ledger promised them first in r7
-LEDGERED_EVICTIONS = ["bpe_encode", "jsonl_shard_export"]
-
-#: round-7 additions BEYOND the window's capacity (the 50 slots were
-#: exactly consumed by the 44 never-slotted + 6 new): replica-graded
-#: this round, first in line for the r8 window
+#: round-7 additions that landed AFTER the r7 window froze —
+#: replica-graded in round 7, promised the r8 window lead by the
+#: registry's R8 PREP note (and VERDICT r7 ask #1)
 EXTRAS_R7 = {
     "mixture_temperature_weights",
     "vocab_coverage_curve",
     "augment_span_corruption",
     "template_transitions",
-    # second tranche of round-7 extras (added after the window froze):
-    # the Gopher rule battery, the KS/Benford statistical audits, the
-    # embedding-space decontamination sweep, and the big-documents
-    # dedup regime — replica-graded this round, r8-window candidates
     "gopher_quality_flags",
     "gopher_rule_census",
     "value_ks_drift",
@@ -72,6 +58,32 @@ EXTRAS_R7 = {
     "minhash_big_band_census",
     "dedup_simhash_recall_big",
     "dedup_winnow_recall_big",
+}
+
+#: round-8 additions BEYOND the window's capacity: replica-graded
+#: this round (tools/check.py at sf0.01 + sf0.1), first in line for
+#: the r9 window alongside the R9_ROTATION_LEDGER
+EXTRAS_R8 = {
+    "dedup_semantic_recall_big",
+}
+
+#: the 13 r1-stale queries the 36 middle slots could NOT fit —
+#: ledgered as the r9 rotation leads (oldest evidence on the surface
+#: once round 8 lands)
+R9_ROTATION_LEDGER = {
+    "customer_order_distribution",
+    "event_funnel",
+    "idle_customers",
+    "large_orders",
+    "late_shipment_priority",
+    "promo_revenue",
+    "regional_revenue",
+    "returned_item_customers",
+    "revenue_rollup",
+    "shipmode_priority",
+    "shipping_priority",
+    "shipping_priority_salted",
+    "top_suppliers",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -103,78 +115,108 @@ ROWS_ONLY = {
     "minhash_big_band_census",
     "dedup_simhash_recall_big",
     "dedup_winnow_recall_big",
+    # round 8: the semantic (embedding-LSH) column of the planted
+    # modality comparison — same generated drop, exact table pinned
+    # in tests/test_big_dedup.py
+    "dedup_semantic_recall_big",
 }
+
+
+def _load(name: str) -> dict:
+    with open(os.path.join(REPO, name)) as fh:
+        return json.load(fh)
 
 
 def _driver_graded() -> set[str]:
     graded: set[str] = set()
     for name in LANDED_ARTIFACTS:
-        with open(os.path.join(REPO, name)) as fh:
-            graded |= set(json.load(fh))
+        graded |= set(_load(name))
     return graded
 
 
-def test_r7_window_is_first_50() -> None:
+def _latest_evidence_round() -> dict[str, str]:
+    latest: dict[str, str] = {}
+    for name in LANDED_ARTIFACTS:
+        rnd = name.split("_r0")[1][0]
+        for query in _load(name):
+            latest[query] = max(latest.get(query, "0"), rnd)
+    return latest
+
+
+def test_r8_window_is_first_50() -> None:
     order = list(registry.queries())
-    assert len(registry.R7_DRIVER_WINDOW) == 50
-    assert len(set(registry.R7_DRIVER_WINDOW)) == 50
-    assert order[:50] == registry.R7_DRIVER_WINDOW
+    assert len(registry.R8_DRIVER_WINDOW) == 50
+    assert len(set(registry.R8_DRIVER_WINDOW)) == 50
+    assert order[:50] == registry.R8_DRIVER_WINDOW
 
 
-def test_r7_window_spends_no_slot_on_graded_queries() -> None:
-    """Every r7 slot is a query the driver has NEVER graded — the
-    one artifact the builder cannot self-issue is driver evidence,
-    so re-grading an already-green query wastes the slot."""
-    window = set(registry.R7_DRIVER_WINDOW)
-    already = window & _driver_graded()
-    assert not already, f"slots wasted on driver-graded queries: {already}"
+def test_r8_head_is_the_never_graded_oracled_tranche() -> None:
+    """Slots 1-10 = EXTRAS_R7's oracled members — the only oracled
+    queries with ZERO driver-issued evidence after seven artifacts."""
+    head = registry.R8_DRIVER_WINDOW[:10]
+    oracled_extras = EXTRAS_R7 - ROWS_ONLY
+    assert set(head) == oracled_extras
+    assert not set(head) & _driver_graded()
 
 
-def test_r7_window_closes_the_never_slotted_tail() -> None:
-    """44 never-slotted + 6 new = 50: after this round EVERY registry
-    query has held a driver slot. Equivalently: window ∪ graded ∪ new
-    covers the whole registry."""
+def test_r8_middle_rotates_only_stalest_evidence() -> None:
+    """Every middle slot re-grades a query whose latest driver hash
+    is from round 1 — four rounds stale, the weakest evidence among
+    already-graded queries. Spending a slot on anything fresher
+    wastes it."""
+    middle = registry.R8_DRIVER_WINDOW[10:46]
+    latest = _latest_evidence_round()
+    fresher = {q: latest.get(q) for q in middle if latest.get(q) != "1"}
+    assert not fresher, f"slots wasted on non-r1-stale queries: {fresher}"
+
+
+def test_r8_tail_is_rows_only_big_dedup() -> None:
+    """Rows-only queries get a WEAKER driver check, so they spend the
+    tail slots, never displacing an oracled query from the head."""
+    tail = registry.R8_DRIVER_WINDOW[46:]
+    assert set(tail) == EXTRAS_R7 & ROWS_ONLY
+    assert all(q in ROWS_ONLY for q in tail)
+
+
+def test_r8_window_plus_ledger_covers_all_stale_r1() -> None:
+    """The 49 r1-stale queries split exactly into the 36 middle slots
+    plus the 13-query r9 rotation ledger — nothing silently dropped."""
+    latest = _latest_evidence_round()
+    stale = {q for q, rnd in latest.items() if rnd == "1"}
+    middle = set(registry.R8_DRIVER_WINDOW[10:46])
+    assert middle | R9_ROTATION_LEDGER == stale
+    assert not middle & R9_ROTATION_LEDGER
+
+
+def test_r7_window_was_fully_graded() -> None:
+    """The eviction ledger's premise: rotating ALL fifty r7 slots out
+    is principled only because each one carries a green
+    CORRECTNESS_r07 row — verify that against the artifact itself.
+    Rows-only occupants are recorded as the weaker rows check
+    (err == 'no_oracle' with spark_rows populated), by design."""
+    r7 = _load("CORRECTNESS_r07.json")
+    assert set(registry.R7_DRIVER_WINDOW) == set(r7)
+    for name, row in r7.items():
+        if name in ROWS_ONLY:
+            assert row["err"] == "no_oracle", name
+            assert row["spark_rows"] is not None, name
+        else:
+            assert row["rows_match"] and row["schema_match"], name
+            assert row["err"] is None, name
+
+
+def test_every_registry_query_has_driver_or_extras_coverage() -> None:
+    """window ∪ graded ∪ extras covers the whole registry — no query
+    exists without either driver evidence, a scheduled r8 slot, or an
+    explicit extras ledger entry."""
     covered = (
-        set(registry.R7_DRIVER_WINDOW)
+        set(registry.R8_DRIVER_WINDOW)
         | _driver_graded()
-        | set(NEW_IN_R7)
         | EXTRAS_R7
+        | EXTRAS_R8
     )
     missing = set(registry.queries()) - covered
-    assert not missing, f"queries that would stay never-slotted: {missing}"
-
-
-def test_r6_window_was_fully_graded() -> None:
-    """The eviction ledger's premise: rotating ALL fifty r6 slots out
-    is principled only because each one carries a green
-    CORRECTNESS_r06 row — verify that against the artifact itself."""
-    with open(os.path.join(REPO, "CORRECTNESS_r06.json")) as fh:
-        r6 = json.load(fh)
-    assert set(registry.R6_DRIVER_WINDOW) == set(r6)
-    for name, row in r6.items():
-        assert row["rows_match"] and row["schema_match"], name
-        assert row["err"] is None, name
-
-
-def test_r7_ledgered_evictions_lead_then_new_implementations() -> None:
-    """The r6 ledger promised bpe_encode and jsonl_shard_export their
-    slots first; the round-7 NEW implementations (highest regression
-    risk, zero evidence anywhere) follow immediately."""
-    window = registry.R7_DRIVER_WINDOW
-    assert window[:2] == LEDGERED_EVICTIONS
-    assert window[2:8] == NEW_IN_R7
-
-
-def test_rows_only_entries_spend_only_tail_slots() -> None:
-    """Rows-only queries get a WEAKER driver check, so inside the
-    window they must not displace an oracled query from the head:
-    apart from the three round-7 new implementations (graded at the
-    front as new code), every rows-only slot sits in the tail."""
-    window = registry.R7_DRIVER_WINDOW
-    tail_rows_only = [
-        q for q in window if q in ROWS_ONLY and q not in NEW_IN_R7
-    ]
-    assert window[-len(tail_rows_only):] == tail_rows_only
+    assert not missing, f"queries with no evidence plan: {missing}"
 
 
 def test_every_query_oracled_or_documented_rows_only() -> None:
@@ -197,4 +239,4 @@ def test_graded_surface_never_shrinks() -> None:
     qs = set(registry.queries())
     gone = _driver_graded() - qs
     assert not gone, f"previously-graded queries dropped: {gone}"
-    assert len(qs) >= 293
+    assert len(qs) >= 313

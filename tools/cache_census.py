@@ -148,6 +148,7 @@ def main() -> int:
             similarity._BIG_PQ_MEMO,
             dedup._TRUTH_PAIRS_MEMO,
             dedup._BIG_DOC_ARRS_MEMO,
+            dedup._BIG_DOC_EMB_MEMO,
             textops._BPE_CACHE,
         )
     )

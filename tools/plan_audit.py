@@ -66,6 +66,11 @@ EAGER = {
     "dedup_minhash_recall_big",
     "minhash_big_band_census",
     "dedup_simhash_recall_big",
+    # winnow + semantic call _big_documents_dir at build time too —
+    # omitting them here would fire the 50k-doc parquet write while
+    # "lazily" building their plans on a fresh machine (ADVICE r7 #1)
+    "dedup_winnow_recall_big",
+    "dedup_semantic_recall_big",
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
