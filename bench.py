@@ -27,8 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: full 126-query JSON line is ~3.3 KB, so the line's head fell out of
 #: the capture window and the remainder could not parse). The emitted
 #: line must therefore fit the window WITH headroom for the newline
-#: and any stray byte the harness prepends.
-STDOUT_BYTE_BUDGET = 1900
+#: and any stray byte the harness prepends. Pinned to the 2000-byte
+#: capture minus ≥250 bytes of ambient-JVM-line headroom (VERDICT r7
+#: hygiene #2 asked ≥150; the startup notices themselves are silenced
+#: at source via log4j2-quiet.properties, so the headroom is now
+#: insurance, not load-bearing).
+CAPTURE_WINDOW_BYTES = 2000
+TAIL_HEADROOM_BYTES = 250
+STDOUT_BYTE_BUDGET = CAPTURE_WINDOW_BYTES - TAIL_HEADROOM_BYTES
 
 
 def build_stdout_payload(

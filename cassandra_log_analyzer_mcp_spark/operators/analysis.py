@@ -27,6 +27,7 @@ from ..functions.parsing import (
     N_NODES,
     RECOMMENDATION_RULES,
 )
+from ..functions.spans import epoch_span_midpoint
 
 def _severity_map():
     return F.create_map(
@@ -1102,12 +1103,7 @@ def scd_owner_join(logs: DataFrame) -> DataFrame:
     the oracle reproduces the dimension without any float protocol.
     """
     spark = logs.sparkSession
-    b = logs.agg(
-        F.min(F.col("ts").cast("long")).alias("lo"),
-        F.max(F.col("ts").cast("long")).alias("hi"),
-    ).collect()[0]
-    lo, hi = int(b.lo), int(b.hi)
-    mid = (lo + hi) // 2
+    lo, mid, hi = epoch_span_midpoint(logs, F.col("ts").cast("long"))
     from ..functions.parsing import N_NODES
 
     rows = []

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.spans import epoch_span_midpoint
 from ..sources.tables import table
 
 
@@ -2025,10 +2026,7 @@ def value_drift_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("epoch"),
         (F.floor(F.col("value") / 50) * 50).cast("long").alias("band"),
     )
-    b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
-    # empty input (a filter that matched nothing at 100 TB is routine)
-    # degenerates to mid 0: every downstream aggregate stays empty
-    mid = 0 if b.lo is None else (int(b.lo) + int(b.hi)) // 2
+    _, mid, _ = epoch_span_midpoint(ev, F.col("epoch"))
     counted = ev.groupBy(
         "event_type",
         "band",
@@ -3535,10 +3533,7 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("epoch"),
         "value",
     )
-    b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
-    # empty input (a filter that matched nothing at 100 TB is routine)
-    # degenerates to mid 0: every downstream aggregate stays empty
-    mid = 0 if b.lo is None else (int(b.lo) + int(b.hi)) // 2
+    _, mid, _ = epoch_span_midpoint(ev, F.col("epoch"))
     per_val = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("epoch") < mid, 1).otherwise(0))
         .cast("long")
@@ -3669,10 +3664,7 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("epoch"),
         "value",
     )
-    b = ev.agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
-    # empty input (a filter that matched nothing at 100 TB is routine)
-    # degenerates to mid 0: every downstream aggregate stays empty
-    mid = 0 if b.lo is None else (int(b.lo) + int(b.hi)) // 2
+    _, mid, _ = epoch_span_midpoint(ev, F.col("epoch"))
     per_val = ev.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("epoch") < mid, 1).otherwise(0))
         .cast("long")

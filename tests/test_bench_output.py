@@ -28,7 +28,10 @@ def test_real_registry_names_fit_capture_window() -> None:
     }
     out = bench.build_stdout_payload(timings, 0.1)
     line = _line(out)
-    assert len(line) <= 2000
+    # the pinned contract (VERDICT r7 hygiene #2): the line fits the
+    # 2000-byte capture with ≥150 bytes of tail headroom to spare
+    assert bench.CAPTURE_WINDOW_BYTES - bench.STDOUT_BYTE_BUDGET >= 150
+    assert len(line) <= bench.STDOUT_BYTE_BUDGET
     parsed = json.loads(line)
     assert parsed["n_queries"] == len(timings)
     assert parsed["value"] == round(sum(timings.values()), 3)
@@ -44,6 +47,19 @@ def test_real_registry_names_fit_capture_window() -> None:
     assert all(t <= floor for t in dropped_faster)
 
 
+def test_quiet_log4j_profile_wired(spark) -> None:
+    """The session builder must point the driver JVM at the packaged
+    quiet log4j2 profile — the at-source fix for the NativeCodeLoader
+    notice that kept preceding bench's JSON line in the driver's
+    combined-stream tail capture."""
+    import os
+
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    assert "log4j2-quiet.properties" in opts
+    path = opts.split("log4j2.configurationFile=file:", 1)[1]
+    assert os.path.exists(path)
+
+
 def test_small_surface_is_untrimmed() -> None:
     timings = {"q1": 1.0, "q2": 2.0}
     out = bench.build_stdout_payload(timings, 0.01)
@@ -53,7 +69,7 @@ def test_small_surface_is_untrimmed() -> None:
 def test_pathologically_long_names_never_overflow() -> None:
     timings = {f"{'x' * 120}_{i}": float(i) for i in range(200)}
     out = bench.build_stdout_payload(timings, "custom")
-    assert len(_line(out)) <= 2000
+    assert len(_line(out)) <= bench.STDOUT_BYTE_BUDGET
     # negative (errored) timings never inflate the headline value
     timings["broken"] = -1.0
     out = bench.build_stdout_payload(timings, "custom")
