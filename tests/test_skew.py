@@ -187,7 +187,7 @@ def test_skew_gate_artifact_is_green():
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SKEW_GATE_r06.json",
+        "SKEW_GATE_r08.json",
     )
     with open(path) as fh:
         gate = json.load(fh)
@@ -205,3 +205,53 @@ def test_skew_gate_artifact_is_green():
     for op, row in gate["ops"].items():
         assert row["pass"], op
         assert row["skew_s"] <= row["budget_s"], op
+    # round 8: the band-index gate (VERDICT r7 ask #3) — the planted
+    # mega-bucket drop must pass its 2x budget under the
+    # BAND_MAX_OCCUPANCY guard, the guard must be inert on the
+    # spread twin, and the uncapped counterfactual must document the
+    # quadratic blow-up the guard removes
+    band = gate["band_index_gate"]
+    assert band["pass"] is True
+    assert band["cap_inert_on_spread"] is True
+    assert band["capped_subset_on_skew"] is True
+    assert (
+        band["drops"]["bandskew"]["max_band_occupancy"]
+        >= band["n_docs"] // 20
+    )
+    assert (
+        band["drops"]["bandspread"]["max_band_occupancy"]
+        <= band["band_max_occupancy_cap"]
+    )
+    assert set(band["ops"]) == {"dedup_minhash_lsh", "dedup_incremental"}
+    for op, row in band["ops"].items():
+        assert row["pass"], op
+    assert band["uncapped_vs_capped_skew_ratio"] > 2.0
+
+
+def test_band_candidates_hot_bucket_guard(spark):
+    """_band_candidates semantics, pinned on a crafted index: a
+    bucket over BAND_MAX_OCCUPANCY contributes NO pairs (its members
+    pair only through their cold buckets); cold buckets pair fully."""
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        BAND_MAX_OCCUPANCY,
+        _band_candidates,
+    )
+
+    hot_n = BAND_MAX_OCCUPANCY + 6
+    rows = [(i, "hot") for i in range(hot_n)]
+    rows += [(i, "cold") for i in (0, 1, 500)]
+    buckets = spark.createDataFrame(rows, "doc_id long, band string")
+    got = {
+        (r.da, r.db)
+        for r in _band_candidates(buckets).collect()
+    }
+    # only the cold bucket's C(3,2) pairs survive — including the
+    # (0, 1) pair whose members ALSO sit in the hot bucket
+    assert got == {(0, 1), (0, 500), (1, 500)}
+    # exactly at the cap the bucket is kept (the guard is >, not >=)
+    at_cap = spark.createDataFrame(
+        [(i, "edge") for i in range(BAND_MAX_OCCUPANCY)],
+        "doc_id long, band string",
+    )
+    n = _band_candidates(at_cap).count()
+    assert n == BAND_MAX_OCCUPANCY * (BAND_MAX_OCCUPANCY - 1) // 2
