@@ -123,6 +123,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
+    # Optional slate restriction (round 8 — the sf1.0 scaling leg
+    # runs the ~20-query headline slate only; the generated decade
+    # drop ships no scaled embeddings/multimodal columns): comma-
+    # separated query names, unknown names rejected loudly.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}")
+        qs = {n: qs[n] for n in names}
     # Warm EVERY query once at the smallest SF: JVM codegen compilation,
     # parquet footer reads, and the Python worker pool are one-time
     # session costs, and paying them inside the measured run would make
