@@ -1859,8 +1859,14 @@ def error_trend_theilsen(logs: DataFrame) -> DataFrame:
     )
     a = daily.select("node", F.col("d").alias("di"), F.col("x").alias("xi"))
     b = daily.select("node", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    # both sides are the bounded daily rollup; hint the broadcasts —
+    # without them, a cache-mark on the shared hourly series (made by
+    # whichever sibling plan builds first) inflates its stats and the
+    # optimizer silently flips these to SortMergeJoins (caught by the
+    # r8 plan-audit order diff; plan shape must not depend on sweep
+    # order)
     pairs = (
-        a.join(b, "node")
+        a.join(F.broadcast(b), "node")
         .filter(F.col("di") < F.col("dj"))
         .select(
             "node",
@@ -1881,7 +1887,7 @@ def error_trend_theilsen(logs: DataFrame) -> DataFrame:
     days = daily.groupBy("node").agg(F.count("*").alias("n_days"))
     return (
         ranked.filter(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
-        .join(days, "node")
+        .join(F.broadcast(days), "node")
         .select(
             "node",
             F.col("n_days").cast("long").alias("n_days"),
@@ -2092,7 +2098,10 @@ def pandas_udaf_error_median(logs: DataFrame) -> DataFrame:
     med = series.groupBy("node").agg(
         _median("x").alias("med_hourly_errors")
     )
-    return stats.join(med, "node")
+    # node-cardinality ⋈ node-cardinality: broadcast-hinted so the
+    # plan survives a cache-mark on the shared hourly series (same
+    # ordering fragility as error_trend_theilsen's rollup joins)
+    return stats.join(F.broadcast(med), "node")
 
 
 def error_trend_seasonal_ols(logs: DataFrame) -> DataFrame:

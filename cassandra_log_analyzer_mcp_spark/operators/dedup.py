@@ -276,6 +276,100 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def band_occupancy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket occupancy census of the SHIPPED corpus index — the
+    graded sf-scale observable for the BAND_MAX_OCCUPANCY hot-bucket
+    guard (minhash_big_band_census pins the same numbers rows-only on
+    the generated 50k drop; this one has a DuckDB twin at every SF):
+    one row — indexed docs, buckets, max occupancy, how many buckets
+    the guard would drop, and the uncapped vs capped candidate-pair
+    volume Σc·(c−1)/2. On shipped data n_hot_buckets must read 0 and
+    the two pair counts must be equal — the machine-checkable claim
+    that the guard is inert everywhere it is graded.
+
+    All-integer; one groupBy(band) count plus a single fold.
+    """
+    buckets = _band_buckets(_doc_shingle_arrays(spark, sf_dir))
+    sizes = buckets.groupBy("band").agg(F.count("*").alias("c"))
+    return sizes.agg(
+        F.expr(f"CAST(sum(c) div {MINHASH_BANDS} AS BIGINT)").alias(
+            "n_indexed_docs"
+        ),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_occupancy"),
+        F.sum(
+            (F.col("c") > BAND_MAX_OCCUPANCY).cast("long")
+        ).alias("n_hot_buckets"),
+        F.expr("CAST(sum(c * (c - 1)) div 2 AS BIGINT)").alias(
+            "n_candidate_pairs"
+        ),
+        F.expr(
+            f"CAST(sum(CASE WHEN c <= {BAND_MAX_OCCUPANCY} "
+            "THEN c * (c - 1) ELSE 0 END) div 2 AS BIGINT)"
+        ).alias("n_candidate_pairs_capped"),
+    )
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CROSS-SOURCE matrix — where duplication actually
+    lives: the verified MinHash pair set cross-tabbed by the source
+    pair of its endpoints (unordered: least/greatest), with the
+    distinct documents involved per cell. The diagonal is
+    within-source boilerplate; off-diagonal cells are cross-source
+    contamination (mirrors, scrapes of scrapes) — the first table a
+    data-recipe owner reads before deciding which source to drop,
+    and the reason dedup runs BEFORE source mixing weights are fit.
+
+    Composes the graded pair generator unchanged; everything past it
+    is verified-pair cardinality (two metadata joins with the tiny
+    pair side broadcast, an ≤|sources|² rollup).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    src = documents(spark, sf_dir).select("doc_id", "source")
+    # both joins broadcast the PAIR-cardinality side over the
+    # doc-cardinality metadata scan (doc metadata is fact-sized at
+    # 100 TB — never the broadcast side)
+    ja = src.select(
+        F.col("doc_id").alias("da"), F.col("source").alias("sa")
+    ).join(F.broadcast(pairs), "da")
+    j = (
+        src.select(
+            F.col("doc_id").alias("db"), F.col("source").alias("sb")
+        )
+        .join(F.broadcast(ja), "db")
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "da",
+            "db",
+        )
+    )
+    n_pairs = j.groupBy("source_lo", "source_hi").agg(
+        F.count("*").alias("n_pairs")
+    )
+    n_docs = (
+        j.select(
+            "source_lo", "source_hi", F.explode(F.array("da", "db")).alias("d")
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.countDistinct("d").alias("n_docs_involved"))
+    )
+    # both rollups are ≤|sources|² rows but descend from fact-sized
+    # joins (stats-opaque) — hint the broadcast or this becomes the
+    # plan's only SortMergeJoin
+    return n_pairs.join(
+        F.broadcast(n_docs), ["source_lo", "source_hi"]
+    ).select(
+        "source_lo",
+        "source_hi",
+        "n_pairs",
+        "n_docs_involved",
+        (F.col("source_lo") != F.col("source_hi"))
+        .cast("int")
+        .alias("is_cross_source"),
+    )
+
+
 #: asymmetric containment threshold (Broder 1997's containment
 #: coefficient): flag a pair when either doc's shingle set is ≥ this
 #: fraction inside the other's.

@@ -190,6 +190,51 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: vocabulary size for the OOV-rate gate (distinct from the
+#: VOCAB_TOP_K display head: a 500-token working vocabulary is the
+#: scale where OOV separates boilerplate-ish from exotic docs here)
+OOV_VOCAB_K = 500
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OUT-OF-VOCABULARY rate against the corpus' own top-K
+    token vocabulary — the tokenizer-coverage / domain-shift gate a
+    training pipeline runs before committing a vocab: a doc whose
+    tokens mostly fall outside the working vocabulary will fragment
+    into byte-fallback pieces (high fertility) or carry content the
+    corpus statistics don't represent. One row per non-empty doc:
+    token count, OOV count, integer permille rate.
+
+    Shape at scale: one explode → token-keyed count (the only
+    corpus shuffle), TakeOrderedAndProject top-K (rank ties broken
+    by token — deterministic), K-row vocabulary BROADCAST back over
+    the token stream, map-side per-doc count. The vocabulary is a
+    dial-sized artifact, never a shuffle key.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    top = (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    scored = tok.join(F.broadcast(top), "token", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.floor(F.lit(1000) * F.col("n_oov") / F.col("n_tokens")).alias(
+            "oov_permille"
+        ),
+    )
+
+
 #: Zipf fit runs over the same vocabulary head as vocab_top_tokens
 ZIPF_TOP_K = 100
 

@@ -54,6 +54,7 @@ from ..operators.similarity import (
 from ..operators.textops import (
     FINGERPRINT_K,
     HIST_BUCKET_TOKENS,
+    OOV_VOCAB_K,
     REPEAT_K,
     REPEAT_TOP_K,
     VOCAB_TOP_K,
@@ -393,6 +394,23 @@ def text_oracles() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
                     AS INT) AS rk
         FROM counts ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K}
+    """
+
+    # per-doc OOV rate vs the corpus' own top-K vocabulary — the
+    # LIMIT boundary tie-broken (n DESC, token) on both engines
+    o["doc_oov_rate"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        top AS (SELECT token FROM counts
+                ORDER BY n DESC, token LIMIT {OOV_VOCAB_K})
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN token IN (SELECT token FROM top)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+               CAST(1000 * sum(CASE WHEN token IN (SELECT token FROM top)
+                               THEN 0 ELSE 1 END) // count(*) AS BIGINT)
+                 AS oov_permille
+        FROM tok GROUP BY doc_id
     """
 
     # Zipf slope over the vocabulary head: integer bit-length x/y,
@@ -1386,6 +1404,58 @@ def text_oracles() -> dict[str, str]:
     o["dedup_minhash_lsh"] = f"""
         WITH {minhash_ctes}
         SELECT da, db, jaccard FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
+    """
+
+    # the guard's graded sf-scale observable: occupancy census over
+    # the same banding CTE; on shipped data n_hot_buckets = 0 and the
+    # capped/uncapped pair volumes must agree
+    o["band_occupancy_census"] = f"""
+        WITH {minhash_base},
+        sizes AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS c
+          FROM buckets GROUP BY band
+        )
+        SELECT CAST(sum(c) // {MINHASH_BANDS} AS BIGINT) AS n_indexed_docs,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               max(c) AS max_occupancy,
+               CAST(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+               CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS n_candidate_pairs,
+               CAST(sum(CASE WHEN c <= {BAND_MAX_OCCUPANCY}
+                        THEN c * (c - 1) ELSE 0 END) // 2 AS BIGINT)
+                 AS n_candidate_pairs_capped
+        FROM sizes
+    """
+
+    # near-dup pairs cross-tabbed by unordered source pair; the pair
+    # generator is the capped production CTE nested verbatim
+    o["dedup_cross_source_matrix"] = f"""
+        WITH {minhash_ctes},
+        vp AS (
+          SELECT da, db FROM verified WHERE jaccard >= {MINHASH_VERIFY_MIN}
+        ),
+        cells AS (
+          SELECT least(a.source, b.source) AS source_lo,
+                 greatest(a.source, b.source) AS source_hi,
+                 vp.da, vp.db
+          FROM vp JOIN documents a ON a.doc_id = vp.da
+                  JOIN documents b ON b.doc_id = vp.db
+        ),
+        np AS (
+          SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM cells GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT source_lo, source_hi,
+                 CAST(count(DISTINCT d) AS BIGINT) AS n_docs_involved
+          FROM (SELECT source_lo, source_hi, da AS d FROM cells
+                UNION ALL
+                SELECT source_lo, source_hi, db FROM cells) u
+          GROUP BY 1, 2
+        )
+        SELECT source_lo, source_hi, n_pairs, n_docs_involved,
+               CAST(source_lo <> source_hi AS INT) AS is_cross_source
+        FROM np JOIN nd USING (source_lo, source_hi)
     """
 
     # banding-loss calibration: truth re-derived from the EXHAUSTIVE

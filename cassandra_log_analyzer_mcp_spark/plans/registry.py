@@ -673,6 +673,12 @@ def queries() -> dict[str, QueryFn]:
         # planted modality comparison — rows-only, EXTRAS_R8 (replica
         # + pinned-table graded this round, r9-window candidate)
         "dedup_semantic_recall_big": dedup.dedup_semantic_recall_big,
+        # round 8 oracled additions (EXTRAS_R8): the hot-bucket
+        # guard's graded sf-scale observable, the cross-source dedup
+        # matrix, and the OOV tokenizer-coverage gate
+        "band_occupancy_census": dedup.band_occupancy_census,
+        "dedup_cross_source_matrix": dedup.dedup_cross_source_matrix,
+        "doc_oov_rate": textops.doc_oov_rate,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

@@ -65,6 +65,9 @@ EXTRAS_R7 = {
 #: the r9 window alongside the R9_ROTATION_LEDGER
 EXTRAS_R8 = {
     "dedup_semantic_recall_big",
+    "band_occupancy_census",
+    "dedup_cross_source_matrix",
+    "doc_oov_rate",
 }
 
 #: the 13 r1-stale queries the 36 middle slots could NOT fit —
