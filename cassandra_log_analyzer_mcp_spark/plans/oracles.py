@@ -1293,6 +1293,52 @@ def analysis_oracles() -> dict[str, str]:
         """
     )
 
+    # Mann-Kendall: same zero-filled daily grid as theilsen; S, the
+    # tie census and the variance numerator are all exact integers
+    o["error_trend_mannkendall"] = with_logs(
+        """
+        , hourly AS (
+          SELECT node,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM flagged WHERE is_error GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT node, unnest(generate_series(h0, h1, 3600)) AS h
+          FROM (SELECT node, min(h) AS h0, max(h) AS h1
+                FROM hourly GROUP BY node) b
+        ),
+        d AS (
+          SELECT g.node, g.h // 86400 AS d,
+                 CAST(sum(coalesce(hr.x, 0)) AS BIGINT) AS x
+          FROM grid g
+          LEFT JOIN hourly hr ON hr.node = g.node AND hr.h = g.h
+          GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT a.node,
+                 CAST(sum(CASE WHEN b.x > a.x THEN 1
+                          WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM d a JOIN d b ON a.node = b.node AND a.d < b.d
+          GROUP BY 1
+        ),
+        ties AS (
+          SELECT node,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT node, x, count(*) AS t FROM d GROUP BY 1, 2) g
+          GROUP BY node
+        ),
+        nd AS (SELECT node, CAST(count(*) AS BIGINT) AS n_days
+               FROM d GROUP BY node)
+        SELECT node, n_days, n_pairs, s_stat,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                    AS BIGINT) AS var_num18
+        FROM s JOIN ties USING (node) JOIN nd USING (node)
+        """
+    )
+
     # seasonal MAD: zero-filled hourly series (cusum's CTE, sans k),
     # per-(node, hour-of-day) median and MAD as window aggregates —
     # dyadic-rational percentiles, the proven cross-engine pairing

@@ -1427,6 +1427,38 @@ def text_oracles() -> dict[str, str]:
         FROM sizes
     """
 
+    # multiset (weighted) token Jaccard on the capped candidate set:
+    # Σmax = na + nb − Σmin, so the inner join over SHARED tokens
+    # plus per-doc totals suffices — identical shape on both engines
+    o["dedup_multiset_jaccard"] = f"""
+        WITH {minhash_ctes},
+        tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+        tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT token) AS BIGINT) AS nd
+                FROM tok GROUP BY 1),
+        shared AS (
+          SELECT cand.da, cand.db,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS ms_min,
+                 CAST(count(*) AS BIGINT) AS set_inter
+          FROM cand
+          JOIN tc a ON a.doc_id = cand.da
+          JOIN tc b ON b.doc_id = cand.db AND b.token = a.token
+          GROUP BY 1, 2
+        )
+        SELECT s.da, s.db,
+               ta.n AS n_tokens_a, tb.n AS n_tokens_b, s.ms_min,
+               CAST(1000 * s.ms_min // (ta.n + tb.n - s.ms_min)
+                    AS BIGINT) AS multiset_jacc_permille,
+               CAST(1000 * s.set_inter
+                    // (ta.nd + tb.nd - s.set_inter)
+                    AS BIGINT) AS set_jacc_permille
+        FROM shared s
+        JOIN tot ta ON ta.doc_id = s.da
+        JOIN tot tb ON tb.doc_id = s.db
+    """
+
     # near-dup pairs cross-tabbed by unordered source pair; the pair
     # generator is the capped production CTE nested verbatim
     o["dedup_cross_source_matrix"] = f"""

@@ -675,10 +675,12 @@ def queries() -> dict[str, QueryFn]:
         "dedup_semantic_recall_big": dedup.dedup_semantic_recall_big,
         # round 8 oracled additions (EXTRAS_R8): the hot-bucket
         # guard's graded sf-scale observable, the cross-source dedup
-        # matrix, and the OOV tokenizer-coverage gate
+        # matrix, the OOV tokenizer-coverage gate, and multiset
+        # (weighted) Jaccard next to every set-semantics detector
         "band_occupancy_census": dedup.band_occupancy_census,
         "dedup_cross_source_matrix": dedup.dedup_cross_source_matrix,
         "doc_oov_rate": textops.doc_oov_rate,
+        "dedup_multiset_jaccard": dedup.dedup_multiset_jaccard,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,
@@ -944,6 +946,11 @@ def queries() -> dict[str, QueryFn]:
         "error_ewma_smoothed": _on_logs(analysis.error_ewma_smoothed),
         "error_seasonal_mad": _on_logs(analysis.error_seasonal_mad),
         "error_trend_theilsen": _on_logs(analysis.error_trend_theilsen),
+        # round 8 (EXTRAS_R8): nonparametric completion of the
+        # robust-trend family
+        "error_trend_mannkendall": _on_logs(
+            analysis.error_trend_mannkendall
+        ),
         "error_trend_seasonal_ols":
             _on_logs(analysis.error_trend_seasonal_ols),
         "new_template_alert": _on_logs(analysis.new_template_alert),

@@ -68,6 +68,8 @@ EXTRAS_R8 = {
     "band_occupancy_census",
     "dedup_cross_source_matrix",
     "doc_oov_rate",
+    "dedup_multiset_jaccard",
+    "error_trend_mannkendall",
 }
 
 #: the 13 r1-stale queries the 36 middle slots could NOT fit —
