@@ -843,6 +843,51 @@ def test_theilsen_robust_to_outlier_day_unlike_ols(spark):
     assert abs(r.slope_per_day) <= 2.0  # outlier did not drag it
 
 
+def test_mannkendall_python_recount_with_ties(spark):
+    """Crafted daily series WITH ties (0,1,1,3,2,3,3): S, the pair
+    count, and the tie-corrected variance numerator all match a pure
+    Python recount — and a strictly increasing series reads the
+    maximum S = n(n-1)/2 with var18 = n(n-1)(2n+5)."""
+    from cassandra_log_analyzer_mcp_spark.operators.analysis import (
+        error_trend_mannkendall,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_600_000_000 - (1_600_000_000 % 86400)
+    # the zero-filled grid spans first..last ERROR hour, so the series
+    # must start and end with an error day; the interior zero day is
+    # the grid's real contribution (it ties with nothing here)
+    series = {"n0": [1, 1, 0, 3, 2, 3, 3], "n1": [1, 2, 3, 4, 5]}
+    rows = []
+    for node, xs in series.items():
+        for d, n in enumerate(xs):
+            rows += [(base + d * 86400 + i, node, True) for i in range(n)]
+    logs = spark.createDataFrame(
+        rows, "epoch long, node string, is_error boolean"
+    ).select(
+        F.col("epoch").cast("timestamp").alias("ts"), "node", "is_error"
+    )
+    got = {r.node: r for r in error_trend_mannkendall(logs).collect()}
+    for node, xs in series.items():
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        r = got[node]
+        assert (r.n_days, r.n_pairs, r.s_stat, r.var_num18) == (
+            n, n * (n - 1) // 2, s, n * (n - 1) * (2 * n + 5) - tie
+        ), node
+    # the strictly increasing node attains the maximum S
+    assert got["n1"].s_stat == got["n1"].n_pairs == 10
+    assert got["n1"].var_num18 == 5 * 4 * 15
+
+
 def test_new_template_alert_flags_only_trailing_window(spark):
     """Template A lives all span; template B first appears 2h before
     span end -> only B is_new. Masking collapses numeric variants."""

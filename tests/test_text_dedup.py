@@ -150,6 +150,43 @@ def test_cluster_balanced_sample_caps_majorities(spark, sf_dir):
             assert kept[cl] <= 3 * CLUSTER_SAMPLE_TARGET
 
 
+def test_multiset_jaccard_python_recount(spark, sf_dir):
+    """Every candidate pair's multiset AND set Jaccard match a pure
+    Python recount over token Counters, and the repetition direction
+    holds: multiset ≤ ... differs from set exactly where occurrence
+    counts diverge."""
+    from collections import Counter
+
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        dedup_multiset_jaccard,
+    )
+    from cassandra_log_analyzer_mcp_spark.functions.texts import TOKEN_REGEX
+    import re
+
+    rows = dedup_multiset_jaccard(spark, sf_dir).collect()
+    assert rows, "no candidate pairs at sf0.001"
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    pat = re.compile(TOKEN_REGEX)
+    for r in rows:
+        ca = Counter(pat.findall(texts[r.da]))
+        cb = Counter(pat.findall(texts[r.db]))
+        ms_min = sum((ca & cb).values())
+        ms_max = sum((ca | cb).values())
+        inter = len(set(ca) & set(cb))
+        union = len(set(ca) | set(cb))
+        assert r.ms_min == ms_min, (r.da, r.db)
+        assert r.multiset_jacc_permille == 1000 * ms_min // ms_max
+        assert r.set_jacc_permille == 1000 * inter // union
+        assert (r.n_tokens_a, r.n_tokens_b) == (
+            sum(ca.values()), sum(cb.values())
+        )
+
+
 def test_dedup_exact_counts(spark, sf_dir):
     out = dedup.dedup_exact(spark, sf_dir)
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
