@@ -1927,6 +1927,14 @@ def error_trend_mannkendall(logs: DataFrame) -> DataFrame:
         .groupBy("node", F.expr("h div 86400").alias("d"))
         .agg(F.sum("x").alias("x"))
     )
+    return mannkendall_from_daily(daily)
+
+
+def mannkendall_from_daily(daily: DataFrame) -> DataFrame:
+    """The Mann-Kendall fold over an explicit zero-filled
+    (node, d, x) daily frame — split out so the streaming bridge's
+    driver-state replay (streaming_mannkendall_state) lands on the
+    IDENTICAL pair/tie arithmetic and shares the batch oracle."""
     a = daily.select("node", F.col("d").alias("di"), F.col("x").alias("xi"))
     b = daily.select("node", F.col("d").alias("dj"), F.col("x").alias("xj"))
     sg = (

@@ -1338,6 +1338,12 @@ def analysis_oracles() -> dict[str, str]:
         FROM s JOIN ties USING (node) JOIN nd USING (node)
         """
     )
+    # the streaming MK fold carries the per-(node, day) error
+    # histogram plus the span's min/max error hour — the minimal
+    # sufficient statistic; the shared oracle proves the
+    # state-rebuilt zero-filled daily frame lands the batch test's
+    # exact integers
+    o["streaming_mannkendall_state"] = o["error_trend_mannkendall"]
 
     # seasonal MAD: zero-filled hourly series (cusum's CTE, sans k),
     # per-(node, hour-of-day) median and MAD as window aggregates —

@@ -1045,6 +1045,9 @@ def queries() -> dict[str, QueryFn]:
         "streaming_dlq_counts": batch_bridge.streaming_dlq_counts,
         # 4-integer mergeable-moments fold (shares the OLS oracle)
         "streaming_trend_state": batch_bridge.streaming_trend_state,
+        # round 8 (EXTRAS_R8): the Mann-Kendall daily-histogram fold
+        "streaming_mannkendall_state":
+            batch_bridge.streaming_mannkendall_state,
         # k-set union fold across batches (shares the KMV oracle)
         "streaming_kmv_state": batch_bridge.streaming_kmv_state,
         "streaming_f2_ams": batch_bridge.streaming_f2_ams,

@@ -1384,6 +1384,90 @@ def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_from_moments(moments)
 
 
+def streaming_mannkendall_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend monitoring AS A STREAM (round 8) — the
+    daily-histogram fold: each micro-batch reduces its error lines
+    DISTRIBUTEDLY to per-(node, day) counts plus the node's min/max
+    error hour, and the driver merges by +, min, max — state is
+    O(nodes × days) integers, bounded by the monitoring horizon,
+    never by line volume (the same state class as the seasonal-MAD
+    bridge; MK fundamentally needs the daily series, and this IS its
+    minimal sufficient statistic). After the replay the zero-filled
+    daily frame is rebuilt from state (missing days between the
+    span's first and last error hour are real zeros, exactly the
+    batch op's grid semantics) and handed to the SHARED
+    mannkendall_from_daily fold.
+
+    The feed replays TIME-SPLIT (two real micro-batches), so the
+    final S provably mixes both halves — early days from batch 1,
+    late days from batch 2. Shares error_trend_mannkendall's oracle:
+    the fold must land the batch test's exact integers (S, pair
+    count, tie-corrected variance numerator) per node.
+    """
+    import time as _time
+
+    from ..operators.analysis import mannkendall_from_daily
+    from ..sources.tables import logs_flagged
+
+    lines = (
+        logs_flagged(spark, sf_dir)
+        .filter(F.col("is_error"))
+        .select(
+            "node",
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("t"),
+        )
+    )
+    split = lines.approxQuantile("t", [0.5], 0.0)[0]
+    feed = tempfile.mkdtemp(prefix="mk_feed_") + "/errors"
+    early = os.path.join(feed, "0_early")
+    late = os.path.join(feed, "1_late")
+    lines.filter(F.col("t") < split).repartition(1).write.parquet(early)
+    lines.filter(F.col("t") >= split).repartition(1).write.parquet(late)
+    now = _time.time()
+    for root, offset in ((early, -120.0), (late, -60.0)):
+        for f in os.listdir(root):
+            p = os.path.join(root, f)
+            os.utime(p, (now + offset, now + offset))
+
+    # node -> [t_min, t_max, {day: count}]
+    state: dict[str, list] = {}
+
+    def fold_batch(batch: DataFrame, _epoch: int) -> None:
+        partial = batch.groupBy(
+            "node", F.expr("t div 24").alias("d")
+        ).agg(
+            F.count("*").alias("c"),
+            F.min("t").alias("t0"),
+            F.max("t").alias("t1"),
+        )
+        # O(nodes × days-in-batch) rows — rollup-sized by design
+        for r in partial.collect():
+            s = state.setdefault(r.node, [r.t0, r.t1, {}])
+            s[0] = min(s[0], r.t0)
+            s[1] = max(s[1], r.t1)
+            s[2][r.d] = s[2].get(r.d, 0) + r.c
+
+    stream = spark.readStream.schema("node string, t long").option(
+        "maxFilesPerTrigger", "1"
+    ).option("recursiveFileLookup", "true").parquet(feed)
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming_mannkendall_state did not finish its availableNow run"
+        )
+    rows = []
+    for node, (t0, t1, cnt) in sorted(state.items()):
+        for d in range(t0 // 24, t1 // 24 + 1):
+            rows.append((node, d, cnt.get(d, 0)))
+    daily = spark.createDataFrame(rows, "node string, d long, x long")
+    return mannkendall_from_daily(daily)
+
+
 def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous distinct-count sketching — KMV's streaming fold:
     each micro-batch reduces DISTRIBUTEDLY to its per-type k smallest

@@ -70,6 +70,7 @@ EXTRAS_R8 = {
     "doc_oov_rate",
     "dedup_multiset_jaccard",
     "error_trend_mannkendall",
+    "streaming_mannkendall_state",
 }
 
 #: the 13 r1-stale queries the 36 middle slots could NOT fit —
