@@ -66,9 +66,13 @@ def main() -> int:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # shipped drops are single parquet FILES; generated drops
+        # (tools/make_sf1.py) are Spark-written DIRECTORIES — glob
+        # the part files in that case
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
