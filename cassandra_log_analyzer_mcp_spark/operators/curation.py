@@ -119,6 +119,105 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gram widths for the decontamination sensitivity sweep: 13 is the
+#: published pretraining standard (GPT-3 appendix C; Gopher uses
+#: 8-gram Jaccard variants), 5 is this repo's default gate, 3 the
+#: recall-heavy extreme — the sweep is the evidence for CHOOSING n
+DECONTAM_SWEEP_KS = (3, 5, 8, 13)
+
+
+def decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination SENSITIVITY SWEEP over the n-gram width — the
+    precision/recall dial behind the published 13-gram standard: at
+    small n the check flags broadly (shared phrases, false
+    positives); at n = 13 only real verbatim leakage collides. One
+    row per width: training docs flagged, eval docs hit, distinct
+    shared grams — all integers; widths with ZERO collisions emit
+    explicit zero rows (the "corpus is clean at the published
+    standard" finding, not a missing row).
+
+    Scale shape: the same broadcast-eval-side join as decontaminate,
+    once per width over a width-tagged gram stream — still zero
+    shuffle of the training corpus; the eval side stays
+    1/EVAL_MOD-sized per width.
+    """
+    from ..functions.texts import shingles_col, tokens_col
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    grams = None
+    for k in DECONTAM_SWEEP_KS:
+        g = docs.select(
+            F.lit(k).cast("int").alias("gram_k"),
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(), k))
+            ).alias("s"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train = grams.filter(~is_eval)
+    ev = grams.filter(is_eval).select(
+        "gram_k", F.col("doc_id").alias("eval_id"), "s"
+    )
+    agg = (
+        train.join(F.broadcast(ev), ["gram_k", "s"])
+        .groupBy("gram_k")
+        .agg(
+            F.countDistinct("doc_id").alias("flagged"),
+            F.countDistinct("eval_id").alias("hit"),
+            F.countDistinct("s").alias("shared"),
+        )
+    )
+    anchor = spark.createDataFrame(
+        [(k,) for k in DECONTAM_SWEEP_KS], "gram_k int"
+    )
+    return anchor.join(F.broadcast(agg), "gram_k", "left").select(
+        "gram_k",
+        F.coalesce("flagged", F.lit(0)).cast("long").alias(
+            "n_train_flagged"
+        ),
+        F.coalesce("hit", F.lit(0)).cast("long").alias("n_eval_docs_hit"),
+        F.coalesce("shared", F.lit(0)).cast("long").alias(
+            "n_shared_grams"
+        ),
+    )
+
+
+#: prefix width for the boilerplate census
+PREFIX_TOKENS = 8
+
+
+def doc_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-PREFIX boilerplate census: documents grouped by their
+    first PREFIX_TOKENS tokens, keeping prefixes shared by ≥ 2 docs —
+    the cheap detector for header/URL/license boilerplate that
+    whole-doc dedup misses (the bodies differ) and span detectors
+    find only pairwise. Emits the prefix, the copy count, and the
+    smallest doc id carrying it (the canonical exemplar).
+
+    Scale shape: one map-side prefix projection, one hash agg keyed
+    on the prefix string (≤ PREFIX_TOKENS tokens — bounded key
+    width), the ≥2 filter prunes the long singleton tail before any
+    further use.
+    """
+    from ..functions.texts import tokens_col
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    prefix = F.array_join(
+        F.slice(tokens_col(), 1, PREFIX_TOKENS), " "
+    ).alias("prefix")
+    return (
+        docs.select("doc_id", prefix)
+        .filter(F.col("prefix") != "")
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("exemplar_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 #: the fuzzy pass holds out 1/31 of docs (vs the exact check's 1/97)
 #: so near-dup clusters actually straddle the split at gate scale
 FUZZY_EVAL_MOD = 31

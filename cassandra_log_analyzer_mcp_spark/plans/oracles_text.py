@@ -2382,6 +2382,63 @@ def text_oracles() -> dict[str, str]:
         GROUP BY t.doc_id
     """
 
+    from ..operators.curation import DECONTAM_SWEEP_KS, PREFIX_TOKENS
+
+    # width-sensitivity sweep: one width-tagged gram stream, the same
+    # eval-side join per width, explicit zero rows for clean widths
+    def _k_grams(k: int) -> str:
+        return (
+            f"SELECT CAST({k} AS INT) AS gram_k, doc_id, s FROM ("
+            f"SELECT doc_id, unnest(list_transform("
+            f"range(1, greatest(len(t) - {k - 1}, 0) + 1), "
+            f"i -> array_to_string(t[i:i + {k - 1}], ' '))) AS s "
+            f"FROM toks) u{k} GROUP BY 1, 2, 3"
+        )
+
+    _sweep_union = " UNION ALL ".join(_k_grams(k) for k in DECONTAM_SWEEP_KS)
+    _sweep_vals = ", ".join(
+        f"(CAST({k} AS INT))" for k in DECONTAM_SWEEP_KS
+    )
+    o["decontaminate_ngram_sweep"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        grams AS ({_sweep_union}),
+        hits AS (
+          SELECT tr.gram_k, tr.doc_id, ev.doc_id AS eval_id, tr.s
+          FROM grams tr
+          JOIN grams ev ON ev.gram_k = tr.gram_k AND ev.s = tr.s
+          WHERE tr.doc_id % {EVAL_MOD} <> 0
+            AND ev.doc_id % {EVAL_MOD} = 0
+        ),
+        agg AS (
+          SELECT gram_k,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS flagged,
+                 CAST(count(DISTINCT eval_id) AS BIGINT) AS hit,
+                 CAST(count(DISTINCT s) AS BIGINT) AS shared
+          FROM hits GROUP BY gram_k
+        )
+        SELECT k.gram_k,
+               CAST(coalesce(flagged, 0) AS BIGINT) AS n_train_flagged,
+               CAST(coalesce(hit, 0) AS BIGINT) AS n_eval_docs_hit,
+               CAST(coalesce(shared, 0) AS BIGINT) AS n_shared_grams
+        FROM (VALUES {_sweep_vals}) k(gram_k)
+        LEFT JOIN agg USING (gram_k)
+    """
+
+    # shared-prefix boilerplate census: first-P-token key, >= 2 copies
+    o["doc_prefix_boilerplate"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        p AS (
+          SELECT doc_id,
+                 array_to_string(t[1:{PREFIX_TOKENS}], ' ') AS prefix
+          FROM toks
+        )
+        SELECT prefix,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS exemplar_id
+        FROM p WHERE prefix <> ''
+        GROUP BY prefix HAVING count(*) >= 2
+    """
+
     from ..operators.textops import HH_BLOCK_DOCS, HH_CAP, HH_TOP_K
 
     # mergeable heavy-hitter summary: per-block top-C counters +

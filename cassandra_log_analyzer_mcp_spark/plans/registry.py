@@ -609,6 +609,10 @@ def queries() -> dict[str, QueryFn]:
         "jsonl_shard_export": curation.jsonl_shard_export,
         "importance_resample": curation.importance_resample,
         "decontaminate": curation.decontaminate,
+        # round 8 (EXTRAS_R8): the width-sensitivity sweep behind the
+        # published 13-gram standard, and the shared-prefix census
+        "decontaminate_ngram_sweep": curation.decontaminate_ngram_sweep,
+        "doc_prefix_boilerplate": curation.doc_prefix_boilerplate,
         "decontaminate_bloom": curation.decontaminate_bloom,
         # near-dup (paraphrase) contamination sweep (round 5, in the
         # r5 driver window)

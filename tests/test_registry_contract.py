@@ -71,6 +71,8 @@ EXTRAS_R8 = {
     "dedup_multiset_jaccard",
     "error_trend_mannkendall",
     "streaming_mannkendall_state",
+    "decontaminate_ngram_sweep",
+    "doc_prefix_boilerplate",
 }
 
 #: the 13 r1-stale queries the 36 middle slots could NOT fit —
