@@ -276,6 +276,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+#: vocabulary head width for the dedup distribution-shift report
+SHIFT_TOP_K = 50
+
+
+def dedup_token_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION SHIFT induced by dedup — the survivorship-bias
+    audit run after keeper election: for the top-K tokens by
+    pre-dedup occurrence, their occurrence counts and corpus shares
+    (ppm, integer) BEFORE vs AFTER dropping non-keeper cluster
+    members, and the signed shift. Near-dup clusters are not a
+    random sample of the corpus (boilerplate-heavy, template-heavy),
+    so dedup moves the token distribution — exactly the bias a
+    mixture-weight fit on post-dedup counts inherits silently; this
+    is the table that makes it visible.
+
+    All-integer: shares are floor(10⁶·occ/total) on both engines,
+    the head is deterministic (occ desc, token), and the keep/drop
+    labels come from the graded dedup_canonical election unchanged.
+
+    Scale shape: two token-keyed counts (the only corpus shuffles)
+    and a K-row head; the dropped-id set is duplicate-cluster
+    cardinality here (broadcast anti-join) — at 100 TB, where
+    dropped can be a third of the corpus, the anti-join co-partitions
+    on doc_id instead (drop the hint; keys already arranged).
+    """
+    dropped = (
+        dedup_canonical(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    before = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("occ_before")
+    )
+    after = (
+        tok.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("occ_after"))
+    )
+    tb = before.agg(F.sum("occ_before").alias("tb"))
+    ta = after.agg(F.sum("occ_after").alias("ta"))
+    top = before.orderBy(F.desc("occ_before"), "token").limit(SHIFT_TOP_K)
+    w = Window.orderBy(F.desc("occ_before"), "token")
+    return (
+        top.join(F.broadcast(after), "token", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "token",
+            F.row_number().over(w).cast("int").alias("rk"),
+            "occ_before",
+            F.coalesce("occ_after", F.lit(0)).cast("long").alias(
+                "occ_after"
+            ),
+            F.expr(
+                "CAST(1000000 * occ_before div tb AS BIGINT)"
+            ).alias("share_before_ppm"),
+            F.expr(
+                "CAST(1000000 * coalesce(occ_after, 0) div ta AS BIGINT)"
+            ).alias("share_after_ppm"),
+            F.expr(
+                "CAST(1000000 * coalesce(occ_after, 0) div ta "
+                "- 1000000 * occ_before div tb AS BIGINT)"
+            ).alias("shift_ppm"),
+        )
+    )
+
+
 def dedup_multiset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTISET (weighted) token Jaccard on the production candidate
     set — Jw = Σ min(cₐ(t), c_b(t)) / Σ max(cₐ(t), c_b(t)) over token

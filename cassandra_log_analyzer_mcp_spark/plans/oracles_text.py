@@ -2038,6 +2038,45 @@ def text_oracles() -> dict[str, str]:
         ) t
     """
 
+    # survivorship-bias audit: the canonical election nested verbatim
+    # supplies the dropped set; shares are floor(1e6*occ/total) on
+    # both engines and the head is (occ DESC, token)-deterministic
+    from ..operators.dedup import SHIFT_TOP_K
+
+    o["dedup_token_shift_report"] = f"""
+        WITH dropped AS (
+          SELECT doc_id FROM ({o['dedup_canonical']}) c WHERE NOT keep
+        ),
+        tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+        before_c AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS occ_before
+          FROM tok GROUP BY 1
+        ),
+        after_c AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS occ_after
+          FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          GROUP BY 1
+        ),
+        tb AS (SELECT CAST(sum(occ_before) AS BIGINT) AS t FROM before_c),
+        ta AS (SELECT CAST(sum(occ_after) AS BIGINT) AS t FROM after_c),
+        top AS (
+          SELECT token, occ_before,
+                 row_number() OVER (ORDER BY occ_before DESC, token) AS rk
+          FROM before_c ORDER BY occ_before DESC, token
+          LIMIT {SHIFT_TOP_K}
+        )
+        SELECT t.token, CAST(t.rk AS INT) AS rk, t.occ_before,
+               CAST(coalesce(a.occ_after, 0) AS BIGINT) AS occ_after,
+               CAST(1000000 * t.occ_before // tb.t AS BIGINT)
+                 AS share_before_ppm,
+               CAST(1000000 * coalesce(a.occ_after, 0) // ta.t AS BIGINT)
+                 AS share_after_ppm,
+               CAST(1000000 * coalesce(a.occ_after, 0) // ta.t
+                    - 1000000 * t.occ_before // tb.t AS BIGINT)
+                 AS shift_ppm
+        FROM top t LEFT JOIN after_c a USING (token), tb, ta
+    """
+
     from ..operators.dedup import (
         WINNOW_MAX_DF,
         WINNOW_MIN_SHARED,

@@ -698,6 +698,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_cross_source_matrix": dedup.dedup_cross_source_matrix,
         "doc_oov_rate": textops.doc_oov_rate,
         "dedup_multiset_jaccard": dedup.dedup_multiset_jaccard,
+        "dedup_token_shift_report": dedup.dedup_token_shift_report,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

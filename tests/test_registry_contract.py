@@ -73,6 +73,7 @@ EXTRAS_R8 = {
     "streaming_mannkendall_state",
     "decontaminate_ngram_sweep",
     "doc_prefix_boilerplate",
+    "dedup_token_shift_report",
 }
 
 #: the 13 r1-stale queries the 36 middle slots could NOT fit —
