@@ -144,18 +144,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: rotating all 50 out spends no evidence — enforced by
 #: tests/test_registry_contract.py loading the artifact.
 #: R9 PREP (written during round 8): the window below is FROZEN for
-#: the r8 driver run. Seven queries were added after it froze and
-#: are replica-graded at both SFs this round plus the sf1.0 gate
-#: where applicable (tests/test_registry_contract.py EXTRAS_R8 names
+#: the r8 driver run. TEN queries were added after it froze and are
+#: replica-graded at both SFs this round plus the sf1.0 gate where
+#: applicable (tests/test_registry_contract.py EXTRAS_R8 names
 #: them): dedup_semantic_recall_big (rows-only, pinned table),
 #: band_occupancy_census, dedup_cross_source_matrix, doc_oov_rate,
 #: dedup_multiset_jaccard, error_trend_mannkendall,
-#: streaming_mannkendall_state. R9 window: those 7 lead (rows-only
-#: semantic row in the tail), then the 13-query R9_ROTATION_LEDGER
-#: (the r1-stale §2C TPC-H/events tranche the r8 middle slots could
-#: not fit — named in tests/test_registry_contract.py), then
-#: oldest-evidence-first over the r2-graded queries (whose hashes
-#: will be five rounds stale).
+#: streaming_mannkendall_state, decontaminate_ngram_sweep,
+#: doc_prefix_boilerplate, dedup_token_shift_report. R9 window:
+#: those 10 lead (rows-only semantic row in the tail), then the
+#: 13-query R9_ROTATION_LEDGER (the r1-stale §2C TPC-H/events
+#: tranche the r8 middle slots could not fit — named in
+#: tests/test_registry_contract.py), then oldest-evidence-first over
+#: the r2-graded queries (whose hashes will be five rounds stale).
 R8_DRIVER_WINDOW = [
     # (a) the 10 post-freeze r7 oracled additions — zero driver
     # evidence anywhere; the r7 registry note promised them the lead
