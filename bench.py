@@ -68,17 +68,76 @@ def build_stdout_payload(
     return out
 
 
+def _spin_calibration() -> float:
+    """Fixed CPU-bound micro-workload, timed (VERDICT r8 ask #3).
+
+    A loaded host stretches this the same way it stretches the
+    measured queries, so recording it at sweep start/end makes a
+    contended-host sweep machine-adjudicable (the r8 driver read
+    569 s where the same HEAD measured 405 s locally, and nothing in
+    the artifact proved contention). The LCG loop is pure-Python
+    integer work — no allocation, no libm — so its wall time tracks
+    scheduler pressure, not memory or I/O state.
+    """
+    t0 = time.perf_counter()
+    x = 1
+    for _ in range(2_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    assert x  # keep the loop un-eliminable
+    return round(time.perf_counter() - t0, 4)
+
+
+def _load_sentinel() -> dict[str, object]:
+    """/proc/loadavg + the spin calibration, one snapshot."""
+    try:
+        with open("/proc/loadavg") as fh:
+            load = [float(v) for v in fh.read().split()[:3]]
+    except OSError:
+        load = []
+    return {"loadavg": load, "spin_s": _spin_calibration()}
+
+
 def main() -> None:
-    # The driver parses stdout for the single JSON line. The JVM writes
-    # to fd 1 directly (log4j console appender, Ivy, occasional
-    # SparkContext banners), bypassing sys.stdout — so save the real
-    # stdout fd and point fd 1 at stderr BEFORE the JVM launches; the
-    # JVM inherits the redirected fd and every byte of its noise lands
-    # on stderr. The JSON line alone is written to the saved fd at the
-    # end.
+    # The driver parses the TAIL of the combined stdout+stderr capture
+    # for the single JSON line. The JVM writes noise to BOTH streams
+    # (log4j to stderr, occasional banners to fd 1) bypassing
+    # sys.stdout, and the java launcher itself prints the
+    # jdk.incubator.vector incubator-module warning to stderr before
+    # log4j even loads (VERDICT r8 #1 — the option is baked into
+    # spark-launcher's JavaModuleOptions, unremovable from here). So:
+    # save the real stdout fd, then point BOTH fd 1 and fd 2 at a
+    # sidecar noise log BEFORE the JVM launches; the JVM inherits the
+    # redirected fds and every byte of its noise lands in the file.
+    # The JSON line alone is written to the saved fd at the end, so
+    # the combined capture IS the bare JSON line.
     real_stdout = os.dup(1)
-    os.dup2(2, 1)
+    here = os.path.dirname(os.path.abspath(__file__))
+    noise_path = os.path.join(here, "BENCH_NOISE.log")
+    noise_fd = os.open(
+        noise_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644
+    )
+    os.dup2(noise_fd, 1)
+    os.dup2(noise_fd, 2)
+    os.close(noise_fd)
+    # python-level prints still target fd 1/2 → the noise file; keep
+    # the stdout name pointing at stderr so stray print() calls and
+    # tracebacks share one stream ordering
     sys.stdout = sys.stderr
+    try:
+        _run(real_stdout, noise_path)
+    except BaseException as e:
+        # the traceback lands in the noise file (fd 2); give the
+        # driver's capture a parseable breadcrumb pointing there
+        crumb = json.dumps(
+            {"error": f"{type(e).__name__}: {e}"[:500],
+             "noise_log": "BENCH_NOISE.log"},
+            separators=(",", ":"),
+        )
+        os.write(real_stdout, (crumb + "\n").encode())
+        raise
+
+
+def _run(real_stdout: int, noise_path: str) -> None:
 
     # Silence the pandas concat FutureWarning at the source (ADVICE /
     # VERDICT r6 #8): it leaked ahead of the JSON line in the driver's
@@ -111,6 +170,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Host-contention sentinel, taken BEFORE the JVM exists and again
+    # after the sweep: two clean snapshots bracketing the measurement.
+    sentinel_start = _load_sentinel()
 
     from cassandra_log_analyzer_mcp_spark.plans import registry
     from cassandra_log_analyzer_mcp_spark.session import get_spark
@@ -238,6 +301,8 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    sentinel_end = _load_sentinel()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to a sidecar file; the stdout line is
@@ -254,6 +319,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "shared_build_s": shared_build_s,
+                # contention evidence: loadavg + a fixed pure-Python
+                # spin timing at sweep start/end. tools/ab_compare.py
+                # flags legs whose spin calibrations differ >1.5×.
+                "load_sentinel": {
+                    "start": sentinel_start,
+                    "end": sentinel_end,
+                },
+                "noise_log": os.path.basename(noise_path),
             },
             f,
             indent=1,

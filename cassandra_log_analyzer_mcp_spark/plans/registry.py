@@ -157,6 +157,100 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: tranche the r8 middle slots could not fit — named in
 #: tests/test_registry_contract.py), then oldest-evidence-first over
 #: the r2-graded queries (whose hashes will be five rounds stale).
+#: ROUND-9 WINDOW: CORRECTNESS_r08 landed exactly the 50 R8 slots
+#: (46 oracled hash-matches + the 4 tail rows-only big-dedup rows
+#: recorded as the weaker rows check, by design). Cumulative
+#: driver-issued evidence covers 313 distinct queries; the only
+#: queries WITHOUT a driver hash are the 10 post-freeze r8 additions
+#: (EXTRAS_R8). Strategy per VERDICT r8 ask #1: slots 1-9 = the nine
+#: oracled EXTRAS_R8 members (zero driver evidence anywhere); slots
+#: 10-22 = the 13-query R9_ROTATION_LEDGER (the r1-stale §2C
+#: TPC-H/events tranche, five rounds stale — the oldest hashes on
+#: the surface); slots 23-49 rotate OLDEST-EVIDENCE-FIRST over the
+#: 50 r2-stale queries: the two reference-core §2B anchors
+#: (get_errors_global, error_timeline_raw), the 12-member dedup
+#: family, and the 13-member text-ops family. The 23 r2-stale that
+#: don't fit (ANN/embedding family + curation/sampling + silver and
+#: misc: ann_ivf_cosine, ann_ivf_persisted, ann_lsh_cosine,
+#: ann_pq_cosine, bm25_search, cluster_balanced_sample,
+#: cluster_summary, corpus_curation, corpus_sample, decontaminate,
+#: doc_embedding_join, embedding_outliers, importance_resample,
+#: kmeans_embeddings, knn_cosine_brute, knn_quantized_int8,
+#: multimodal_decode_check, revenue_growth, rolling_active_users,
+#: silver_node_errors, source_quality, train_test_split,
+#: value_outliers_robust) are LEDGERED as the r10 rotation leads
+#: (tests/test_registry_contract.py R10_ROTATION_LEDGER). Slot 50 =
+#: dedup_semantic_recall_big, EXTRAS_R8's one rows-only member
+#: (weaker rows check → tail, per the standing discipline).
+#: EVICTION LEDGER: every R8 occupant carries a green
+#: CORRECTNESS_r08 row, so rotating all 50 out spends no evidence —
+#: enforced by tests/test_registry_contract.py loading the artifact.
+R9_DRIVER_WINDOW = [
+    # (a) the 9 post-freeze r8 oracled additions — zero driver
+    # evidence anywhere; the r8 registry note promised them the lead
+    "band_occupancy_census",
+    "decontaminate_ngram_sweep",
+    "dedup_cross_source_matrix",
+    "dedup_multiset_jaccard",
+    "dedup_token_shift_report",
+    "doc_oov_rate",
+    "doc_prefix_boilerplate",
+    "error_trend_mannkendall",
+    "streaming_mannkendall_state",
+    # (b) the honored R9_ROTATION_LEDGER — the r1-stale §2C
+    # TPC-H/events tranche the r8 middle slots could not fit
+    "shipping_priority",
+    "shipping_priority_salted",
+    "regional_revenue",
+    "promo_revenue",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "top_suppliers",
+    "returned_item_customers",
+    "shipmode_priority",
+    "large_orders",
+    "idle_customers",
+    "event_funnel",
+    "revenue_rollup",
+    # (c) oldest-r2 rotation — reference-core §2B anchors first
+    "get_errors_global",
+    "error_timeline_raw",
+    # (c) the r2-graded dedup family (flagship LLM-pipeline surface)
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "minhash_containment",
+    "dedup_simhash",
+    "dedup_winnow",
+    "dedup_editdist",
+    "dedup_incremental",
+    "dedup_clusters",
+    "source_overlap",
+    "dedup_embedding_cosine",
+    # (c) the r2-graded text-ops family
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "lang_confusion",
+    "pii_scrub",
+    "doc_fingerprint",
+    "doc_rarity",
+    "vocab_top_tokens",
+    "doc_length_histogram",
+    "doc_repetition",
+    "repeated_ngrams",
+    "repeated_span_coverage",
+    "tfidf_keywords",
+    # (d) rows-only by design — EXTRAS_R8's semantic big-dedup row;
+    # the driver records the weaker rows-only check, which is the
+    # evidence tier it carries everywhere else (exact planted table
+    # pinned in tests/test_big_dedup.py)
+    "dedup_semantic_recall_big",
+]
+
+#: HISTORICAL (round 8's window, fully graded in CORRECTNESS_r08 —
+#: kept for the audit trail; the active window above replaces it)
 R8_DRIVER_WINDOW = [
     # (a) the 10 post-freeze r7 oracled additions — zero driver
     # evidence anywhere; the r7 registry note promised them the lead
@@ -1096,8 +1190,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_purchase_error_full_join,
     }
     # project the round's driver window to the front (see
-    # R8_DRIVER_WINDOW); everything else keeps its relative order
-    ordered = {k: q[k] for k in R8_DRIVER_WINDOW}
+    # R9_DRIVER_WINDOW); everything else keeps its relative order
+    ordered = {k: q[k] for k in R9_DRIVER_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

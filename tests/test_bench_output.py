@@ -66,6 +66,50 @@ def test_small_surface_is_untrimmed() -> None:
     assert out["queries"] == timings
 
 
+def test_combined_capture_tail_is_bare_json() -> None:
+    """Run bench.py as the driver does — ONE process, stdout+stderr
+    COMBINED — and assert the whole combined capture is the bare JSON
+    line (VERDICT r8 ask #2: the java launcher's incubator-module
+    warning must not precede it; noise belongs in BENCH_NOISE.log).
+    Restricted to a 2-query slate at sf0.001 so the subprocess stays
+    cheap; the fd plumbing under test is slate-independent."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_QUERIES"] = "issue_counts,token_count"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        env=env,
+        cwd=repo,
+        timeout=600,
+    )
+    combined = proc.stdout.decode()
+    assert proc.returncode == 0, combined[-2000:]
+    # the full combined capture IS the one JSON line — so ANY tail of
+    # it begins with '{' and parses
+    assert combined.startswith("{"), combined[:200]
+    assert combined.endswith("}\n"), combined[-200:]
+    parsed = json.loads(combined)
+    assert parsed["n_queries"] == 2
+    # the noise log absorbed the JVM streams (it at least exists;
+    # content varies by JVM version)
+    assert os.path.exists(os.path.join(repo, "BENCH_NOISE.log"))
+    # the sidecar carries the load sentinel (VERDICT r8 ask #3)
+    with open(os.path.join(repo, "BENCH_FULL.json")) as fh:
+        full = json.load(fh)
+    sent = full["load_sentinel"]
+    for leg in ("start", "end"):
+        assert sent[leg]["spin_s"] > 0
+        assert len(sent[leg]["loadavg"]) == 3
+
+
 def test_pathologically_long_names_never_overflow() -> None:
     timings = {f"{'x' * 120}_{i}": float(i) for i in range(200)}
     out = bench.build_stdout_payload(timings, "custom")

@@ -5,18 +5,17 @@ into CORRECTNESS_r{N}.json (rounds 1, 2, 4, 5, 6 and 7 each produced
 exactly 50 rows — a count cap). Each round the capture window is
 pointed at the queries with the weakest driver-issued evidence.
 
-Round 8's strategy (registry.R8_DRIVER_WINDOW): after r7, EVERY
-registry query has held a driver slot except the 14 post-freeze r7
-additions (EXTRAS_R7). Slots 1-10 go to that tranche's 10 oracled
-members (zero driver evidence anywhere); slots 47-50 to its 4
-rows-only big-dedup rows (their driver check is rows-only — weaker —
-so they spend the tail, per the standing discipline). The 36 middle
-slots rotate OLDEST-EVIDENCE-FIRST: queries whose latest driver hash
-is from round 1, i.e. four rounds stale (the reference-core §2A/§2B
-anchors, the four r1-graded streaming bridges, and the flagship
-pricing_summary). These tests load the actual artifacts and enforce
-exactly that, so a re-shuffle can't silently spend slots on
-well-evidenced queries.
+Round 9's strategy (registry.R9_DRIVER_WINDOW): after r8, EVERY
+registry query has held a driver slot except the 10 post-freeze r8
+additions (EXTRAS_R8). Slots 1-9 go to that tranche's 9 oracled
+members (zero driver evidence anywhere); slot 50 to its one
+rows-only row (weaker check → tail, per the standing discipline).
+Slots 10-22 honor the R9_ROTATION_LEDGER exactly (the r1-stale §2C
+tranche promised the r9 lead by the r8 verdict); slots 23-49 rotate
+OLDEST-EVIDENCE-FIRST over the 50 r2-stale queries, and the 23 that
+don't fit are ledgered as R10_ROTATION_LEDGER. These tests load the
+actual artifacts and enforce exactly that, so a re-shuffle can't
+silently spend slots on well-evidenced queries.
 
 No Spark session needed — pure dict/JSON inspection.
 """
@@ -38,6 +37,7 @@ LANDED_ARTIFACTS = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 #: round-7 additions that landed AFTER the r7 window froze —
@@ -76,9 +76,15 @@ EXTRAS_R8 = {
     "dedup_token_shift_report",
 }
 
-#: the 13 r1-stale queries the 36 middle slots could NOT fit —
-#: ledgered as the r9 rotation leads (oldest evidence on the surface
-#: once round 8 lands)
+#: round-9 additions BEYOND the window's capacity (the r9 window
+#: froze when round 9 started): replica-graded this round
+#: (tools/check.py at sf0.01 + sf0.1), first in line for the r10
+#: window alongside the R10_ROTATION_LEDGER
+EXTRAS_R9: set[str] = set()
+
+#: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —
+#: honored as r9 window slots 10-22 (oldest evidence on the surface
+#: when round 9 opened)
 R9_ROTATION_LEDGER = {
     "customer_order_distribution",
     "event_funnel",
@@ -93,6 +99,35 @@ R9_ROTATION_LEDGER = {
     "shipping_priority",
     "shipping_priority_salted",
     "top_suppliers",
+}
+
+#: the 23 r2-stale queries round 9's 27 rotation slots could NOT fit
+#: — ledgered as the r10 rotation leads (they will carry the oldest
+#: driver hashes on the surface once round 9 lands)
+R10_ROTATION_LEDGER = {
+    "ann_ivf_cosine",
+    "ann_ivf_persisted",
+    "ann_lsh_cosine",
+    "ann_pq_cosine",
+    "bm25_search",
+    "cluster_balanced_sample",
+    "cluster_summary",
+    "corpus_curation",
+    "corpus_sample",
+    "decontaminate",
+    "doc_embedding_join",
+    "embedding_outliers",
+    "importance_resample",
+    "kmeans_embeddings",
+    "knn_cosine_brute",
+    "knn_quantized_int8",
+    "multimodal_decode_check",
+    "revenue_growth",
+    "rolling_active_users",
+    "silver_node_errors",
+    "source_quality",
+    "train_test_split",
+    "value_outliers_robust",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -152,49 +187,77 @@ def _latest_evidence_round() -> dict[str, str]:
     return latest
 
 
-def test_r8_window_is_first_50() -> None:
+def test_r9_window_is_first_50() -> None:
     order = list(registry.queries())
-    assert len(registry.R8_DRIVER_WINDOW) == 50
-    assert len(set(registry.R8_DRIVER_WINDOW)) == 50
-    assert order[:50] == registry.R8_DRIVER_WINDOW
+    assert len(registry.R9_DRIVER_WINDOW) == 50
+    assert len(set(registry.R9_DRIVER_WINDOW)) == 50
+    assert order[:50] == registry.R9_DRIVER_WINDOW
 
 
-def test_r8_head_is_the_never_graded_oracled_tranche() -> None:
-    """Slots 1-10 = EXTRAS_R7's oracled members — the only oracled
-    queries with ZERO driver-issued evidence after seven artifacts."""
-    head = registry.R8_DRIVER_WINDOW[:10]
-    oracled_extras = EXTRAS_R7 - ROWS_ONLY
+def test_r9_head_is_the_never_graded_oracled_tranche() -> None:
+    """Slots 1-9 = EXTRAS_R8's oracled members — the only oracled
+    queries with ZERO driver-issued evidence after eight artifacts."""
+    head = registry.R9_DRIVER_WINDOW[:9]
+    oracled_extras = EXTRAS_R8 - ROWS_ONLY
     assert set(head) == oracled_extras
     assert not set(head) & _driver_graded()
 
 
-def test_r8_middle_rotates_only_stalest_evidence() -> None:
-    """Every middle slot re-grades a query whose latest driver hash
-    is from round 1 — four rounds stale, the weakest evidence among
-    already-graded queries. Spending a slot on anything fresher
-    wastes it."""
-    middle = registry.R8_DRIVER_WINDOW[10:46]
+def test_r9_honors_the_rotation_ledger() -> None:
+    """Slots 10-22 = the 13-query R9_ROTATION_LEDGER, each carrying
+    r1-stale evidence — the promise round 8 made, kept exactly."""
+    slots = registry.R9_DRIVER_WINDOW[9:22]
+    assert set(slots) == R9_ROTATION_LEDGER
     latest = _latest_evidence_round()
-    fresher = {q: latest.get(q) for q in middle if latest.get(q) != "1"}
-    assert not fresher, f"slots wasted on non-r1-stale queries: {fresher}"
+    fresher = {q: latest.get(q) for q in slots if latest.get(q) != "1"}
+    assert not fresher, f"ledger entries with fresher evidence: {fresher}"
 
 
-def test_r8_tail_is_rows_only_big_dedup() -> None:
+def test_r9_rotation_slots_are_r2_stale() -> None:
+    """Every remaining oracled slot re-grades a query whose latest
+    driver hash is from round 2 — five rounds stale, the weakest
+    evidence among already-graded queries once the ledger is spent.
+    Spending a slot on anything fresher wastes it."""
+    rotation = registry.R9_DRIVER_WINDOW[22:49]
+    latest = _latest_evidence_round()
+    fresher = {q: latest.get(q) for q in rotation if latest.get(q) != "2"}
+    assert not fresher, f"slots wasted on non-r2-stale queries: {fresher}"
+
+
+def test_r9_tail_is_rows_only_semantic_big() -> None:
     """Rows-only queries get a WEAKER driver check, so they spend the
-    tail slots, never displacing an oracled query from the head."""
-    tail = registry.R8_DRIVER_WINDOW[46:]
-    assert set(tail) == EXTRAS_R7 & ROWS_ONLY
+    tail slot, never displacing an oracled query from the head."""
+    tail = registry.R9_DRIVER_WINDOW[49:]
+    assert set(tail) == EXTRAS_R8 & ROWS_ONLY
     assert all(q in ROWS_ONLY for q in tail)
 
 
-def test_r8_window_plus_ledger_covers_all_stale_r1() -> None:
-    """The 49 r1-stale queries split exactly into the 36 middle slots
-    plus the 13-query r9 rotation ledger — nothing silently dropped."""
+def test_r9_window_plus_ledger_covers_all_stale_r2() -> None:
+    """The 50 r2-stale queries split exactly into the 27 rotation
+    slots plus the 23-query r10 rotation ledger — nothing silently
+    dropped; r1-stale is fully consumed by the honored ledger."""
     latest = _latest_evidence_round()
-    stale = {q for q, rnd in latest.items() if rnd == "1"}
-    middle = set(registry.R8_DRIVER_WINDOW[10:46])
-    assert middle | R9_ROTATION_LEDGER == stale
-    assert not middle & R9_ROTATION_LEDGER
+    stale_r1 = {q for q, rnd in latest.items() if rnd == "1"}
+    assert stale_r1 == R9_ROTATION_LEDGER
+    stale_r2 = {q for q, rnd in latest.items() if rnd == "2"}
+    rotation = set(registry.R9_DRIVER_WINDOW[22:49])
+    assert rotation | R10_ROTATION_LEDGER == stale_r2
+    assert not rotation & R10_ROTATION_LEDGER
+
+
+def test_r8_window_was_fully_graded() -> None:
+    """The eviction ledger's premise: rotating ALL fifty r8 slots out
+    is principled only because each one carries a green
+    CORRECTNESS_r08 row — verify that against the artifact itself."""
+    r8 = _load("CORRECTNESS_r08.json")
+    assert set(registry.R8_DRIVER_WINDOW) == set(r8)
+    for name, row in r8.items():
+        if name in ROWS_ONLY:
+            assert row["err"] == "no_oracle", name
+            assert row["spark_rows"] is not None, name
+        else:
+            assert row["rows_match"] and row["schema_match"], name
+            assert row["err"] is None, name
 
 
 def test_r7_window_was_fully_graded() -> None:
@@ -219,10 +282,11 @@ def test_every_registry_query_has_driver_or_extras_coverage() -> None:
     exists without either driver evidence, a scheduled r8 slot, or an
     explicit extras ledger entry."""
     covered = (
-        set(registry.R8_DRIVER_WINDOW)
+        set(registry.R9_DRIVER_WINDOW)
         | _driver_graded()
         | EXTRAS_R7
         | EXTRAS_R8
+        | EXTRAS_R9
     )
     missing = set(registry.queries()) - covered
     assert not missing, f"queries with no evidence plan: {missing}"
@@ -248,4 +312,4 @@ def test_graded_surface_never_shrinks() -> None:
     qs = set(registry.queries())
     gone = _driver_graded() - qs
     assert not gone, f"previously-graded queries dropped: {gone}"
-    assert len(qs) >= 313
+    assert len(qs) >= 323

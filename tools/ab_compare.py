@@ -14,10 +14,37 @@ import json
 import sys
 
 
+def _calibration_flag(old_full: dict, new_full: dict) -> dict | None:
+    """Cross-leg host-contention rule (VERDICT r8 ask #3): if the two
+    legs' fixed spin calibrations differ >1.5×, wall-clock ratios are
+    comparing hosts/loads, not code — flag the comparison as
+    contaminated instead of leaving the adjudication to prose."""
+    spins = []
+    for full in (old_full, new_full):
+        sent = full.get("load_sentinel")
+        if not sent:
+            return {"verdict": "no_sentinel_in_one_or_both_legs"}
+        legs = [sent["start"]["spin_s"], sent["end"]["spin_s"]]
+        spins.append(sum(legs) / len(legs))
+    ratio = max(spins) / min(spins) if min(spins) > 0 else float("inf")
+    return {
+        "old_leg_mean_spin_s": round(spins[0], 4),
+        "new_leg_mean_spin_s": round(spins[1], 4),
+        "ratio": round(ratio, 3),
+        "verdict": (
+            "CONTAMINATED: legs ran under >1.5x different host load"
+            if ratio > 1.5
+            else "clean: comparable host load across legs"
+        ),
+    }
+
+
 def main() -> int:
     old_p, new_p, out_p, note = sys.argv[1:5]
-    old = json.load(open(old_p))["queries"]
-    new = json.load(open(new_p))["queries"]
+    old_full = json.load(open(old_p))
+    new_full = json.load(open(new_p))
+    old = old_full["queries"]
+    new = new_full["queries"]
     common = sorted(set(old) & set(new))
     # Totals and deltas use the SAME set — queries timed (>= 0) on
     # BOTH sides (ADVICE r6): a query errored on one side only must
@@ -54,6 +81,7 @@ def main() -> int:
         },
         "top_wins": wins,
         "regression_flags": regressions,
+        "load_sentinel_check": _calibration_flag(old_full, new_full),
     }
     with open(out_p, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=False)
