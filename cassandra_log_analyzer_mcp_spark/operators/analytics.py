@@ -3520,13 +3520,16 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition is only |distinct values| rows AFTER the count combine,
     not raw events.
 
-    Validity bound (ADVICE r7 #3): the integer numerator
-    cum_early·n_late − cum_late·n_early requires n_early·n_late
-    < 2⁶³ (≈9.2e18) PER event_type — beyond ~3e9 events on each side
-    of one type, Spark wraps silently under non-ANSI arithmetic while
-    DuckDB raises. At that scale, pre-aggregate into value buckets
-    (the banded chi-square view) or compute the numerator in
-    decimal(38,0) on both engines.
+    Overflow discipline (VERDICT r8 #3, the trend_from_moments
+    pattern): the products cum·n cross int64 once n_early·n_late
+    exceeds 2⁶³ (~3e9 events per era side of one type), so every
+    product runs in DECIMAL(38,0) — exact for any int64 era counts
+    (products ≤ ~8.5e37 < 10³⁸); the DuckDB twin is already int128
+    (SUM(BIGINT) → HUGEINT). Only the final ks_num casts back to
+    BIGINT, which holds while the STATISTIC itself fits int64
+    (D·n_early·n_late < 2⁶³ — the value's own representability, not
+    an arithmetic artifact); past that the cast turns null / DuckDB
+    raises — loud either way, and d_stat (double) is the consumable.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",
@@ -3542,6 +3545,14 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_l"),
     )
+    return ks_from_value_counts(per_val)
+
+
+def ks_from_value_counts(per_val: DataFrame) -> DataFrame:
+    """KS completion over per-(event_type, value) era counts
+    (n_e, n_l) — split out so the overflow-regime property test can
+    feed planted counts past the int64 product bound directly."""
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")
@@ -3554,8 +3565,8 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_e").over(wt).alias("n_early"),
         F.sum("n_l").over(wt).alias("n_late"),
         F.abs(
-            F.sum("n_e").over(w) * F.sum("n_l").over(wt)
-            - F.sum("n_l").over(w) * F.sum("n_e").over(wt)
+            d(F.sum("n_e").over(w)) * d(F.sum("n_l").over(wt))
+            - d(F.sum("n_l").over(w)) * d(F.sum("n_e").over(wt))
         ).alias("ks_num"),
     )
     top = scored.groupBy("event_type", "n_early", "n_late").agg(
@@ -3569,10 +3580,13 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_early",
             "n_late",
-            "ks_num",
-            (F.col("ks_num") / (F.col("n_early") * F.col("n_late"))).alias(
-                "d_stat"
-            ),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            (
+                F.col("ks_num").cast("double")
+                / (d(F.col("n_early")) * d(F.col("n_late"))).cast(
+                    "double"
+                )
+            ).alias("d_stat"),
             "at_value",
         )
     )
@@ -3652,12 +3666,17 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold. The window partition holds |distinct values| rows, never
     raw events.
 
-    Validity bound (ADVICE r7 #3): r1x2 grows ~(n_early+n_late)² per
-    event_type, so one type's era counts must satisfy n² < 2⁶³ —
-    i.e. ~3e9 events per type-era — beyond which Spark wraps silently
-    under non-ANSI arithmetic while DuckDB raises. Past that,
-    pre-bucket values (the banded chi-square view) or carry r1x2 in
-    decimal(38,0) on both engines.
+    Overflow discipline (VERDICT r8 #3, the trend_from_moments
+    pattern): r1x2 grows ~(n_early+n_late)² per event_type and
+    crosses int64 at ~3e9 events per type, so the midrank product
+    and its sum run in DECIMAL(38,0) — exact for any int64 era
+    counts (r1x2 ≤ ~8.5e37 < 10³⁸); the DuckDB twin is already
+    int128 (SUM(BIGINT) → HUGEINT). Only u2_stat casts back to
+    BIGINT, which holds while the statistic itself fits int64
+    (2·U₁ ≤ 2·n_early·n_late < 2⁶³ — the value's representability,
+    not an arithmetic artifact: an unbalanced split overflows r1x2
+    long before u2); past that the cast turns null / DuckDB raises
+    — loud either way, and auc (double) is the consumable.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",
@@ -3673,14 +3692,22 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("l"),
     )
+    return mw_from_value_counts(per_val)
+
+
+def mw_from_value_counts(per_val: DataFrame) -> DataFrame:
+    """Mann-Whitney completion over per-(event_type, value) era
+    counts (e, l) — split out so the overflow-regime property test
+    can feed planted counts past the int64 r1x2 bound directly."""
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     c_prev = F.coalesce(F.sum(F.col("e") + F.col("l")).over(w), F.lit(0))
-    contrib = F.col("e") * (
-        F.lit(2) * c_prev + F.col("e") + F.col("l") + F.lit(1)
+    contrib = d(F.col("e")) * (
+        d(c_prev) * 2 + d(F.col("e")) + d(F.col("l")) + 1
     )
     folded = per_val.select(
         "event_type", "e", "l", contrib.alias("r1x2")
@@ -3689,13 +3716,16 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l").alias("n_late"),
         F.sum("r1x2").alias("r1x2"),
     )
-    u2 = F.col("r1x2") - F.col("n_early") * (F.col("n_early") + 1)
+    u2 = F.col("r1x2") - d(F.col("n_early")) * (d(F.col("n_early")) + 1)
     return folded.select(
         "event_type",
         "n_early",
         "n_late",
-        u2.alias("u2_stat"),
+        u2.cast("long").alias("u2_stat"),
         (
-            u2 / (F.lit(2) * F.col("n_early") * F.col("n_late"))
+            u2.cast("double")
+            / (
+                d(F.col("n_early")) * d(F.col("n_late")) * 2
+            ).cast("double")
         ).alias("auc"),
     )

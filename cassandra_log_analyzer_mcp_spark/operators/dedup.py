@@ -18,6 +18,8 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -234,7 +236,17 @@ def _band_buckets(arrs: DataFrame) -> DataFrame:
 #: only on pathological drops. Calibration/eval queries
 #: (minhash_estimate_eval, band_tuning, bbit, editdist's candidate
 #: reuse) stay UNCAPPED on purpose — they measure banding itself.
-BAND_MAX_OCCUPANCY = 64
+#: TUNABLE (ADVICE r8): the cap is a recall/throughput trade, so a
+#: boilerplate-heavy deployment that wants the lost pairs back (or a
+#: skew-prone one that wants a tighter guard) sets
+#: SPARK_GRAFT_BAND_MAX_OCCUPANCY — the DuckDB oracles interpolate
+#: THIS constant, so both engines move together; dedup_guard_report
+#: surfaces the dropped-bucket count IN-BAND next to the verified
+#: pair volume, so a pathological corpus shows its recall trade in
+#: the dedup output stream itself, not only in the separate census.
+BAND_MAX_OCCUPANCY = int(
+    os.environ.get("SPARK_GRAFT_BAND_MAX_OCCUPANCY", "64")
+)
 
 
 def _band_candidates(buckets: DataFrame) -> DataFrame:
@@ -355,9 +367,12 @@ def dedup_multiset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set Jaccard but much lower multiset Jaccard, while padding with
     repeats of existing tokens moves multiset but not set — both
     directions matter when dedup feeds a trainer that sees every
-    occurrence. One row per banded candidate pair with both scores,
-    all integer (Σmax = nₐ + n_b − Σmin needs only the inner join
-    over SHARED tokens plus per-doc totals — never a full outer).
+    occurrence. One row per banded candidate pair WITH AT LEAST ONE
+    SHARED TOKEN, both scores, all integer (Σmax = nₐ + n_b − Σmin
+    needs only the inner join over SHARED tokens plus per-doc totals
+    — never a full outer; a zero-overlap candidate, possible only via
+    a band hash collision, is dropped by that inner join — its both-
+    zero scores carry no signal, and the oracle shares the shape).
 
     Scale shape: candidates from the shared capped band index (never
     all-pairs); the scoring join explodes each pair by its shared
@@ -456,6 +471,46 @@ def band_occupancy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(sum(CASE WHEN c <= {BAND_MAX_OCCUPANCY} "
             "THEN c * (c - 1) ELSE 0 END) div 2 AS BIGINT)"
         ).alias("n_candidate_pairs_capped"),
+    )
+
+
+def dedup_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-BAND recall-trade accounting for the hot-bucket guard
+    (ADVICE r8): one row pairing the production dedup OUTPUT volume
+    (verified pairs ≥ MINHASH_VERIFY_MIN from the capped index) with
+    what the cap dropped — hot-bucket count and the Σc·(c−1)/2
+    within-bucket pair volume the guard declined to generate (an
+    upper bound on traded pairs: a dropped pair can still surface via
+    its other bands). On shipped corpora the drop columns read 0; on
+    a boilerplate-heavy corpus the consumer sees the recall trade in
+    the SAME result stream as the dedup output, not only in the
+    separate band_occupancy_census, and can re-run with
+    SPARK_GRAFT_BAND_MAX_OCCUPANCY raised.
+
+    Scale shape: composes the graded pair generator (cached — free if
+    dedup already ran) plus one groupBy(band) rollup; both sides
+    reduce to single-row aggregates before the cross join.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sizes = (
+        _band_buckets(_doc_shingle_arrays(spark, sf_dir))
+        .groupBy("band")
+        .agg(F.count("*").alias("c"))
+    )
+    verified = pairs.agg(
+        F.count("*").cast("long").alias("n_verified_pairs")
+    )
+    dropped = sizes.filter(F.col("c") > BAND_MAX_OCCUPANCY).agg(
+        F.count("*").cast("long").alias("n_hot_buckets_dropped"),
+        F.expr(
+            "CAST(coalesce(sum(c * (c - 1)), 0) div 2 AS BIGINT)"
+        ).alias("n_dropped_bucket_pairs"),
+    )
+    return verified.crossJoin(dropped).select(
+        F.lit(BAND_MAX_OCCUPANCY).cast("long").alias("occupancy_cap"),
+        "n_verified_pairs",
+        "n_hot_buckets_dropped",
+        "n_dropped_bucket_pairs",
     )
 
 

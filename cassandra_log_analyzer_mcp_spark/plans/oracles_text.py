@@ -1427,6 +1427,27 @@ def text_oracles() -> dict[str, str]:
         FROM sizes
     """
 
+    # in-band recall-trade report: verified output volume next to the
+    # guard's dropped-bucket accounting, one row (ADVICE r8)
+    o["dedup_guard_report"] = f"""
+        WITH {minhash_ctes},
+        sizes AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS c
+          FROM buckets GROUP BY band
+        )
+        SELECT CAST({BAND_MAX_OCCUPANCY} AS BIGINT) AS occupancy_cap,
+               (SELECT CAST(count(*) AS BIGINT) FROM verified
+                WHERE jaccard >= {MINHASH_VERIFY_MIN})
+                 AS n_verified_pairs,
+               CAST(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hot_buckets_dropped,
+               CAST(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
+                        THEN c * (c - 1) ELSE 0 END) // 2 AS BIGINT)
+                 AS n_dropped_bucket_pairs
+        FROM sizes
+    """
+
     # multiset (weighted) token Jaccard on the capped candidate set:
     # Σmax = na + nb − Σmin, so the inner join over SHARED tokens
     # plus per-doc totals suffices — identical shape on both engines

@@ -794,6 +794,10 @@ def queries() -> dict[str, QueryFn]:
         "doc_oov_rate": textops.doc_oov_rate,
         "dedup_multiset_jaccard": dedup.dedup_multiset_jaccard,
         "dedup_token_shift_report": dedup.dedup_token_shift_report,
+        # round 9 (EXTRAS_R9): the hot-bucket guard's IN-BAND
+        # recall-trade report — dedup output volume next to what the
+        # occupancy cap dropped (ADVICE r8)
+        "dedup_guard_report": dedup.dedup_guard_report,
         # §2D — similarity search
         "knn_cosine_brute": similarity.knn_cosine_brute,
         "knn_quantized_int8": similarity.knn_quantized_int8,

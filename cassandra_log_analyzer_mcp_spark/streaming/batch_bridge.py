@@ -34,12 +34,28 @@ _WORK_ROOT: str | None = None
 
 
 def _bridge_workdir(prefix: str) -> str:
-    """A fresh subdirectory under the process-shared bridge work root."""
+    """A fresh subdirectory under the process-shared bridge work root.
+
+    EVERY bridge feed, checkpoint, sink and landing dir goes through
+    here (ADVICE r8: per-call ``tempfile.mkdtemp`` leaked the written
+    parquet halves + checkpoint state into /tmp on every invocation —
+    repeated bench/driver runs accumulate). When the root is ours
+    (mkdtemp), one atexit hook removes the whole tree at process end;
+    when the deployment provides SPARK_GRAFT_LANDING_DIR (shared
+    HDFS/S3 on a real cluster), the caller owns the lifecycle and we
+    never delete it.
+    """
     global _WORK_ROOT
     if _WORK_ROOT is None:
-        _WORK_ROOT = os.environ.get(
-            "SPARK_GRAFT_LANDING_DIR"
-        ) or tempfile.mkdtemp(prefix="stream_bridge_work_")
+        provided = os.environ.get("SPARK_GRAFT_LANDING_DIR")
+        if provided:
+            _WORK_ROOT = provided
+        else:
+            import atexit
+            import shutil
+
+            _WORK_ROOT = tempfile.mkdtemp(prefix="stream_bridge_work_")
+            atexit.register(shutil.rmtree, _WORK_ROOT, ignore_errors=True)
     d = os.path.join(_WORK_ROOT, f"{prefix}_{uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
     return d
@@ -58,9 +74,7 @@ def _landed_log_dir(spark: SparkSession, sf_dir: str) -> str:
     # On a real cluster the landing root must be SHARED storage
     # (HDFS/S3) or the distributed write's task outputs never reach
     # the driver-visible directory; override via env for that case.
-    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
-        prefix="landed_logs_"
-    )
+    root = _bridge_workdir("landed_logs")
     base = os.path.join(root, f"logs_{uuid.uuid4().hex[:8]}")
     (
         synth_raw_lines(table(spark, sf_dir, "events"))
@@ -328,9 +342,7 @@ def _landed_batch_docs(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.dedup import INCR_BATCH_MOD
     from ..sources.tables import documents
 
-    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
-        prefix="landed_docs_"
-    )
+    root = _bridge_workdir("landed_docs")
     base = os.path.join(root, f"batch_docs_{uuid.uuid4().hex[:8]}")
     (
         documents(spark, sf_dir)
@@ -358,7 +370,7 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     land = _landed_batch_docs(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="stream_incr_")
+    work = _bridge_workdir("stream_incr")
     outdir = os.path.join(work, "out")
     ck = os.path.join(work, "ck")
     stream = (
@@ -406,9 +418,7 @@ def _landed_events(spark: SparkSession, sf_dir: str) -> str:
     """
     if sf_dir in _LANDED_EVENTS:
         return _LANDED_EVENTS[sf_dir]
-    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
-        prefix="landed_events_"
-    )
+    root = _bridge_workdir("landed_events")
     base = os.path.join(root, f"events_{uuid.uuid4().hex[:8]}")
     (
         table(spark, sf_dir, "events")
@@ -523,9 +533,7 @@ def _landed_events_outer(spark: SparkSession, sf_dir: str) -> str:
     """
     if sf_dir in _LANDED_EVENTS_OUTER:
         return _LANDED_EVENTS_OUTER[sf_dir]
-    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
-        prefix="landed_events_outer_"
-    )
+    root = _bridge_workdir("landed_events_outer")
     base = os.path.join(root, f"events_{uuid.uuid4().hex[:8]}")
     ev = table(spark, sf_dir, "events").select(
         "event_id",
@@ -748,7 +756,7 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _default_path(sf_dir) + "_smerge"
     write_silver(spark, sf_dir, path)
-    feed = tempfile.mkdtemp(prefix="merge_feed_") + "/updates"
+    feed = _bridge_workdir("merge_feed") + "/updates"
     merge_updates(spark, path).repartition(2).write.parquet(feed)
 
     stream = (
@@ -756,7 +764,7 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
     )
-    work = tempfile.mkdtemp(prefix="merge_ck_")
+    work = _bridge_workdir("merge_ck")
     q = (
         stream.writeStream.foreachBatch(
             lambda batch, _epoch: merge_upsert(spark, path, batch)
@@ -800,7 +808,7 @@ def streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    feed = tempfile.mkdtemp(prefix="tdigest_feed_") + "/events"
+    feed = _bridge_workdir("tdigest_feed") + "/events"
     ev.repartition(2).write.parquet(feed)
 
     stream = (
@@ -825,7 +833,7 @@ def streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame
         stream.writeStream.foreachBatch(fold_batch)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="tdigest_ck_") + "/ck",
+            _bridge_workdir("tdigest_ck") + "/ck",
         )
         .trigger(availableNow=True)
         .start()
@@ -884,7 +892,7 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").alias("is_purchase"),
     )
     split = tagged.approxQuantile("epoch", [0.5], 0.0)[0]
-    feed = tempfile.mkdtemp(prefix="asof_feed_") + "/events"
+    feed = _bridge_workdir("asof_feed") + "/events"
     early = os.path.join(feed, "0_early")
     late = os.path.join(feed, "1_late")
     tagged.filter(F.col("epoch") < split).repartition(1).write.parquet(early)
@@ -962,7 +970,7 @@ def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import documents
 
     docs = documents(spark, sf_dir).select("doc_id", "text")
-    feed = tempfile.mkdtemp(prefix="topktok_feed_") + "/docs"
+    feed = _bridge_workdir("topktok_feed") + "/docs"
     docs.repartition(2).write.parquet(feed)
 
     stream = (
@@ -988,7 +996,7 @@ def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(fold_batch)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="topktok_ck_") + "/ck",
+            _bridge_workdir("topktok_ck") + "/ck",
         )
         .trigger(availableNow=True)
         .start()
@@ -1020,9 +1028,7 @@ def _landed_dup_events(spark: SparkSession, sf_dir: str) -> str:
     behind after a retry."""
     if sf_dir in _LANDED_DUP_EVENTS:
         return _LANDED_DUP_EVENTS[sf_dir]
-    root = os.environ.get("SPARK_GRAFT_LANDING_DIR") or tempfile.mkdtemp(
-        prefix="landed_dup_events_"
-    )
+    root = _bridge_workdir("landed_dup_events")
     base = os.path.join(root, f"dup_events_{uuid.uuid4().hex[:8]}")
     ev = table(spark, sf_dir, "events").select(
         "event_id",
@@ -1114,7 +1120,7 @@ def streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     series = cusum_series(logs_flagged(spark, sf_dir))
     split = series.approxQuantile("h", [0.5], 0.0)[0]
-    feed = tempfile.mkdtemp(prefix="cusum_feed_") + "/series"
+    feed = _bridge_workdir("cusum_feed") + "/series"
     early = os.path.join(feed, "0_early")
     late = os.path.join(feed, "1_late")
     series.filter(F.col("h") < split).repartition(1).write.parquet(early)
@@ -1239,13 +1245,13 @@ def streaming_dlq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_json_lines,
     )
 
-    land = tempfile.mkdtemp(prefix="dlq_feed_") + "/lines"
+    land = _bridge_workdir("dlq_feed") + "/lines"
     (
         corrupt_some_lines(synth_json_lines(table(spark, sf_dir, "events")))
         .repartition(2)
         .write.parquet(land)
     )
-    work = tempfile.mkdtemp(prefix="dlq_out_")
+    work = _bridge_workdir("dlq_out")
     main_out = os.path.join(work, "parsed")
     dlq_out = os.path.join(work, "dlq")
 
@@ -1335,8 +1341,16 @@ def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("t"),
         )
     )
-    split = lines.approxQuantile("t", [0.5], 0.0)[0]
-    feed = tempfile.mkdtemp(prefix="trend_feed_") + "/errors"
+    # empty error stream → empty trend frame, like the batch op
+    med = lines.approxQuantile("t", [0.5], 0.0)
+    if not med:
+        return trend_from_moments(
+            spark.createDataFrame(
+                [], "node string, t0 long, t1 long, sy long, sty long"
+            )
+        )
+    split = med[0]
+    feed = _bridge_workdir("trend_feed") + "/errors"
     early = os.path.join(feed, "0_early")
     late = os.path.join(feed, "1_late")
     lines.filter(F.col("t") < split).repartition(1).write.parquet(early)
@@ -1417,8 +1431,16 @@ def streaming_mannkendall_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("t"),
         )
     )
-    split = lines.approxQuantile("t", [0.5], 0.0)[0]
-    feed = tempfile.mkdtemp(prefix="mk_feed_") + "/errors"
+    # empty error stream → empty trend frame, like the batch op
+    # (ADVICE r8: approxQuantile returns [] on an empty column and
+    # indexing it raised instead of degrading)
+    med = lines.approxQuantile("t", [0.5], 0.0)
+    if not med:
+        return mannkendall_from_daily(
+            spark.createDataFrame([], "node string, d long, x long")
+        )
+    split = med[0]
+    feed = _bridge_workdir("mk_feed") + "/errors"
     early = os.path.join(feed, "0_early")
     late = os.path.join(feed, "1_late")
     lines.filter(F.col("t") < split).repartition(1).write.parquet(early)
@@ -1487,7 +1509,7 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import table
 
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
-    feed = tempfile.mkdtemp(prefix="kmv_feed_") + "/events"
+    feed = _bridge_workdir("kmv_feed") + "/events"
     early = os.path.join(feed, "0_even")
     late = os.path.join(feed, "1_odd")
     ev.filter(F.pmod("user_id", F.lit(2)) == 0).repartition(1).write.parquet(
@@ -1609,7 +1631,7 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u"),
     )
-    feed = tempfile.mkdtemp(prefix="prio_feed_") + "/docs"
+    feed = _bridge_workdir("prio_feed") + "/docs"
     early = os.path.join(feed, "0_even")
     late = os.path.join(feed, "1_odd")
     d.filter(F.pmod("doc_id", F.lit(2)) == 0).repartition(1).write.parquet(
@@ -1707,7 +1729,7 @@ def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.agg(
         ((F.min("us") + F.max("us")) / 2).cast("long").alias("m")
     ).collect()[0].m
-    feed = tempfile.mkdtemp(prefix="funnel_feed_") + "/events"
+    feed = _bridge_workdir("funnel_feed") + "/events"
     early = os.path.join(feed, "0_first")
     late = os.path.join(feed, "1_second")
     ev.filter(F.col("us") < mid).repartition(1).write.parquet(early)
@@ -1848,7 +1870,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hi = ev.agg(F.max("ts").cast("long").alias("m")).collect()[0].m
     fresh_cut = F.lit(hi - 3600).cast("timestamp")
-    root = tempfile.mkdtemp(prefix="late_drop_")
+    root = _bridge_workdir("late_drop")
     feed = os.path.join(root, "feed")
     ckpt = os.path.join(root, "ckpt")
     out = os.path.join(root, "out")
@@ -1925,7 +1947,7 @@ def streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import documents
 
     d = documents(spark, sf_dir).select("doc_id", "text")
-    feed = tempfile.mkdtemp(prefix="ams_feed_") + "/docs"
+    feed = _bridge_workdir("ams_feed") + "/docs"
     early = os.path.join(feed, "0_even")
     late = os.path.join(feed, "1_odd")
     d.filter(F.pmod("doc_id", F.lit(2)) == 0).repartition(1).write.parquet(
@@ -2053,7 +2075,7 @@ def streaming_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
     )
-    feed = tempfile.mkdtemp(prefix="smad_feed_") + "/errs"
+    feed = _bridge_workdir("smad_feed") + "/errs"
     even = os.path.join(feed, "0_even")
     odd = os.path.join(feed, "1_odd")
     errs.filter(F.pmod("p", F.lit(2)) == 0).select("node", "h").repartition(

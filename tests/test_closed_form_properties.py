@@ -313,3 +313,58 @@ def test_rfm_segments_cover_users_and_bound_quartiles(spark, sf_dir):
     for axis in ("r_seg", "f_seg", "m_seg"):
         seg1 = sum(r.n_users for r in rows if getattr(r, axis) == 1)
         assert 4 * seg1 >= n_users_true
+
+
+def test_ks_mw_decimal_path_survives_int64_overflow(spark):
+    """value_ks_drift / mann_whitney_drift's decimal(38,0) numerators
+    vs exact pure-Python integers, on planted era counts whose
+    INTERMEDIATE products exceed int64 while the statistics themselves
+    still fit — the regime where the pre-r9 long arithmetic wrapped
+    silently (VERDICT r8 #3; same pattern as the trend n·Σt² test)."""
+    import pytest
+
+    from cassandra_log_analyzer_mcp_spark.operators.analytics import (
+        ks_from_value_counts,
+        mw_from_value_counts,
+    )
+
+    # --- KS: near-proportional eras, 8e9 events per side ---
+    vals = [1.0, 2.0, 3.0]
+    n_e = [4_000_000_000, 3_000_000_000, 1_000_000_000]
+    n_l = [3_999_999_000, 2_999_999_000, 1_000_002_000]
+    ne_t, nl_t = sum(n_e), sum(n_l)
+    cum_e = [sum(n_e[: i + 1]) for i in range(3)]
+    cum_l = [sum(n_l[: i + 1]) for i in range(3)]
+    nums = [abs(a * nl_t - b * ne_t) for a, b in zip(cum_e, cum_l)]
+    exp_ks = max(nums)
+    assert cum_e[0] * nl_t > 2**63  # intermediate overflow regime
+    assert exp_ks < 2**63  # ...while the statistic fits
+    per_val = spark.createDataFrame(
+        [("t", v, e, l) for v, e, l in zip(vals, n_e, n_l)],
+        "event_type string, value double, n_e long, n_l long",
+    )
+    row = ks_from_value_counts(per_val).collect()[0]
+    assert (row.n_early, row.n_late) == (ne_t, nl_t)
+    assert row.ks_num == exp_ks
+    assert row.at_value == vals[nums.index(exp_ks)]
+    assert row.d_stat == pytest.approx(exp_ks / (ne_t * nl_t), rel=1e-12)
+
+    # --- MW: unbalanced eras so r1x2 >> u2 ---
+    e = [4_000_000_000, 3_000_000_000, 1_000_000_000]
+    l = [200_000_000, 200_000_000, 100_000_000]
+    n1, n2 = sum(e), sum(l)
+    c_prev, r1x2 = 0, 0
+    for ei, li in zip(e, l):
+        r1x2 += ei * (2 * c_prev + ei + li + 1)
+        c_prev += ei + li
+    exp_u2 = r1x2 - n1 * (n1 + 1)
+    assert r1x2 > 2**63  # intermediate overflow regime
+    assert 0 <= exp_u2 < 2**63  # ...while the statistic fits
+    per_val = spark.createDataFrame(
+        [("t", v, a, b) for v, a, b in zip(vals, e, l)],
+        "event_type string, value double, e long, l long",
+    )
+    row = mw_from_value_counts(per_val).collect()[0]
+    assert (row.n_early, row.n_late) == (n1, n2)
+    assert row.u2_stat == exp_u2
+    assert row.auc == pytest.approx(exp_u2 / (2 * n1 * n2), rel=1e-12)

@@ -80,7 +80,9 @@ EXTRAS_R8 = {
 #: froze when round 9 started): replica-graded this round
 #: (tools/check.py at sf0.01 + sf0.1), first in line for the r10
 #: window alongside the R10_ROTATION_LEDGER
-EXTRAS_R9: set[str] = set()
+EXTRAS_R9: set[str] = {
+    "dedup_guard_report",
+}
 
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —
 #: honored as r9 window slots 10-22 (oldest evidence on the surface

@@ -728,3 +728,22 @@ def test_tws_blocked_or_green(spark, sf_dir):
         "transformWithStateInPandas twin (SURVEY §2E item 3) and "
         "replace this guard with its gate"
     )
+
+
+def test_mk_and_trend_bridges_degrade_on_empty_error_stream(
+    spark, monkeypatch
+):
+    """ADVICE r9: an empty error feed must yield an empty trend frame
+    (the batch ops' empty-input discipline), not an IndexError from
+    approxQuantile's empty result."""
+    from cassandra_log_analyzer_mcp_spark.sources import tables
+    from cassandra_log_analyzer_mcp_spark.streaming import batch_bridge
+
+    empty = spark.createDataFrame(
+        [], "node string, ts timestamp, is_error boolean"
+    )
+    monkeypatch.setattr(tables, "logs_flagged", lambda s, d: empty)
+    mk = batch_bridge.streaming_mannkendall_state(spark, "ignored")
+    assert mk.count() == 0
+    tr = batch_bridge.streaming_trend_state(spark, "ignored")
+    assert tr.count() == 0
