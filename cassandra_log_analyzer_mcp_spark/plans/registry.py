@@ -785,6 +785,10 @@ def queries() -> dict[str, QueryFn]:
         # planted modality comparison — rows-only, EXTRAS_R8 (replica
         # + pinned-table graded this round, r9-window candidate)
         "dedup_semantic_recall_big": dedup.dedup_semantic_recall_big,
+        # round 9 (EXTRAS_R9, rows-only): the multiprobe cost census —
+        # single-probe vs distance-1 probe candidate volumes over the
+        # 12-bit semantic band index (VERDICT r8 ask #5)
+        "sem_big_band_census": dedup.sem_big_band_census,
         # round 8 oracled additions (EXTRAS_R8): the hot-bucket
         # guard's graded sf-scale observable, the cross-source dedup
         # matrix, the OOV tokenizer-coverage gate, and multiset

@@ -170,24 +170,26 @@ def test_semantic_embedding_recipe_replayable(spark):
 
 def test_semantic_recall_big_exact_table(spark):
     """Pin the semantic (embedding-LSH) S-curve — the FOURTH modality
-    on shared truth. Mean cosine tracks 1−rate (979→595 permille);
-    4×8-bit sign-LSH candidate recall decays 964→238 permille (the
-    sign-agreement probability law, a different decay than Jaccard
-    banding's S-curve); the cos≥0.75 verify bar truncates the 400‰
-    band (260 of 5000 clear it). Side-by-side at the 100‰ band:
-    MinHash 784‰ candidate recall, SimHash 81‰, winnowing 1000‰,
-    semantic 749‰ — the modality choice table a pipeline owner
-    actually needs."""
+    on shared truth, round-9 MULTIPROBE edition (4×12-bit bands
+    probed at Hamming ≤ 1; VERDICT r8 ask #5). Mean cosine tracks
+    1−rate (979→595 permille); candidate recall decays 996→342
+    permille — up from the retired 8-bit single-probe index's
+    964→238 AT LESS candidate volume (see the census test below);
+    the cos≥0.75 verify bar truncates the 400‰ band (260 of 5000
+    clear it). Side-by-side at the 100‰ band: MinHash 784‰ candidate
+    recall, SimHash 81‰, winnowing 1000‰, semantic now 906‰ (was
+    749‰) — the modality choice table a pipeline owner actually
+    needs."""
     got = {
         r.rate_permille: r
         for r in D.dedup_semantic_recall_big(spark, "unused").collect()
     }
     expected = {
-        20: (5000, 979, 4822, 5000, 4822, 964, 964),
-        50: (5000, 948, 4405, 4999, 4405, 881, 881),
-        100: (5000, 898, 3747, 4957, 3724, 749, 751),
-        200: (5000, 796, 2548, 3846, 2166, 509, 563),
-        400: (5000, 595, 1192, 260, 113, 238, 434),
+        20: (5000, 979, 4980, 5000, 4980, 996, 996),
+        50: (5000, 948, 4872, 4999, 4872, 974, 974),
+        100: (5000, 898, 4534, 4957, 4506, 906, 909),
+        200: (5000, 796, 3514, 3846, 2946, 702, 765),
+        400: (5000, 595, 1710, 260, 169, 342, 650),
     }
     assert sorted(got) == sorted(expected)
     for rate, exp in expected.items():
@@ -201,6 +203,26 @@ def test_semantic_recall_big_exact_table(spark):
             r.candidate_recall_permille,
             r.pipeline_recall_permille,
         ) == exp, rate
+
+
+def test_sem_big_band_census_exact(spark):
+    """Pin the multiprobe cost census AND the equal-budget claim: the
+    12-bit index's ALL-flips multiprobe candidate volume must stay
+    UNDER the retired 8-bit single-probe volume (23,280,615 pairs —
+    re-derivable by setting SEM_BIG_BAND_BITS=8 and summing
+    Σc·(c−1)/2 over the 1024 buckets), while the S-curve test above
+    shows the recall that budget now buys (906‰ vs 749‰ at the 100‰
+    band)."""
+    r = D.sem_big_band_census(spark, "unused").collect()[0]
+    assert (
+        r.n_docs,
+        r.n_buckets,
+        r.min_occupancy,
+        r.max_occupancy,
+        r.n_single_probe_pairs,
+        r.n_multiprobe_pairs,
+    ) == (50000, 16129, 1, 106, 1890997, 21321288)
+    assert r.n_multiprobe_pairs < 23_280_615  # retired index's budget
 
 
 def test_winnow_recall_big_exact_table(spark):

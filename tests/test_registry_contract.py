@@ -82,6 +82,7 @@ EXTRAS_R8 = {
 #: window alongside the R10_ROTATION_LEDGER
 EXTRAS_R9: set[str] = {
     "dedup_guard_report",
+    "sem_big_band_census",
 }
 
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —
@@ -165,6 +166,10 @@ ROWS_ONLY = {
     # modality comparison — same generated drop, exact table pinned
     # in tests/test_big_dedup.py
     "dedup_semantic_recall_big",
+    # round 9: the multiprobe cost census over the same generated
+    # drop's 12-bit semantic band index — exact table pinned in
+    # tests/test_big_dedup.py
+    "sem_big_band_census",
 }
 
 
