@@ -118,3 +118,40 @@ def test_pathologically_long_names_never_overflow() -> None:
     timings["broken"] = -1.0
     out = bench.build_stdout_payload(timings, "custom")
     assert out["value"] == round(sum(range(200)), 3)
+
+
+def test_ab_compare_flags_contaminated_host_load(tmp_path) -> None:
+    """tools/ab_compare.py must adjudicate cross-leg host contention
+    from the load sentinel (VERDICT r8 ask #3): legs whose fixed spin
+    calibrations differ >1.5x are flagged CONTAMINATED; comparable
+    legs read clean; sentinel-less legacy sidecars are named as such."""
+    import subprocess
+    import sys
+
+    def run(old_sent, new_sent):
+        legs = []
+        for i, sent in enumerate((old_sent, new_sent)):
+            full = {"queries": {"q1": 1.0 + i}}
+            if sent is not None:
+                full["load_sentinel"] = sent
+            p = tmp_path / f"leg{i}.json"
+            p.write_text(json.dumps(full))
+            legs.append(str(p))
+        out = tmp_path / "ab.json"
+        subprocess.run(
+            [sys.executable, "tools/ab_compare.py", *legs, str(out), "t"],
+            check=True,
+            cwd="/root/repo",
+            stdout=subprocess.DEVNULL,
+        )
+        return json.loads(out.read_text())["load_sentinel_check"]
+
+    def sent(spin):
+        return {
+            "start": {"loadavg": [1, 1, 1], "spin_s": spin},
+            "end": {"loadavg": [1, 1, 1], "spin_s": spin},
+        }
+
+    assert "CONTAMINATED" in run(sent(0.2), sent(0.35))["verdict"]
+    assert run(sent(0.2), sent(0.25))["verdict"].startswith("clean")
+    assert "no_sentinel" in run(None, sent(0.2))["verdict"]

@@ -16,8 +16,16 @@ universes — the standard linear scale-up shape:
 - KEY_OFFSET is divisible by 4, so the events→node mapping
   (user_id % 4) keeps the same 4-node cluster with 10× the log lines
   per node.
-- Shared dims (region, nation) and the non-scaled tables
-  (embeddings — no headline-slate consumer) are copied verbatim.
+- Shared dims (region, nation) are copied verbatim.
+- embeddings (round 9 — the sf1.0 slate now gates the ANN family):
+  copy k > 0 multiplies every vector elementwise by a deterministic
+  per-copy ±1 dimension mask (md5-seeded). Sign masks preserve
+  WITHIN-copy geometry exactly (dot(x⊙m, y⊙m) = Σxᵢyᵢmᵢ² =
+  dot(x, y), norms unchanged — float sign flips are lossless) while
+  scrambling cross-copy similarity, so the 10× corpus is ten
+  internally-identical, mutually-unrelated shards — the same
+  "ten times the customers, same behavior each" shape as the keyed
+  tables, not a 10-clique of exact-duplicate vectors.
 - documents: copy k > 0 suffixes EVERY token with ``_c<k>`` — copies
   share zero tokens/shingles with their source, so the dedup
   workload scales as 10× independent docs with identical internal
@@ -57,7 +65,7 @@ KEYED = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
 }
-VERBATIM = ["region", "nation", "embeddings"]
+VERBATIM = ["region", "nation"]
 
 
 def replicate(df: DataFrame, keys: list[str], tag_tokens: bool) -> DataFrame:
@@ -77,6 +85,42 @@ def replicate(df: DataFrame, keys: list[str], tag_tokens: bool) -> DataFrame:
                     " ",
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def replicate_embeddings(df: DataFrame) -> DataFrame:
+    """10× the embeddings with per-copy ±1 dimension masks (see the
+    module docstring): offset vec_ids, exact within-copy geometry,
+    scrambled cross-copy similarity. Copy 0 is the shipped table
+    verbatim, so the ANN query set (vec_id < ANN_N_QUERIES) is
+    unchanged and now ranks over a 10× corpus."""
+    import hashlib
+
+    dim = len(df.select("embedding").first()[0])
+    out = None
+    for k in range(COPIES):
+        mask = [
+            1.0
+            if k == 0
+            or int(
+                hashlib.md5(f"sf1emb:{k}:{j}".encode()).hexdigest()[:8],
+                16,
+            )
+            & 1
+            else -1.0
+            for j in range(dim)
+        ]
+        c = df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(k * KEY_OFFSET)
+        ).withColumn(
+            "embedding",
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(m) for m in mask]),
+                lambda x, m: (x * m).cast("float"),
+            ),
+        )
         out = c if out is None else out.unionByName(c)
     return out
 
@@ -106,6 +150,14 @@ def main() -> None:
         ).parquet(os.path.join(out_dir, f"{t}.parquet"))
         n = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
         print(f"replicated {t}: {n} rows")
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    replicate_embeddings(emb).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    n = spark.read.parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    ).count()
+    print(f"replicated embeddings (sign-masked): {n} rows")
     print(f"sf1.0 drop at {out_dir}")
 
 

@@ -71,6 +71,9 @@ EAGER = {
     # "lazily" building their plans on a fresh machine (ADVICE r7 #1)
     "dedup_winnow_recall_big",
     "dedup_semantic_recall_big",
+    # the round-9 multiprobe cost census shares the generated drop +
+    # embedding memo build, plus a bounded distinct-doc count() edge
+    "sem_big_band_census",
     # writes the silver table before the (lazily-planned) read; the
     # read plan is what the audit wants, so keep it out of the skip
     # set — but note the write job runs at build time
