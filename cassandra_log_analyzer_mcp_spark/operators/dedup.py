@@ -742,6 +742,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-SIZE distribution of the near-dup graph — the standard
+    dedup-paper figure (cf. Lee et al., ACL 2022) and the table that
+    decides election policy: a corpus whose duplicate mass sits in a
+    few mega-clusters wants span-stripping before whole-doc dedup,
+    while long-tail small clusters are safe for keep-one election.
+    One row per cluster size (including the SINGLETON mass: docs in
+    no verified pair, derived as total − clustered so the shares sum
+    to one million ppm): clusters at that size, docs they hold, and
+    the docs' corpus share in exact ppm.
+
+    Scale shape: composes the graded components (duplicate-set
+    cardinality, never corpus-sized); the histogram is ≤|distinct
+    sizes| rows; the corpus total is a scan count. The oracle nests
+    the same recursive-CTE components the dedup_clusters gate proves.
+    """
+    members = dedup_clusters(spark, sf_dir)
+    sized = members.groupBy(
+        F.col("cluster_size").cast("long").alias("cluster_size")
+    ).agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    docs_total = documents(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("td")
+    )
+    clustered = members.agg(F.count("*").cast("long").alias("cd"))
+    singles = docs_total.crossJoin(clustered).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("td") - F.col("cd")).cast("long").alias("n_clusters"),
+        (F.col("td") - F.col("cd")).cast("long").alias("n_docs"),
+    )
+    return (
+        sized.unionByName(singles)
+        .crossJoin(F.broadcast(docs_total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.expr("CAST(1000000 * n_docs div td AS BIGINT)").alias(
+                "docs_share_ppm"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection per near-dup cluster — the decision
     step after clustering: each cluster KEEPS its highest-quality

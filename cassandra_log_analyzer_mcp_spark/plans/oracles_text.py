@@ -1854,6 +1854,44 @@ def text_oracles() -> dict[str, str]:
               FROM reach GROUP BY u) c
     """
 
+    # cluster-size histogram: same recursive components, singleton
+    # mass derived as total − clustered so shares sum to 1e6 ppm
+    o["dedup_cluster_size_histogram"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        pairs AS (SELECT da, db FROM verified
+                  WHERE jaccard >= {MINHASH_VERIFY_MIN}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db AS u, da AS v FROM pairs),
+        reach AS (
+          SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+          UNION
+          SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+        ),
+        comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+                 FROM reach GROUP BY u),
+        sized AS (SELECT cluster_id,
+                         CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY 1),
+        hist AS (
+          SELECT cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM sized GROUP BY 1
+          UNION ALL
+          SELECT CAST(1 AS BIGINT),
+                 t.td - c.cd,
+                 t.td - c.cd
+          FROM (SELECT CAST(count(*) AS BIGINT) AS td
+                FROM documents) t,
+               (SELECT CAST(count(*) AS BIGINT) AS cd FROM comp) c
+        )
+        SELECT cluster_size, n_clusters, n_docs,
+               CAST(1000000 * n_docs
+                    // (SELECT CAST(count(*) AS BIGINT)
+                        FROM documents) AS BIGINT) AS docs_share_ppm
+        FROM hist
+    """
+
     # soft weights: same recursive components, corpus-wide left join
     # fills singletons at full weight; integer floor-div permille
     from ..operators.dedup import CLUSTER_QUALITY_BUCKETS as _CQB

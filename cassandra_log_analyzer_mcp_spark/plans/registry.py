@@ -734,6 +734,11 @@ def queries() -> dict[str, QueryFn]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "minhash_containment": dedup.minhash_containment,
         "dedup_clusters": dedup.dedup_clusters,
+        # round 9 (EXTRAS_R9): the cluster-size distribution incl.
+        # singleton mass — the dedup-paper figure election policy
+        # reads (oracle nests the same recursive components)
+        "dedup_cluster_size_histogram":
+            dedup.dedup_cluster_size_histogram,
         "dedup_canonical": dedup.dedup_canonical,
         "dedup_graph_stats": dedup.dedup_graph_stats,
         # fixed-point integer PageRank over the near-dup graph

@@ -83,6 +83,7 @@ EXTRAS_R8 = {
 EXTRAS_R9: set[str] = {
     "dedup_guard_report",
     "sem_big_band_census",
+    "dedup_cluster_size_histogram",
 }
 
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —

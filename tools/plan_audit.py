@@ -20,6 +20,7 @@ EAGER = {
     "dedup_clusters",
     "dedup_canonical",  # contains dedup_clusters' driver loop
     "dedup_soft_weights",  # composes dedup_clusters' driver loop
+    "dedup_cluster_size_histogram",  # composes the same driver loop
     "bpe_train_merges",  # per-round argmax collect driver loop
     # runs its availableNow stream at build time; the returned frame
     # is a driver-local createDataFrame of the digest state
