@@ -179,6 +179,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with MULTIPROBE candidate generation
+    (round 9): dedup_embedding_cosine's hyperplane buckets, probed at
+    Hamming ≤ 1 — the pair-join form of ann_lsh_multiprobe's
+    discipline, and the DuckDB-ORACLED sf-scale twin of the big
+    drop's 12-bit multiprobe index (which is rows-only by
+    construction). One side explodes to 1 + ANN_N_PLANES probe
+    buckets (XOR-symmetric, so one-side probing reaches every ≤1-bit
+    pair exactly once — no distinct needed); the corpus stays
+    bucketed once; verify is the same rounded cosine ≥ threshold.
+    Strict candidate superset of the single-probe operator at equal
+    index cost — the standard recall lever when near-dups split
+    across a low-margin plane sign.
+    """
+    emb = _embeddings_normed(spark, sf_dir)
+    corpus = emb.select("vec_id", "v", "nv", _bucket_col("v").alias("bucket"))
+    flips = [F.col("bucket")]
+    for i in range(1, ANN_N_PLANES + 1):
+        c = F.substring("bucket", i, 1)
+        flipped = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(
+                F.substring("bucket", 1, i - 1),
+                flipped,
+                F.expr(f"substring(bucket, {i + 1})"),
+            )
+        )
+    probes = corpus.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("ea"),
+        F.col("nv").alias("na"),
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("eb"),
+        F.col("nv").alias("nb"), "bucket",
+    )
+    return (
+        probes.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", _pair_sim("ea", "eb", "na", "nb").alias("sim"))
+        .filter(F.col("sim") >= EMBED_DEDUP_MIN_SIM)
+    )
+
+
 def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal feature join: documents ⋈ embeddings on id.
 

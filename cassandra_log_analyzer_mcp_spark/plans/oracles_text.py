@@ -3565,6 +3565,34 @@ def similarity_oracles() -> dict[str, str]:
         ) t WHERE sim >= {EMBED_DEDUP_MIN_SIM}
     """
 
+    # multiprobe pair twin: the same buckets probed at Hamming <= 1
+    # (one-side probing — XOR symmetry reaches every pair once)
+    _mp_flips = ", ".join(
+        f"substr(bucket, 1, {i - 1}) || "
+        f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' "
+        f"END) || substr(bucket, {i + 1})"
+        for i in range(1, len(planes) + 1)
+    )
+    o["dedup_embedding_multiprobe"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        corpus AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM emb),
+        probes AS (
+          SELECT vec_id, v,
+                 unnest([bucket, {_mp_flips}]) AS bucket
+          FROM corpus
+        )
+        SELECT va, vb, sim FROM (
+          SELECT p.vec_id AS va, b.vec_id AS vb,
+                 round(list_dot_product(p.v, b.v)
+                       / (sqrt(list_dot_product(p.v, p.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 3) AS sim
+          FROM probes p JOIN corpus b USING (bucket)
+          WHERE p.vec_id < b.vec_id
+        ) t WHERE sim >= {EMBED_DEDUP_MIN_SIM}
+    """
+
     # calibration histogram over the same bucketed candidates
     o["embedding_sim_histogram"] = f"""
         WITH emb AS (

@@ -835,6 +835,11 @@ def queries() -> dict[str, QueryFn]:
         "ann_pq_cosine": similarity.ann_pq_cosine,
         "ann_ivf_pq_cosine": similarity.ann_ivf_pq_cosine,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        # round 9 (EXTRAS_R9): the multiprobe pair twin — Hamming ≤ 1
+        # probes over the same buckets, the ORACLED sf-scale gate for
+        # the discipline the big drop pins rows-only
+        "dedup_embedding_multiprobe":
+            similarity.dedup_embedding_multiprobe,
         "semantic_dedup": similarity.semantic_dedup,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "cluster_summary": similarity.cluster_summary,

@@ -84,6 +84,7 @@ EXTRAS_R9: set[str] = {
     "dedup_guard_report",
     "sem_big_band_census",
     "dedup_cluster_size_histogram",
+    "dedup_embedding_multiprobe",
 }
 
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —

@@ -2297,3 +2297,36 @@ def test_decontaminate_semantic_flags_planted_neighbor(spark, monkeypatch):
     assert list(got) == [1]
     assert got[1].best_sim == 1.0 and got[1].best_eval_id == 0
     assert got[1].n_eval_near == 1
+
+
+def test_embedding_multiprobe_is_strict_candidate_superset(spark, sf_dir):
+    """dedup_embedding_multiprobe (round 9) must return every pair
+    dedup_embedding_cosine returns — the exact-bucket probe is in the
+    probe set — plus only pairs whose buckets differ in exactly one
+    plane sign; identical sims on the shared pairs (same verify)."""
+    single = {
+        (r.va, r.vb): r.sim
+        for r in similarity.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.va, r.vb): r.sim
+        for r in similarity.dedup_embedding_multiprobe(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    for pair, sim in single.items():
+        assert multi[pair] == sim, pair
+    # the extra pairs sit at hamming exactly 1 in the 4-bit bucket
+    from pyspark.sql import functions as F
+
+    emb = similarity._embeddings_normed(spark, sf_dir)
+    buckets = {
+        r.vec_id: r.bucket
+        for r in emb.select(
+            "vec_id", similarity._bucket_col("v").alias("bucket")
+        ).collect()
+    }
+    for va, vb in set(multi) - set(single):
+        ham = sum(a != b for a, b in zip(buckets[va], buckets[vb]))
+        assert ham == 1, (va, vb, ham)
