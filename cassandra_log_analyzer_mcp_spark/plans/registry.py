@@ -185,6 +185,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: EVICTION LEDGER: every R8 occupant carries a green
 #: CORRECTNESS_r08 row, so rotating all 50 out spends no evidence —
 #: enforced by tests/test_registry_contract.py loading the artifact.
+#: R10 PREP (written during round 9): the window below is FROZEN for
+#: the r9 driver run. FOUR queries were added after it froze and are
+#: replica-graded at both SFs this round (EXTRAS_R9 in the contract
+#: test): dedup_guard_report (oracled), dedup_cluster_size_histogram
+#: (oracled), dedup_embedding_multiprobe (oracled), and
+#: sem_big_band_census (rows-only, pinned table). R10 window: the 3
+#: oracled EXTRAS_R9 lead (zero driver evidence), then the 23-query
+#: R10_ROTATION_LEDGER (the r2-stale ANN/embedding + curation/
+#: sampling tranche the r9 rotation could not fit — named in the
+#: contract test), then oldest-evidence-first over the r4-graded
+#: queries (whose hashes will be six rounds stale), with
+#: sem_big_band_census spending the rows-only tail slot.
 R9_DRIVER_WINDOW = [
     # (a) the 9 post-freeze r8 oracled additions — zero driver
     # evidence anywhere; the r8 registry note promised them the lead
