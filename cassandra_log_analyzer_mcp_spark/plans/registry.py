@@ -197,6 +197,106 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: contract test), then oldest-evidence-first over the r4-graded
 #: queries (whose hashes will be six rounds stale), with
 #: sem_big_band_census spending the rows-only tail slot.
+#:
+#: ROUND-10 WINDOW (active): CORRECTNESS_r09 landed exactly the 50
+#: R9 slots (49 oracled hash-matches + the rows-only
+#: dedup_semantic_recall_big tail recorded as the weaker rows check,
+#: by design). Cumulative driver evidence now covers 323 distinct
+#: queries; the only queries WITHOUT a driver hash are the 4
+#: post-freeze r9 additions (EXTRAS_R9). Strategy per VERDICT r9 ask
+#: #1: slots 1-3 = the three oracled EXTRAS_R9 members (zero driver
+#: evidence anywhere); slots 4-26 = the honored 23-query
+#: R10_ROTATION_LEDGER (the r2-stale ANN/embedding + curation/
+#: sampling tranche — five rounds stale, the oldest hashes on the
+#: surface); slots 27-49 rotate OLDEST-EVIDENCE-FIRST over the 50
+#: r4-stale queries: the §2B analysis trend/changepoint anchors, the
+#: r4-graded streaming bridges, the silver-lifecycle family, and the
+#: ANN/semantic members the ledger left out. The 27 r4-stale that
+#: don't fit (misc analytics/text/sketch: bigram_lift_collocations,
+#: bloom_pruned_join, bpe_train_merges, dedup_chunks_rewrite,
+#: distinct_users_kmv, doc_gini_diversity, doc_pagerank,
+#: doc_quality_skyline, domain_mixture, interval_overlap_join,
+#: mixture_token_budget, multimodal_audio_energy,
+#: ngram_novelty_decay, open_orders_timeline,
+#: phrase_search_positional, pricing_summary_decimal,
+#: purchase_gap_hazard, quality_classifier, range_selectivity_eval,
+#: revenue_grouping_sets, shard_rebalance_eval, table_ndv_kmv,
+#: token_counts_cms, token_f2_ams, user_value_deciles,
+#: zone_map_skip_stats, zorder_layout) are LEDGERED as the r11
+#: rotation leads (tests/test_registry_contract.py
+#: R11_ROTATION_LEDGER). Slot 50 = sem_big_band_census, EXTRAS_R9's
+#: one rows-only member (weaker rows check → tail, per the standing
+#: discipline). EVICTION LEDGER: every R9 occupant carries a green
+#: CORRECTNESS_r09 row, so rotating all 50 out spends no evidence —
+#: enforced by tests/test_registry_contract.py loading the artifact.
+R10_DRIVER_WINDOW = [
+    # (a) the 3 post-freeze r9 oracled additions — zero driver
+    # evidence anywhere; the r9 registry note promised them the lead
+    "dedup_guard_report",
+    "dedup_cluster_size_histogram",
+    "dedup_embedding_multiprobe",
+    # (b) the honored R10_ROTATION_LEDGER — the r2-stale ANN/
+    # embedding + curation/sampling tranche the r9 rotation could
+    # not fit (five rounds stale when round 10 opened)
+    "knn_cosine_brute",
+    "knn_quantized_int8",
+    "ann_ivf_cosine",
+    "ann_ivf_persisted",
+    "ann_lsh_cosine",
+    "ann_pq_cosine",
+    "kmeans_embeddings",
+    "cluster_summary",
+    "cluster_balanced_sample",
+    "embedding_outliers",
+    "doc_embedding_join",
+    "bm25_search",
+    "decontaminate",
+    "corpus_curation",
+    "corpus_sample",
+    "importance_resample",
+    "train_test_split",
+    "source_quality",
+    "multimodal_decode_check",
+    "silver_node_errors",
+    "revenue_growth",
+    "rolling_active_users",
+    "value_outliers_robust",
+    # (c) oldest-r4 rotation — §2B analysis trend/changepoint anchors
+    "error_bursts",
+    "error_cusum_changepoints",
+    "error_ewma_smoothed",
+    "error_seasonal_mad",
+    "error_trend_ols",
+    "error_trend_theilsen",
+    "node_health_score",
+    # (c) the r4-graded streaming bridges
+    "streaming_cusum_alerts",
+    "streaming_dedup_watermarked",
+    "streaming_purchase_error_full_join",
+    "streaming_topk_tokens",
+    # (c) the silver-lifecycle family
+    "silver_cdc_apply",
+    "silver_changes_between",
+    "silver_delete_rewrite",
+    "silver_dpp_join",
+    "silver_incremental_rollup",
+    "schema_evolution_read",
+    # (c) the ANN/semantic members the ledger left out
+    "ann_ivf_delete",
+    "ann_ivf_pq_cosine",
+    "ann_lsh_multiprobe",
+    "knn_hamming_sign",
+    "semantic_dedup",
+    "multimodal_phash_dedup",
+    # (d) rows-only by design — EXTRAS_R9's one rows-only member;
+    # the driver records the weaker rows-only check, which is the
+    # evidence tier it carries everywhere else (exact pinned table
+    # in tests/test_big_dedup.py)
+    "sem_big_band_census",
+]
+
+#: HISTORICAL (round 9's window, fully graded in CORRECTNESS_r09 —
+#: kept for the audit trail; the active window above replaces it)
 R9_DRIVER_WINDOW = [
     # (a) the 9 post-freeze r8 oracled additions — zero driver
     # evidence anywhere; the r8 registry note promised them the lead
@@ -1220,8 +1320,8 @@ def queries() -> dict[str, QueryFn]:
             batch_bridge.streaming_purchase_error_full_join,
     }
     # project the round's driver window to the front (see
-    # R9_DRIVER_WINDOW); everything else keeps its relative order
-    ordered = {k: q[k] for k in R9_DRIVER_WINDOW}
+    # R10_DRIVER_WINDOW); everything else keeps its relative order
+    ordered = {k: q[k] for k in R10_DRIVER_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

@@ -5,17 +5,18 @@ into CORRECTNESS_r{N}.json (rounds 1, 2, 4, 5, 6 and 7 each produced
 exactly 50 rows — a count cap). Each round the capture window is
 pointed at the queries with the weakest driver-issued evidence.
 
-Round 9's strategy (registry.R9_DRIVER_WINDOW): after r8, EVERY
-registry query has held a driver slot except the 10 post-freeze r8
-additions (EXTRAS_R8). Slots 1-9 go to that tranche's 9 oracled
+Round 10's strategy (registry.R10_DRIVER_WINDOW): after r9, EVERY
+registry query has held a driver slot except the 4 post-freeze r9
+additions (EXTRAS_R9). Slots 1-3 go to that tranche's 3 oracled
 members (zero driver evidence anywhere); slot 50 to its one
 rows-only row (weaker check → tail, per the standing discipline).
-Slots 10-22 honor the R9_ROTATION_LEDGER exactly (the r1-stale §2C
-tranche promised the r9 lead by the r8 verdict); slots 23-49 rotate
-OLDEST-EVIDENCE-FIRST over the 50 r2-stale queries, and the 23 that
-don't fit are ledgered as R10_ROTATION_LEDGER. These tests load the
-actual artifacts and enforce exactly that, so a re-shuffle can't
-silently spend slots on well-evidenced queries.
+Slots 4-26 honor the R10_ROTATION_LEDGER exactly (the r2-stale
+ANN/embedding + curation tranche promised the r10 lead by the r9
+verdict); slots 27-49 rotate OLDEST-EVIDENCE-FIRST over the 50
+r4-stale queries, and the 27 that don't fit are ledgered as
+R11_ROTATION_LEDGER. These tests load the actual artifacts and
+enforce exactly that, so a re-shuffle can't silently spend slots on
+well-evidenced queries.
 
 No Spark session needed — pure dict/JSON inspection.
 """
@@ -38,6 +39,7 @@ LANDED_ARTIFACTS = (
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 )
 
 #: round-7 additions that landed AFTER the r7 window froze —
@@ -87,6 +89,12 @@ EXTRAS_R9: set[str] = {
     "dedup_embedding_multiprobe",
 }
 
+#: round-10 additions BEYOND the window's capacity (the r10 window
+#: froze when round 10 started): replica-graded this round
+#: (tools/check.py at sf0.01 + sf0.1), first in line for the r11
+#: window alongside the R11_ROTATION_LEDGER
+EXTRAS_R10: set[str] = set()
+
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —
 #: honored as r9 window slots 10-22 (oldest evidence on the surface
 #: when round 9 opened)
@@ -133,6 +141,39 @@ R10_ROTATION_LEDGER = {
     "source_quality",
     "train_test_split",
     "value_outliers_robust",
+}
+
+#: the 27 r4-stale queries round 10's 23 rotation slots could NOT
+#: fit — ledgered as the r11 rotation leads (they will carry the
+#: oldest driver hashes on the surface once round 10 lands)
+R11_ROTATION_LEDGER = {
+    "bigram_lift_collocations",
+    "bloom_pruned_join",
+    "bpe_train_merges",
+    "dedup_chunks_rewrite",
+    "distinct_users_kmv",
+    "doc_gini_diversity",
+    "doc_pagerank",
+    "doc_quality_skyline",
+    "domain_mixture",
+    "interval_overlap_join",
+    "mixture_token_budget",
+    "multimodal_audio_energy",
+    "ngram_novelty_decay",
+    "open_orders_timeline",
+    "phrase_search_positional",
+    "pricing_summary_decimal",
+    "purchase_gap_hazard",
+    "quality_classifier",
+    "range_selectivity_eval",
+    "revenue_grouping_sets",
+    "shard_rebalance_eval",
+    "table_ndv_kmv",
+    "token_counts_cms",
+    "token_f2_ams",
+    "user_value_deciles",
+    "zone_map_skip_stats",
+    "zorder_layout",
 }
 
 #: rows-only by design — no oracle, unit-test evidence instead;
@@ -196,62 +237,77 @@ def _latest_evidence_round() -> dict[str, str]:
     return latest
 
 
-def test_r9_window_is_first_50() -> None:
+def test_r10_window_is_first_50() -> None:
     order = list(registry.queries())
-    assert len(registry.R9_DRIVER_WINDOW) == 50
-    assert len(set(registry.R9_DRIVER_WINDOW)) == 50
-    assert order[:50] == registry.R9_DRIVER_WINDOW
+    assert len(registry.R10_DRIVER_WINDOW) == 50
+    assert len(set(registry.R10_DRIVER_WINDOW)) == 50
+    assert order[:50] == registry.R10_DRIVER_WINDOW
 
 
-def test_r9_head_is_the_never_graded_oracled_tranche() -> None:
-    """Slots 1-9 = EXTRAS_R8's oracled members — the only oracled
-    queries with ZERO driver-issued evidence after eight artifacts."""
-    head = registry.R9_DRIVER_WINDOW[:9]
-    oracled_extras = EXTRAS_R8 - ROWS_ONLY
+def test_r10_head_is_the_never_graded_oracled_tranche() -> None:
+    """Slots 1-3 = EXTRAS_R9's oracled members — the only oracled
+    queries with ZERO driver-issued evidence after nine artifacts."""
+    head = registry.R10_DRIVER_WINDOW[:3]
+    oracled_extras = EXTRAS_R9 - ROWS_ONLY
     assert set(head) == oracled_extras
     assert not set(head) & _driver_graded()
 
 
-def test_r9_honors_the_rotation_ledger() -> None:
-    """Slots 10-22 = the 13-query R9_ROTATION_LEDGER, each carrying
-    r1-stale evidence — the promise round 8 made, kept exactly."""
-    slots = registry.R9_DRIVER_WINDOW[9:22]
-    assert set(slots) == R9_ROTATION_LEDGER
+def test_r10_honors_the_rotation_ledger() -> None:
+    """Slots 4-26 = the 23-query R10_ROTATION_LEDGER, each carrying
+    r2-stale evidence — the promise round 9 made, kept exactly."""
+    slots = registry.R10_DRIVER_WINDOW[3:26]
+    assert set(slots) == R10_ROTATION_LEDGER
     latest = _latest_evidence_round()
-    fresher = {q: latest.get(q) for q in slots if latest.get(q) != "1"}
+    fresher = {q: latest.get(q) for q in slots if latest.get(q) != "2"}
     assert not fresher, f"ledger entries with fresher evidence: {fresher}"
 
 
-def test_r9_rotation_slots_are_r2_stale() -> None:
+def test_r10_rotation_slots_are_r4_stale() -> None:
     """Every remaining oracled slot re-grades a query whose latest
-    driver hash is from round 2 — five rounds stale, the weakest
+    driver hash is from round 4 — six rounds stale, the weakest
     evidence among already-graded queries once the ledger is spent.
     Spending a slot on anything fresher wastes it."""
-    rotation = registry.R9_DRIVER_WINDOW[22:49]
+    rotation = registry.R10_DRIVER_WINDOW[26:49]
     latest = _latest_evidence_round()
-    fresher = {q: latest.get(q) for q in rotation if latest.get(q) != "2"}
-    assert not fresher, f"slots wasted on non-r2-stale queries: {fresher}"
+    fresher = {q: latest.get(q) for q in rotation if latest.get(q) != "4"}
+    assert not fresher, f"slots wasted on non-r4-stale queries: {fresher}"
 
 
-def test_r9_tail_is_rows_only_semantic_big() -> None:
+def test_r10_tail_is_rows_only_band_census() -> None:
     """Rows-only queries get a WEAKER driver check, so they spend the
     tail slot, never displacing an oracled query from the head."""
-    tail = registry.R9_DRIVER_WINDOW[49:]
-    assert set(tail) == EXTRAS_R8 & ROWS_ONLY
+    tail = registry.R10_DRIVER_WINDOW[49:]
+    assert set(tail) == EXTRAS_R9 & ROWS_ONLY
     assert all(q in ROWS_ONLY for q in tail)
 
 
-def test_r9_window_plus_ledger_covers_all_stale_r2() -> None:
-    """The 50 r2-stale queries split exactly into the 27 rotation
-    slots plus the 23-query r10 rotation ledger — nothing silently
-    dropped; r1-stale is fully consumed by the honored ledger."""
+def test_r10_window_plus_ledger_covers_all_stale_r4() -> None:
+    """The 50 r4-stale queries split exactly into the 23 rotation
+    slots plus the 27-query r11 rotation ledger — nothing silently
+    dropped; r2-stale is fully consumed by the honored ledger."""
     latest = _latest_evidence_round()
-    stale_r1 = {q for q, rnd in latest.items() if rnd == "1"}
-    assert stale_r1 == R9_ROTATION_LEDGER
     stale_r2 = {q for q, rnd in latest.items() if rnd == "2"}
-    rotation = set(registry.R9_DRIVER_WINDOW[22:49])
-    assert rotation | R10_ROTATION_LEDGER == stale_r2
-    assert not rotation & R10_ROTATION_LEDGER
+    assert stale_r2 == R10_ROTATION_LEDGER
+    stale_r4 = {q for q, rnd in latest.items() if rnd == "4"}
+    rotation = set(registry.R10_DRIVER_WINDOW[26:49])
+    assert rotation | R11_ROTATION_LEDGER == stale_r4
+    assert not rotation & R11_ROTATION_LEDGER
+
+
+def test_r9_window_was_fully_graded() -> None:
+    """The eviction ledger's premise: rotating ALL fifty r9 slots out
+    is principled only because each one carries a green
+    CORRECTNESS_r09 row — verify that against the artifact itself."""
+    r9 = _load("CORRECTNESS_r09.json")
+    assert set(registry.R9_DRIVER_WINDOW) == set(r9)
+    for name, row in r9.items():
+        if name in ROWS_ONLY:
+            assert row["err"] == "no_oracle", name
+            assert row["spark_rows"] is not None, name
+        else:
+            assert row["rows_match"] and row["schema_match"], name
+            assert row["err"] is None, name
 
 
 def test_r8_window_was_fully_graded() -> None:
@@ -291,11 +347,12 @@ def test_every_registry_query_has_driver_or_extras_coverage() -> None:
     exists without either driver evidence, a scheduled r8 slot, or an
     explicit extras ledger entry."""
     covered = (
-        set(registry.R9_DRIVER_WINDOW)
+        set(registry.R10_DRIVER_WINDOW)
         | _driver_graded()
         | EXTRAS_R7
         | EXTRAS_R8
         | EXTRAS_R9
+        | EXTRAS_R10
     )
     missing = set(registry.queries()) - covered
     assert not missing, f"queries with no evidence plan: {missing}"
