@@ -38,7 +38,9 @@ STDOUT_BYTE_BUDGET = CAPTURE_WINDOW_BYTES - TAIL_HEADROOM_BYTES
 
 
 def build_stdout_payload(
-    timings: dict[str, float], sf_val: object
+    timings: dict[str, float],
+    sf_val: object,
+    sidecar: str = "BENCH_FULL.json",
 ) -> dict[str, object]:
     """Compact payload for the driver's tail-limited stdout capture.
 
@@ -54,7 +56,7 @@ def build_stdout_payload(
         "queries": {},
         "sf": sf_val,
         "n_queries": len(timings),
-        "full": "BENCH_FULL.json",
+        "full": sidecar,
     }
     kept: dict[str, float] = out["queries"]  # type: ignore[assignment]
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
@@ -306,9 +308,13 @@ def _run(real_stdout: int, noise_path: str) -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to a sidecar file; the stdout line is
-    # tail-capture-limited (see STDOUT_BYTE_BUDGET).
+    # tail-capture-limited (see STDOUT_BYTE_BUDGET). Slate-restricted
+    # runs (SPARK_GRAFT_QUERIES) write a SEPARATE sidecar so a subset
+    # sweep can never clobber the committed full-surface artifact
+    # (VERDICT r9 "what's wrong" #1).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    sidecar = "BENCH_FULL_subset.json" if subset else "BENCH_FULL.json"
+    with open(os.path.join(here, sidecar), "w") as f:
         json.dump(
             {
                 "metric": f"total_wall_sec_{len(timings)}_queries",
@@ -327,12 +333,15 @@ def _run(real_stdout: int, noise_path: str) -> None:
                     "end": sentinel_end,
                 },
                 "noise_log": os.path.basename(noise_path),
+                # full runs say "full"; subset runs name their slate
+                # so downstream readers can refuse a mismatched file
+                "slate": sorted(timings) if subset else "full",
             },
             f,
             indent=1,
             sort_keys=True,
         )
-    out = build_stdout_payload(timings, sf_val)
+    out = build_stdout_payload(timings, sf_val, sidecar)
     # Exactly one compact JSON line on the REAL stdout, nothing else
     # (Spark noise went to stderr via the fd redirect above).
     line = (json.dumps(out, separators=(",", ":")) + "\n").encode()

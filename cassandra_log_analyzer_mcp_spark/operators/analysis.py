@@ -2063,7 +2063,9 @@ def cogroup_error_warning_asof(logs: DataFrame) -> DataFrame:
     ).select("node", ems)
     gap = ASOF_WARN_GAP_MS
 
-    def merge(key, e_pdf: pd.DataFrame, w_pdf: pd.DataFrame):
+    def merge(
+        key: tuple, e_pdf: pd.DataFrame, w_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
         e = np.sort(e_pdf["ems"].to_numpy())
         if len(e) == 0:
             return pd.DataFrame(

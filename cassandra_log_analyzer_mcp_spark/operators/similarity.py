@@ -1589,7 +1589,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n2, d2 = SEMDEDUP_NUM * SEMDEDUP_NUM, SEMDEDUP_DEN * SEMDEDUP_DEN
 
-    def cluster_counts(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cluster_counts(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # one exact-int64 matmul per cluster (the PCA gram trick —
         # BLAS-shape work instead of interpreted per-pair lambdas);
         # all bounds fit int64: |dot²·D²| ≤ 2^47, |N²·qq_a·qq_b| ≤ 2^44

@@ -82,6 +82,11 @@ def test_combined_capture_tail_is_bare_json() -> None:
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
     env["SPARK_GRAFT_QUERIES"] = "issue_counts,token_count"
+    # a subset run must NOT touch the committed full-surface sidecar
+    # (VERDICT r9 "what's wrong" #1)
+    full_sidecar = os.path.join(repo, "BENCH_FULL.json")
+    with open(full_sidecar, "rb") as fh:
+        full_before = fh.read()
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         stdout=subprocess.PIPE,
@@ -101,9 +106,15 @@ def test_combined_capture_tail_is_bare_json() -> None:
     # the noise log absorbed the JVM streams (it at least exists;
     # content varies by JVM version)
     assert os.path.exists(os.path.join(repo, "BENCH_NOISE.log"))
-    # the sidecar carries the load sentinel (VERDICT r8 ask #3)
-    with open(os.path.join(repo, "BENCH_FULL.json")) as fh:
+    # the subset run wrote its OWN slate-marked sidecar and left the
+    # full-surface artifact byte-identical
+    assert parsed["full"] == "BENCH_FULL_subset.json"
+    with open(full_sidecar, "rb") as fh:
+        assert fh.read() == full_before
+    with open(os.path.join(repo, "BENCH_FULL_subset.json")) as fh:
         full = json.load(fh)
+    assert full["slate"] == ["issue_counts", "token_count"]
+    # the sidecar carries the load sentinel (VERDICT r8 ask #3)
     sent = full["load_sentinel"]
     for leg in ("start", "end"):
         assert sent[leg]["spin_s"] > 0

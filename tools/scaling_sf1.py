@@ -56,16 +56,36 @@ def run_leg(slate: list[str], sf_dir: str) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "32")
     env["SPARK_GRAFT_QUERIES"] = ",".join(slate)
-    subprocess.run(
+    # capture the leg's output for diagnostics (ADVICE r9: DEVNULL +
+    # check=True aborted the sweep with nothing to read on failure)
+    log_path = os.path.join(
+        REPO, "BENCH_NOISE.log"  # bench redirects its own JVM noise
+    )
+    proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         cwd=REPO,
-        check=True,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
     )
-    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
-        return json.load(fh)
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"bench leg failed (sf_dir={sf_dir}):\n"
+            f"{proc.stdout.decode()[-4000:]}\n(see {log_path})"
+        )
+    # slate runs write BENCH_FULL_subset.json (never the committed
+    # full-surface sidecar); read it immediately, sequentially, and
+    # verify it carries OUR slate — a concurrent bench run with a
+    # different slate would fail this check instead of being
+    # silently consumed
+    with open(os.path.join(REPO, "BENCH_FULL_subset.json")) as fh:
+        full = json.load(fh)
+    if full.get("slate") != sorted(slate):
+        raise SystemExit(
+            f"stale/foreign sidecar: slate {full.get('slate')!r} != "
+            f"expected {sorted(slate)!r}"
+        )
+    return full
 
 
 def main() -> None:
