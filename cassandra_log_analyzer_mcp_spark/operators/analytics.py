@@ -3528,8 +3528,10 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SUM(BIGINT) → HUGEINT). Only the final ks_num casts back to
     BIGINT, which holds while the STATISTIC itself fits int64
     (D·n_early·n_late < 2⁶³ — the value's own representability, not
-    an arithmetic artifact); past that the cast turns null / DuckDB
-    raises — loud either way, and d_stat (double) is the consumable.
+    an arithmetic artifact); past that DuckDB raises loudly but
+    non-ANSI Spark degrades the column to NULL SILENTLY (ADVICE r9)
+    — the failure then surfaces only as an oracle hash mismatch, and
+    d_stat (double) remains the consumable.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",
@@ -3675,8 +3677,10 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, which holds while the statistic itself fits int64
     (2·U₁ ≤ 2·n_early·n_late < 2⁶³ — the value's representability,
     not an arithmetic artifact: an unbalanced split overflows r1x2
-    long before u2); past that the cast turns null / DuckDB raises
-    — loud either way, and auc (double) is the consumable.
+    long before u2); past that DuckDB raises loudly but non-ANSI
+    Spark degrades the column to NULL SILENTLY (ADVICE r9) — the
+    failure then surfaces only as an oracle hash mismatch, and auc
+    (double) remains the consumable.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type",

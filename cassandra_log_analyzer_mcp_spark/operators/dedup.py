@@ -244,9 +244,31 @@ def _band_buckets(arrs: DataFrame) -> DataFrame:
 #: surfaces the dropped-bucket count IN-BAND next to the verified
 #: pair volume, so a pathological corpus shows its recall trade in
 #: the dedup output stream itself, not only in the separate census.
-BAND_MAX_OCCUPANCY = int(
-    os.environ.get("SPARK_GRAFT_BAND_MAX_OCCUPANCY", "64")
-)
+def _parse_band_max_occupancy() -> int:
+    """Validate the tunable at parse time (ADVICE r9): a non-integer
+    value must fail with a pointed message rather than a bare
+    ValueError on every import, and a value < 1 would mark EVERY
+    occupied bucket hot — silently emptying the whole minhash dedup
+    family (the oracles would move with it, keeping the gate green
+    while the operators return nothing)."""
+    raw = os.environ.get("SPARK_GRAFT_BAND_MAX_OCCUPANCY", "64")
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_BAND_MAX_OCCUPANCY={raw!r} is not an "
+            "integer; it caps per-(band,bucket) occupancy for the "
+            "minhash dedup family (default 64)"
+        ) from None
+    if val < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_BAND_MAX_OCCUPANCY={val} would drop every "
+            "occupied bucket (must be >= 1)"
+        )
+    return val
+
+
+BAND_MAX_OCCUPANCY = _parse_band_max_occupancy()
 
 
 def _band_candidates(buckets: DataFrame) -> DataFrame:
@@ -2824,8 +2846,9 @@ def _sem_band_buckets(emb: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): sign-random-projection banding — bit b
     of the signature is sign(⟨emb, plane_b⟩) over the seeded ±1
     hyperplanes shared with dedup_embedding_cosine
-    (similarity.lsh_planes), packed 8 bits per band into an integer
-    bucket id. Projections are integer (±1 planes × integer
+    (similarity.lsh_planes), packed SEM_BIG_BAND_BITS bits per band
+    into an integer bucket id (SEM_BIG_BANDS × SEM_BIG_BAND_BITS
+    hyperplanes total). Projections are integer (±1 planes × integer
     embedding), so the ≥0 sign test has no float boundary."""
     from .similarity import lsh_planes
 
@@ -2939,10 +2962,12 @@ def dedup_semantic_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design (generated drop); the exact deterministic
     table is pinned in tests/test_big_dedup.py. Scale shape: linear —
     one md5 pass, band equi-join candidates (Σc² bounded by the
-    256-bucket occupancy census), verify on candidates only.
+    2^SEM_BIG_BAND_BITS-bucket occupancy census), verify on
+    candidates only.
     """
     emb = _big_doc_embeddings(spark)
-    # cached: the 32-hyperplane projection is the query's single
+    # cached: the (SEM_BIG_BANDS × SEM_BIG_BAND_BITS)-hyperplane
+    # projection is the query's single
     # costliest expression and the self-join would otherwise evaluate
     # it on BOTH sides (~6 MB materialized; plan-keyed CacheManager
     # entry, released by clear_caches like every operator cache)

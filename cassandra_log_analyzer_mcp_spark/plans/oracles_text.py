@@ -1439,11 +1439,11 @@ def text_oracles() -> dict[str, str]:
                (SELECT CAST(count(*) AS BIGINT) FROM verified
                 WHERE jaccard >= {MINHASH_VERIFY_MIN})
                  AS n_verified_pairs,
-               CAST(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
-                        THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(coalesce(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
                  AS n_hot_buckets_dropped,
-               CAST(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
-                        THEN c * (c - 1) ELSE 0 END) // 2 AS BIGINT)
+               CAST(coalesce(sum(CASE WHEN c > {BAND_MAX_OCCUPANCY}
+                        THEN c * (c - 1) ELSE 0 END), 0) // 2 AS BIGINT)
                  AS n_dropped_bucket_pairs
         FROM sizes
     """

@@ -1,5 +1,7 @@
 """Text / dedup / similarity operator invariants."""
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -2330,3 +2332,23 @@ def test_embedding_multiprobe_is_strict_candidate_superset(spark, sf_dir):
     for va, vb in set(multi) - set(single):
         ham = sum(a != b for a, b in zip(buckets[va], buckets[vb]))
         assert ham == 1, (va, vb, ham)
+
+
+def test_band_max_occupancy_env_validated(monkeypatch):
+    """ADVICE r9: the tunable must fail loudly at parse time — a
+    non-integer value used to crash every import with a bare
+    ValueError, and a value < 1 would silently empty the whole
+    minhash dedup family (the oracle interpolates the same constant,
+    so the hash gate would stay green on empty output)."""
+    from cassandra_log_analyzer_mcp_spark.operators import dedup
+
+    monkeypatch.setenv("SPARK_GRAFT_BAND_MAX_OCCUPANCY", "banana")
+    with pytest.raises(ValueError, match="not an integer"):
+        dedup._parse_band_max_occupancy()
+    monkeypatch.setenv("SPARK_GRAFT_BAND_MAX_OCCUPANCY", "0")
+    with pytest.raises(ValueError, match="every"):
+        dedup._parse_band_max_occupancy()
+    monkeypatch.setenv("SPARK_GRAFT_BAND_MAX_OCCUPANCY", "7")
+    assert dedup._parse_band_max_occupancy() == 7
+    monkeypatch.delenv("SPARK_GRAFT_BAND_MAX_OCCUPANCY")
+    assert dedup._parse_band_max_occupancy() == 64
