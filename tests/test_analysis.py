@@ -258,24 +258,25 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
 
     from cassandra_log_analyzer_mcp_spark.sources.tables import table
 
-    approx = {
-        r.event_type: {"0.5": r.p50, "0.95": r.p95, "0.99": r.p99, "n": r.n}
-        for r in analytics.event_value_percentiles_approx(
-            spark, sf_dir
-        ).collect()
-    }
+    rows = analytics.event_value_percentiles_approx(
+        spark, sf_dir
+    ).collect()
+    # 5 event types x 3 quantiles, long form with the in-query flag
+    assert len(rows) == 15
     # GK's guarantee is RANK-based (value-space gaps blow up in heavy
     # tails): the empirical CDF position of each sketch output must sit
-    # within eps of its target quantile.
+    # within eps of its target quantile — re-derived here INDEPENDENTLY
+    # of the query's own n_lt/n_le rank columns, which must agree.
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    for t, vals in approx.items():
-        n = vals["n"]
-        for target in ("0.5", "0.95", "0.99"):
-            below = ev.filter(
-                (F.col("event_type") == t) & (F.col("value") <= vals[target])
-            ).count()
-            eps = max(2.0 / n, 0.01)
-            assert abs(below / n - float(target)) <= eps, (t, target)
+    for r in rows:
+        assert r.within_bound, (r.event_type, r.q)
+        below = ev.filter(
+            (F.col("event_type") == r.event_type)
+            & (F.col("value") <= r.approx_value)
+        ).count()
+        assert below == r.n_le, (r.event_type, r.q)
+        eps = max(2.0 / r.n, 0.01)
+        assert abs(below / r.n - r.q) <= eps, (r.event_type, r.q)
 
 
 def test_table_profile_approx_matches_exact_within_bound(spark, sf_dir):
@@ -294,9 +295,13 @@ def test_table_profile_approx_matches_exact_within_bound(spark, sf_dir):
         a = approx[c]
         assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (
             e.n_rows, e.n_nulls, e.min_value, e.max_value)
+        # the in-query exact column must equal the graded twin's, and
+        # the in-band flag must agree with the 4-sigma contract
+        assert a.n_distinct_exact == e.n_distinct, c
         tol = 4 * analytics.PROFILE_APPROX_RSD * e.n_distinct
-        assert abs(a.n_distinct - e.n_distinct) <= max(tol, 1), (
-            c, a.n_distinct, e.n_distinct)
+        assert abs(a.n_distinct_approx - e.n_distinct) <= max(tol, 1), (
+            c, a.n_distinct_approx, e.n_distinct)
+        assert a.within_bound, c
 
 
 def test_distinct_users_sketch_error_bound(spark, sf_dir):
