@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..functions.texts import shingles_col, tokens_col
 from ..sources.tables import documents
+from .bigscale import BIG_SCALE
 
 SHINGLE_K = 3          # tokens per shingle
 # Jaccard threshold as an exact fraction: prefix lengths MUST be
@@ -2388,7 +2389,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs. Truth (which pairs are planted, and their exact shingle
 # Jaccard) is known by construction — no corpus-quadratic truth pass
 # at all, the thing sampled-truth evals can only approximate.
-BIG_DOC_N = 50_000
+BIG_DOC_N = 50_000 * BIG_SCALE
 BIG_DOC_GROUP = 10
 BIG_DOC_VOCAB = 50_000
 BIG_DOC_LEN_MIN = 40
@@ -2418,7 +2419,7 @@ def _big_documents_dir(spark: SparkSession) -> str:
     d = _BIG_DOC_DIRS.get(pid)
     if d is not None:
         return d
-    d = f"/tmp/spark_graft_bigdocs_{pid}"
+    d = f"/tmp/spark_graft_bigdocs_{pid}_s{BIG_SCALE}"
     marker = os.path.join(d, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         r = F.col("id") % BIG_DOC_GROUP

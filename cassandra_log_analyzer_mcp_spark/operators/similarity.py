@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import as_double, dot, dot_long, lit_vector, norm
 from ..sources.tables import table
+from .bigscale import BIG_SCALE
 
 KNN_N_QUERIES = 5    # vec_id < 5 are the query vectors
 KNN_TOP_K = 10
@@ -592,9 +593,11 @@ def ann_ivf_probe_sweep_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: every existing index substrate (_ivf_index_and_probes, _pq_codes,
 #: _brute_topk) runs on it UNCHANGED — the regime grows, the graded
 #: machinery doesn't fork.
-BIG_EMB_N = 50_000
+BIG_EMB_N = 50_000 * BIG_SCALE
 BIG_EMB_CLUSTERS = 8
-BIG_IVF_CELLS = 224        # ~sqrt(N) coarse cells (FAISS guidance)
+#: ~sqrt(N) coarse cells (FAISS guidance) — scales as sqrt with
+#: SPARK_GRAFT_BIG_SCALE so per-cell occupancy grows as sqrt too
+BIG_IVF_CELLS = int(224 * BIG_SCALE ** 0.5)
 BIG_IVF_QUERIES = 100
 BIG_IVF_TOP_K = 10
 BIG_SWEEP_PROBES = [1, 2, 4, 8, 16, 32]
@@ -629,7 +632,7 @@ def _big_embeddings_dir(spark: SparkSession) -> str:
     d = _BIG_EMB_DIRS.get(pid)
     if d is not None:
         return d
-    d = f"/tmp/spark_graft_bigemb_{pid}"
+    d = f"/tmp/spark_graft_bigemb_{pid}_s{BIG_SCALE}"
     marker = os.path.join(d, "embeddings.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         lab = (F.col("id") % BIG_EMB_CLUSTERS).cast("long")

@@ -13,7 +13,17 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from cassandra_log_analyzer_mcp_spark.operators import dedup as D
+
+#: the exact tables below are derived at scale 1; a scaled regime
+#: (SPARK_GRAFT_BIG_SCALE > 1) is graded by tools/scaling_big.py
+#: against its own censuses instead
+pytestmark = pytest.mark.skipif(
+    D.BIG_SCALE != 1,
+    reason="pinned tables are scale-1 (SPARK_GRAFT_BIG_SCALE set)",
+)
 
 
 def _h6_py(s: str) -> int:

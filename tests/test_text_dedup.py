@@ -2352,3 +2352,21 @@ def test_band_max_occupancy_env_validated(monkeypatch):
     assert dedup._parse_band_max_occupancy() == 7
     monkeypatch.delenv("SPARK_GRAFT_BAND_MAX_OCCUPANCY")
     assert dedup._parse_band_max_occupancy() == 64
+
+
+def test_big_scale_env_validated(monkeypatch):
+    """SPARK_GRAFT_BIG_SCALE follows the same parse-time validation
+    discipline as the occupancy cap: loud on non-integers, rejected
+    below 1, default 1."""
+    from cassandra_log_analyzer_mcp_spark.operators import bigscale
+
+    monkeypatch.setenv("SPARK_GRAFT_BIG_SCALE", "big")
+    with pytest.raises(ValueError, match="not an integer"):
+        bigscale._parse_big_scale()
+    monkeypatch.setenv("SPARK_GRAFT_BIG_SCALE", "0")
+    with pytest.raises(ValueError, match=">= 1"):
+        bigscale._parse_big_scale()
+    monkeypatch.setenv("SPARK_GRAFT_BIG_SCALE", "3")
+    assert bigscale._parse_big_scale() == 3
+    monkeypatch.delenv("SPARK_GRAFT_BIG_SCALE")
+    assert bigscale._parse_big_scale() == 1
