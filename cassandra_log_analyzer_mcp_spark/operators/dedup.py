@@ -3069,3 +3069,50 @@ def dedup_semantic_recall_big(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pipeline_recall_permille"),
     ).orderBy("rate_permille")
+
+
+def dedup_survivorship_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source survivorship report for the exact + normalized
+    dedup passes — the "what is left for training, and from where"
+    ledger a corpus release records: per source, total docs and
+    whitespace tokens, the distinct exact/normalized hash counts,
+    the docs that survive GLOBAL normalized dedup under the standard
+    min-doc_id keeper rule (a cross-source duplicate is charged to
+    every losing source, credited to the keeper's), and the
+    integer-permille token retention.
+
+    One scan builds (source, hashes, n_tok); the keeper flag is a
+    window min over the 16-byte normalized digest (one digest-keyed
+    shuffle, documents never move twice); the report is a
+    |sources|-row aggregate.
+    """
+    docs = documents(spark, sf_dir).select("doc_id", "source", "text")
+    norm = F.trim(
+        F.regexp_replace(F.lower("text"), NORM_STRIP_REGEX, " ")
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("text_hash"),
+        F.md5(norm).alias("norm_hash"),
+        F.size(tokens_col()).alias("n_tok"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("norm_hash"))
+    flagged = base.withColumn(
+        "is_keeper", (F.col("doc_id") == keeper).cast("long")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text_hash").alias("n_exact_distinct"),
+        F.countDistinct("norm_hash").alias("n_norm_distinct"),
+        F.sum("is_keeper").alias("n_kept_docs"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.col("is_keeper") * F.col("n_tok")).alias("tokens_kept"),
+        F.floor(
+            F.lit(1000)
+            * F.sum(F.col("is_keeper") * F.col("n_tok"))
+            / F.sum("n_tok")
+        ).cast("long").alias("kept_permille"),
+    )

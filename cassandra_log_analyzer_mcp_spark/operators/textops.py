@@ -2178,3 +2178,105 @@ def gopher_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fail_permille"
         ),
     )
+
+
+def corpus_token_budget_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token budget per PREDICTED language — the mixture-planning
+    rollup a multilingual training run starts from (how many tokens
+    does each language contribute, and what share of the corpus is
+    that): docs and whitespace tokens per lang_id prediction, the
+    integer-permille corpus share, and mean tokens per doc.
+
+    One scan + one |langs|-row aggregate; the corpus total comes
+    from an unpartitioned window over those few rows, not a second
+    pass. All counts stay integer until the single mean division
+    (the cross-engine int-numerator discipline).
+    """
+    from pyspark.sql.window import Window
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    langs = list(LANG_STOPWORDS)
+    scored = docs.select(
+        F.size(tokens_col()).alias("n_tok"),
+        *[
+            count_matches(lang_pattern(lg)).alias(f"s_{lg}")
+            for lg in langs
+        ],
+    )
+    agg = (
+        scored.select(lang_pred_case().alias("pred_lang"), "n_tok")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(
+        Window.partitionBy()
+    )
+    return agg.select(
+        "pred_lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.lit(1000) * F.col("n_tokens") / total)
+        .cast("long")
+        .alias("share_permille"),
+        (F.col("n_tokens") / F.col("n_docs")).alias("mean_doc_tokens"),
+    )
+
+
+#: quality_lang_crosstab bucket cutpoints — fixed decimal-literal
+#: doubles shared verbatim with the oracle (quality spans
+#: ~[0.43, 0.60] on the shipped corpus; these are its mid-quartiles)
+QUALITY_BUCKET_LO = "0.51"
+QUALITY_BUCKET_HI = "0.54"
+
+
+def quality_lang_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language × quality-bucket crosstab — the curation
+    dashboard cut ("is my low-resource language also low-quality?"):
+    per (pred_lang, bucket) doc count plus the integer-permille share
+    within the language.
+
+    The quality score and the lang prediction are both deterministic
+    IEEE/regex surfaces (the graded quality_score / lang_id columns),
+    so bucketing by fixed decimal-literal cutpoints is cross-engine
+    exact. One scan, one |langs×3|-row aggregate, window share over
+    those rows.
+    """
+    from pyspark.sql.window import Window
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    langs = list(LANG_STOPWORDS)
+    q = quality_cols()["quality"]
+    scored = docs.select(
+        q.alias("quality"),
+        *[
+            count_matches(lang_pattern(lg)).alias(f"s_{lg}")
+            for lg in langs
+        ],
+    )
+    lo, hi = float(QUALITY_BUCKET_LO), float(QUALITY_BUCKET_HI)
+    bucket = (
+        F.when(F.col("quality") < lo, "low")
+        .when(F.col("quality") < hi, "mid")
+        .otherwise("high")
+    )
+    agg = (
+        scored.select(
+            lang_pred_case().alias("pred_lang"), bucket.alias("bucket")
+        )
+        .groupBy("pred_lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    lang_total = F.sum("n_docs").over(Window.partitionBy("pred_lang"))
+    return agg.select(
+        "pred_lang",
+        "bucket",
+        "n_docs",
+        F.floor(F.lit(1000) * F.col("n_docs") / lang_total)
+        .cast("long")
+        .alias("share_of_lang_permille"),
+    )

@@ -304,6 +304,66 @@ def text_oracles() -> dict[str, str]:
             f"WHEN {' AND '.join(conds)} THEN '{lg}'" if conds else f"ELSE '{lg}'"
         )
     pred_case = "CASE " + " ".join(chain) + " END"
+    # mixture-planning rollup: docs/tokens per PREDICTED language,
+    # integer-permille corpus share, one int/int mean division
+    # (round 10 — VERDICT r9 era training-pipeline reporting verbs)
+    o["corpus_token_budget_by_lang"] = f"""
+        WITH s AS (
+          SELECT {pred_case} AS pred_lang, n_tok
+          FROM (SELECT len({TOKS}) AS n_tok, {score_cols}
+                FROM documents) sc
+        ),
+        a AS (
+          SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM s GROUP BY pred_lang
+        )
+        SELECT pred_lang, n_docs, n_tokens,
+               CAST((1000 * n_tokens) //
+                    (SELECT sum(n_tokens) FROM a) AS BIGINT)
+                 AS share_permille,
+               n_tokens / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+        FROM a
+    """
+
+    # predicted-language x quality-bucket crosstab; cutpoints are the
+    # SAME decimal literals the Spark operator parses (textops
+    # QUALITY_BUCKET_LO/HI), the quality expression is quality_score's
+    from ..operators.textops import (
+        QUALITY_BUCKET_HI,
+        QUALITY_BUCKET_LO,
+    )
+
+    quality_expr = (
+        f"0.25 * (len(regexp_extract_all(text,"
+        f" '{quality_stop_pattern()}')) / len({TOKS}))"
+        f" + 0.25 * (len(list_distinct({TOKS})) / len({TOKS}))"
+        f" + 0.25 * (1 - len(regexp_extract_all(text,"
+        f" '{PUNCT_REGEX}')) / length(text))"
+        f" + 0.25 * least(len({TOKS}) / 100, 1.0)"
+    )
+    o["quality_lang_crosstab"] = f"""
+        WITH s AS (
+          SELECT {pred_case} AS pred_lang,
+                 CASE WHEN quality < CAST('{QUALITY_BUCKET_LO}' AS DOUBLE)
+                        THEN 'low'
+                      WHEN quality < CAST('{QUALITY_BUCKET_HI}' AS DOUBLE)
+                        THEN 'mid'
+                      ELSE 'high' END AS bucket
+          FROM (SELECT {quality_expr} AS quality, {score_cols}
+                FROM documents) sc
+        ),
+        a AS (
+          SELECT pred_lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+          FROM s GROUP BY pred_lang, bucket
+        )
+        SELECT pred_lang, bucket, n_docs,
+               CAST((1000 * n_docs) //
+                    sum(n_docs) OVER (PARTITION BY pred_lang)
+                 AS BIGINT) AS share_of_lang_permille
+        FROM a
+    """
+
     o["lang_id"] = f"""
         SELECT doc_id, lang, {', '.join(f's_{lg}' for lg in langs)},
                {pred_case} AS pred_lang,
@@ -1349,6 +1409,38 @@ def text_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_copies,
                min(doc_id) AS keeper_id
         FROM documents GROUP BY 1
+    """
+
+    # per-source survivorship under the global min-doc_id keeper rule
+    # (round 10): window min over the normalized digest, then a
+    # |sources|-row rollup — the same shape the Spark operator plans
+    o["dedup_survivorship_by_source"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 md5(text) AS text_hash,
+                 md5(trim(regexp_replace(lower(text),
+                          '{NORM_STRIP_REGEX}', ' ', 'g'))) AS norm_hash,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        flagged AS (
+          SELECT source, text_hash, norm_hash, n_tok,
+                 CAST(doc_id = min(doc_id) OVER (PARTITION BY norm_hash)
+                      AS BIGINT) AS is_keeper
+          FROM base
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT text_hash) AS BIGINT)
+                 AS n_exact_distinct,
+               CAST(count(DISTINCT norm_hash) AS BIGINT)
+                 AS n_norm_distinct,
+               CAST(sum(is_keeper) AS BIGINT) AS n_kept_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+               CAST(sum(is_keeper * n_tok) AS BIGINT) AS tokens_kept,
+               CAST((1000 * sum(is_keeper * n_tok)) // sum(n_tok)
+                    AS BIGINT) AS kept_permille
+        FROM flagged GROUP BY source
     """
 
     o["dedup_ngram_jaccard"] = f"""

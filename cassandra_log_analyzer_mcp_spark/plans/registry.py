@@ -754,6 +754,11 @@ def queries() -> dict[str, QueryFn]:
         "phrase_search_positional": textops.phrase_search_positional,
         "lang_id": textops.lang_id,
         "lang_confusion": textops.lang_confusion,
+        # round 10 training-pipeline reporting verbs (EXTRAS_R10):
+        # mixture planning per predicted language; lang x quality cut
+        "corpus_token_budget_by_lang":
+            textops.corpus_token_budget_by_lang,
+        "quality_lang_crosstab": textops.quality_lang_crosstab,
         "doc_fingerprint": textops.doc_fingerprint,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # Zipf log-log slope of the vocab head (round 5); replica-only
@@ -861,6 +866,10 @@ def queries() -> dict[str, QueryFn]:
         "dedup_winnow": dedup.dedup_winnow,
         "dedup_editdist": dedup.dedup_editdist,
         "source_overlap": dedup.source_overlap,
+        # round 10 (EXTRAS_R10): per-source token-retention ledger
+        # under the global normalized-dedup keeper rule
+        "dedup_survivorship_by_source":
+            dedup.dedup_survivorship_by_source,
         "dedup_simhash": dedup.dedup_simhash,
         # MinHash estimator calibration (component-exact sketch eval)
         "minhash_dedup_pr_eval": dedup.minhash_dedup_pr_eval,

@@ -93,7 +93,11 @@ EXTRAS_R9: set[str] = {
 #: froze when round 10 started): replica-graded this round
 #: (tools/check.py at sf0.01 + sf0.1), first in line for the r11
 #: window alongside the R11_ROTATION_LEDGER
-EXTRAS_R10: set[str] = set()
+EXTRAS_R10: set[str] = {
+    "corpus_token_budget_by_lang",
+    "quality_lang_crosstab",
+    "dedup_survivorship_by_source",
+}
 
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —
 #: honored as r9 window slots 10-22 (oldest evidence on the surface

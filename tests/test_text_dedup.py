@@ -2370,3 +2370,62 @@ def test_big_scale_env_validated(monkeypatch):
     assert bigscale._parse_big_scale() == 3
     monkeypatch.delenv("SPARK_GRAFT_BIG_SCALE")
     assert bigscale._parse_big_scale() == 1
+
+
+def test_corpus_token_budget_by_lang_conserves_corpus(spark, sf_dir):
+    """The mixture rollup must partition the corpus: doc counts sum
+    to |documents|, token counts sum to the corpus total, and the
+    floored permille shares sum to at most 1000."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops as T
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = T.corpus_token_budget_by_lang(spark, sf_dir).collect()
+    docs = documents(spark, sf_dir)
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(tokens_col())).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_tokens for r in rows) == n_tokens
+    assert sum(r.share_permille for r in rows) <= 1000
+    for r in rows:
+        assert abs(r.mean_doc_tokens - r.n_tokens / r.n_docs) < 1e-12
+
+
+def test_quality_lang_crosstab_shares(spark, sf_dir):
+    """Crosstab cells partition the corpus; within-language floored
+    shares sum to (1000 - |buckets|, 1000]."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops as T
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = T.quality_lang_crosstab(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == documents(spark, sf_dir).count()
+    assert {r.bucket for r in rows} <= {"low", "mid", "high"}
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.pred_lang, []).append(r.share_of_lang_permille)
+    for lang, shares in by_lang.items():
+        assert 1000 - len(shares) < sum(shares) <= 1000, lang
+
+
+def test_dedup_survivorship_by_source_invariants(spark, sf_dir):
+    """Per source: kept <= norm-distinct <= exact-distinct <= docs;
+    keepers across sources total the GLOBAL normalized-distinct count
+    (every global group has exactly one keeper, charged to one
+    source); token retention is a valid floored permille."""
+    from cassandra_log_analyzer_mcp_spark.operators import dedup as D
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = D.dedup_survivorship_by_source(spark, sf_dir).collect()
+    docs = documents(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(F.lower("text"), D.NORM_STRIP_REGEX, " ")
+    )
+    n_norm_global = docs.select(F.md5(norm).alias("h")).distinct().count()
+    assert sum(r.n_kept_docs for r in rows) == n_norm_global
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_kept_docs <= r.n_norm_distinct <= r.n_exact_distinct \
+            <= r.n_docs, r.source
+        assert r.tokens_kept <= r.tokens_total, r.source
+        assert 0 <= r.kept_permille <= 1000, r.source
