@@ -229,6 +229,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: discipline). EVICTION LEDGER: every R9 occupant carries a green
 #: CORRECTNESS_r09 row, so rotating all 50 out spends no evidence —
 #: enforced by tests/test_registry_contract.py loading the artifact.
+#: R11 PREP (written during round 10): the window below is FROZEN
+#: for the r10 driver run. THREE queries were added after it froze
+#: and are replica-graded at both SFs this round (EXTRAS_R10 in the
+#: contract test, all oracled): corpus_token_budget_by_lang,
+#: quality_lang_crosstab, dedup_survivorship_by_source. R11 window:
+#: those 3 lead (zero driver evidence), then the 27-query
+#: R11_ROTATION_LEDGER (the r4-stale misc analytics/text/sketch
+#: tranche the r10 rotation could not fit — named in the contract
+#: test), then oldest-evidence-first over the r5-graded queries
+#: (whose hashes will be six rounds stale).
 R10_DRIVER_WINDOW = [
     # (a) the 3 post-freeze r9 oracled additions — zero driver
     # evidence anywhere; the r9 registry note promised them the lead

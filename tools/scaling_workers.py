@@ -30,6 +30,18 @@ sys.path.insert(0, REPO)
 
 WIDTHS = [4, 8, 16, 32]
 
+
+def _load_sentinel() -> dict:
+    """Contention evidence per width leg (round 10 — the bench.py
+    sentinel discipline): loadavg + a fixed pure-Python spin."""
+    with open("/proc/loadavg") as fh:
+        loadavg = [float(x) for x in fh.read().split()[:3]]
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return {"loadavg": loadavg, "spin_s": round(time.perf_counter() - t0, 4)}
+
 #: one representative per plan family (scan+agg, broadcast join,
 #: fact-fact join, window, sessionization, banded dedup, char-level
 #: verify, brute ANN, trained IVF, positional grams, inverted index,
@@ -132,6 +144,7 @@ def run_width(width: int, sf_dir: str, slate_name: str = "mixed") -> None:
         _landed_silver_dir(spark, sf_dir)
         kmeans_centroid_state(spark, sf_dir)
 
+    sentinel_start = _load_sentinel()
     timings: dict[str, float] = {}
     for name in slate:
         t0 = time.perf_counter()
@@ -143,7 +156,15 @@ def run_width(width: int, sf_dir: str, slate_name: str = "mixed") -> None:
             print(f"ERR {name}: {e}", file=sys.stderr)
     print(
         json.dumps(
-            {"width": width, "timings": timings, "build_s": build_s}
+            {
+                "width": width,
+                "timings": timings,
+                "build_s": build_s,
+                "load_sentinel": {
+                    "start": sentinel_start,
+                    "end": _load_sentinel(),
+                },
+            }
         )
     )
 
@@ -176,6 +197,8 @@ def orchestrate(sf_dir: str, json_path: str | None, slate_name: str) -> int:
         per_width[str(w)] = {"total_s": total, "queries": t}
         if rec.get("build_s") is not None:
             per_width[str(w)]["data_build_s"] = rec["build_s"]
+        if rec.get("load_sentinel") is not None:
+            per_width[str(w)]["load_sentinel"] = rec["load_sentinel"]
         print(f"local[{w:>2}]: {total:.1f}s")
     base_w = WIDTHS[0]
     base = per_width[str(base_w)]["total_s"]
