@@ -17,6 +17,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2054,7 +2055,6 @@ def cogroup_error_warning_asof(logs: DataFrame) -> DataFrame:
     multimodal_decode_check discipline applied to cogroup.
     """
     import numpy as np
-    import pandas as pd
 
     ems = F.unix_millis("ts").alias("ems")
     errs = logs.filter(F.col("is_error")).select("node", ems)
@@ -2167,12 +2167,13 @@ def pandas_udaf_error_median(logs: DataFrame) -> DataFrame:
     robust estimators, scipy calls) — this query pins that path's
     exactness so those can trust it.
     """
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: the annotation-based form can't resolve
-    # function-local imports under `from __future__ import annotations`
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _median(x):
+    # type-hint registration (pd is module-global, so the stringized
+    # annotations resolve under `from __future__ import annotations`);
+    # the legacy PandasUDFType form warned on every run (VERDICT r9)
+    @pandas_udf("double")
+    def _median(x: pd.Series) -> float:
         return float(x.median())
 
     series = cusum_series(logs)
