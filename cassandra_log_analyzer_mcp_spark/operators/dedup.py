@@ -3116,3 +3116,53 @@ def dedup_survivorship_by_source(
             / F.sum("n_tok")
         ).cast("long").alias("kept_permille"),
     )
+
+
+def bucketed_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level dedup ASSIGNMENT LEDGER over a digest-BUCKETED
+    layout — the physical-design twin of dedup_survivorship_by_source
+    (which reports the rollup; this emits the per-document artifact a
+    release writes back next to the corpus: every doc_id, its
+    digest-group keeper, and whether it survives).
+
+    The point is the layout: the corpus lands ONCE bucketed+sorted on
+    the 16-byte normalized digest (sources/bucketed.write_bucketed),
+    and from then on EVERY digest-keyed operation — the keeper ledger
+    (groupBy digest) and the assignment join (corpus ⋈ ledger on
+    digest) — runs exchange-free off the bucketed scan: at 100 TB the
+    dedup pass stops paying its dominant shuffle on every rerun
+    (incremental re-dedup after each ingest wave) because the shuffle
+    happened once, at write time. tests/test_bucketing.py pins the
+    claim: with broadcast disabled the whole plan contains ZERO
+    Exchange. The merge hint keeps the strategy the one a real-scale
+    run uses (neither side of a 100 TB dedup join broadcasts).
+    """
+    from ..sources.bucketed import bucket_workdir, write_bucketed
+
+    norm = F.trim(
+        F.regexp_replace(F.lower("text"), NORM_STRIP_REGEX, " ")
+    )
+    base = documents(spark, sf_dir).select(
+        "doc_id", "source", F.md5(norm).alias("digest")
+    )
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"docs_digest_b_{os.getpid()}_{slug}"
+    write_bucketed(
+        base, name, "digest", n_buckets=8, sort_col="digest",
+        path=bucket_workdir(name),
+    )
+    back = spark.table(name)
+    ledger = back.groupBy("digest").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    return (
+        back.join(ledger.hint("merge"), "digest")
+        .select(
+            "doc_id",
+            "source",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id"))
+            .cast("long")
+            .alias("is_keeper"),
+        )
+    )

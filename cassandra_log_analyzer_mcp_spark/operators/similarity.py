@@ -2352,3 +2352,62 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best_eval_id"),
         )
     )
+
+
+def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label CENTROID COHERENCE — the embedding-table audit a
+    labeled corpus release runs before training on it (are the label
+    groups geometrically tight, or is one label a diffuse cloud that
+    will poison a classifier head?): for each label, the squared norm
+    of the mean vector, in parts-per-million. Unit-norm members all
+    pointing one way give ppm near 1e6; mutually orthogonal members
+    give ppm near 1/n — the standard intra-class coherence statistic,
+    here in EXACT integer arithmetic so it grades hash-identically
+    cross-engine: components quantize to floor(x·127) codes (the
+    knn_quantized_int8 scale), per-(label,dim) integer sums S_d are a
+    map-combinable aggregate, and ||centroid||² = Σ S_d² / (n²·127²)
+    stays a ratio of integers until one final floor division. The
+    Σ S_d² accumulator runs in decimal(38,0) (the KS/Mann-Whitney
+    discipline) — at 10⁸ vectors per label an int64 numerator would
+    overflow long before the statistic loses meaning.
+
+    Shape: posexplode → (label, dim) integer sums (n·dims rows, fully
+    map-side combinable — the embedding_drift_batches path), then
+    O(labels·dims) arithmetic. No joins, no candidate pairs.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    per_dim = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform(
+                    "v", lambda x: F.floor(x * QUANT_SCALE).cast("long")
+                )
+            ).alias("dim", "qv"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count("*").alias("n"), F.sum("qv").alias("s"))
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s")
+        ).cast("decimal(38,0)").alias("ssq"),
+    )
+    return per_label.select(
+        F.col("label").cast("int").alias("label"),
+        "n_vecs",
+        "n_dims",
+        # emitted as BIGINT (the KS/MW convention: wide internal
+        # accumulator, integral reported column — at graded SFs the
+        # value sits far under int64; past it the decimal internals
+        # are what keep the ppm division itself exact)
+        F.col("ssq").cast("long").alias("ssq"),
+        F.expr(
+            f"CAST((1000000 * ssq) div (CAST(n_vecs AS decimal(38,0)) "
+            f"* n_vecs * {QUANT_SCALE * QUANT_SCALE}) AS BIGINT)"
+        ).alias("coherence_ppm"),
+    )

@@ -2280,3 +2280,29 @@ def quality_lang_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_of_lang_permille"),
     )
+
+
+def doc_length_quartiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-LENGTH grid per declared language — the profile a
+    packing/truncation policy is set from (max_seq_len and padding
+    waste are per-language decisions in a multilingual corpus: CJK
+    chars carry more tokens-per-char than Latin): per lang, doc count
+    and the min/quartile/max character-length grid.
+
+    One scan, one |langs|-row aggregate. n_chars is an exact integer,
+    so the .25-grid percentiles interpolate to exact quarter points —
+    round(…, 2) is lossless and DuckDB's quantile_cont agrees
+    bit-for-bit (the ship_latency_percentiles protocol, applied to
+    corpus planning).
+    """
+    docs = documents(spark, sf_dir).select("lang", "n_chars")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 2).alias("p25_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 2).alias("p75_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

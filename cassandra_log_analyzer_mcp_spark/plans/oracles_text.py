@@ -1394,6 +1394,19 @@ def text_oracles() -> dict[str, str]:
         GROUP BY 1
     """
 
+    # per-lang length grid (round 10): integer n_chars interpolates
+    # to exact quarter points — the ship_latency_percentiles protocol
+    o["doc_length_quartiles_by_lang"] = """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               round(quantile_cont(n_chars, 0.25), 2) AS p25_chars,
+               round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+               round(quantile_cont(n_chars, 0.75), 2) AS p75_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    """
+
     o["dedup_exact"] = """
         SELECT md5(text) AS text_hash,
                CAST(count(*) AS BIGINT) AS n_copies,
@@ -1441,6 +1454,27 @@ def text_oracles() -> dict[str, str]:
                CAST((1000 * sum(is_keeper * n_tok)) // sum(n_tok)
                     AS BIGINT) AS kept_permille
         FROM flagged GROUP BY source
+    """
+
+    # bucketed assignment ledger (round 10): the oracle is the pure
+    # LOGICAL twin — bucketing is a layout decision the result must
+    # be invariant to (any row the layout lost or duplicated
+    # hash-mismatches here); tests/test_bucketing.py pins the
+    # physical claim (zero Exchange) that is the operator's point
+    o["bucketed_digest_dedup"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 md5(trim(regexp_replace(lower(text),
+                          '{NORM_STRIP_REGEX}', ' ', 'g'))) AS digest
+          FROM documents
+        )
+        SELECT doc_id, source, keeper_id,
+               CAST(doc_id = keeper_id AS BIGINT) AS is_keeper
+        FROM (
+          SELECT doc_id, source,
+                 min(doc_id) OVER (PARTITION BY digest) AS keeper_id
+          FROM base
+        ) t
     """
 
     o["dedup_ngram_jaccard"] = f"""
@@ -3701,6 +3735,43 @@ def similarity_oracles() -> dict[str, str]:
         SELECT floor(sim * 10) / 10 AS sim_band,
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM pairs GROUP BY 1
+    """
+
+    # per-label centroid coherence (round 10): parallel unnest zips
+    # (dim, code); Σ S_d² accumulates in HUGEINT (Spark side:
+    # decimal(38,0)) and both report BIGINT — the KS/MW convention
+    from ..operators.similarity import QUANT_SCALE as _CQS
+
+    o["embedding_label_coherence"] = f"""
+        WITH q AS (
+          SELECT label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_CQS}) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        ex AS (
+          SELECT label,
+                 unnest(range(1, len(qv) + 1)) AS dim,
+                 unnest(qv) AS v
+          FROM q
+        ),
+        per_dim AS (
+          SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM ex GROUP BY label, dim
+        ),
+        per_label AS (
+          SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+                 CAST(count(*) AS BIGINT) AS n_dims,
+                 sum(CAST(s AS HUGEINT) * s) AS ssq
+          FROM per_dim GROUP BY label
+        )
+        SELECT CAST(label AS INT) AS label, n_vecs, n_dims,
+               CAST(ssq AS BIGINT) AS ssq,
+               CAST((1000000 * ssq)
+                    // (CAST(n_vecs AS HUGEINT) * n_vecs
+                        * {_CQS * _CQS}) AS BIGINT) AS coherence_ppm
+        FROM per_label
     """
 
     o["doc_embedding_join"] = """

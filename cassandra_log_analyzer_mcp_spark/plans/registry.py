@@ -230,15 +230,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: CORRECTNESS_r09 row, so rotating all 50 out spends no evidence —
 #: enforced by tests/test_registry_contract.py loading the artifact.
 #: R11 PREP (written during round 10): the window below is FROZEN
-#: for the r10 driver run. THREE queries were added after it froze
+#: for the r10 driver run. SIX queries were added after it froze
 #: and are replica-graded at both SFs this round (EXTRAS_R10 in the
 #: contract test, all oracled): corpus_token_budget_by_lang,
-#: quality_lang_crosstab, dedup_survivorship_by_source. R11 window:
-#: those 3 lead (zero driver evidence), then the 27-query
-#: R11_ROTATION_LEDGER (the r4-stale misc analytics/text/sketch
-#: tranche the r10 rotation could not fit — named in the contract
-#: test), then oldest-evidence-first over the r5-graded queries
-#: (whose hashes will be six rounds stale).
+#: quality_lang_crosstab, dedup_survivorship_by_source,
+#: doc_length_quartiles_by_lang, bucketed_digest_dedup,
+#: embedding_label_coherence. R11 window: those 6 lead (zero driver
+#: evidence), then the 27-query R11_ROTATION_LEDGER (the r4-stale
+#: misc analytics/text/sketch tranche the r10 rotation could not
+#: fit — named in the contract test), then oldest-evidence-first
+#: over the r5-graded queries (whose hashes will be six rounds
+#: stale).
 R10_DRIVER_WINDOW = [
     # (a) the 3 post-freeze r9 oracled additions — zero driver
     # evidence anywhere; the r9 registry note promised them the lead
@@ -780,6 +782,10 @@ def queries() -> dict[str, QueryFn]:
         "token_counts_cms": textops.token_counts_cms,
         "doc_rarity": textops.doc_rarity,
         "doc_length_histogram": textops.doc_length_histogram,
+        # round 10 (EXTRAS_R10): per-lang length grid for packing/
+        # truncation policy (ship_latency's exact-quartile protocol)
+        "doc_length_quartiles_by_lang":
+            textops.doc_length_quartiles_by_lang,
         "doc_repetition": textops.doc_repetition,
         "doc_surprisal": textops.doc_surprisal,
         "repeated_ngrams": textops.repeated_ngrams,
@@ -880,6 +886,9 @@ def queries() -> dict[str, QueryFn]:
         # under the global normalized-dedup keeper rule
         "dedup_survivorship_by_source":
             dedup.dedup_survivorship_by_source,
+        # round 10 (EXTRAS_R10): the doc-level assignment ledger over
+        # a digest-BUCKETED layout — zero-Exchange dedup reruns
+        "bucketed_digest_dedup": dedup.bucketed_digest_dedup,
         "dedup_simhash": dedup.dedup_simhash,
         # MinHash estimator calibration (component-exact sketch eval)
         "minhash_dedup_pr_eval": dedup.minhash_dedup_pr_eval,
@@ -959,6 +968,10 @@ def queries() -> dict[str, QueryFn]:
         "hybrid_rrf_search": similarity.hybrid_rrf_search,
         # per-dimension embedding drift between ingestion batches
         "embedding_drift_batches": similarity.embedding_drift_batches,
+        # round 10 (EXTRAS_R10): per-label centroid coherence audit
+        # in exact integer arithmetic (decimal/HUGEINT accumulator)
+        "embedding_label_coherence":
+            similarity.embedding_label_coherence,
         # contrastive positive/negative pair construction
         "contrastive_pairs": similarity.contrastive_pairs,
         # semantic-dedup threshold calibration histogram

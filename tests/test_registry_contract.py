@@ -97,6 +97,9 @@ EXTRAS_R10: set[str] = {
     "corpus_token_budget_by_lang",
     "quality_lang_crosstab",
     "dedup_survivorship_by_source",
+    "doc_length_quartiles_by_lang",
+    "bucketed_digest_dedup",
+    "embedding_label_coherence",
 }
 
 #: the 13 r1-stale queries round 8's 36 middle slots could NOT fit —

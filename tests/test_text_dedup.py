@@ -2429,3 +2429,83 @@ def test_dedup_survivorship_by_source_invariants(spark, sf_dir):
             <= r.n_docs, r.source
         assert r.tokens_kept <= r.tokens_total, r.source
         assert 0 <= r.kept_permille <= 1000, r.source
+
+
+def test_doc_length_quartiles_by_lang_grid(spark, sf_dir):
+    """Per lang: counts partition the corpus and the quartile grid is
+    monotone and bracketed by min/max; quartiles of integers land on
+    exact quarter points (round(., 2) must be lossless)."""
+    from cassandra_log_analyzer_mcp_spark.operators import textops as T
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = T.doc_length_quartiles_by_lang(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == documents(spark, sf_dir).count()
+    for r in rows:
+        assert r.min_chars <= r.p25_chars <= r.p50_chars \
+            <= r.p75_chars <= r.max_chars, r.lang
+        for q in (r.p25_chars, r.p50_chars, r.p75_chars):
+            assert abs(q * 4 - round(q * 4)) < 1e-9, (r.lang, q)
+
+
+def test_bucketed_digest_dedup_matches_survivorship(spark, sf_dir):
+    """The doc-level assignment ledger must be the survivorship
+    rollup's preimage: every document appears exactly once, keepers
+    per source equal n_kept_docs, and each digest group's keeper is
+    its min doc_id (keeper_id <= doc_id, keepers flag themselves)."""
+    from cassandra_log_analyzer_mcp_spark.operators import dedup as D
+    from cassandra_log_analyzer_mcp_spark.sources.tables import documents
+
+    rows = D.bucketed_digest_dedup(spark, sf_dir).collect()
+    assert len(rows) == documents(spark, sf_dir).count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    kept_by_source: dict = {}
+    for r in rows:
+        assert r.keeper_id <= r.doc_id
+        assert r.is_keeper == (1 if r.doc_id == r.keeper_id else 0)
+        kept_by_source[r.source] = kept_by_source.get(r.source, 0) \
+            + r.is_keeper
+    surv = {
+        r.source: r.n_kept_docs
+        for r in D.dedup_survivorship_by_source(spark, sf_dir).collect()
+    }
+    assert kept_by_source == surv
+
+
+def test_embedding_label_coherence_rederives_exactly(spark, sf_dir):
+    """Re-derive the per-label statistic in pure Python (pyarrow +
+    math.floor — no Spark, no DuckDB) and demand BYTE-equality: the
+    quantized integer arithmetic is the whole cross-engine contract,
+    so the engine must reproduce it exactly, not approximately."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cassandra_log_analyzer_mcp_spark.operators import (
+        similarity as S,
+    )
+
+    rows = {
+        r.label: r
+        for r in S.embedding_label_coherence(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    want: dict = {}
+    for label, emb in zip(
+        tbl.column("label").to_pylist(), tbl.column("embedding").to_pylist()
+    ):
+        sums, n = want.setdefault(label, [[0] * len(emb), 0])
+        for d, x in enumerate(emb):
+            sums[d] += math.floor(float(x) * S.QUANT_SCALE)
+        want[label][1] = n + 1
+    assert set(rows) == set(want)
+    for label, (sums, n) in want.items():
+        r = rows[label]
+        ssq = sum(s * s for s in sums)
+        assert r.n_vecs == n, label
+        assert r.n_dims == len(sums), label
+        assert r.ssq == ssq, label
+        assert r.coherence_ppm == (1000000 * ssq) // (
+            n * n * S.QUANT_SCALE * S.QUANT_SCALE
+        ), label
+        assert 0 <= r.coherence_ppm <= 1_200_000, label
