@@ -44,6 +44,19 @@ WIDE43 = HEADLINE20 + [
     "event_funnel", "dedup_guard_report",
 ]
 
+#: the round-10 CHECK_SF1_r10 gate slate: wide43 + the six EXTRAS_R10
+#: additions + six more families not previously gated at the decade
+#: (cluster contraction + quality keeper election, the Gopher rule
+#: battery, packing, and the multiprobe pair gate)
+WIDE55 = WIDE43 + [
+    "corpus_token_budget_by_lang", "quality_lang_crosstab",
+    "dedup_survivorship_by_source", "doc_length_quartiles_by_lang",
+    "bucketed_digest_dedup", "embedding_label_coherence",
+    "dedup_clusters", "dedup_canonical", "quality_score",
+    "gopher_quality_flags", "sequence_packing",
+    "dedup_embedding_multiprobe",
+]
+
 SF_DIRS = {
     "sf0.01": "/root/testdata/sf0.01",
     "sf0.1": "/root/testdata/sf0.1",
