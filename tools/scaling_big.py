@@ -52,7 +52,18 @@ SLATE = [
     "ann_ivf_pq_recall_big",
 ]
 
-SCALES = (1, 3)
+SCALES = (1, 3, 10)
+
+#: the semantic VERIFY join is excluded at scale >= 10 by its own
+#: census number: the fixed 12-bit bands hold candidate pairs
+#: ~quadratic in occupancy (191.6M at 3x), so 10x projects ~2.1B —
+#: the in-design answer at that scale is stepping the band bits with
+#: the corpus, and sem_big_band_census (which STAYS in the slate: it
+#: is two occupancy rollups, never the join) pins the exact number
+#: that forces the step. The semantic family's wall-vs-bound verdict
+#: is therefore graded on the 1->3 legs, the sub-quadratic families
+#: on 1->10.
+SEM_VERIFY_MAX_SCALE = 3
 
 
 def _h6_py(s: str) -> int:
@@ -146,10 +157,15 @@ def run_leg(scale: int, out_path: str) -> None:
     )
 
     qs = registry.queries()
+    slate = [
+        q for q in SLATE
+        if not (scale > SEM_VERIFY_MAX_SCALE
+                and q == "dedup_semantic_recall_big")
+    ]
     sentinel_start = _load_sentinel()
     walls: dict[str, float] = {}
     census: dict[str, list] = {}
-    for name in SLATE:
+    for name in slate:
         fn = qs[name]
         # warm pass: generation, index build, codegen — the same
         # pre-paid accounting bench.py applies to these queries
@@ -185,8 +201,13 @@ def run_leg(scale: int, out_path: str) -> None:
 
 def _family_ratios(legs: dict[int, dict]) -> dict:
     """Measured candidate-growth per family + the wall-vs-bound
-    verdicts."""
-    lo, hi = (legs[s] for s in SCALES)
+    verdicts. Endpoint legs per family: the semantic VERIFY family
+    grades on 1->SEM_VERIFY_MAX_SCALE (its 10x join is excluded by
+    census — see SEM_VERIFY_MAX_SCALE), every sub-quadratic family
+    on 1->SCALES[-1]."""
+    lo = legs[SCALES[0]]
+    hi = legs[SCALES[-1]]
+    hi_sem = legs[min(SEM_VERIFY_MAX_SCALE, SCALES[-1])]
 
     def census_val(leg, q, col, agg=max):
         rows = leg["census"][q]
@@ -209,11 +230,15 @@ def _family_ratios(legs: dict[int, dict]) -> dict:
                 "dedup_semantic_recall_big",
                 "sem_big_band_census",
             ],
-            "cand_ratio": census_val(hi, "sem_big_band_census",
+            "hi_leg": hi_sem,
+            "hi_scale": min(SEM_VERIFY_MAX_SCALE, SCALES[-1]),
+            "cand_ratio": census_val(hi_sem, "sem_big_band_census",
                                      "n_multiprobe_pairs")
             / census_val(lo, "sem_big_band_census",
                          "n_multiprobe_pairs"),
-            "design": "fixed 4096-bucket bands: ~quadratic occupancy",
+            "design": "fixed 4096-bucket bands: ~quadratic occupancy"
+                      " (verify graded to 3x; 10x census pins the"
+                      " band-bit step)",
         },
         "ivf": {
             "queries": [
@@ -240,8 +265,10 @@ def _family_ratios(legs: dict[int, dict]) -> dict:
         },
     }
     for fam in fams.values():
+        fam_hi = fam.pop("hi_leg", hi)
+        fam.setdefault("hi_scale", SCALES[-1])
         wall_lo = sum(lo["walls"][q] for q in fam["queries"])
-        wall_hi = sum(hi["walls"][q] for q in fam["queries"])
+        wall_hi = sum(fam_hi["walls"][q] for q in fam["queries"])
         fam["wall_lo_s"] = round(wall_lo, 3)
         fam["wall_hi_s"] = round(wall_hi, 3)
         fam["wall_ratio"] = round(wall_hi / wall_lo, 3)
@@ -263,6 +290,12 @@ def main() -> None:
         leg_path = f"/tmp/scaling_big_leg_s{scale}.json"
         env = dict(os.environ)
         env["SPARK_GRAFT_BIG_SCALE"] = str(scale)
+        # local[] holds all 32 executor threads in ONE JVM: the 500k
+        # leg's shuffles + generated-drop caches need a bigger heap
+        # than the 8g default (observed OOM at 10x; on a cluster the
+        # per-executor memory comes from the deployment)
+        if scale >= 10 and "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+            env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg",
              str(scale), leg_path],
@@ -287,7 +320,13 @@ def main() -> None:
             "pre-paid, bench.py accounting), measured collect; "
             "pure-Python recipe re-derivation at scale-exclusive "
             "ids; candidate censuses drive each family's growth "
-            "bound (x1.6 slack)"
+            "bound (x1.6 slack). Scale legs 1/3/10 (50k/150k/500k "
+            "docs+vectors); the semantic VERIFY join runs to 3x and "
+            "is excluded at 10x BY ITS OWN CENSUS (fixed 12-bit "
+            "bands project ~2.1B multiprobe candidates at 10x - the "
+            "sem_big_band_census leg pins that number and the "
+            "in-design answer is stepping band bits with the "
+            "corpus); sub-quadratic families grade on 1->10"
         ),
         "legs": {str(s): legs[s] for s in SCALES},
         "families": fams,
