@@ -166,3 +166,64 @@ def test_ab_compare_flags_contaminated_host_load(tmp_path) -> None:
     assert "CONTAMINATED" in run(sent(0.2), sent(0.35))["verdict"]
     assert run(sent(0.2), sent(0.25))["verdict"].startswith("clean")
     assert "no_sentinel" in run(None, sent(0.2))["verdict"]
+
+
+def test_scaling_big_semantic_verify_gated_by_scale() -> None:
+    """tools/scaling_big.py: the semantic VERIFY join leaves the
+    slate only past SEM_VERIFY_MAX_SCALE (its census at 10x measures
+    ~2.1B candidate pairs — by design, the quadratic-occupancy
+    family steps band bits instead of running that join), while the
+    census itself stays in at every scale; and _family_ratios grades
+    the semantic family on the capped leg, sub-quadratic families on
+    the top leg."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_big", "tools/scaling_big.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    assert m.SCALES == (1, 3, 10)
+    assert m.SEM_VERIFY_MAX_SCALE == 3
+
+    def slate_at(scale):
+        return [
+            q for q in m.SLATE
+            if not (scale > m.SEM_VERIFY_MAX_SCALE
+                    and q == "dedup_semantic_recall_big")
+        ]
+
+    assert "dedup_semantic_recall_big" in slate_at(3)
+    assert "dedup_semantic_recall_big" not in slate_at(10)
+    assert all("sem_big_band_census" in slate_at(s) for s in m.SCALES)
+
+    def leg(scale, factor):
+        walls = {q: 1.0 * factor for q in slate_at(scale)}
+        return {
+            "walls": walls,
+            "census": {
+                "minhash_big_band_census": [
+                    {"n_candidate_pairs": 1000 * factor}
+                ],
+                "sem_big_band_census": [
+                    {"n_multiprobe_pairs": 1000 * factor * factor}
+                ],
+                "ann_ivf_probe_sweep_big": [
+                    {"n_candidates": 100 * factor}
+                ],
+            },
+        }
+
+    legs = {1: leg(1, 1), 3: leg(3, 3), 10: leg(10, 10)}
+    fams = m._family_ratios(legs)
+    # semantic endpoints capped at scale 3: quadratic census 9x,
+    # wall 3x on its synthetic legs
+    assert fams["semantic"]["hi_scale"] == 3
+    assert fams["semantic"]["cand_ratio"] == 9.0
+    assert fams["semantic"]["wall_ratio"] == 3.0
+    # sub-quadratic families grade on the 10x endpoint
+    assert fams["minhash"]["hi_scale"] == 10
+    assert fams["minhash"]["cand_ratio"] == 10.0
+    assert fams["ivf"]["cand_ratio"] == 10.0
+    assert all(f["pass"] for f in fams.values())
