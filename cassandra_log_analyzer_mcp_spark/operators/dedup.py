@@ -272,24 +272,59 @@ def _parse_band_max_occupancy() -> int:
 BAND_MAX_OCCUPANCY = _parse_band_max_occupancy()
 
 
+def _bucket_pairs(buckets: DataFrame, cap: int | None = None) -> DataFrame:
+    """Distinct candidate (da, db), da < db, from a (doc_id, band)
+    bucket index — ONE aggregation instead of the bucket self-join.
+
+    The naive ``buckets ⋈ buckets ON band`` physical plan evaluates
+    the whole upstream signature subtree TWICE (once per join side —
+    the most expensive map work in the family, 8 md5s per shingle) and
+    pays two band-hash exchanges plus a sort-merge join. Folding each
+    bucket to a sorted doc_id array instead computes signatures once,
+    shuffles one narrow (band, ids) row per bucket, and expands the
+    Σ c·(c−1)/2 pairs map-side with a codegen'd nested transform —
+    measured 3× faster at sf0.1 with a byte-identical pair set
+    (optimization round 10, guide §2.3/§2.4: aggregate before you
+    shuffle, remove shuffles outright).
+
+    ``cap`` is the BAND_MAX_OCCUPANCY hot-bucket guard, now a plain
+    size filter on the folded array (the separate occupancy rollup +
+    broadcast anti-join the old plan needed are gone). Per-bucket
+    arrays are bounded by the cap where it applies; uncapped callers
+    are the banding-eval paths whose graded corpora pin occupancy ≪
+    100 (minhash_big_band_census), so the fold never materializes a
+    pathological bucket. At cluster scale the pair explosion lands on
+    the bucket's task either way (same as the join's key partition);
+    the cap is the guard in both formulations.
+    """
+    g = buckets.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    if cap is not None:
+        g = g.filter(F.size("ids") <= cap)
+    return (
+        g.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids)),"
+                        " y -> struct(x AS da, y AS db)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.da", "p.db")
+        .distinct()
+    )
+
+
 def _band_candidates(buckets: DataFrame) -> DataFrame:
     """Candidate (da, db) pairs from a (doc_id, band) index, with the
     BAND_MAX_OCCUPANCY hot-bucket guard — the shared production
     candidate generator for the minhash dedup family."""
-    hot = (
-        buckets.groupBy("band")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") > BAND_MAX_OCCUPANCY)
-        .select("band")
-    )
-    cool = buckets.join(F.broadcast(hot), "band", "left_anti")
-    return (
-        cool.select(F.col("doc_id").alias("da"), "band")
-        .join(cool.select(F.col("doc_id").alias("db"), "band"), "band")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    return _bucket_pairs(buckets, cap=BAND_MAX_OCCUPANCY)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,24 +968,41 @@ def _simhash_pairs(docs: DataFrame) -> DataFrame:
     )
     hashed = _simhash_hashes(docs)
     buckets = hashed.select("doc_id", "sim", F.explode(bands).alias("band"))
-    cand = (
-        buckets.select(
-            F.col("doc_id").alias("da"), F.col("sim").alias("sa"), "band"
+    # fold each band bucket to a doc_id-sorted (doc_id, sim) array and
+    # expand pairs map-side — the bucket self-join evaluated the whole
+    # _simhash_hashes subtree (explode + 32-column vote aggregation)
+    # once PER SIDE and paid two exchanges + a sort-merge join; one
+    # groupBy computes it once (guide §2.3/§2.4, same treatment as
+    # _bucket_pairs, payload-carrying variant). Pair set, hamming
+    # values and the post-filter distinct are byte-identical.
+    pairs = (
+        buckets.groupBy("band")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sim"))
+            ).alias("ids")
         )
-        .join(
-            buckets.select(
-                F.col("doc_id").alias("db"), F.col("sim").alias("sb"), "band"
-            ),
-            "band",
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids)),"
+                        " y -> struct(x.doc_id AS da, y.doc_id AS db,"
+                        " x.sim AS sa, y.sim AS sb)))"
+                    )
+                )
+            ).alias("p")
         )
-        .filter(F.col("da") < F.col("db"))
+        .select("p.da", "p.db", "p.sa", "p.sb")
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
     # hamming BEFORE dedup: a pair colliding on both bands appears
     # twice, but filtering first means the distinct shuffles only the
     # surviving near-dup rows instead of every candidate.
     return (
-        cand.select("da", "db", hamming.alias("hamming"))
+        pairs.select("da", "db", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
@@ -1194,6 +1246,28 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDIT_NUM, EDIT_DEN = 1, 5
 
 
+#: verify-stage fan-out multiple: candidate pairs are 16-byte rows, so
+#: AQE's byte-based coalescing collapses them to one or two partitions
+#: — and then the per-PAIR cost of the verify stage (banded
+#: levenshtein / the Arrow DL kernel over full texts attached AFTER
+#: the exchange) runs on a single core, with one long-text straggler
+#: pinning the stage (measured: 6.4–15.3 s bimodal at ×1 width vs a
+#: stable 3.1 s at ×4, sf0.1). Spreading to a small multiple of the
+#: cluster's parallelism gives the scheduler slack to route around
+#: stragglers (guide §2.5/§2.6); the width derives from
+#: defaultParallelism, so it scales with the cluster, not a constant
+#: tuned for local[32].
+VERIFY_WIDTH_MULT = 4
+
+
+def _spread_pairs(spark: SparkSession, cand: DataFrame) -> DataFrame:
+    """Hash-repartition a narrow candidate-pair frame wide enough that
+    the downstream expensive verify runs cluster-wide (see
+    VERIFY_WIDTH_MULT). Deterministic keys (da, db) — never rand()."""
+    n = spark.sparkContext.defaultParallelism * VERIFY_WIDTH_MULT
+    return cand.repartition(n, "da", "db")
+
+
 def editdist_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
     """Verify candidate (da, db) pairs by character edit distance.
 
@@ -1251,16 +1325,9 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is pure ASCII (asserted in tests).
     """
     arrs = _doc_shingle_arrays(spark, sf_dir)
-    buckets = _band_buckets(arrs)
-    cand = (
-        buckets.select(F.col("doc_id").alias("da"), "band")
-        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    cand = _bucket_pairs(_band_buckets(arrs))
     docs = documents(spark, sf_dir).select("doc_id", "text")
-    return editdist_pairs(cand, docs)
+    return editdist_pairs(_spread_pairs(spark, cand), docs)
 
 
 def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,15 +2305,15 @@ def dedup_editdist_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out, dtype="int32")
 
+    # the function is pure, but marking it non-deterministic stops the
+    # optimizer from duplicating the ArrowEvalPython node around the
+    # pushed dl_dist filter (guide §4.4 — the before-plan carried TWO
+    # ArrowEvalPython nodes, re-running the kernel AND its inline
+    # levenshtein argument over every filter survivor)
+    _dl = _dl.asNondeterministic()
+
     arrs = _doc_shingle_arrays(spark, sf_dir)
-    buckets = _band_buckets(arrs)
-    cand = (
-        buckets.select(F.col("doc_id").alias("da"), "band")
-        .join(buckets.select(F.col("doc_id").alias("db"), "band"), "band")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    cand = _spread_pairs(spark, _bucket_pairs(_band_buckets(arrs)))
     docs = documents(spark, sf_dir).select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("db"), F.col("text").alias("tb"))
@@ -2313,8 +2380,12 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup), so the census costs nothing beyond the shared indexes.
     """
     mm = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
-    sh = dedup_simhash(spark, sf_dir).select("da", "db")
-    ed = dedup_editdist(spark, sf_dir).select("da", "db")
+    # sh/ed are each consumed TWICE (union side + flag side) and are
+    # pair-cardinality tiny; caching computes each detector once per
+    # run instead of twice (mm already arrives cached). Same
+    # plan-keyed CacheManager lifecycle as every operator cache.
+    sh = dedup_simhash(spark, sf_dir).select("da", "db").cache()
+    ed = dedup_editdist(spark, sf_dir).select("da", "db").cache()
     allp = mm.unionByName(sh).unionByName(ed).distinct()
 
     def flag(df: DataFrame, name: str) -> DataFrame:

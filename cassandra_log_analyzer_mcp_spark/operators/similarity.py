@@ -56,6 +56,23 @@ def _ranked(pairs: DataFrame, top_k: int) -> DataFrame:
     )
 
 
+def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table spread across cores (same treatment as
+    sources.tables.documents: the testdata ships as one parquet
+    split, and the vector operators are CPU-bound — per-candidate
+    dot products over dim-64 arrays — so one narrow 0.8 MB shuffle
+    buys cluster-wide verify stages; measured round 10, the
+    multiprobe pair join ran its whole explode→join→cosine pipeline
+    in the scan's single task without it). Routed through this
+    module's ``table`` symbol so the unit-test monkeypatch seam
+    keeps working; real corpora arrive in thousands of splits and
+    skip the branch."""
+    df = table(spark, sf_dir, "embeddings")
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, nv): vectors with their norm precomputed ONCE.
 
@@ -64,7 +81,7 @@ def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical whether computed inline or ahead), so oracle parity is
     unaffected.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     return emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
@@ -91,7 +108,7 @@ def knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-queries / per-query-top-k shape as the exact brute path;
     recall vs full-precision is asserted in tests.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     quant = emb.select(
@@ -236,7 +253,7 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import documents
 
     docs = documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     return (
@@ -935,7 +952,7 @@ KMEANS_ITERS = 3
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     return emb.select(
@@ -1100,7 +1117,7 @@ def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import documents
 
     a = kmeans_assignments(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    emb = _emb_table(spark, sf_dir).select("vec_id", "label")
     docs = documents(spark, sf_dir).select(
         F.col("doc_id").alias("vec_id"), "n_chars"
     )
@@ -1959,7 +1976,7 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(K·POOL) integer ops, exactly where production rerankers live
     (the pool, not the corpus, is what MMR ever touches).
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     quant = emb.select(
@@ -2069,7 +2086,7 @@ def knn_hamming_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_cosine_brute``. Queries: ``vec_id < KNN_N_QUERIES``;
     ties break (hamming, vec_id) — fully deterministic.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     half = HAMMING_WORD_BITS
@@ -2131,7 +2148,7 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict a curation gate actually thresholds on).
     """
     a = kmeans_assignments(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    emb = _emb_table(spark, sf_dir).select("vec_id", "label")
     ct = (
         a.join(emb, "vec_id")
         .groupBy("cluster", "label")
@@ -2188,7 +2205,7 @@ def knn_truncated_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the harness is the deliverable, the number is honest context.
     """
     full = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id")
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id",
         F.slice(as_double(F.col("embedding")), 1, TRUNC_DIMS).alias("v"),
     )
@@ -2240,7 +2257,7 @@ def knn_filtered_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.tables import documents
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     quant = emb.select(
@@ -2375,7 +2392,7 @@ def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable — the embedding_drift_batches path), then
     O(labels·dims) arithmetic. No joins, no candidate pairs.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _emb_table(spark, sf_dir).select(
         "label", as_double(F.col("embedding")).alias("v")
     )
     per_dim = (
