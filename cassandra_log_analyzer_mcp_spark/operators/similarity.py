@@ -2036,7 +2036,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each leg is the method's own distributed plan; the
     intersection join is result-set-cardinality (queries × k).
     """
-    brute = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id")
+    # result-set cardinality (queries × k = 50 rows), but consumed
+    # FOUR times (three leg joins + the query panel) — cache so the
+    # brute-force window pipeline runs once per eval, not four times
+    # (round 10; plan-keyed CacheManager entry like every operator
+    # cache)
+    brute = knn_cosine_brute(spark, sf_dir).select("q_id", "vec_id").cache()
     qs = brute.select("q_id").distinct()
     legs = []
     for method, fn in (

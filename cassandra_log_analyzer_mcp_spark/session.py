@@ -87,6 +87,7 @@ def clear_caches(spark: SparkSession) -> None:
     similarity._BIG_IVF_MEMO.clear()
     similarity._BIG_PQ_MEMO.clear()
     dedup._TRUTH_PAIRS_MEMO.clear()
+    dedup._CC_LABELS_MEMO.clear()
     dedup._BIG_DOC_ARRS_MEMO.clear()
     dedup._BIG_DOC_EMB_MEMO.clear()
     textops._BPE_CACHE.clear()

@@ -992,20 +992,25 @@ def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             state, [(r.t, r.c) for r in counts.collect()], STREAM_HH_CAP
         )
 
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .option(
-            "checkpointLocation",
-            _bridge_workdir("topktok_ck") + "/ck",
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option(
+                "checkpointLocation",
+                _bridge_workdir("topktok_ck") + "/ck",
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_topk_tokens did not finish its file feed"
-        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_topk_tokens did not finish its file feed"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))
     top = top[:STREAM_HH_TOP_K]
     return spark.createDataFrame(
@@ -1153,16 +1158,21 @@ def streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(feed)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_cusum_alerts did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_cusum_alerts did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
         alarms,
         schema="node string, hour_s long, n_errors long, cusum long,"
@@ -1274,16 +1284,21 @@ def streaming_dlq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "line_id long, node string, raw string"
     ).parquet(land)
-    q = (
-        stream.writeStream.foreachBatch(route)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_dlq_counts did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dlq_counts did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     ok = (
         spark.read.parquet(main_out)
         .groupBy("node")
@@ -1381,16 +1396,21 @@ def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("node string, t long").option(
         "maxFilesPerTrigger", "1"
     ).option("recursiveFileLookup", "true").parquet(feed)
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_trend_state did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_trend_state did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     moments = spark.createDataFrame(
         [(n, s[0], s[1], s[2], s[3]) for n, s in sorted(state.items())],
         schema="node string, t0 long, t1 long, sy long, sty long",
@@ -1472,16 +1492,21 @@ def streaming_mannkendall_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("node string, t long").option(
         "maxFilesPerTrigger", "1"
     ).option("recursiveFileLookup", "true").parquet(feed)
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_mannkendall_state did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_mannkendall_state did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     rows = []
     for node, (t0, t1, cnt) in sorted(state.items()):
         for d in range(t0 // 24, t1 // 24 + 1):
@@ -1556,16 +1581,21 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("event_type string, user_id long").option(
         "maxFilesPerTrigger", "1"
     ).option("recursiveFileLookup", "true").parquet(feed)
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_kmv_state did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_kmv_state did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # n_true is the report's evaluation harness, not sketch state —
     # computed distributively from the landed feed, never driver sets
     truth = {
@@ -1812,12 +1842,20 @@ def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stream_funnel_{uuid.uuid4().hex[:8]}"
-    q = log_stream.run_to_memory_sink(updated, sink, output_mode="update")
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_funnel_state did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = log_stream.run_to_memory_sink(
+            updated, sink, output_mode="update"
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_funnel_state did not finish its availableNow"
+                " run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     flags = spark.table(sink).groupBy("user_id").agg(
         F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
     )
@@ -1884,19 +1922,24 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count("*").alias("n"))
         )
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming_late_data_drop run did not finish"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_late_data_drop run did not finish"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     ev.filter(F.col("ts") >= fresh_cut).repartition(1).write.mode(
         "append"
@@ -1998,16 +2041,21 @@ def streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(feed)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_f2_ams did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_f2_ams did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # exact F2 is the report's evaluation column, recomputed
     # distributively from the landed feed — never a driver-side count
     f2 = (
@@ -2102,16 +2150,21 @@ def streaming_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(feed)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming_seasonal_mad did not finish its availableNow run"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_seasonal_mad did not finish its availableNow run"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     hourly = spark.createDataFrame(
         [(n, h, x) for (n, h), x in sorted(state.items())],
         schema="node string, h long, x long",
