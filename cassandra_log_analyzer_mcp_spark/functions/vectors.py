@@ -42,4 +42,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def lit_vector(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in values])
+    """Literal double array as ONE parsed expression. The obvious
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round-trip per
+    element — ~0.3 s of pure driver time per 64-dim plane set,
+    re-paid on every query build (measured round 10); a single
+    ``expr`` string parses JVM-side to the identical Literal tree.
+    ``repr(float)`` round-trips exactly, and the ``D`` suffix makes
+    each element a DoubleType literal, same as ``F.lit(float)``."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    )

@@ -414,16 +414,35 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("da"), F.col("phash").alias("pa"), "band"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("db"), F.col("phash").alias("pb"), "band"
+    # band-bucket fold instead of the bucket self-join (round 10, the
+    # dedup._bucket_pairs treatment, payload-carrying): the self-join
+    # evaluated the mapInPandas aHash kernel subtree once PER SIDE —
+    # the single most expensive stage here — and paid two exchanges +
+    # a join; one groupBy(band) computes the kernel once and expands
+    # the identical pair multiset map-side from doc_id-sorted
+    # (doc_id, phash) arrays.
+    pairs = (
+        bands.groupBy("band")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "phash"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> transform("
+                    "slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x.doc_id AS da, y.doc_id AS db,"
+                    " x.phash AS pa, y.phash AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.da", "p.db", "p.pa", "p.pb")
     )
     return (
-        a.join(b, "band")
-        .filter(F.col("da") < F.col("db"))
-        .select(
+        pairs.select(
             "da",
             "db",
             F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),

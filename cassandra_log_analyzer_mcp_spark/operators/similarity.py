@@ -527,7 +527,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = []
     for cell, s, c in cent:
         sss_over_c2 = sum(x * x for x in s) / (c * c)
-        s_lit = F.array(*[F.lit(x).cast("long") for x in s])
+        # one parsed expr instead of 64 py4j F.lit round-trips per
+        # cell (×K cells ×iterations — see lit_vector, round 10)
+        s_lit = F.expr(
+            "array(" + ",".join(f"{int(x)}L" for x in s) + ")"
+        )
         score = F.lit(sss_over_c2) - (
             (2 * dot_long(F.col("q"), s_lit)) / F.lit(c).cast("long")
         )
@@ -981,7 +985,11 @@ def _kmeans_assign(
     structs = []
     for cell, s, c in cent:
         sss_over_c2 = sum(x * x for x in s) / (c * c)
-        s_lit = F.array(*[F.lit(x).cast("long") for x in s])
+        # one parsed expr instead of 64 py4j F.lit round-trips per
+        # cell (×K cells ×iterations — see lit_vector, round 10)
+        s_lit = F.expr(
+            "array(" + ",".join(f"{int(x)}L" for x in s) + ")"
+        )
         score = F.lit(sss_over_c2) - (
             (2 * dot_long(F.col("q"), s_lit)) / F.lit(c).cast("long")
         )
@@ -1564,7 +1572,8 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifecycle as the k-means assignment cache)
     quant = _quantized(spark, sf_dir).cache()
     v = _power_iterate(_gram_matrix(quant))
-    v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    # one parsed expr instead of 64 py4j F.lit round-trips (round 10)
+    v_lit = F.expr("array(" + ",".join(f"{int(x)}L" for x in v) + ")")
     return quant.select(
         "vec_id", dot_long(F.col("q"), v_lit).alias("proj")
     )

@@ -90,6 +90,7 @@ def clear_caches(spark: SparkSession) -> None:
     dedup._CC_LABELS_MEMO.clear()
     dedup._BIG_DOC_ARRS_MEMO.clear()
     dedup._BIG_DOC_EMB_MEMO.clear()
+    dedup._SEM_BUCKETS_MEMO.clear()
     textops._BPE_CACHE.clear()
     # localCheckpoint() blocks (the BPE/connected-components iteration
     # lineage cuts) live in RDD storage OUTSIDE the SQL CacheManager —

@@ -2509,3 +2509,52 @@ def test_embedding_label_coherence_rederives_exactly(spark, sf_dir):
             n * n * S.QUANT_SCALE * S.QUANT_SCALE
         ), label
         assert 0 <= r.coherence_ppm <= 1_200_000, label
+
+
+def test_bucket_pairs_matches_self_join(spark):
+    """_bucket_pairs (round-10 fold) must emit exactly the self-join's
+    distinct (da, db) pair set, including the occupancy-cap guard —
+    on a hand-built bucket frame with a hot bucket, a pair bridging
+    two buckets, and a singleton bucket."""
+    from pyspark.sql import functions as F
+
+    from cassandra_log_analyzer_mcp_spark.operators.dedup import (
+        _bucket_pairs,
+    )
+
+    rows = (
+        [(d, "hot") for d in range(5)]        # occupancy 5
+        + [(1, "b1"), (2, "b1"), (3, "b1")]   # occupancy 3
+        + [(2, "b2"), (3, "b2")]              # duplicate pair via b2
+        + [(9, "lonely")]                     # occupancy 1 — no pairs
+    )
+    buckets = spark.createDataFrame(rows, "doc_id long, band string")
+
+    def self_join(cap=None):
+        b = buckets
+        if cap is not None:
+            hot = (
+                b.groupBy("band")
+                .agg(F.count("*").alias("occ"))
+                .filter(F.col("occ") > cap)
+                .select("band")
+            )
+            b = b.join(F.broadcast(hot), "band", "left_anti")
+        return (
+            b.select(F.col("doc_id").alias("da"), "band")
+            .join(b.select(F.col("doc_id").alias("db"), "band"), "band")
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+        )
+
+    for cap in (None, 4, 2, 1):
+        want = {tuple(r) for r in self_join(cap).collect()}
+        got = {tuple(r) for r in _bucket_pairs(buckets, cap=cap).collect()}
+        assert got == want, f"cap={cap}"
+    # sanity: the uncapped set includes the hot bucket's 10 pairs and
+    # the capped (cap=4) set drops exactly them
+    uncapped = {tuple(r) for r in _bucket_pairs(buckets).collect()}
+    capped = {tuple(r) for r in _bucket_pairs(buckets, cap=4).collect()}
+    assert capped == {(1, 2), (1, 3), (2, 3)}
+    assert len(uncapped - capped) == 7  # hot-only pairs ((1,2) etc. overlap)
