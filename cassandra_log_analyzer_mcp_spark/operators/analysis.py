@@ -29,6 +29,7 @@ from ..functions.parsing import (
     RECOMMENDATION_RULES,
 )
 from ..functions.spans import epoch_span_midpoint
+from ..functions.frames import local_frame
 
 def _severity_map():
     return F.create_map(
@@ -1113,7 +1114,7 @@ def scd_owner_join(logs: DataFrame) -> DataFrame:
         rows.append(
             (f"node{i}", mid, hi + 1, f"team{(i + 1) % SCD_TEAMS}")
         )
-    dim = spark.createDataFrame(
+    dim = local_frame(spark, 
         rows, "node string, valid_from long, valid_to long, owner string"
     )
     epoch = F.col("ts").cast("long")

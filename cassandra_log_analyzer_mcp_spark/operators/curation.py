@@ -23,6 +23,7 @@ from ..functions.texts import LANG_STOPWORDS, count_matches, lang_pattern
 from ..sources.tables import documents
 from .dedup import dedup_exact
 from .textops import lang_pred_case, quality_cols
+from ..functions.frames import local_frame
 
 QUALITY_MIN = 0.5
 TOKENS_MIN = 15
@@ -168,7 +169,7 @@ def decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").alias("shared"),
         )
     )
-    anchor = spark.createDataFrame(
+    anchor = local_frame(spark, 
         [(k,) for k in DECONTAM_SWEEP_KS], "gram_k int"
     )
     return anchor.join(F.broadcast(agg), "gram_k", "left").select(

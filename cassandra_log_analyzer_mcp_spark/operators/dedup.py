@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from ..functions.texts import shingles_col, tokens_col
 from ..sources.tables import documents
 from .bigscale import BIG_SCALE
+from ..functions.frames import local_frame
 
 SHINGLE_K = 3          # tokens per shingle
 # Jaccard threshold as an exact fraction: prefix lengths MUST be
@@ -1379,7 +1380,7 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = documents(spark, sf_dir).select("doc_id").count()
     n_in_graph = cc.select("doc_id").distinct().count()
-    singletons = spark.createDataFrame(
+    singletons = local_frame(spark, 
         [(1, n_total - n_in_graph, n_total - n_in_graph)],
         schema="cluster_size long, n_clusters long, n_docs long",
     )

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from ..functions.vectors import as_double, dot, dot_long, lit_vector, norm
 from ..sources.tables import table
 from .bigscale import BIG_SCALE
+from ..functions.frames import local_frame
 
 KNN_N_QUERIES = 5    # vec_id < 5 are the query vectors
 KNN_TOP_K = 10
@@ -2024,7 +2025,7 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, v, r, pen, score = best
         chosen.append(v)
         selected.append((rk, v, r, pen, score))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         selected,
         schema="rk int, vec_id long, rel long, penalty long, mmr long",
     )

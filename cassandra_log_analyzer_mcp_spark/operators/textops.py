@@ -26,6 +26,7 @@ from ..functions.texts import (
     tokens_col,
 )
 from ..sources.tables import documents, table
+from ..functions.frames import local_frame
 
 FINGERPRINT_K = 5
 VOCAB_TOP_K = 100
@@ -1224,7 +1225,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE folds and must land on the identical merge table.
     """
     merges, _ = _bpe_learn(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "round int, left string, right string, n_pairs long"
     )
 

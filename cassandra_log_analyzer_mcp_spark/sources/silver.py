@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.parsing import with_issue_flags
 from .tables import logs
+from ..functions.frames import local_frame
 
 
 def write_silver(spark: SparkSession, sf_dir: str, path: str) -> str:
@@ -770,7 +771,7 @@ def write_node_dim(spark: SparkSession, path: str) -> None:
     from ..functions.parsing import N_NODES
 
     rows = [(f"node{i}", f"r{i % 2}") for i in range(N_NODES)]
-    dim = spark.createDataFrame(rows, "node string, rack string")
+    dim = local_frame(spark, rows, "node string, rack string")
     dim.coalesce(1).write.mode("overwrite").parquet(path)
 
 

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from ..functions.parsing import synth_raw_lines
 from ..sources.tables import table
 from . import log_stream
+from ..functions.frames import local_frame
 
 _MATERIALIZED: dict[str, str] = {}
 
@@ -546,7 +547,7 @@ def _landed_events_outer(spark: SparkSession, sf_dir: str) -> str:
     sentinels = (
         ev.agg(F.max("ts").alias("ts"))
         .crossJoin(
-            spark.createDataFrame(
+            local_frame(spark, 
                 [(-1, "purchase"), (-2, "error")],
                 "event_id long, event_type string",
             )
@@ -857,7 +858,7 @@ def streaming_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame
                 int(round(float(cw.sum()))),
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "event_type string, p50 double, p95 double, p99 double, n long"
     )
 
@@ -1013,7 +1014,7 @@ def streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))
     top = top[:STREAM_HH_TOP_K]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(t, c, i + 1) for i, (t, c) in enumerate(top)],
         schema="t string, c bigint, rk int",
     )
@@ -1173,7 +1174,7 @@ def streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         alarms,
         schema="node string, hour_s long, n_errors long, cusum long,"
         " k_ref long",
@@ -1360,7 +1361,7 @@ def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = lines.approxQuantile("t", [0.5], 0.0)
     if not med:
         return trend_from_moments(
-            spark.createDataFrame(
+            local_frame(spark, 
                 [], "node string, t0 long, t1 long, sy long, sty long"
             )
         )
@@ -1411,7 +1412,7 @@ def streaming_trend_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    moments = spark.createDataFrame(
+    moments = local_frame(spark, 
         [(n, s[0], s[1], s[2], s[3]) for n, s in sorted(state.items())],
         schema="node string, t0 long, t1 long, sy long, sty long",
     )
@@ -1457,7 +1458,7 @@ def streaming_mannkendall_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = lines.approxQuantile("t", [0.5], 0.0)
     if not med:
         return mannkendall_from_daily(
-            spark.createDataFrame([], "node string, d long, x long")
+            local_frame(spark, [], "node string, d long, x long")
         )
     split = med[0]
     feed = _bridge_workdir("mk_feed") + "/errors"
@@ -1511,7 +1512,7 @@ def streaming_mannkendall_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for node, (t0, t1, cnt) in sorted(state.items()):
         for d in range(t0 // 24, t1 // 24 + 1):
             rows.append((node, d, cnt.get(d, 0)))
-    daily = spark.createDataFrame(rows, "node string, d long, x long")
+    daily = local_frame(spark, rows, "node string, d long, x long")
     return mannkendall_from_daily(daily)
 
 
@@ -1613,7 +1614,7 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         kth = ks[-1][0]
         est = n_kept if n_kept < KMV_K else (KMV_K - 1) * KMV_SPACE // kth
         rows.append((t, truth[t], n_kept, kth, est))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         schema="event_type string, n_true long, n_kept long,"
         " kth_hash long, est_users long",
@@ -1715,7 +1716,7 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (doc_id, source, n_tokens, priority, i + 1)
         for i, (priority, doc_id, source, n_tokens) in enumerate(state)
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         schema="doc_id long, source string, n_tokens long,"
         " priority double, rn int",
@@ -1945,7 +1946,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(feed)
     run_once()
-    sentinel = spark.createDataFrame(
+    sentinel = local_frame(spark, 
         [("sentinel",)], "event_type string"
     ).select(
         (F.lit(hi) + 400 * 86400).cast("timestamp").alias("ts"),
@@ -2069,7 +2070,7 @@ def streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .f2
     )
     rows = [(r, s, s * s, f2) for r, s in enumerate(state)]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, schema="r long, s_r long, est_r long, f2_exact long"
     )
 
@@ -2165,7 +2166,7 @@ def streaming_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    hourly = spark.createDataFrame(
+    hourly = local_frame(spark, 
         [(n, h, x) for (n, h), x in sorted(state.items())],
         schema="node string, h long, x long",
     )
